@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+then runs each ``queries()[name](sf_dir)`` at sf=0.01 against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The KG pipeline's input (transcripts per BASELINE.json ``input_hint``) is not
+part of the driver testdata, so each sf tier maps to a deterministic
+synthesized corpus under /tmp/graft_corpus/<tier>/ (seeded, pure numpy —
+see robokop_build_ray.sources.corpus); the oracle SQL reads the SAME parquet
+files via read_parquet so both sides compute from identical bytes.
+
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session).
 """
 
 from __future__ import annotations
@@ -18,27 +20,236 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ray.data as rd
+
+from robokop_build_ray import entry_sql
+from robokop_build_ray.pipelines import relational as rel
+from robokop_build_ray.sources.corpus import corpus_paths, ensure_corpus, tier_of
+
+_SQL_TIER = "sf0.01"  # the driver's correctness scale
+
+
+# --------------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale: full KG build, returns the edge
+    table (raw + canonicalized + deduped triples with provenance)."""
+    from robokop_build_ray.pipelines.kg_build import build_graph
+
+    graph = build_graph("/root/testdata/sf0.001", include_support=False)
+    return graph["edges"]
+
+
+# ------------------------------------------------------------------- queries
+
+def _kg(sf_dir: str, which: str):
+    from robokop_build_ray.pipelines.kg_build import build_graph
+
+    graph = build_graph(
+        sf_dir,
+        materialize_intermediate=(which == "support"),
+        include_support=(which == "support"),
+    )
+    if which == "support":
+        # SQL oracle carries no p column (DuckDB lacks erfc); drop it here.
+        return graph["support"].select_columns(
+            ["id_a", "id_b", "c1", "c2", "c", "expected", "chi2", "suppressed"]
+        )
+    return graph[which]
+
+
+def _kg_node_type_histogram(sf_dir: str):
+    return _kg(sf_dir, "nodes").groupby("node_type").count().rename_columns(
+        {"count()": "n"}
+    )
+
+
+def _kg_turns_ordered(sf_dir: str):
+    paths = ensure_corpus(sf_dir)
+    return (
+        rd.read_parquet(paths["transcripts"])
+        .select_columns(["conv_id", "turn_idx", "text"])
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def _kg_components(sf_dir: str):
+    from robokop_build_ray.stages.components import connected_components
+
+    paths = ensure_corpus(sf_dir)
+    bridges = rd.read_parquet(paths["bridges"])
+    comp = connected_components(bridges, num_partitions=4)
+    # singleton nodes (no bridge edge) are their own component
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    gaz = rd.read_parquet(paths["gazetteer"]).select_columns(["curie"])
+    bridged = pa.array(sorted(r["id"] for r in comp.take_all()))
+    singles = gaz.map_batches(
+        lambda t: pa.table(
+            {"id": t["curie"].combine_chunks(),
+             "component": t["curie"].combine_chunks()}
+        ).filter(pc.invert(pc.is_in(t["curie"].combine_chunks(),
+                                    value_set=bridged))),
+        batch_format="pyarrow",
+    )
+    return comp.union(singles)
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from robokop_build_ray.stages import ann, dedup, text_analysis as ta
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ann_topk(sf_dir: str):
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        return ann.brute_force_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id", "rank"]
+        )
 
+    def ann_ivf(sf_dir: str):
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        return ann.ivf_topk(emb, qref, k=10, nprobe=2).select_columns(
+            ["query_id", "neighbor_id", "rank"]
+        )
+
+    return {
+        # --- KG pipeline (synthesized transcripts; SQL recomputes from the
+        # same parquet via read_parquet) --------------------------------
+        "kg_extract": lambda sf: (ensure_corpus(sf), _kg(sf, "triples"))[1],
+        "kg_linked": lambda sf: (ensure_corpus(sf), _kg(sf, "linked"))[1],
+        "kg_canonical": lambda sf: (ensure_corpus(sf), _kg(sf, "canonical"))[1],
+        "kg_nodes": lambda sf: (ensure_corpus(sf), _kg(sf, "nodes"))[1],
+        "kg_edges": lambda sf: (ensure_corpus(sf), _kg(sf, "edges"))[1],
+        "kg_support": lambda sf: (ensure_corpus(sf), _kg(sf, "support"))[1],
+        "kg_node_type_histogram": _kg_node_type_histogram,
+        "kg_turns_ordered": _kg_turns_ordered,
+        "kg_components": _kg_components,
+        # --- relational coverage (testdata views) ----------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "nation_revenue": rel.nation_revenue,
+        "events_hourly": rel.events_hourly,
+        "events_sessions": rel.events_sessions,
+        "part_topk": rel.part_topk,
+        "orders_status_histogram": rel.orders_status_histogram,
+        "mktsegments": rel.mktsegments,
+        # --- training-data ops: documents ------------------------------
+        "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
+        "doc_quality": lambda sf: ta.quality(_docs(sf)),
+        "doc_langid": lambda sf: ta.langid(_docs(sf)),
+        "doc_fingerprint": lambda sf: ta.fingerprints(_docs(sf)),
+        "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        # rows-only (no SQL equivalent): sketch/LSH dedup family
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
+            _docs(sf), threshold=0.5
+        ).select_columns(["id_a", "id_b"]),
+        "dedup_simhash": lambda sf: dedup.simhash_pairs(
+            _docs(sf), max_hamming=3
+        ).select_columns(["id_a", "id_b"]),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf), threshold=0.3
+        ).select_columns(["id_a", "id_b"]),
+        # --- embeddings -------------------------------------------------
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(
+            _embeddings(sf), threshold=0.4
+        ),
+        "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf,
+    }
+
+
+# ---------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ensure_corpus(_SQL_TIER)  # SQL reads these parquet files
+    t = _SQL_TIER
+    return {
+        "kg_extract": entry_sql.sql_extract(t),
+        "kg_linked": entry_sql.sql_linked(t),
+        "kg_canonical": entry_sql.sql_canonical(t),
+        "kg_nodes": entry_sql.sql_nodes(t),
+        "kg_edges": entry_sql.sql_edges(t),
+        "kg_support": entry_sql.sql_support(t),
+        "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
+        "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
+        "kg_components": entry_sql.sql_components(t),
+        "q1_pricing_summary": rel.sql_q1(),
+        "q3_top_orders": rel.sql_q3(),
+        "nation_revenue": rel.sql_nation_revenue(),
+        "events_hourly": rel.sql_events_hourly(),
+        "events_sessions": rel.sql_events_sessions(),
+        "part_topk": rel.sql_part_topk(),
+        "orders_status_histogram": rel.sql_orders_status_histogram(),
+        "mktsegments": rel.sql_mktsegments(),
+        "doc_tokens": r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(text) AS n_chars FROM documents""",
+        "doc_quality": r"""
+WITH s AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       1.0 * n_stop / greatest(n_tokens, 1) AS stop_ratio,
+       (n_tokens >= 5 AND n_tokens <= 100000
+        AND 1.0 * n_stop / greatest(n_tokens, 1) > 0.0) AS is_quality
+FROM s""",
+        "doc_langid": r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+FROM s""",
+        "doc_fingerprint": """
+SELECT doc_id,
+       md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))
+         AS fingerprint
+FROM documents""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))""",
+        "dedup_embedding_cosine": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10""",
+    }

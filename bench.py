@@ -1,0 +1,118 @@
+"""Benchmark: full 5-stage KG pipeline end-to-end over the bench corpus.
+
+Prints ONE JSON line:
+  {"metric": "kg_build_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "num_cpus": N,
+   "rows": turns, "triples": n, "triples_per_sec": ..., "rows_per_sec": ...}
+
+--scaling: runs the same job in fresh processes at num_cpus=8 and 32 and
+reports throughput at both plus efficiency = (T32/T8)/(32/8)
+(sandbox stand-in for the N vs 4N node cluster criterion).
+
+Corpus generation (deterministic, cached under /tmp/graft_corpus) is
+excluded from timing; one untimed read warms the page cache first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from robokop_build_ray.sources.corpus import ensure_corpus, tier_of
+    from robokop_build_ray.pipelines.kg_build import (
+        build_graph, materialize_graph,
+    )
+
+    paths = ensure_corpus(sf_dir)  # untimed (deterministic input generation)
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(paths["transcripts"]).metadata.num_rows
+    with open(paths["transcripts"], "rb") as f:  # warm page cache
+        while f.read(1 << 24):
+            pass
+
+    out_dir = f"/tmp/graft_bench_out.{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    phases: dict[str, float] = {}
+    t_all = time.time()
+
+    t0 = time.time()
+    graph = build_graph(sf_dir, materialize_intermediate=True)
+    phases["extract_link_canonicalize"] = round(time.time() - t0, 3)
+    n_triples = graph["canonical"].count()
+
+    t0 = time.time()
+    manifests = materialize_graph(graph, out_dir)
+    phases["aggregate_support_materialize"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    result = {
+        "metric": "kg_build_e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": phases,
+        "sf": float(tier_of(sf_dir).removeprefix("sf")),
+        "num_cpus": num_cpus,
+        "rows": n_rows,
+        "triples": n_triples,
+        "rows_per_sec": round(n_rows / total, 1),
+        "triples_per_sec": round(n_triples / total, 1),
+        "out_rows": {k: m["rows"] for k, m in manifests.items()},
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo)
+        r_hi = run_subprocess(hi)
+        thr_lo = r_lo["rows_per_sec"]
+        thr_hi = r_hi["rows_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "rows_per_sec_lo": thr_lo, "rows_per_sec_hi": thr_hi,
+            "triples_per_sec_lo": r_lo["triples_per_sec"],
+            "triples_per_sec_hi": r_hi["triples_per_sec"],
+            "sf": r_hi["sf"], "rows": r_hi["rows"],
+        }))
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,338 @@
+"""Relational operator coverage over the testdata star schema.
+
+These queries exercise the core relational surface (filter -> project ->
+broadcast join -> partial aggregate -> groupby -> sort/limit, plus a
+sessionization window) the way the 100 TB engine would run them:
+
+- fact tables (lineitem / orders / events) STREAM through ``map_batches``
+  with column pruning at the read;
+- dimension tables (customer / nation / part / filtered orders) are
+  broadcast once via ``ray.put`` and looked up per batch — no shuffle joins;
+- aggregates are pre-combined per batch, the final groupby shuffles only
+  key-cardinality rows.
+
+Float determinism: monetary aggregates are summed as integer cents
+(``floor(x*100 + 0.5)`` per row, then int64 sum) so Ray's partial-sum order
+and DuckDB's sequential sum produce BIT-IDENTICAL results — the driver
+hash-compares values exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.ray_utils import rename
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------------------- Q1
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ep = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "base_cents": _cents(ep),
+                "disc_cents": _cents(ep * (1.0 - disc)),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def sql_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+         AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# ------------------------------------------------------------------- Q3
+
+SEGMENT = "BUILDING"
+Q3_DATE = "1995-06-01"
+
+
+def q3_top_orders(sf_dir: str, k: int = 10):
+    """Revenue of unshipped BUILDING-segment orders; top-k by revenue.
+    customer + orders are broadcast small sides (`ray.put` once)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    custkeys = set(
+        r["c_custkey"]
+        for r in cust.filter(expr=f"c_mktsegment == '{SEGMENT}'").take_all()
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cutoff = np.datetime64(Q3_DATE)
+    odate: dict[int, np.datetime64] = {}
+    for r in orders.take_all():
+        if r["o_custkey"] in custkeys and np.datetime64(r["o_orderdate"]) < cutoff:
+            odate[r["o_orderkey"]] = r["o_orderdate"]
+    odate_ref = ray.put(odate)
+
+    class RevenuePartial:
+        def __init__(self):
+            self.odate = ray.get(odate_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keep = b["l_orderkey"].isin(self.odate.keys())
+            keep &= b["l_shipdate"].to_numpy() > cutoff
+            b = b[keep]
+            rev = _cents(
+                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+            )
+            out = pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": rev})
+            return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    agg = rename(
+        li.map_batches(RevenuePartial, batch_format="pandas", concurrency=(1, 4))
+        .groupby("l_orderkey")
+        .sum("rev"),
+        {"sum(rev)": "revenue_cents"},
+    )
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(odate_ref)
+        b["o_orderdate"] = b["l_orderkey"].map(od)
+        return b
+
+    return (
+        agg.map_batches(attach, batch_format="pandas")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def sql_q3(k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+         AS revenue_cents,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{SEGMENT}'
+  AND o_orderdate < DATE '{Q3_DATE}'
+  AND l_shipdate > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT {k}"""
+
+
+# ------------------------------------------------------- nation revenue
+
+def nation_revenue(sf_dir: str):
+    """Revenue per customer nation: 3-level broadcast-join chain
+    (nation <- customer <- orders) applied to the streaming lineitem scan."""
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    }
+    cust_nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).take_all()
+    }
+    order_cust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).take_all()
+    }
+    maps_ref = ray.put((nation, cust_nation, order_cust))
+
+    class Partial:
+        def __init__(self):
+            self.nation, self.cn, self.oc = ray.get(maps_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rev = _cents(
+                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+            )
+            nk = b["l_orderkey"].map(self.oc).map(self.cn)
+            out = pd.DataFrame({"n_name": nk.map(self.nation), "rev": rev})
+            return out.groupby("n_name", as_index=False)["rev"].sum()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    return rename(
+        li.map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .groupby("n_name")
+        .sum("rev"),
+        {"sum(rev)": "revenue_cents"},
+    )
+
+
+def sql_nation_revenue() -> str:
+    return """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+# ------------------------------------------------------------ events
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per user (streaming-shaped)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(b["ts"], pa.int64()), 3_600_000_000)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {"user_id": b["user_id"], "hour": hour, "value_cents": cents}
+        )
+
+    return (
+        ev.map_batches(derive, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hour,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+FROM events
+GROUP BY user_id, hour"""
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def events_sessions(sf_dir: str):
+    """Sessionization: per-user session count under a 30-minute idle gap —
+    the ordered-log window pattern (groupby key, sort by ts in the group)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        e = g["ts"].astype("int64")
+        n = 1 + int((e.diff().fillna(0) > SESSION_GAP_US).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def sql_events_sessions() -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       1 + count(*) FILTER (WHERE gap > {SESSION_GAP_US}) AS n_sessions
+FROM d GROUP BY user_id"""
+
+
+# ------------------------------------------------------------ small ops
+
+def part_topk(sf_dir: str, k: int = 20):
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"],
+                "p_name": b["p_name"],
+                "price_cents": _cents(b["p_retailprice"].to_numpy()),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return ds.sort(["price_cents", "p_partkey"], descending=[True, False]).limit(k)
+
+
+def sql_part_topk(k: int = 20) -> str:
+    return f"""
+SELECT p_partkey, p_name,
+       CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM part ORDER BY price_cents DESC, p_partkey LIMIT {k}"""
+
+
+def orders_status_histogram(sf_dir: str):
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+        .groupby("o_orderstatus")
+        .count()
+        .rename_columns({"count()": "n"})
+    )
+
+
+def sql_orders_status_histogram() -> str:
+    return "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def mktsegments(sf_dir: str):
+    """Distinct values (set op) via partial per-batch dedup + groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    partial = ds.map_batches(
+        lambda t: t.group_by("c_mktsegment").aggregate([]), batch_format="pyarrow"
+    )
+    return partial.groupby("c_mktsegment").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def sql_mktsegments() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer"

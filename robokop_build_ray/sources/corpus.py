@@ -1,0 +1,76 @@
+"""Corpus cache: deterministic transcript + gazetteer parquet under /tmp.
+
+The driver's correctness harness runs queries at an sf directory
+(``/root/testdata/sf0.01``); the KG pipeline's input table (transcripts) is
+not part of the driver testdata, so each sf tier maps to a deterministic
+synthesized corpus cached at ``/tmp/graft_corpus/<tier>/``. The DuckDB oracle
+SQL reads the SAME parquet files via ``read_parquet`` so both sides compute
+from identical bytes.
+
+Writes are atomic (generate into a scratch dir, ``os.rename``), so concurrent
+callers and killed runs can never observe a half-written corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..gazetteer import (
+    bridges_table,
+    build_entities,
+    gazetteer_table,
+    lexicon_table,
+)
+from ..textgen import generate_transcripts
+
+CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
+
+# turns per tier (FIXTURES.md F5 smoke/correctness/bench)
+TIERS: dict[str, int] = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 600_000}
+N_ENTITIES = 400
+SEED = 42
+
+_FILES = ("transcripts", "gazetteer", "lexicon", "bridges")
+
+
+def tier_of(sf_dir: str) -> str:
+    """Map an sf directory (or bare tier name) to a corpus tier key."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in TIERS else "sf0.01"
+
+
+def corpus_paths(tier: str) -> dict[str, str]:
+    d = os.path.join(CORPUS_ROOT, tier)
+    return {name: os.path.join(d, f"{name}.parquet") for name in _FILES}
+
+
+def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
+    """Generate (once, atomically) and return the corpus parquet paths."""
+    tier = tier_of(sf_dir_or_tier)
+    paths = corpus_paths(tier)
+    final_dir = os.path.dirname(paths["transcripts"])
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+
+    scratch = f"{final_dir}.tmp.{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
+    ents = build_entities(N_ENTITIES)
+    tables: dict[str, pa.Table] = {
+        "transcripts": generate_transcripts(TIERS[tier], N_ENTITIES, seed=SEED),
+        "gazetteer": gazetteer_table(ents),
+        "lexicon": lexicon_table(ents),
+        "bridges": bridges_table(ents),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"))
+    try:
+        os.rename(scratch, final_dir)
+    except OSError:
+        # another process won the race; its corpus is identical (deterministic)
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    return paths

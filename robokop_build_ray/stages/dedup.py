@@ -1,0 +1,331 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline dedup family, all Ray-Data-first:
+
+- exact:        content fingerprint -> hash-partition groupby -> keep min id
+- minhash-LSH:  shingle -> minhash sig -> band buckets (groupby) -> candidate
+                pairs -> signature-Jaccard verify
+- simhash:      64-bit simhash -> 16-bit chunk buckets (pigeonhole for
+                hamming<=3) -> verify hamming distance
+- ngram-jaccard: exact Jaccard over word n-gram shingle sets within LSH
+                candidate buckets (no all-pairs at scale)
+- embedding:    cosine near-dup within label blocks (numpy matmul per group)
+
+All hashes are process-stable (crc32 / blake2b), never Python's randomized
+``hash``. Stateful pieces (permutation tables) live in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """crc32 hashes of word n-gram shingles (sorted unique, uint64)."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(
+        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
+    )
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(docs, batch_size: int = 4096):
+    """Survivors (min doc_id) per exact normalized-content fingerprint."""
+    from ..functions.ray_utils import rename
+    from .text_analysis import fingerprint_batch
+
+    fp = docs.map_batches(fingerprint_batch, batch_format="pandas",
+                          batch_size=batch_size)
+    return rename(
+        fp.groupby("fingerprint").min("doc_id"), {"min(doc_id)": "doc_id"}
+    ).select_columns(["doc_id"])
+
+
+# ------------------------------------------------------------------ minhash
+
+class MinHasher:
+    """Per-actor state: (a, b) permutation tables built once."""
+
+    def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        h = shingle_hashes(text, self.shingle_n)
+        if len(h) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) universal hashing, min per row
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        # signatures packed to binary: pyarrow's hash join cannot carry
+        # list<uint64> payload columns, bytes it can
+        sigs = [self.signature(t).tobytes() for t in batch["text"]]
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"], pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_signatures(docs, num_perm: int = 128, shingle_n: int = 3,
+                       batch_size: int = 1024, concurrency=(1, 4)):
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    doc_ids, band_ids, band_hashes = [], [], []
+    sig_col = batch["sig"].to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    for did, sig in zip(ids, sig_col):
+        for b in range(bands):
+            chunk = sig[b * rows * 8 : (b + 1) * rows * 8]
+            doc_ids.append(did)
+            band_ids.append(b)
+            band_hashes.append(zlib.crc32(chunk))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+    ids = np.sort(g["doc_id"].unique())[:cap]
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+
+def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
+                      bands: int = 32):
+    """Near-duplicate candidate pairs with signature-estimated Jaccard >=
+    threshold. bands*rows == num_perm."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm).materialize()
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
+    )
+    cand = (
+        band_ds.groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    )
+    # verify: estimated Jaccard = fraction of equal signature coordinates
+    joined = cand.join(
+        sigs, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).rename_columns({"sig": "sig_a"}).join(
+        sigs, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    ).rename_columns({"sig": "sig_b"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        a = np.stack([np.frombuffer(x, dtype=np.uint64)
+                      for x in batch["sig_a"]])
+        b = np.stack([np.frombuffer(x, dtype=np.uint64)
+                      for x in batch["sig_b"]])
+        est = (a == b).mean(axis=1)
+        out = pd.DataFrame(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"], "est_jaccard": est}
+        )
+        return out[out["est_jaccard"] >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- ngram exact
+
+def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
+                        bands: int = 16, num_perm: int = 64, cap: int = 200):
+    """EXACT n-gram Jaccard over LSH-blocked candidates: blocking via minhash
+    bands (scale path), verification over true shingle sets."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm).materialize()
+    band_ds = sigs.map_batches(
+        lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
+    )
+    cand = (
+        band_ds.groupby(["band_id", "band_hash"])
+        .map_groups(lambda g: _bucket_pairs(g, cap), batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    shingles = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"], pa.int64()),
+                "sh": pa.array(
+                    [shingle_hashes(t, shingle_n).tobytes() for t in b["text"]],
+                    pa.binary(),
+                ),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    joined = cand.join(
+        shingles, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+    ).rename_columns({"sh": "sh_a"}).join(
+        shingles, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+    ).rename_columns({"sh": "sh_b"})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for ia, ib, sa, sb in zip(batch["id_a"], batch["id_b"],
+                                  batch["sh_a"], batch["sh_b"]):
+            A = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            B = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            if not A and not B:
+                continue
+            j = len(A & B) / len(A | B)
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")}
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ simhash
+
+class SimHasher:
+    """64-bit simhash per doc; token hashes cached per actor."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self.cache.get(tok)
+        if h is None:
+            h = _stable_u64(tok)
+            self.cache[tok] = h
+        return h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in batch["text"]:
+            toks = text.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            score = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes
+            out.append(int(((score > 0).astype(np.uint64)
+                            << np.arange(64, dtype=np.uint64)).sum()))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "simhash": pd.Series(out, dtype="uint64")})
+
+
+def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
+                  concurrency=(1, 4), max_bucket: int = 1024):
+    """Near-dup pairs with hamming(simhash) <= max_hamming; pigeonhole
+    blocking on 16-bit chunks (any pair within distance <= 3 is guaranteed to
+    share one of the 4 chunks). Hot buckets are capped at ``max_bucket``
+    lowest doc_ids (skew guard — a bucket holding half the corpus would be
+    O(n^2); documented completeness trade-off, same spirit as the
+    reference's path-scoped pair restriction `builder/builder.py:372-407`)."""
+    sh = docs.map_batches(SimHasher, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency
+                          ).materialize()
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, h in zip(batch["doc_id"], batch["simhash"]):
+            for k in range(4):
+                rows.append((did, int(h), k, (int(h) >> (16 * k)) & 0xFFFF))
+        return pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk_idx", "chunk_val"])
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = hs[ii] ^ hs[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (
+        sh.map_batches(chunks, batch_format="pandas")
+        .groupby(["chunk_idx", "chunk_val"])
+        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- embeddings
+
+def embedding_cosine_pairs(embeddings, threshold: float = 0.95):
+    """Near-dup pairs with cosine >= threshold, blocked by the ``label``
+    column (cluster id): numpy matmul within each block — never all-pairs
+    across the full table."""
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.clip(norms, 1e-12, None)
+        S = M @ M.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = S[ii, jj] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": ids[ii][keep].astype("int64"),
+                             "id_b": ids[jj][keep].astype("int64")})
+
+    return embeddings.groupby("label").map_groups(block, batch_format="pandas")

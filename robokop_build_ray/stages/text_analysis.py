@@ -1,0 +1,126 @@
+"""Text-analysis operators over the ``documents`` table (training-data ops).
+
+Beyond-reference operators a large-scale training-data pipeline needs:
+token counting, quality scoring, language-ID heuristic, content
+fingerprinting. All are stateless-or-actor ``map_batches`` stages with
+vectorized pandas/pyarrow bodies; every formula is deliberately expressible
+in DuckDB SQL so the driver's oracle can verify values exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"\S+"
+STOPWORDS_RE = r"\b(the|and|of|to|in|is|a)\b"
+
+# language marker word sets for the n-gram/stopword language-ID heuristic;
+# scored by marker-hit counts, argmax with fixed priority tiebreak.
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", r"\b(the|and|of|is|was)\b"),
+    ("de", r"\b(der|die|und|ist|nicht)\b"),
+    ("es", r"\b(el|los|las|es|y)\b"),
+    ("fr", r"\b(le|la|les|et|est)\b"),
+    ("zh", r"[一-鿿]"),
+]
+
+
+def token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_tokens (whitespace tokens), n_chars (codepoints)."""
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["text"].str.count(TOKEN_RE).astype("int64"),
+            "n_chars": batch["text"].str.len().astype("int64"),
+        }
+    )
+
+
+def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Length / stopword-ratio quality score (heuristic quality filter)."""
+    text = batch["text"]
+    n_tokens = text.str.count(TOKEN_RE).astype("int64")
+    n_stop = text.str.lower().str.count(STOPWORDS_RE).astype("int64")
+    stop_ratio = (1.0 * n_stop / n_tokens.clip(lower=1)).astype("float64")
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "stop_ratio": stop_ratio,
+            "is_quality": (n_tokens >= 5) & (n_tokens <= 100_000) & (stop_ratio > 0.0),
+        }
+    )
+
+
+class LangId:
+    """Actor-pool language-ID: regexes compiled once per actor, applied
+    vectorized per batch; argmax over marker-hit counts with fixed
+    en>de>es>fr>zh priority on ties."""
+
+    def __init__(self):
+        self.markers = [(lang, re.compile(pat)) for lang, pat in LANG_MARKERS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch["text"].str.lower()
+        scores = [low.str.count(pat.pattern).astype("int64") for _, pat in self.markers]
+        best = scores[0].copy()
+        pred = pd.Series(self.markers[0][0], index=batch.index)
+        for (lang, _), s in zip(self.markers[1:], scores[1:]):
+            mask = s > best  # strict: earlier langs win ties
+            pred = pred.mask(mask, lang)
+            best = best.mask(mask, s)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Content fingerprint: md5 of lower(trim(text)) — md5 chosen so DuckDB's
+    ``md5()`` verifies byte-for-byte; at production scale swap for xxhash."""
+    norm = batch["text"].str.strip().str.lower()
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": [hashlib.md5(t.encode()).hexdigest() for t in norm],
+        }
+    )
+
+
+def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
+    """Winnowing-style document fingerprint: min rolling hash over token
+    windows (not SQL-expressible; rows-only check)."""
+    out_ids, out_fp = [], []
+    for did, text in zip(batch["doc_id"], batch["text"]):
+        toks = text.lower().split()
+        if len(toks) < window:
+            h = hash(tuple(toks)) & 0x7FFFFFFFFFFFFFFF
+        else:
+            h = min(
+                hash(tuple(toks[i : i + window])) & 0x7FFFFFFFFFFFFFFF
+                for i in range(len(toks) - window + 1)
+            )
+        out_ids.append(did)
+        out_fp.append(h)
+    return pd.DataFrame({"doc_id": out_ids, "rolling_fp": out_fp})
+
+
+def token_stats(docs, batch_size: int = 4096):
+    return docs.map_batches(token_stats_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def quality(docs, batch_size: int = 4096):
+    return docs.map_batches(quality_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def langid(docs, batch_size: int = 4096, concurrency=(1, 2)):
+    return docs.map_batches(LangId, batch_format="pandas",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
+def fingerprints(docs, batch_size: int = 4096):
+    return docs.map_batches(fingerprint_batch, batch_format="pandas",
+                            batch_size=batch_size)

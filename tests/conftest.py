@@ -1,0 +1,32 @@
+"""Session-scoped Ray for the whole test run (one init, one shutdown)."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def smoke_corpus():
+    """Deterministic smoke-tier corpus paths (generated once, cached)."""
+    from robokop_build_ray.sources.corpus import ensure_corpus
+
+    return ensure_corpus("sf0.001")

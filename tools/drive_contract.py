@@ -1,0 +1,133 @@
+"""Driver-contract simulator: runs __ray_entry__ exactly as the round driver
+does — ray.init, entry() smoke, then every queries()[name](sf_dir) compared
+against oracle_sql()[name] via DuckDB (row count + schema + order-insensitive
+value comparison).
+
+Usage: python tools/drive_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(got) != len(want):
+        problems.append(f"rows: ray={len(got)} oracle={len(want)}")
+    g, w = normalize(got), normalize(want)
+    if list(g.columns) != list(w.columns):
+        problems.append(f"schema: ray={list(g.columns)} oracle={list(w.columns)}")
+        return problems
+    if problems:
+        return problems
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            import numpy as np
+
+            if not np.allclose(g[c], w[c], rtol=0, atol=0, equal_nan=True):
+                mx = float(np.nanmax(np.abs(g[c] - w[c])))
+                problems.append(f"col {c}: float mismatch max|diff|={mx:.3e}")
+        else:
+            neq = (g[c] != w[c])
+            if hasattr(neq, "any") and neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"col {c}: {int(neq.sum())} mismatches, first @{i}: "
+                    f"ray={g[c][i]!r} oracle={w[c][i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    t0 = time.time()
+    res = e.entry()
+    n = res.count() if hasattr(res, "count") and not isinstance(res, pd.DataFrame) else len(res)
+    print(f"entry(): {n} rows, schema={res.schema().names if hasattr(res,'schema') else list(res.columns)} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            out = fn(sf_dir)
+            got = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+        except Exception as ex:
+            print(f"FAIL {name}: ray side raised {type(ex).__name__}: {ex}", flush=True)
+            failed.append(name)
+            continue
+        sql = sqls.get(name)
+        if sql is None:
+            print(f"ok   {name}: {len(got)} rows (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]", flush=True)
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL raised {type(ex).__name__}: {ex}",
+                  flush=True)
+            failed.append(name)
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems), flush=True)
+            failed.append(name)
+        else:
+            print(f"ok   {name}: {len(got)} rows match oracle "
+                  f"[{time.time()-t0:.1f}s]", flush=True)
+    ray.shutdown()
+    print(("ALL OK" if not failed else f"FAILED: {failed}"), flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
