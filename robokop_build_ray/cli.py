@@ -1,0 +1,70 @@
+"""CLI entry point (S1/S2 analog of `builder/builder.py:564-603` ``main``).
+
+    python -m robokop_build_ray.cli build \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/graph \
+        -s cooccur -s phrase_sim [--checkpoint /tmp/ckpt] [--num-cpus 8]
+
+Owns the Ray session (guarded init, shutdown on exit) — the only places
+allowed to: this CLI, bench.py, and the pytest fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="robokop-build-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build", help="run the 5-stage KG build")
+    b.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="scale-tier directory (selects the transcript corpus)")
+    b.add_argument("--transcripts", default=None,
+                   help="explicit transcripts parquet path (overrides tier)")
+    b.add_argument("--out", required=True, help="output graph directory")
+    b.add_argument("--checkpoint", default=None,
+                   help="stage-checkpoint directory (resumable)")
+    b.add_argument("-s", "--support", action="append", default=None,
+                   help="supporter module name (repeatable; default cooccur); "
+                        "see stages.supporters.SUPPORTERS")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--batch-size", type=int, default=8192)
+    b.add_argument("--cap", type=int, default=256,
+                   help="max distinct entities per conversation for pair gen")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.kg_build import build_graph, materialize_graph, run_supporters
+
+    supports = args.support or ["cooccur"]
+    graph = build_graph(
+        args.sf_dir,
+        checkpoint_dir=args.checkpoint,
+        batch_size=args.batch_size,
+        max_entities_per_conv=args.cap,
+        transcripts_path=args.transcripts,
+        materialize_intermediate=True,
+        include_support="cooccur" in supports,
+    )
+    extra = [s for s in supports if s != "cooccur"]
+    if extra:
+        graph["extra_supports"] = run_supporters(graph, extra, args.cap)
+    manifests = materialize_graph(graph, args.out)
+    print(json.dumps({k: m["rows"] for k, m in manifests.items()}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

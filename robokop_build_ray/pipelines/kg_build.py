@@ -90,12 +90,11 @@ def load_link_state(corpus_paths: dict[str, str]) -> LinkState:
 
 
 def n_distinct(ds, col: str) -> int:
-    """Distinct count via partial per-batch dedup, then groupby — no
-    driver-side row iteration."""
-    partial = ds.select_columns([col]).map_batches(
-        lambda t: t.group_by(col).aggregate([]), batch_format="pyarrow"
-    )
-    return partial.groupby(col).count().count()
+    """Distinct count via bucketed two-phase dedup (functions.bucketing) —
+    vectorized, no driver-side row iteration."""
+    from ..functions.bucketing import bucketed_distinct
+
+    return bucketed_distinct(ds.select_columns([col]), [col]).count()
 
 
 def build_graph(
@@ -167,6 +166,26 @@ def build_graph(
     }
 
 
+def run_supporters(graph: dict[str, Any], names: list[str],
+                   max_entities_per_conv: int = 256) -> dict[str, Any]:
+    """Run named support modules (plugin registry, `builder/builder.py:
+    320-323,567-571` ``-s`` analog) over the graph's candidate pairs.
+
+    Returns {name: support-edge Dataset}."""
+    from ..stages.support import candidate_pairs
+    from ..stages.supporters import get_supporter
+
+    ctx = {
+        "canonical": graph["canonical"],
+        "n_conversations": graph["n_conversations"]
+        or n_distinct(graph["transcripts"], "conv_id"),
+        "pairs": candidate_pairs(graph["canonical"], max_entities_per_conv),
+        "state": graph["state"],
+        "max_entities_per_conv": max_entities_per_conv,
+    }
+    return {name: get_supporter(name)(ctx) for name in names}
+
+
 def materialize_graph(graph: dict[str, Any], out_dir: str) -> dict[str, dict]:
     """Stage 5 — determinism sort + committed parquet tables (S5/S6 analog).
 
@@ -178,8 +197,11 @@ def materialize_graph(graph: dict[str, Any], out_dir: str) -> dict[str, dict]:
     jobs = {
         "nodes": graph["nodes"].sort("id"),
         "edges": graph["edges"].sort(["subj_id", "pred_id", "obj_id"]),
-        "support": graph["support"].sort(["p", "id_a", "id_b"]),
     }
+    if graph.get("support") is not None:
+        jobs["support"] = graph["support"].sort(["p", "id_a", "id_b"])
+    for sup_name, ds in graph.get("extra_supports", {}).items():
+        jobs[f"support_{sup_name}"] = ds.sort(["id_a", "id_b"])
     for name, ds in jobs.items():
         manifests[name] = lineage.commit_stage(
             ds, os.path.join(out_dir, name), inputs=["canonical"]

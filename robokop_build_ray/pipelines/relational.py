@@ -329,9 +329,7 @@ def mktsegments(sf_dir: str):
     partial = ds.map_batches(
         lambda t: t.group_by("c_mktsegment").aggregate([]), batch_format="pyarrow"
     )
-    return partial.groupby("c_mktsegment").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return partial.groupby("c_mktsegment").count().drop_columns(["count()"])
 
 
 def sql_mktsegments() -> str:

@@ -65,7 +65,11 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "bridges": bridges_table(ents),
     }
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"))
+        # small row groups so ray.data.read_parquet can split one file into
+        # many parallel read tasks (a single-row-group file serializes the
+        # read stage at 32 CPUs)
+        pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"),
+                       row_group_size=20_000)
     try:
         os.rename(scratch, final_dir)
     except OSError:

@@ -63,14 +63,17 @@ class CanonicalRewriter:
         return batch
 
 
-def canonicalize_stage(linked, canon_ref, concurrency: int | None = None,
+def canonicalize_stage(linked, canon_ref, concurrency=None,
                        batch_size: int = 16_384):
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(4, cpus // 2))
     return linked.map_batches(
         CanonicalRewriter,
         fn_constructor_args=(canon_ref,),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency,
         num_cpus=1,
     )
 
@@ -110,14 +113,13 @@ class NodeInfoAttacher:
 
 
 def nodes_stage(canonical, nodeinfo_ref):
-    """Distinct used canonical ids (partial dedup per batch -> groupby) with
-    gazetteer-derived labels/synonyms attached via broadcast dict — the node
-    table analog of `builder/builder.py:76-96` with the label fallback chain
-    of `builder/builder.py:424-445` resolved at gazetteer build time."""
+    """Distinct used canonical ids (partial dedup per batch -> vectorized
+    count-aggregate distinct) with gazetteer-derived labels/synonyms attached
+    via broadcast dict — the node table analog of `builder/builder.py:76-96`
+    with the label fallback chain of `builder/builder.py:424-445` resolved at
+    gazetteer build time."""
     ids = canonical.map_batches(_used_ids_batch, batch_format="pyarrow")
-    distinct = ids.groupby("id").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    distinct = ids.groupby("id").count().drop_columns(["count()"])
     return distinct.map_batches(
         NodeInfoAttacher,
         fn_constructor_args=(nodeinfo_ref,),
@@ -128,48 +130,68 @@ def nodes_stage(canonical, nodeinfo_ref):
 
 # ------------------------------------------------------------------- edges
 
+_EDGE_KEYS = ["subj_id", "pred_id", "obj_id"]
+
+
 def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch combiner: collapse duplicate (subj,pred,obj) before the
-    shuffle — the 'pre-aggregate inside map_batches' pattern."""
+    """Per-batch combiner: collapse duplicate (subj,pred,obj,pub) rows into a
+    count before the shuffle (vectorized pandas groupby.size) and assign the
+    merge bucket — the 'pre-aggregate inside map_batches' pattern."""
     if len(batch) == 0:
-        return pd.DataFrame({"subj_id": [], "pred_id": [], "obj_id": [],
-                             "pubs": [], "n": []})
+        return pd.DataFrame({k: pd.Series([], dtype=object)
+                             for k in (*_EDGE_KEYS, "pub")} |
+                            {"n": pd.Series([], dtype="int64"),
+                             "_bucket": pd.Series([], dtype="int64")})
     batch = batch.assign(
         pub="CONV:" + batch["conv_id"] + "#" + batch["turn_idx"].astype(str)
     )
     g = (
-        batch.groupby(["subj_id", "pred_id", "obj_id"], sort=False)
-        .agg(pubs=("pub", lambda s: sorted(set(s))), n=("pub", "size"))
-        .reset_index()
+        batch.groupby([*_EDGE_KEYS, "pub"], sort=False)
+        .size().rename("n").reset_index()
     )
+    key = g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
+    g["_bucket"] = (
+        pd.util.hash_array(key.to_numpy(dtype=object), categorize=False)
+        % np.uint64(64)
+    ).astype("int64")
     return g
 
 
-def _edge_final(group: pd.DataFrame) -> pa.Table:
-    pubs: set[str] = set()
-    for lst in group["pubs"]:
-        pubs.update(lst)
-    pred = group["pred_id"].iloc[0]
+def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
+    """One Python call per BUCKET (not per edge): merge pub counts, build the
+    sorted, capped publication lists and final edge rows vectorized."""
+    g = g.groupby([*_EDGE_KEYS, "pub"], as_index=False)["n"].sum()
+    g = g.sort_values([*_EDGE_KEYS, "pub"], kind="mergesort")
+    agg = g.groupby(_EDGE_KEYS, sort=False).agg(
+        n_mentions=("n", "sum"), publications=("pub", list)
+    ).reset_index()
+    pubs = [p[:PUBLICATION_CAP] for p in agg["publications"]]
+    pred = agg["pred_id"]
+    n = len(agg)
     return pa.table(
         {
-            "subj_id": pa.array([group["subj_id"].iloc[0]], pa.string()),
-            "pred_id": pa.array([pred], pa.string()),
-            "standard_label": pa.array([pred.replace(":", "_")], pa.string()),
-            "obj_id": pa.array([group["obj_id"].iloc[0]], pa.string()),
-            "edge_source": pa.array([EDGE_SOURCE], pa.string()),
-            "publications": pa.array([sorted(pubs)[:PUBLICATION_CAP]],
-                                     pa.list_(pa.string())),
-            "n_mentions": pa.array([int(group["n"].sum())], pa.int64()),
-            "is_support": pa.array([False], pa.bool_()),
+            "subj_id": pa.array(agg["subj_id"], pa.string()),
+            "pred_id": pa.array(pred, pa.string()),
+            "standard_label": pa.array(pred.str.replace(":", "_", regex=False),
+                                       pa.string()),
+            "obj_id": pa.array(agg["obj_id"], pa.string()),
+            "edge_source": pa.array([EDGE_SOURCE] * n, pa.string()),
+            "publications": pa.array(pubs, pa.list_(pa.string())),
+            "n_mentions": pa.array(agg["n_mentions"].astype("int64"), pa.int64()),
+            "is_support": pa.array([False] * n, pa.bool_()),
         },
         schema=EDGES_SCHEMA,
     )
 
 
 def edges_stage(canonical, batch_size: int = 16_384):
+    """Edge dedup/aggregation by (subj, pred, obj): per-batch combiner ->
+    hash-bucket shuffle (64 buckets) -> one vectorized merge per bucket.
+    The bucket count bounds reducer fan-in; a bucket only sees its own key
+    range so the merge is exact."""
     partial = canonical.map_batches(
         _edge_partial, batch_format="pandas", batch_size=batch_size
     )
-    return partial.groupby(["subj_id", "pred_id", "obj_id"]).map_groups(
-        _edge_final, batch_format="pandas"
+    return partial.groupby("_bucket").map_groups(
+        _edge_merge_bucket, batch_format="pandas"
     )

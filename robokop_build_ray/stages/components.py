@@ -67,7 +67,8 @@ def connected_components(
     labels = (
         edges.map_batches(_dedup_ids_batch(col_a, col_b), batch_format="pyarrow")
         .groupby("id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .min("lbl")
+        .rename_columns({"min(lbl)": "lbl"})
         .materialize()
     )
 

@@ -135,11 +135,11 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
     )
-    cand = (
-        band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
+
+    cand = bucketed_distinct(
+        bucketed_group_pairs(band_ds, ["band_id", "band_hash"], _bucket_pairs),
+        ["id_a", "id_b"],
     )
     # verify: estimated Jaccard = fraction of equal signature coordinates
     joined = cand.join(
@@ -177,11 +177,12 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
     )
-    cand = (
-        band_ds.groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: _bucket_pairs(g, cap), batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
+
+    cand = bucketed_distinct(
+        bucketed_group_pairs(band_ds, ["band_id", "band_hash"],
+                             lambda g: _bucket_pairs(g, cap)),
+        ["id_a", "id_b"],
     )
     shingles = docs.map_batches(
         lambda b: pa.table(
@@ -293,14 +294,14 @@ def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
         return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep],
                              "hamming": ham[keep]})
 
-    pairs = (
-        sh.map_batches(chunks, batch_format="pandas")
-        .groupby(["chunk_idx", "chunk_val"])
-        .map_groups(bucket_verify, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ..functions.bucketing import bucketed_group_pairs, bucketed_min
+
+    pairs = bucketed_group_pairs(
+        sh.map_batches(chunks, batch_format="pandas"),
+        ["chunk_idx", "chunk_val"], bucket_verify,
     )
-    return pairs
+    # dup pairs across chunks carry the same hamming -> min is a dedup
+    return bucketed_min(pairs, ["id_a", "id_b"], "hamming")
 
 
 # ------------------------------------------------------------- embeddings

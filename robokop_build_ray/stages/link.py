@@ -74,8 +74,11 @@ def link_stage(triples, lexicon_ref, concurrency: int | None = None,
                batch_size: int = 8192):
     """raw triples Dataset -> linked triples Dataset (actor pool)."""
     if concurrency is None:
+        # the fused extract+link actor pool is the hot stage: let it scale to
+        # (almost) the whole cluster; autoscaling min stays low so small test
+        # clusters never deadlock
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, cpus // 2)
+        concurrency = max(2, cpus - 2)
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)  # autoscaling pool: never deadlocks small clusters
     return triples.map_batches(

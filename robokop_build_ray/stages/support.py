@@ -76,12 +76,22 @@ def _conv_entity_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def conv_entity_stage(canonical):
-    """-> distinct (conv_id, entity) Dataset (partial dedup, then shuffle)."""
+def conv_entity_stage(canonical, salt_k: int | None = 16):
+    """-> distinct (conv_id, entity) Dataset.
+
+    Per-batch partial dedup, then an EXPLICIT SALTED two-phase distinct
+    (functions.skew.salted_distinct): phase 1 shuffles on
+    (conv_id, entity, salt(entity)) so a hot conversation's rows spread over
+    ``salt_k`` reducers, phase 2 collapses the (at most salt_k) leftovers
+    per true key. ``salt_k=None`` falls back to the unsalted distinct; both
+    produce identical output (tests/test_skew.py)."""
     partial = canonical.map_batches(_conv_entity_batch, batch_format="pyarrow")
-    return partial.groupby(["conv_id", "entity"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ..functions.skew import plain_distinct, salted_distinct
+
+    if salt_k is None:
+        return plain_distinct(partial, ["conv_id", "entity"])
+    return salted_distinct(partial, ["conv_id", "entity"],
+                           salt_from="entity", k=salt_k)
 
 
 def _pairs_group(group: pd.DataFrame, cap: int) -> pd.DataFrame:
@@ -90,6 +100,32 @@ def _pairs_group(group: pd.DataFrame, cap: int) -> pd.DataFrame:
         return pd.DataFrame({"id_a": [], "id_b": []})
     ii, jj = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+
+def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64):
+    """Within-conversation unordered pairs. Conversations are hash-bucketed
+    (functions.bucketing) so the shuffle produces ~n_buckets groups and pair
+    generation runs as ONE vectorized Python call per bucket (not one per
+    conversation); per-conv work is bounded by ``cap`` (O(cap^2)) regardless
+    of conversation size."""
+    from ..functions.bucketing import bucketed_group_pairs
+
+    return bucketed_group_pairs(
+        conv_ent, ["conv_id"], lambda g: _pairs_group(g, cap), n_buckets
+    )
+
+
+def candidate_pairs(canonical, max_entities_per_conv: int = 256):
+    """Distinct candidate entity pairs (unordered, min<max) from
+    per-conversation co-occurrence — the input contract every supporter
+    shares (the reference's `generate_all_links`/path-scoped equivalent,
+    `builder/builder.py:364-407`, pair-dedup per its support cache
+    `builder/builder.py:348-356`)."""
+    from ..functions.bucketing import bucketed_distinct
+
+    conv_ent = conv_entity_stage(canonical)
+    pairs = _pairs_stage(conv_ent, max_entities_per_conv)
+    return bucketed_distinct(pairs, ["id_a", "id_b"])
 
 
 class SupportScorer:
@@ -125,20 +161,18 @@ class SupportScorer:
 def support_stage(canonical, n_conversations: int,
                   max_entities_per_conv: int = 256):
     """canonical triples -> scored co-occurrence pair table."""
-    conv_ent = conv_entity_stage(canonical)
+    # materialized: consumed twice (marginals broadcast + pair generation)
+    conv_ent = conv_entity_stage(canonical).materialize()
+
+    from ..functions.bucketing import bucketed_count
 
     # marginals: entity-bounded small aggregate -> driver -> broadcast
-    marg_ds = conv_ent.groupby("entity").count()
-    marg = {r["entity"]: r["count()"] for r in marg_ds.take_all()}
+    marg_ds = bucketed_count(conv_ent, ["entity"], name="n")
+    marg = {r["entity"]: r["n"] for r in marg_ds.take_all()}
     marg_ref = ray.put(marg)
 
-    pairs = conv_ent.groupby("conv_id").map_groups(
-        lambda g: _pairs_group(g, max_entities_per_conv), batch_format="pandas"
-    )
-    joint = pairs.groupby(["id_a", "id_b"]).count()
-    joint = joint.map_batches(
-        lambda t: t.rename_columns(["id_a", "id_b", "c"]), batch_format="pyarrow"
-    )
+    pairs = _pairs_stage(conv_ent, max_entities_per_conv)
+    joint = bucketed_count(pairs, ["id_a", "id_b"], name="c")
     return joint.map_batches(
         SupportScorer,
         fn_constructor_args=(marg_ref, n_conversations),

@@ -1,0 +1,142 @@
+"""Supporter plugin registry (reference user-extension surface, SURVEY §2.10).
+
+The reference loads support modules by name (`-s name` ->
+``import_module(name).get_supporter(core)``, `builder/builder.py:320-323,
+567-571`) with the contract ``prepare(nodes)`` + ``term_to_term(a, b) ->
+KEdge | None``. Here a supporter is a named factory that turns the candidate
+pair table (per-conversation co-occurring entity pairs) into a support-edge
+table; each runs as an actor-pool ``map_batches`` stage.
+
+Built-ins:
+- ``cooccur``    — chi-square conversation co-occurrence (`builder/cdw.py`
+                   semantics; the full stats pipeline lives in
+                   ``stages.support``)
+- ``phrase_sim`` — name-phrase similarity (the chemotext2 analog,
+                   `builder/chemotext2.py:30-66`): max Jaccard over
+                   ``generate_phrases`` of the two entity names, with the
+                   argmax phrase pair carried in properties (A6 semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.text import generate_phrases
+
+PHRASE_SIM_SOURCE = "phrase_sim.term_to_term"
+
+PHRASE_SIM_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("similarity", pa.float64()),
+        ("term_a", pa.string()),
+        ("term_b", pa.string()),
+        ("edge_source", pa.string()),
+        ("is_support", pa.bool_()),
+    ]
+)
+
+
+class PhraseSimScorer:
+    """prepare() analog: node name dict broadcast once; term_to_term analog:
+    per-pair max token-Jaccard over generated phrase sets."""
+
+    def __init__(self, names_ref):
+        self.names: dict[str, str] = ray.get(names_ref)
+        self._phrases: dict[str, list[str]] = {}
+
+    def phrases(self, node_id: str) -> list[str]:
+        ph = self._phrases.get(node_id)
+        if ph is None:
+            ph = generate_phrases(self.names.get(node_id, node_id))
+            self._phrases[node_id] = ph
+        return ph
+
+    @staticmethod
+    def _sim(a: str, b: str) -> float:
+        A, B = set(a.lower()), set(b.lower())
+        if not A or not B:
+            return 0.0
+        return len(A & B) / len(A | B)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        ids_a, ids_b, sims, terms_a, terms_b = [], [], [], [], []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            best, best_pair = -1.0, ("", "")
+            for pa_ in self.phrases(a):
+                for pb in self.phrases(b):
+                    s = self._sim(pa_, pb)
+                    if s > best:
+                        best, best_pair = s, (pa_, pb)
+            if best <= 0.0:
+                continue  # term_to_term -> None (no edge)
+            ids_a.append(a)
+            ids_b.append(b)
+            sims.append(best)
+            terms_a.append(best_pair[0])
+            terms_b.append(best_pair[1])
+        n = len(ids_a)
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a, pa.string()),
+                "id_b": pa.array(ids_b, pa.string()),
+                "similarity": pa.array(sims, pa.float64()),
+                "term_a": pa.array(terms_a, pa.string()),
+                "term_b": pa.array(terms_b, pa.string()),
+                "edge_source": pa.array([PHRASE_SIM_SOURCE] * n, pa.string()),
+                "is_support": pa.array([True] * n, pa.bool_()),
+            },
+            schema=PHRASE_SIM_SCHEMA,
+        )
+
+
+def phrase_sim_supporter(pairs, nodeinfo_ref, concurrency=(1, 4),
+                         batch_size: int = 8192):
+    """pairs Dataset (id_a, id_b, ...) -> phrase-similarity support edges."""
+    info = ray.get(nodeinfo_ref)
+    names = {k: v[0] for k, v in info.items()}
+    names_ref = ray.put(names)
+    return pairs.map_batches(
+        PhraseSimScorer,
+        fn_constructor_args=(names_ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# registry: name -> factory(graph_ctx) -> Dataset of support edges.
+# graph_ctx carries {"pairs", "canonical", "n_conversations", "state"}.
+SUPPORTERS: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        SUPPORTERS[name] = fn
+        return fn
+
+    return deco
+
+
+@register("cooccur")
+def _cooccur(ctx):
+    from .support import support_stage
+
+    return support_stage(ctx["canonical"], ctx["n_conversations"],
+                         ctx.get("max_entities_per_conv", 256))
+
+
+@register("phrase_sim")
+def _phrase_sim(ctx):
+    return phrase_sim_supporter(ctx["pairs"], ctx["state"].nodeinfo_ref)
+
+
+def get_supporter(name: str) -> Callable:
+    """import-by-name analog of `builder/builder.py:322` (KeyError on
+    unknown, mirroring the reference's ImportError)."""
+    return SUPPORTERS[name]

@@ -1,0 +1,49 @@
+"""Hot-conversation skew handling: salted vs unsalted equivalence
+(FIXTURES.md F4 "hot-conversation run produces identical output with and
+without salting")."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from robokop_build_ray.functions.skew import plain_distinct, salted_distinct
+from robokop_build_ray.pipelines.kg_build import build_graph
+from robokop_build_ray.stages.support import conv_entity_stage
+
+
+def _rows(ds):
+    return sorted((r["conv_id"], r["entity"]) for r in ds.take_all())
+
+
+def test_salted_distinct_equals_plain(smoke_corpus):
+    g = build_graph("sf0.001", materialize_intermediate=True,
+                    include_support=False)
+    salted = conv_entity_stage(g["canonical"], salt_k=16)
+    plain = conv_entity_stage(g["canonical"], salt_k=None)
+    assert _rows(salted) == _rows(plain)
+
+
+def test_hot_conversation_present_and_handled(smoke_corpus):
+    """The smoke corpus has a hot conversation (conv-000000, ~100x median);
+    the salted distinct must cover it fully."""
+    tr = pq.read_table(smoke_corpus["transcripts"]).to_pandas()
+    sizes = tr.groupby("conv_id").size()
+    assert sizes["conv-000000"] >= 20 * sizes.median()
+
+    g = build_graph("sf0.001", materialize_intermediate=True,
+                    include_support=False)
+    ents = _rows(conv_entity_stage(g["canonical"], salt_k=8))
+    hot = [e for c, e in ents if c == "conv-000000"]
+    assert len(hot) == len(set(hot)) > 0
+
+
+def test_salted_distinct_generic():
+    rows = [{"k": f"k{i % 3}", "v": f"v{i % 7}"} for i in range(500)]
+    ds = rd.from_items(rows)
+    a = sorted((r["k"], r["v"]) for r in
+               salted_distinct(ds, ["k", "v"], "v", k=4).take_all())
+    b = sorted((r["k"], r["v"]) for r in
+               plain_distinct(ds, ["k", "v"]).take_all())
+    assert a == b
+    assert len(a) == 21

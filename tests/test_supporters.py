@@ -1,0 +1,48 @@
+"""Supporter plugin registry + phrase-similarity supporter (chemotext2
+analog) + scalar text functions."""
+
+from __future__ import annotations
+
+import pytest
+
+from robokop_build_ray.functions.text import (
+    generate_phrases,
+    get_curie_prefix,
+    normalize_name,
+    pair_key,
+    sanitize_predicate_label,
+    un_curie,
+)
+from robokop_build_ray.pipelines.kg_build import build_graph, run_supporters
+from robokop_build_ray.stages.supporters import SUPPORTERS, get_supporter
+
+
+def test_scalar_functions():
+    assert get_curie_prefix("MONDO:0005136") == "MONDO"
+    assert un_curie("MESH:C032942") == "C032942"
+    assert sanitize_predicate_label("PRED:treats") == "PRED_treats"
+    assert normalize_name("Asthma, Allergic") == "allergic asthma"
+    assert normalize_name("  Foo   Bar ") == "foo bar"
+    assert pair_key("B:1", "A:2") == ("A:2", "B:1")
+    # single word maps to itself even if short/stoplisted
+    assert generate_phrases("ab") == ["ab"]
+    # multi-word: stoplist + len>2 filter (`builder/chemotext2.py:30-42`)
+    assert generate_phrases("Familial Albatross Disease, type 2") == ["Albatross"]
+
+
+def test_registry():
+    assert set(SUPPORTERS) >= {"cooccur", "phrase_sim"}
+    with pytest.raises(KeyError):
+        get_supporter("nope")
+
+
+def test_phrase_sim_supporter(smoke_corpus):
+    g = build_graph("sf0.001", materialize_intermediate=True,
+                    include_support=False)
+    out = run_supporters(g, ["phrase_sim"])["phrase_sim"].take_all()
+    assert len(out) > 0
+    for r in out[:20]:
+        assert r["is_support"] is True or r["is_support"] == True  # noqa: E712
+        assert r["edge_source"] == "phrase_sim.term_to_term"
+        assert 0.0 < r["similarity"] <= 1.0
+        assert r["id_a"] < r["id_b"]
