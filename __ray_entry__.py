@@ -96,6 +96,38 @@ def _kg_components(sf_dir: str):
     return comp.union(singles)
 
 
+def _kg_node_umls_projection(sf_dir: str):
+    """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
+    MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
+    import pyarrow as pa
+
+    from robokop_build_ray.functions.lookup import filter_identifiers_by_prefix
+
+    def project(t: pa.Table) -> pa.Table:
+        eq = t["equivalent_identifiers"].to_pylist()
+        return pa.table(
+            {
+                "id": t["id"],
+                "umls_identifiers": pa.array(
+                    [sorted(filter_identifiers_by_prefix(x, "UMLS")) for x in eq],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    return _kg(sf_dir, "nodes").map_batches(project, batch_format="pyarrow")
+
+
+def _kg_support_underexpected(sf_dir: str):
+    """Pairs observed LESS than expected (`CooccurChi2.ipynb` cell 13
+    ``expected > observed`` filter)."""
+    return (
+        _kg(sf_dir, "support")
+        .filter(expr="expected > c")
+        .select_columns(["id_a", "id_b", "c", "expected"])
+    )
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -131,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": lambda sf: (ensure_corpus(sf), _kg(sf, "edges"))[1],
         "kg_support": lambda sf: (ensure_corpus(sf), _kg(sf, "support"))[1],
         "kg_node_type_histogram": _kg_node_type_histogram,
+        # M8/D6: synonym prefix projection (MeSH/ICD9 filter analog)
+        "kg_node_umls_projection": _kg_node_umls_projection,
+        # D7/O3: notebook's under-expected (anti-correlated) pair filter
+        "kg_support_underexpected": _kg_support_underexpected,
         "kg_turns_ordered": _kg_turns_ordered,
         "kg_components": _kg_components,
         # --- relational coverage (testdata views) ----------------------
@@ -138,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": rel.q3_top_orders,
         "nation_revenue": rel.nation_revenue,
         "events_hourly": rel.events_hourly,
+        "events_sliding": rel.events_sliding,
         "events_sessions": rel.events_sessions,
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
@@ -180,12 +217,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": entry_sql.sql_edges(t),
         "kg_support": entry_sql.sql_support(t),
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
+        "kg_node_umls_projection": (
+            "SELECT id, list_sort(list_filter(equivalent_identifiers, "
+            "x -> x LIKE 'UMLS:%')) AS umls_identifiers FROM ("
+            + entry_sql.sql_nodes(t) + ")"
+        ),
+        "kg_support_underexpected": (
+            "SELECT id_a, id_b, c, expected FROM ("
+            + entry_sql.sql_support(t) + ") WHERE expected > c"
+        ),
         "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
         "kg_components": entry_sql.sql_components(t),
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),
         "nation_revenue": rel.sql_nation_revenue(),
         "events_hourly": rel.sql_events_hourly(),
+        "events_sliding": rel.sql_events_sliding(),
         "events_sessions": rel.sql_events_sessions(),
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),

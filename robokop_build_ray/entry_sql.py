@@ -36,7 +36,7 @@ def _extract_cte(transcripts: str) -> str:
 raw_m AS (
   SELECT conv_id, turn_idx,
          unnest(regexp_extract_all(text, '{pat}')) AS mt
-  FROM read_parquet('{transcripts}')
+  FROM read_parquet('{transcripts}/*.parquet')
 ),
 raw AS (
   SELECT conv_id, turn_idx,
@@ -155,7 +155,7 @@ joint AS (
   GROUP BY a.id, b.id
 ),
 tot AS (SELECT count(DISTINCT conv_id) AS n
-        FROM read_parquet('{p["transcripts"]}')),
+        FROM read_parquet('{p["transcripts"]}/*.parquet')),
 scored AS (
   SELECT j.id_a, j.id_b, m1.c AS c1, m2.c AS c2, j.c AS c, tot.n AS n,
          greatest(0.0, abs(j.c * (tot.n - m1.c - m2.c + j.c)
@@ -182,7 +182,8 @@ def sql_node_type_histogram(tier: str) -> str:
 def sql_turns_ordered(tier: str) -> str:
     p = corpus_paths(tier)
     return (
-        f"SELECT conv_id, turn_idx, text FROM read_parquet('{p['transcripts']}')"
+        f"SELECT conv_id, turn_idx, text "
+        f"FROM read_parquet('{p['transcripts']}/*.parquet')"
     )
 
 

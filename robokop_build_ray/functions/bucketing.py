@@ -43,16 +43,19 @@ def bucketed_apply(
     on the key-hash bucket -> ``bucket_fn`` once per bucket (all rows of any
     key land in exactly one bucket)."""
 
-    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+    def prep(batch: pd.DataFrame):
+        import pyarrow as pa
+
         if partial_fn is not None:
             batch = partial_fn(batch)
-        if len(batch) == 0:
-            batch = batch.copy()
-            batch["_b"] = pd.Series([], dtype="int64")
-            return batch
         batch = batch.copy()
-        batch["_b"] = _bucket_col(batch, keys, n_buckets)
-        return batch
+        if len(batch) == 0:
+            batch["_b"] = pd.Series([], dtype="int64")
+        else:
+            batch["_b"] = _bucket_col(batch, keys, n_buckets)
+        # emit ARROW blocks: the AllToAll exchange serializes pandas object
+        # columns via pickle, Arrow string columns zero-copy
+        return pa.Table.from_pandas(batch, preserve_index=False)
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(group.drop(columns=["_b"]))

@@ -106,6 +106,7 @@ def build_graph(
     transcripts_path: str | None = None,
     materialize_intermediate: bool = False,
     include_support: bool = True,
+    timings: dict | None = None,
 ) -> dict[str, Any]:
     """Run (or resume) the flagship pipeline; returns named Datasets.
 
@@ -131,18 +132,34 @@ def build_graph(
         return lineage.read_stage(stage_dir)
 
     triples = checkpointed("triples", lambda: extract_stage(transcripts, batch_size))
-    linked = checkpointed(
-        "linked",
-        lambda: link_stage(triples, state.lexicon_ref, link_concurrency, batch_size),
-    )
-    canonical = checkpointed(
-        "canonical", lambda: canonicalize_stage(linked, state.canon_ref)
-    )
+    if checkpoint_dir is None:
+        # fast path: canonicalization fused into the linking actors (one
+        # actor stage, one broadcast, one pandas conversion); the separate
+        # `linked` chain stays available lazily for stage-level inspection
+        linked = link_stage(triples, state.lexicon_ref, link_concurrency,
+                            batch_size)
+        canonical = link_stage(triples, state.lexicon_ref, link_concurrency,
+                               batch_size, canon_ref=state.canon_ref)
+    else:
+        # checkpoint mode commits each stage boundary separately
+        linked = checkpointed(
+            "linked",
+            lambda: link_stage(triples, state.lexicon_ref, link_concurrency,
+                               batch_size),
+        )
+        canonical = checkpointed(
+            "canonical", lambda: canonicalize_stage(linked, state.canon_ref)
+        )
     if materialize_intermediate and checkpoint_dir is None:
         # canonical fans out to nodes/edges/support; pin it in the object
         # store so the three consumers don't each replay extract->link.
         # (With checkpoint_dir set, the parquet checkpoint serves this role.)
+        import time as _time
+
+        _t0 = _time.time()
         canonical = canonical.materialize()
+        if timings is not None:
+            timings["extract_link_canonicalize"] = round(_time.time() - _t0, 3)
     nodes = nodes_stage(canonical, state.nodeinfo_ref)
     edges = edges_stage(canonical)
     # the support stage computes its marginal broadcast eagerly (it replays
@@ -150,8 +167,22 @@ def build_graph(
     n_convs = None
     support = None
     if include_support:
-        n_convs = n_distinct(transcripts, "conv_id")
+        # population size N (`builder/cdw.py:16` total analog): read from the
+        # corpus metadata when generation recorded it, else count distinct
+        meta_path = os.path.join(os.path.dirname(transcripts_path), "_META.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                n_convs = json.load(f)["n_conversations"]
+        else:
+            n_convs = n_distinct(transcripts, "conv_id")
+        import time as _time
+
+        _t0 = _time.time()
         support = support_stage(canonical, n_convs, max_entities_per_conv)
+        if timings is not None:
+            timings["support_build"] = round(_time.time() - _t0, 3)
 
     return {
         "transcripts": transcripts,
@@ -186,24 +217,80 @@ def run_supporters(graph: dict[str, Any], names: list[str],
     return {name: get_supporter(name)(ctx) for name in names}
 
 
-def materialize_graph(graph: dict[str, Any], out_dir: str) -> dict[str, dict]:
+def _ensure_fsspec_http_stub() -> None:
+    """Make ``fsspec.implementations.http`` importable deterministically.
+
+    The module needs aiohttp (absent here); Ray's path resolution retries the
+    failing import on EVERY write and only catches ModuleNotFoundError —
+    under concurrent writes a thread can observe the partially-initialized
+    module and crash with a plain ImportError. A stub module whose
+    HTTPFileSystem is a never-instantiated class keeps Ray's isinstance
+    checks correct (always False) and thread-safe."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # stub for isinstance checks only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+def _small_sort(ds, keys: list[str]):
+    """Exact global sort for AGGREGATE-BOUNDED outputs (node/edge/support
+    tables are bounded by the entity universe, not the corpus): coalesce to
+    one block and sort it — skips the sort-shuffle's fixed AllToAll cost.
+    For outputs that outgrow a single block, use ``Dataset.sort``."""
+    import pyarrow as _pa
+
+    return ds.repartition(1).map_batches(
+        lambda t: t.sort_by([(k, "ascending") for k in keys]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def materialize_graph(graph: dict[str, Any], out_dir: str,
+                      small_sorts: bool = True) -> dict[str, dict]:
     """Stage 5 — determinism sort + committed parquet tables (S5/S6 analog).
 
     edges sorted by (subj_id, pred_id, obj_id); support by ascending p then
     pair key (`CooccurChi2.ipynb` cell 15, O3); nodes by id."""
     from ..state import lineage
 
+    def srt(ds, keys):
+        return _small_sort(ds, keys) if small_sorts else ds.sort(keys)
+
     manifests = {}
     jobs = {
-        "nodes": graph["nodes"].sort("id"),
-        "edges": graph["edges"].sort(["subj_id", "pred_id", "obj_id"]),
+        "nodes": srt(graph["nodes"], ["id"]),
+        "edges": srt(graph["edges"], ["subj_id", "pred_id", "obj_id"]),
     }
     if graph.get("support") is not None:
-        jobs["support"] = graph["support"].sort(["p", "id_a", "id_b"])
+        jobs["support"] = srt(graph["support"], ["p", "id_a", "id_b"])
     for sup_name, ds in graph.get("extra_supports", {}).items():
-        jobs[f"support_{sup_name}"] = ds.sort(["id_a", "id_b"])
-    for name, ds in jobs.items():
-        manifests[name] = lineage.commit_stage(
+        jobs[f"support_{sup_name}"] = srt(ds, ["id_a", "id_b"])
+    # the three output pipelines are independent: execute them CONCURRENTLY
+    # (driver threads; Ray Data supports concurrent dataset executions) so
+    # wall time is max(job), not sum(job)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _ensure_fsspec_http_stub()
+
+    def run(item):
+        name, ds = item
+        return name, lineage.commit_stage(
             ds, os.path.join(out_dir, name), inputs=["canonical"]
         )
+
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for name, m in pool.map(run, jobs.items()):
+            manifests[name] = m
     return manifests

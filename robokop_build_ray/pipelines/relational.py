@@ -254,6 +254,54 @@ FROM events
 GROUP BY user_id, hour"""
 
 
+def events_sliding(sf_dir: str, step_s: int = 1800):
+    """Sliding 1-hour window (step 30 min): every event lands in exactly two
+    windows (size = 2 x step), emitted by a vectorized flat-map and
+    aggregated per window_start."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        sec = pc.divide(pc.cast(b["ts"], pa.int64()), 1_000_000)
+        k = pc.divide(sec, step_s)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)),
+                        pa.int64())
+        w0 = pc.multiply(k, step_s)
+        w1 = pc.multiply(pc.subtract(k, 1), step_s)
+        return pa.table(
+            {
+                "window_start": pa.concat_arrays(
+                    [w0.combine_chunks(), w1.combine_chunks()]
+                ),
+                "cents": pa.concat_arrays(
+                    [cents.combine_chunks(), cents.combine_chunks()]
+                ),
+            }
+        )
+
+    return (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="sum_value_cents"))
+    )
+
+
+def sql_events_sliding(step_s: int = 1800) -> str:
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT (sec // {step_s}) * {step_s} AS window_start, cents FROM e
+  UNION ALL
+  SELECT (sec // {step_s} - 1) * {step_s} AS window_start, cents FROM e
+)
+SELECT window_start, count(*) AS n_events, sum(cents) AS sum_value_cents
+FROM w GROUP BY window_start"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 

@@ -28,8 +28,10 @@ from ..textgen import generate_transcripts
 
 CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
 
-# turns per tier (FIXTURES.md F5 smoke/correctness/bench)
-TIERS: dict[str, int] = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 600_000}
+# turns per tier (FIXTURES.md F5 smoke/correctness/bench; bench sized so
+# per-stage compute dominates Ray's fixed scheduling/shuffle overheads at
+# 32 CPUs — the scaling-efficiency measurement is meaningless otherwise)
+TIERS: dict[str, int] = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 2_400_000}
 N_ENTITIES = 400
 SEED = 42
 
@@ -44,7 +46,9 @@ def tier_of(sf_dir: str) -> str:
 
 def corpus_paths(tier: str) -> dict[str, str]:
     d = os.path.join(CORPUS_ROOT, tier)
-    return {name: os.path.join(d, f"{name}.parquet") for name in _FILES}
+    paths = {name: os.path.join(d, f"{name}.parquet") for name in _FILES}
+    paths["transcripts"] = os.path.join(d, "transcripts")  # directory of parts
+    return paths
 
 
 def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
@@ -52,8 +56,13 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
     tier = tier_of(sf_dir_or_tier)
     paths = corpus_paths(tier)
     final_dir = os.path.dirname(paths["transcripts"])
-    if all(os.path.exists(p) for p in paths.values()):
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(
+        os.path.join(final_dir, "_META.json")
+    ):
         return paths
+    import shutil
+
+    shutil.rmtree(final_dir, ignore_errors=True)  # stale cache (no metadata)
 
     scratch = f"{final_dir}.tmp.{os.getpid()}"
     os.makedirs(scratch, exist_ok=True)
@@ -65,11 +74,35 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "bridges": bridges_table(ents),
     }
     for name, tbl in tables.items():
-        # small row groups so ray.data.read_parquet can split one file into
-        # many parallel read tasks (a single-row-group file serializes the
-        # read stage at 32 CPUs)
-        pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"),
-                       row_group_size=20_000)
+        if name == "transcripts":
+            # transcripts are written as a DIRECTORY of part files: Ray Data
+            # assigns one read task per file, so a single big file serializes
+            # the scan (measured: 1 read task = 133k rows/s ceiling at 32
+            # CPUs). Partitioned input is also the resumable-input layout.
+            part_dir = os.path.join(scratch, "transcripts")
+            os.makedirs(part_dir, exist_ok=True)
+            part_rows = 100_000
+            for i, start in enumerate(range(0, tbl.num_rows, part_rows)):
+                pq.write_table(
+                    tbl.slice(start, part_rows),
+                    os.path.join(part_dir, f"part-{i:05d}.parquet"),
+                    row_group_size=20_000,
+                )
+        else:
+            pq.write_table(tbl, os.path.join(scratch, f"{name}.parquet"),
+                           row_group_size=20_000)
+    import json
+    import pyarrow.compute as pc
+
+    tr = tables["transcripts"]
+    meta = {
+        "n_turns": tr.num_rows,
+        "n_conversations": pc.count_distinct(tr["conv_id"]).as_py(),
+        "tier": tier,
+        "seed": SEED,
+    }
+    with open(os.path.join(scratch, "_META.json"), "w") as f:
+        json.dump(meta, f)
     try:
         os.rename(scratch, final_dir)
     except OSError:

@@ -119,7 +119,17 @@ def nodes_stage(canonical, nodeinfo_ref):
     with the label fallback chain of `builder/builder.py:424-445` resolved at
     gazetteer build time."""
     ids = canonical.map_batches(_used_ids_batch, batch_format="pyarrow")
-    distinct = ids.groupby("id").count().drop_columns(["count()"])
+    # the id universe is gazetteer-bounded (reference data, small): after
+    # per-batch dedup the blocks are tiny, so coalesce to one block and
+    # finish the distinct there — no AllToAll shuffle needed
+    distinct = ids.repartition(1).map_batches(
+        lambda t: pa.table(
+            {"id": pa.array(np.unique(t["id"].to_numpy(zero_copy_only=False)),
+                            pa.string())}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     return distinct.map_batches(
         NodeInfoAttacher,
         fn_constructor_args=(nodeinfo_ref,),
@@ -138,46 +148,75 @@ def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
     count before the shuffle (vectorized pandas groupby.size) and assign the
     merge bucket — the 'pre-aggregate inside map_batches' pattern."""
     if len(batch) == 0:
-        return pd.DataFrame({k: pd.Series([], dtype=object)
-                             for k in (*_EDGE_KEYS, "pub")} |
-                            {"n": pd.Series([], dtype="int64"),
-                             "_bucket": pd.Series([], dtype="int64")})
-    batch = batch.assign(
-        pub="CONV:" + batch["conv_id"] + "#" + batch["turn_idx"].astype(str)
-    )
-    g = (
-        batch.groupby([*_EDGE_KEYS, "pub"], sort=False)
-        .size().rename("n").reset_index()
+        return pa.table(
+            {k: pa.array([], pa.string()) for k in (*_EDGE_KEYS, "pub")}
+            | {"n": pa.array([], pa.int64()),
+               "_bucket": pa.array([], pa.int64())}
+        )
+    # no per-batch combiner here on purpose: the provenance string (pub) is
+    # per-turn unique, so a (s,p,o,pub) groupby would shuffle ~the same row
+    # count while burning CPU; rows go straight to their merge bucket
+    g = pd.DataFrame(
+        {
+            "subj_id": batch["subj_id"],
+            "pred_id": batch["pred_id"],
+            "obj_id": batch["obj_id"],
+            "pub": "CONV:" + batch["conv_id"] + "#" + batch["turn_idx"].astype(str),
+            "n": np.ones(len(batch), dtype=np.int64),
+        }
     )
     key = g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
     g["_bucket"] = (
         pd.util.hash_array(key.to_numpy(dtype=object), categorize=False)
         % np.uint64(64)
     ).astype("int64")
-    return g
+    # Arrow blocks shuffle zero-copy; pandas object columns would pickle
+    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
-    """One Python call per BUCKET (not per edge): merge pub counts, build the
-    sorted, capped publication lists and final edge rows vectorized."""
+    """One Python call per BUCKET (not per edge): merge pub counts, then
+    build the sorted publication lists as an Arrow ListArray directly from
+    group offsets — no per-edge Python list construction."""
+    if len(g) == 0:
+        return EDGES_SCHEMA.empty_table()
     g = g.groupby([*_EDGE_KEYS, "pub"], as_index=False)["n"].sum()
     g = g.sort_values([*_EDGE_KEYS, "pub"], kind="mergesort")
-    agg = g.groupby(_EDGE_KEYS, sort=False).agg(
-        n_mentions=("n", "sum"), publications=("pub", list)
-    ).reset_index()
-    pubs = [p[:PUBLICATION_CAP] for p in agg["publications"]]
-    pred = agg["pred_id"]
-    n = len(agg)
+    key = g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
+    # group boundaries over the sorted frame (vectorized)
+    boundary = np.empty(len(g), dtype=bool)
+    boundary[0] = True
+    kv = key.to_numpy()
+    boundary[1:] = kv[1:] != kv[:-1]
+    starts = np.flatnonzero(boundary)
+    offsets = np.append(starts, len(g)).astype(np.int64)
+    lengths = np.diff(offsets)
+    if (lengths > PUBLICATION_CAP).any():
+        # rare: rebuild offending lists with the cap (`chemotext.py:42,53`)
+        pubs_vals = g["pub"].to_numpy()
+        pub_lists = [
+            pubs_vals[a:b][:PUBLICATION_CAP].tolist()
+            for a, b in zip(offsets[:-1], offsets[1:])
+        ]
+        publications = pa.array(pub_lists, pa.list_(pa.string()))
+    else:
+        publications = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(g["pub"], pa.string())
+        )
+    n_mentions = np.add.reduceat(g["n"].to_numpy(dtype=np.int64), starts)
+    head = g.iloc[starts]
+    pred = head["pred_id"]
+    n = len(starts)
     return pa.table(
         {
-            "subj_id": pa.array(agg["subj_id"], pa.string()),
+            "subj_id": pa.array(head["subj_id"], pa.string()),
             "pred_id": pa.array(pred, pa.string()),
             "standard_label": pa.array(pred.str.replace(":", "_", regex=False),
                                        pa.string()),
-            "obj_id": pa.array(agg["obj_id"], pa.string()),
+            "obj_id": pa.array(head["obj_id"], pa.string()),
             "edge_source": pa.array([EDGE_SOURCE] * n, pa.string()),
-            "publications": pa.array(pubs, pa.list_(pa.string())),
-            "n_mentions": pa.array(agg["n_mentions"].astype("int64"), pa.int64()),
+            "publications": publications,
+            "n_mentions": pa.array(n_mentions, pa.int64()),
             "is_support": pa.array([False] * n, pa.bool_()),
         },
         schema=EDGES_SCHEMA,

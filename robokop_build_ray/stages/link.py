@@ -32,10 +32,16 @@ class EntityLinker:
     ``lexicon_ref``: ``ray.ObjectRef`` of dict[surface_norm -> tuple[curie,...]].
     """
 
-    def __init__(self, lexicon_ref, cache_size: int = 65_536):
+    def __init__(self, lexicon_ref, cache_size: int = 65_536, canon_ref=None):
         self.lexicon: dict[str, tuple[str, ...]] = ray.get(lexicon_ref)
         self.cache_size = cache_size
         self._lru: OrderedDict[str, tuple[str, ...]] = OrderedDict()
+        # optional fused canonicalization (`stages.canonicalize` semantics):
+        # when set, surfaces resolve STRAIGHT to canonical ids — one actor
+        # stage instead of two, one pandas conversion instead of two
+        self.canon: dict[str, str] | None = (
+            ray.get(canon_ref) if canon_ref is not None else None
+        )
 
     def _ids_for(self, surface: str) -> tuple[str, ...]:
         hit = self._lru.get(surface)
@@ -43,6 +49,8 @@ class EntityLinker:
             self._lru.move_to_end(surface)
             return hit
         ids = self.lexicon.get(normalize_name(surface), ())
+        if self.canon is not None:
+            ids = tuple(self.canon.get(i, i) for i in ids)
         self._lru[surface] = ids
         if len(self._lru) > self.cache_size:
             self._lru.popitem(last=False)
@@ -71,19 +79,24 @@ class EntityLinker:
 
 
 def link_stage(triples, lexicon_ref, concurrency: int | None = None,
-               batch_size: int = 8192):
-    """raw triples Dataset -> linked triples Dataset (actor pool)."""
+               batch_size: int = 8192, canon_ref=None):
+    """raw triples Dataset -> linked triples Dataset (actor pool); pass
+    ``canon_ref`` to fuse canonicalization into the same actors."""
     if concurrency is None:
         # the fused extract+link actor pool is the hot stage: let it scale to
         # (almost) the whole cluster; autoscaling min stays low so small test
         # clusters never deadlock
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, cpus - 2)
+        # min sized so the pool ramps immediately (slow autoscale ramp is a
+        # fixed wall-time cost) while leaving headroom for read/downstream
+        # tasks; still starts on a 4-CPU test cluster without deadlocking
+        concurrency = (max(1, (2 * cpus) // 3), max(2, cpus - 2))
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)  # autoscaling pool: never deadlocks small clusters
     return triples.map_batches(
         EntityLinker,
         fn_constructor_args=(lexicon_ref,),
+        fn_constructor_kwargs={"canon_ref": canon_ref},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

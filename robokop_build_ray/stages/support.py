@@ -166,9 +166,15 @@ def support_stage(canonical, n_conversations: int,
 
     from ..functions.bucketing import bucketed_count
 
-    # marginals: entity-bounded small aggregate -> driver -> broadcast
-    marg_ds = bucketed_count(conv_ent, ["entity"], name="n")
-    marg = {r["entity"]: r["n"] for r in marg_ds.take_all()}
+    # marginals: entity-bounded small aggregate. conv_ent is already
+    # distinct, so counting per entity is a streamed driver-side
+    # accumulation over its batches — the result dict must fit the driver
+    # anyway (it is broadcast to scorers), and skipping the extra shuffle
+    # saves a whole AllToAll exchange.
+    marg: dict[str, int] = {}
+    for batch in conv_ent.iter_batches(batch_size=65_536, batch_format="pandas"):
+        for ent, n in batch["entity"].value_counts().items():
+            marg[ent] = marg.get(ent, 0) + int(n)
     marg_ref = ray.put(marg)
 
     pairs = _pairs_stage(conv_ent, max_entities_per_conv)
