@@ -136,6 +136,70 @@ def _phrase_sim(ctx):
     return phrase_sim_supporter(ctx["pairs"], ctx["state"].nodeinfo_ref)
 
 
+class StaticCountScorer:
+    """T4 analog: precomputed count dicts loaded once per actor; per-pair
+    left-outer lookup with the absent-pair fallback (`builder/cdw.py:92-100`):
+    absent -> c=0, suppressed, expected = c1*c2/N."""
+
+    def __init__(self, counts_ref):
+        import ray as _ray
+
+        c = _ray.get(counts_ref)
+        self.total: int = c["total"]
+        self.marginals: dict[str, int] = c["marginals"]
+        self.pairs: dict[tuple[str, str], int] = c["pairs"]
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        from .support import SUPPORT_SCHEMA, SUPPRESS_BELOW, chi2_yates_vec
+
+        if len(batch) == 0:
+            return SUPPORT_SCHEMA.empty_table()
+        ids_a = batch["id_a"].to_numpy()
+        ids_b = batch["id_b"].to_numpy()
+        c1 = np.array([self.marginals.get(a, 0) for a in ids_a], dtype=np.int64)
+        c2 = np.array([self.marginals.get(b, 0) for b in ids_b], dtype=np.int64)
+        c = np.array(
+            [self.pairs.get((a, b) if a <= b else (b, a), 0)
+             for a, b in zip(ids_a, ids_b)],
+            dtype=np.int64,
+        )
+        expected, chi2, p = chi2_yates_vec(c, c1, c2, self.total)
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a, pa.string()),
+                "id_b": pa.array(ids_b, pa.string()),
+                "c1": pa.array(c1, pa.int64()),
+                "c2": pa.array(c2, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "expected": pa.array(expected, pa.float64()),
+                "chi2": pa.array(chi2, pa.float64()),
+                "p": pa.array(p, pa.float64()),
+                "suppressed": pa.array(c < SUPPRESS_BELOW),
+            },
+            schema=SUPPORT_SCHEMA,
+        )
+
+
+def static_counts_supporter(pairs, counts_ref, concurrency=(1, 4),
+                            batch_size: int = 65_536):
+    return pairs.map_batches(
+        StaticCountScorer,
+        fn_constructor_args=(counts_ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+@register("static_counts")
+def _static_counts(ctx):
+    """Requires ctx['state'].extras['counts_ref'] (see
+    sources.count_tables.read_count_tables)."""
+    return static_counts_supporter(ctx["pairs"], ctx["state"].extras["counts_ref"])
+
+
 def get_supporter(name: str) -> Callable:
     """import-by-name analog of `builder/builder.py:322` (KeyError on
     unknown, mirroring the reference's ImportError)."""
