@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
+        "customers_without_orders": rel.customers_without_orders,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": rel.sql_events_sessions(),
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),
+        "customers_without_orders": rel.sql_customers_without_orders(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

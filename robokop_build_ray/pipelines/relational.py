@@ -371,6 +371,37 @@ def sql_orders_status_histogram() -> str:
     return "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
 
 
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI JOIN: customers with no URGENT orders — the key set is
+    broadcast once and the customer scan filters against it (semi/anti joins
+    never shuffle when one side's key set fits memory)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    custkeys_with_orders = {
+        r["o_custkey"]
+        for r in orders.filter(expr="o_orderpriority == '1-URGENT'").take_all()
+    }
+    keys_ref = ray.put(custkeys_with_orders)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b[~b["c_custkey"].isin(self.keys)]
+
+    return rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(AntiFilter, batch_format="pandas", concurrency=(1, 2))
+
+
+def sql_customers_without_orders() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+
+
 def mktsegments(sf_dir: str):
     """Distinct values (set op) via partial per-batch dedup + groupby."""
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])

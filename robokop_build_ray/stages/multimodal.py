@@ -95,6 +95,49 @@ class MediaDecoder:
         )
 
 
+class FrameSampler:
+    """Video frame-sampling plumbing (flat-map shape: one row in, N frame
+    rows out). The actual codec is STUBBED (deterministic byte slices of the
+    payload stand in for decoded frames); the Ray-side contract — binary in,
+    multiple binary rows out, frame_idx column, small batches — is real."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idxs, frames = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            step = max(1, len(payload) // self.n_frames)
+            for k in range(self.n_frames):
+                media_ids.append(mid)
+                frame_idxs.append(k)
+                frames.append(payload[k * step : (k + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(media, n_frames: int = 4, batch_size: int = 32,
+                  concurrency=(1, 2)):
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_features(media, batch_size: int = 64, concurrency=(1, 2),
                     strict: bool = False):
     """Small batches on purpose: payload bytes x batch x concurrency must fit

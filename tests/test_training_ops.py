@@ -165,3 +165,17 @@ def test_connected_components_chain_and_clique():
            connected_components(ds, num_partitions=2).take_all()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
                    "p": "p", "q": "p", "r": "p"}
+
+
+def test_multimodal_frame_sampling():
+    media = rd.from_arrow(multimodal.synthesize_media(30))
+    frames = multimodal.sample_frames(media, n_frames=4).take_all()
+    vids = {r["media_id"] for r in frames}
+    # only video rows explode into frames, 4 each, deterministic
+    assert all(mid % 3 == 2 for mid in vids)
+    assert len(frames) == len(vids) * 4
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
