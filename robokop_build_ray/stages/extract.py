@@ -40,30 +40,65 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def extract_triples_batch(batch: pa.Table) -> pa.Table:
-    """pyarrow in / pyarrow out; safe on empty batches."""
-    text = batch["text"]
-    # vectorized prefilter: any predicate phrase present?
-    mask = None
-    for phrase in PRED_PHRASES_ORDERED:
-        m = pc.match_substring(text, f" {phrase} ")
-        mask = m if mask is None else pc.or_(mask, m)
-    hit = batch.filter(mask)
+class ExtractRule:
+    """One pluggable per-turn extraction rule (the user-extension surface of
+    SURVEY §2.10: the reference's data-source op registry re-expressed as an
+    extractor rule registry). ``pattern`` must expose groups (subj, phrase,
+    obj); ``phrase_to_pred`` maps the matched phrase to a predicate key;
+    ``prefilter`` substrings cheaply gate the regex scan."""
 
+    def __init__(self, name: str, pattern: str,
+                 phrase_to_pred: dict[str, str],
+                 prefilter: list[str] | None = None):
+        self.name = name
+        self.regex = re.compile(pattern)
+        self.phrase_to_pred = phrase_to_pred
+        self.prefilter = (prefilter if prefilter is not None
+                          else [f" {p} " for p in phrase_to_pred])
+
+
+DEFAULT_RULE = ExtractRule(
+    "triple_pattern", TRIPLE_REGEX,
+    {p: PHRASE_TO_PRED[p] for p in PRED_PHRASES_ORDERED},
+)
+
+# registry: name -> rule (plugin-by-name, `builder/builder.py:322` analog)
+EXTRACT_RULES: dict[str, ExtractRule] = {DEFAULT_RULE.name: DEFAULT_RULE}
+
+
+def register_rule(rule: ExtractRule) -> ExtractRule:
+    EXTRACT_RULES[rule.name] = rule
+    return rule
+
+
+def extract_triples_batch(batch: pa.Table,
+                          rules: tuple[ExtractRule, ...] = (DEFAULT_RULE,)
+                          ) -> pa.Table:
+    """pyarrow in / pyarrow out; safe on empty batches and null text."""
+    text = pc.fill_null(batch["text"], "")
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
     subjs: list[str] = []
     preds: list[str] = []
     objs: list[str] = []
-    for cid, tix, t in zip(
-        hit["conv_id"].to_pylist(), hit["turn_idx"].to_pylist(), hit["text"].to_pylist()
-    ):
-        for m in _TRIPLE_RE.finditer(t):
-            conv_ids.append(cid)
-            turn_idxs.append(tix)
-            subjs.append(m.group(1))
-            preds.append(PHRASE_TO_PRED[m.group(2)])
-            objs.append(m.group(3))
+    for rule in rules:
+        # vectorized prefilter: any predicate phrase present?
+        mask = None
+        for phrase in rule.prefilter:
+            m = pc.match_substring(text, phrase)
+            mask = m if mask is None else pc.or_(mask, m)
+        hit = batch.filter(pc.fill_null(mask, False))
+        for cid, tix, t in zip(
+            hit["conv_id"].to_pylist(),
+            hit["turn_idx"].to_pylist(),
+            hit["text"].to_pylist(),
+        ):
+            for m in rule.regex.finditer(t or ""):
+                conv_ids.append(cid)
+                turn_idxs.append(tix)
+                subjs.append(m.group(1))
+                preds.append(rule.phrase_to_pred[m.group(2)])
+                objs.append(m.group(3))
     return pa.table(
         {
             "conv_id": pa.array(conv_ids, pa.string()),
@@ -76,8 +111,13 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def extract_stage(transcripts, batch_size: int = 8192):
-    """transcripts Dataset -> raw triples Dataset (stateless tasks)."""
+def extract_stage(transcripts, batch_size: int = 8192,
+                  rule_names: tuple[str, ...] = ("triple_pattern",)):
+    """transcripts Dataset -> raw triples Dataset (stateless tasks);
+    ``rule_names`` selects registered extraction rules by name."""
+    rules = tuple(EXTRACT_RULES[n] for n in rule_names)
     return transcripts.map_batches(
-        extract_triples_batch, batch_format="pyarrow", batch_size=batch_size
+        lambda t: extract_triples_batch(t, rules),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
