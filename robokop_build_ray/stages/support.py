@@ -76,15 +76,18 @@ def _conv_entity_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def conv_entity_stage(canonical, salt_k: int | None = 16):
+def conv_entity_stage(canonical, salt_k: int | None = 64):
     """-> distinct (conv_id, entity) Dataset.
 
-    Per-batch partial dedup, then an EXPLICIT SALTED two-phase distinct
-    (functions.skew.salted_distinct): phase 1 shuffles on
-    (conv_id, entity, salt(entity)) so a hot conversation's rows spread over
-    ``salt_k`` reducers, phase 2 collapses the (at most salt_k) leftovers
-    per true key. ``salt_k=None`` falls back to the unsalted distinct; both
-    produce identical output (tests/test_skew.py)."""
+    One fused map (explode subj/obj endpoints + per-batch dedup + salted
+    bucket key over BOTH columns) and ONE shuffle: a hot conversation's rows
+    spread over ``salt_k`` reducers because the bucket hash includes the
+    entity (the explicit salted shuffle of the north_rule). ``salt_k=None``
+    degrades to a single reducer; both produce identical output
+    (tests/test_skew.py)."""
+    # explode stays ARROW-format (zero-copy column reads; converting the
+    # full 5-column canonical batch to pandas measurably regresses), the
+    # bucketed distinct then touches only the two key columns
     partial = canonical.map_batches(_conv_entity_batch, batch_format="pyarrow")
     from ..functions.skew import plain_distinct, salted_distinct
 
