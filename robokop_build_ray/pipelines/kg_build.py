@@ -118,7 +118,9 @@ def build_graph(
         transcripts_path = paths["transcripts"]
     state = load_link_state(paths)
 
-    transcripts = rd.read_parquet(transcripts_path)
+    from ..sources.readers import read_transcripts
+
+    transcripts = read_transcripts(transcripts_path)
 
     def checkpointed(name: str, make):
         """Commit `make()` at a stage boundary when checkpointing is on."""
