@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf), threshold=0.3
         ).select_columns(["id_a", "id_b"]),
+        # composition: LSH pairs -> connected components -> cluster ids
+        "dedup_clusters": lambda sf: dedup.near_dup_clusters(
+            _docs(sf), threshold=0.5
+        ),
         # --- embeddings -------------------------------------------------
         "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(
             _embeddings(sf), threshold=0.4

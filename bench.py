@@ -71,9 +71,32 @@ def run_bench() -> dict:
     phases["materialize_outputs"] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all, 3)
+    # BASELINE headline gate: triple P/R vs the reference-semantics oracle
+    # (exact-match join of canonical triples at smoke scale; untimed)
+    import pyarrow.parquet as _pq
+
+    from robokop_build_ray.gazetteer import build_entities
+    from robokop_build_ray.oracle import OracleKG, extract as oracle_extract
+    from robokop_build_ray.sources.corpus import N_ENTITIES
+
+    smoke = ensure_corpus("sf0.001")
+    ok = OracleKG(build_entities(N_ENTITIES))
+    want = set(ok.canonical_triples(ok.link(
+        oracle_extract(_pq.read_table(smoke["transcripts"])))))
+    got_graph = build_graph("sf0.001", include_support=False)
+    got = set(
+        (r["conv_id"], r["turn_idx"], r["subj_id"], r["pred_id"], r["obj_id"])
+        for r in got_graph["canonical"].take_all()
+    )
+    tp = len(got & want)
+    precision = round(tp / max(1, len(got)), 6)
+    recall = round(tp / max(1, len(want)), 6)
+
     result = {
         "metric": "kg_build_e2e_sec",
         "value": total,
+        "triple_precision": precision,
+        "triple_recall": recall,
         "unit": "sec",
         "queries": phases,
         "sf": float(tier_of(sf_dir).removeprefix("sf")),

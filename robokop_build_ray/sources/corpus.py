@@ -30,8 +30,13 @@ CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
 
 # turns per tier (FIXTURES.md F5 smoke/correctness/bench; bench sized so
 # per-stage compute dominates Ray's fixed scheduling/shuffle overheads at
-# 32 CPUs — the scaling-efficiency measurement is meaningless otherwise)
-TIERS: dict[str, int] = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 2_400_000}
+# 32 CPUs — the scaling-efficiency measurement is meaningless otherwise).
+# GRAFT_BENCH_TURNS overrides the bench tier for experimentation.
+TIERS: dict[str, int] = {
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": int(os.environ.get("GRAFT_BENCH_TURNS", "2400000")),
+}
 N_ENTITIES = 400
 SEED = 42
 

@@ -330,3 +330,46 @@ def embedding_cosine_pairs(embeddings, threshold: float = 0.95):
                              "id_b": ids[jj][keep].astype("int64")})
 
     return embeddings.groupby("label").map_groups(block, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- clusters
+
+def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
+                      bands: int = 32):
+    """Full near-dup WORKFLOW composition: minhash-LSH candidate pairs ->
+    distributed connected components -> (doc_id, cluster) where cluster =
+    min doc_id of the duplicate group (singletons map to themselves).
+
+    doc ids are zero-padded in the component labels so lexicographic min ==
+    numeric min."""
+    import pyarrow.compute as pc
+
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, threshold, num_perm, bands)
+
+    def pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(pc.cast(t["id_a"], pa.string()), 12, "0"),
+                "b": pc.utf8_lpad(pc.cast(t["id_b"], pa.string()), 12, "0"),
+            }
+        )
+
+    comp = connected_components(pairs.map_batches(pad, batch_format="pyarrow"),
+                                num_partitions=8)
+    import ray as _ray
+
+    comp_map = {int(r["id"]): int(r["component"]) for r in comp.take_all()}
+    ref = _ray.put(comp_map)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(ref)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "cluster": b["doc_id"].map(lambda d: cm.get(d, d)).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pandas")

@@ -84,3 +84,19 @@ def test_materialize_outputs_sorted_and_committed(ckpt, smoke_corpus, tmp_path):
     support = lineage.read_stage(os.path.join(out, "support")).take_all()
     ps = [r["p"] for r in support]
     assert ps == sorted(ps)
+
+
+def test_fused_and_checkpoint_paths_agree(ckpt, smoke_corpus):
+    """The streaming fast path (canonicalization fused into linking actors)
+    and the checkpoint path (separate link -> canonicalize stages) must emit
+    identical canonical triples."""
+    fused = build_graph("sf0.001", include_support=False)
+    staged = build_graph("sf0.001", checkpoint_dir=ckpt, include_support=False)
+
+    def rows(ds):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["subj_id"], r["pred_id"], r["obj_id"])
+            for r in ds.take_all()
+        )
+
+    assert rows(fused["canonical"]) == rows(staged["canonical"])

@@ -179,3 +179,17 @@ def test_multimodal_frame_sampling():
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+
+
+def test_near_dup_clusters_composition():
+    base = " ".join(f"tok{i}" for i in range(100))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " x"},
+        {"doc_id": 3, "text": base + " y"},
+        {"doc_id": 9, "text": " ".join(f"z{i}" for i in range(60))},
+    ]
+    out = {r["doc_id"]: r["cluster"] for r in
+           dedup.near_dup_clusters(rd.from_items(rows), threshold=0.5).take_all()}
+    assert out[1] == out[2] == out[3] == 1  # dup group collapses to min id
+    assert out[9] == 9                      # singleton keeps its own id
