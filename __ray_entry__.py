@@ -128,6 +128,13 @@ def _kg_support_underexpected(sf_dir: str):
     )
 
 
+def _events_heavy_hitters(sf_dir: str):
+    from robokop_build_ray.functions.sketches import heavy_hitters
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=10, capacity=4096)
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -179,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
         "customers_without_orders": rel.customers_without_orders,
+        # mergeable-sketch heavy hitters (exact at this cardinality)
+        "events_heavy_hitters": _events_heavy_hitters,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -242,6 +251,12 @@ def oracle_sql() -> dict[str, str]:
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),
         "customers_without_orders": rel.sql_customers_without_orders(),
+        "events_heavy_hitters": """
+SELECT user_id, n FROM (
+  SELECT user_id, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10""",
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -1,0 +1,82 @@
+"""Mergeable sketches (the per-batch-sketch -> tiny-merge aggregation
+pattern from the Ray Data guide): Misra-Gries heavy hitters.
+
+Shape: ``map_batches`` emits ONE serialized sketch row per batch (vectorized
+``value_counts`` inside), a single driver-side merge combines them — the
+shuffle moves #batches rows instead of #input rows. Misra-Gries guarantees:
+any key with frequency > n/capacity survives, and estimated counts are exact
+when (distinct keys) <= capacity — which makes the result SQL-verifiable on
+low-cardinality columns while remaining a true bounded-memory sketch for
+high-cardinality ones.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+class MisraGries:
+    """Bounded-count heavy-hitter sketch with merge support."""
+
+    def __init__(self, capacity: int = 1024):
+        self.capacity = capacity
+        self.counts: dict = {}
+
+    def add_counts(self, items: dict) -> None:
+        for k, c in items.items():
+            if k in self.counts:
+                self.counts[k] += c
+            else:
+                self.counts[k] = c
+                if len(self.counts) > self.capacity:
+                    self._decrement()
+
+    def _decrement(self) -> None:
+        dec = min(self.counts.values())
+        self.counts = {k: v - dec for k, v in self.counts.items() if v > dec}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.add_counts(other.counts)
+        return self
+
+    def top(self, k: int) -> list[tuple[object, int]]:
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 1024,
+                  batch_size: int = 65_536):
+    """-> Dataset (value, n) of the top-k values of ``col``.
+
+    Exact (== SQL GROUP BY count) whenever the column's distinct count fits
+    ``capacity``; otherwise Misra-Gries approximate with the standard
+    frequency guarantee. One sketch per batch, merged in one pass."""
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        sk = MisraGries(capacity)
+        sk.add_counts(b[col].value_counts().to_dict())
+        import pickle
+
+        return pd.DataFrame({"sketch": [pickle.dumps(sk)]})
+
+    sketches = ds.select_columns([col]).map_batches(
+        per_batch, batch_size=batch_size, batch_format="pandas"
+    ).take_all()
+
+    import pickle
+
+    total = MisraGries(capacity)
+    for r in sketches:
+        total.merge(pickle.loads(r["sketch"]))
+
+    top = total.top(k)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                col: pa.array([t[0] for t in top]),
+                "n": pa.array([int(t[1]) for t in top], pa.int64()),
+            }
+        )
+    )

@@ -24,7 +24,6 @@ from typing import Any
 
 import pyarrow.parquet as pq
 import ray
-import ray.data as rd
 
 from ..gazetteer import Entity, canonical_map
 from ..sources.corpus import ensure_corpus
@@ -250,8 +249,6 @@ def _small_sort(ds, keys: list[str]):
     tables are bounded by the entity universe, not the corpus): coalesce to
     one block and sort it — skips the sort-shuffle's fixed AllToAll cost.
     For outputs that outgrow a single block, use ``Dataset.sort``."""
-    import pyarrow as _pa
-
     return ds.repartition(1).map_batches(
         lambda t: t.sort_by([(k, "ascending") for k in keys]),
         batch_format="pyarrow",

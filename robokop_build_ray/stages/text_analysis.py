@@ -13,7 +13,6 @@ import hashlib
 import re
 
 import pandas as pd
-import pyarrow as pa
 
 TOKEN_RE = r"\S+"
 STOPWORDS_RE = r"\b(the|and|of|to|in|is|a)\b"

@@ -193,3 +193,25 @@ def test_near_dup_clusters_composition():
            dedup.near_dup_clusters(rd.from_items(rows), threshold=0.5).take_all()}
     assert out[1] == out[2] == out[3] == 1  # dup group collapses to min id
     assert out[9] == 9                      # singleton keeps its own id
+
+
+def test_misra_gries_exact_and_bounded():
+    from robokop_build_ray.functions.sketches import MisraGries, heavy_hitters
+
+    # exact when capacity >= cardinality
+    sk = MisraGries(10)
+    sk.add_counts({"a": 5, "b": 3})
+    sk2 = MisraGries(10)
+    sk2.add_counts({"a": 2, "c": 1})
+    sk.merge(sk2)
+    assert sk.top(2) == [("a", 7), ("b", 3)]
+    # bounded memory under adversarial cardinality
+    big = MisraGries(8)
+    for i in range(10_000):
+        big.add_counts({f"k{i}": 1, "hot": 3})
+    assert len(big.counts) <= 8
+    assert big.top(1)[0][0] == "hot"  # frequent key survives
+
+    ds = rd.from_items([{"v": "x"}] * 30 + [{"v": "y"}] * 20 + [{"v": "z"}] * 5)
+    out = heavy_hitters(ds, "v", k=2, capacity=100).take_all()
+    assert [(r["v"], r["n"]) for r in out] == [("x", 30), ("y", 20)]
