@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "nation_revenue": rel.nation_revenue,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "events_value_median": rel.events_value_median,
         "events_hourly": rel.events_hourly,
         "events_sliding": rel.events_sliding,
         "events_sessions": rel.events_sessions,
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),
         "nation_revenue": rel.sql_nation_revenue(),
+        "q5_local_supplier_volume": rel.sql_q5(),
+        "events_value_median": rel.sql_events_value_median(),
         "events_hourly": rel.sql_events_hourly(),
         "events_sliding": rel.sql_events_sliding(),
         "events_sessions": rel.sql_events_sessions(),

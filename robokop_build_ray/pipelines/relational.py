@@ -413,3 +413,103 @@ def mktsegments(sf_dir: str):
 
 def sql_mktsegments() -> str:
     return "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ------------------------------------------------------------------- Q5
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5 shape: revenue from lineitems where the SUPPLIER and the
+    ordering CUSTOMER share a nation inside one region. Four dimension
+    tables broadcast once; the equality predicate (c_nationkey ==
+    s_nationkey) evaluates vectorized inside the lineitem scan."""
+    nation_rows = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    region_keys = {
+        r["r_regionkey"]
+        for r in rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+        if r["r_name"] == region
+    }
+    nation_name = {r["n_nationkey"]: r["n_name"] for r in nation_rows
+                   if r["n_regionkey"] in region_keys}
+    supp_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"]).take_all()
+    }
+    cust_nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).take_all()
+    }
+    order_cust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"]).take_all()
+    }
+    refs = ray.put((nation_name, supp_nation, cust_nation, order_cust))
+
+    class Partial:
+        def __init__(self):
+            self.nn, self.sn, self.cn, self.oc = ray.get(refs)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            s_nat = b["l_suppkey"].map(self.sn)
+            c_nat = b["l_orderkey"].map(self.oc).map(self.cn)
+            keep = (s_nat == c_nat) & s_nat.map(self.nn).notna()
+            b = b[keep]
+            rev = _cents(
+                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+            )
+            out = pd.DataFrame(
+                {"n_name": s_nat[keep].map(self.nn), "rev": rev}
+            )
+            return out.groupby("n_name", as_index=False)["rev"].sum()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    return rename(
+        li.map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        .groupby("n_name").sum("rev"),
+        {"sum(rev)": "revenue_cents"},
+    )
+
+
+def sql_q5(region: str = "ASIA") -> str:
+    return f"""
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{region}'
+GROUP BY n_name"""
+
+
+# -------------------------------------------------------------- percentile
+
+def events_value_median(sf_dir: str):
+    """Median event value per event_type — percentile aggregate via
+    per-group numpy (event_type cardinality is tiny; the sort happens inside
+    one vectorized call per group)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [float(np.median(g["value"].to_numpy()))],
+            }
+        )
+
+    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+def sql_events_value_median() -> str:
+    return """
+SELECT event_type, median(value) AS median_value
+FROM events GROUP BY event_type"""
