@@ -73,8 +73,9 @@ def sql_q1() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem
@@ -147,7 +148,7 @@ def q3_top_orders(sf_dir: str, k: int = 10):
 def sql_q3(k: int = 10) -> str:
     return f"""
 SELECT l_orderkey,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -210,7 +211,7 @@ def nation_revenue(sf_dir: str):
 def sql_nation_revenue() -> str:
     return """
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -249,7 +250,8 @@ def sql_events_hourly() -> str:
 SELECT user_id,
        epoch_us(ts) // 3600000000 AS hour,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
 FROM events
 GROUP BY user_id, hour"""
 
@@ -298,7 +300,8 @@ w AS (
   UNION ALL
   SELECT (sec // {step_s} - 1) * {step_s} AS window_start, cents FROM e
 )
-SELECT window_start, count(*) AS n_events, sum(cents) AS sum_value_cents
+SELECT window_start, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
 FROM w GROUP BY window_start"""
 
 
@@ -478,7 +481,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
 def sql_q5(region: str = "ASIA") -> str:
     return f"""
 SELECT n_name,
-       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
          AS revenue_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey

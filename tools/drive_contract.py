@@ -45,6 +45,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if list(g.columns) != list(w.columns):
         problems.append(f"schema: ray={list(g.columns)} oracle={list(w.columns)}")
         return problems
+    # The real driver hashes raw values: an int64 Ray column vs a float64
+    # oracle column (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) hashes
+    # DIFFERENTLY even when values compare equal. Mirror that strictness by
+    # failing on dtype-kind mismatches before value comparison.
+    for c in g.columns:
+        gk = got.reindex(sorted(got.columns), axis=1)[c].dtype.kind
+        wk = want.reindex(sorted(want.columns), axis=1)[c].dtype.kind
+        if gk != wk and {gk, wk} != {"O", "U"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch ray={gk} oracle={wk} "
+                f"(driver hash would differ)"
+            )
     if problems:
         return problems
     for c in g.columns:
