@@ -118,6 +118,35 @@ def _kg_node_umls_projection(sf_dir: str):
     return _kg(sf_dir, "nodes").map_batches(project, batch_format="pyarrow")
 
 
+def _kg_support_pubs(sf_dir: str):
+    """Shared-provenance supporter (omnicorp/chemotext analog)."""
+    from robokop_build_ray.pipelines.kg_build import build_graph
+    from robokop_build_ray.stages.support import shared_publications_stage
+
+    graph = build_graph(sf_dir, materialize_intermediate=True,
+                        include_support=False)
+    return shared_publications_stage(graph["canonical"])
+
+
+def _kg_edges_full(sf_dir: str):
+    """One-edge-table output (reference sink shape): extraction + cooccur
+    stats + shared-pubs edges."""
+    from robokop_build_ray.pipelines.kg_build import build_graph, combined_edges
+
+    graph = build_graph(sf_dir, materialize_intermediate=True,
+                        include_support=True)
+    return combined_edges(graph)
+
+
+def _kg_path_filtered(sf_dir: str, path: str = "S(1-2)D"):
+    """Path-DSL-scoped canonical triples (M1 consumer)."""
+    from robokop_build_ray.pipelines.kg_build import build_graph
+
+    ensure_corpus(sf_dir)
+    graph = build_graph(sf_dir, include_support=False, path=path)
+    return graph["canonical"]
+
+
 def _kg_support_underexpected(sf_dir: str):
     """Pairs observed LESS than expected (`CooccurChi2.ipynb` cell 13
     ``expected > observed`` filter)."""
@@ -176,6 +205,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_underexpected": _kg_support_underexpected,
         "kg_turns_ordered": _kg_turns_ordered,
         "kg_components": _kg_components,
+        # omnicorp/chemotext-analog publication supporter + unified edge sink
+        "kg_support_pubs": lambda sf: (ensure_corpus(sf),
+                                       _kg_support_pubs(sf))[1],
+        "kg_edges_full": lambda sf: (ensure_corpus(sf), _kg_edges_full(sf))[1],
+        # M1 consumer: Path-DSL drives triple scoping (S(1-2)D = chemical
+        # <-> disease adjacency)
+        "kg_path_filtered": _kg_path_filtered,
         # --- relational coverage (testdata views) ----------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -196,8 +232,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: ta.quality(_docs(sf)),
         "doc_langid": lambda sf: ta.langid(_docs(sf)),
         "doc_fingerprint": lambda sf: ta.fingerprints(_docs(sf)),
+        # winnowing-style min-rolling-hash fingerprint (md5 windows)
+        "doc_rolling_fp": lambda sf: ta.rolling_fingerprints(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
-        # rows-only (no SQL equivalent): sketch/LSH dedup family
+        # sketch/LSH dedup family: oracles recompute banding/blocking from
+        # deterministic signature parquet (entry_sql.ensure_dedup_aux)
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf), threshold=0.5
         ).select_columns(["id_a", "id_b"]),
@@ -222,8 +261,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # ---------------------------------------------------------------- oracle SQL
 
+def _ivf_probe_labels(sf_dir: str, n_queries: int = 5, nprobe: int = 2) -> list[int]:
+    """Sequential numpy recomputation of the IVF probe set (deterministic:
+    per-label mean centroids -> top-nprobe by cosine per query, union)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    Q = M[:n_queries]
+    uniq = sorted(set(int(x) for x in labels))
+    C = np.stack([M[labels == lbl].mean(axis=0) for lbl in uniq])
+
+    def norm(X):
+        return X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+
+    sims = norm(Q) @ norm(C).T
+    probe: set[int] = set()
+    for qi in range(len(Q)):
+        for o in np.argsort(-sims[qi])[:nprobe]:
+            probe.add(uniq[int(o)])
+    return sorted(probe)
+
+
 def oracle_sql() -> dict[str, str]:
     ensure_corpus(_SQL_TIER)  # SQL reads these parquet files
+    entry_sql.ensure_dedup_aux(_SQL_TIER)  # minhash/simhash signature tables
+    probed = _ivf_probe_labels(f"/root/testdata/{_SQL_TIER}")
     t = _SQL_TIER
     return {
         "kg_extract": entry_sql.sql_extract(t),
@@ -244,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
         "kg_components": entry_sql.sql_components(t),
+        "kg_support_pubs": entry_sql.sql_support_pubs(t),
+        "kg_edges_full": entry_sql.sql_edges_full(t),
+        "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),
         "nation_revenue": rel.sql_nation_revenue(),
@@ -300,6 +368,17 @@ SELECT doc_id,
        md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))
          AS fingerprint
 FROM documents""",
+        "doc_rolling_fp": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(tk) < 8 THEN md5(array_to_string(tk, ' '))
+       ELSE list_aggregate(
+         list_transform(range(1, len(tk) - 6),
+                        i -> md5(array_to_string(tk[i:i+7], ' '))), 'min')
+  END AS rolling_fp
+FROM toks""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))""",
@@ -317,6 +396,28 @@ s AS (
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                 CAST(q.qe AS DOUBLE[])) AS cos
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10""",
+        # LSH/sketch dedup family: SQL recomputes banding/blocking/verify
+        # from deterministic signature tables (see entry_sql.ensure_dedup_aux)
+        "dedup_minhash_lsh": entry_sql.sql_dedup_minhash_lsh(t),
+        "dedup_simhash": entry_sql.sql_dedup_simhash(t),
+        "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
+        "dedup_clusters": entry_sql.sql_dedup_clusters(t),
+        "ann_ivf_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid AND e.label IN ({", ".join(map(str, probed))})
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--batch-size", type=int, default=8192)
     b.add_argument("--cap", type=int, default=256,
                    help="max distinct entities per conversation for pair gen")
+    b.add_argument("--path", default=None,
+                   help="Path-DSL scope, e.g. 'SD' or 'S(1-2)D' "
+                        "(codes: S=chemical G=gene P=process C=cell "
+                        "A=anatomy T=phenotype D=disease X=genetic_condition "
+                        "W=drug_class ?=any); filters triples to adjacent "
+                        "step type pairs")
     args = p.parse_args(argv)
 
     import ray
@@ -56,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         transcripts_path=args.transcripts,
         materialize_intermediate=True,
         include_support="cooccur" in supports,
+        path=args.path,
     )
     extra = [s for s in supports if s != "cooccur"]
     if extra:

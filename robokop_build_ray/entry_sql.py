@@ -128,6 +128,8 @@ def sql_edges(tier: str) -> str:
     return f"""WITH RECURSIVE {_canon_cte(p)[1:]}
 SELECT subj_id, pred_id, replace(pred_id, ':', '_') AS standard_label, obj_id,
        'extractor.triple_pattern' AS edge_source,
+       CAST(0 AS BIGINT) AS ctime,
+       subj_id || ',' || obj_id AS input_identifiers,
        list_sort(list_distinct(list('CONV:' || conv_id || '#' ||
                                     CAST(turn_idx AS VARCHAR)))) AS publications,
        count(*) AS n_mentions,
@@ -136,9 +138,14 @@ FROM canon
 GROUP BY subj_id, pred_id, obj_id"""
 
 
-def sql_support(tier: str) -> str:
+def sql_support(tier: str, cap: int = 256) -> str:
     """Counts + expected + Yates chi2 (no p: DuckDB lacks erfc; p is a
-    monotone transform of chi2 at df=1 and is checked in pytest instead)."""
+    monotone transform of chi2 at df=1 and is checked in pytest instead).
+
+    The joint CTE models the engine's per-conversation entity cap
+    (``max_entities_per_conv`` — lexicographically-first ``cap`` entities):
+    marginals are uncapped, pair generation is capped, exactly like
+    ``support_stage``."""
     p = corpus_paths(tier)
     return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
 conv_ent AS (
@@ -147,10 +154,17 @@ conv_ent AS (
     UNION ALL SELECT conv_id, obj_id AS id FROM canon
   )
 ),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
 marg AS (SELECT id, count(*) AS c FROM conv_ent GROUP BY id),
 joint AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
-  FROM conv_ent a JOIN conv_ent b
+  FROM conv_ent_r a JOIN conv_ent_r b
     ON a.conv_id = b.conv_id AND a.id < b.id
   GROUP BY a.id, b.id
 ),
@@ -171,6 +185,95 @@ SELECT id_a, id_b, c1, c2, c,
        CASE WHEN denom > 0 THEN n * g * g / denom ELSE 0.0 END AS chi2,
        c < 11 AS suppressed
 FROM scored"""
+
+
+def sql_path_filtered(tier: str, type_a: str = "chemical_substance",
+                      type_b: str = "disease") -> str:
+    """Path-DSL scoping oracle: canonical triples whose endpoint node types
+    match the path's adjacent step pair (either direction) — recomputes the
+    engine's ``path_filter`` via gazetteer type joins."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]}
+SELECT c.conv_id, c.turn_idx, c.subj_id, c.pred_id, c.obj_id
+FROM canon c
+JOIN read_parquet('{p["gazetteer"]}') gs ON gs.curie = c.subj_id
+JOIN read_parquet('{p["gazetteer"]}') go ON go.curie = c.obj_id
+WHERE (gs.node_type = '{type_a}' AND go.node_type = '{type_b}')
+   OR (gs.node_type = '{type_b}' AND go.node_type = '{type_a}')"""
+
+
+def sql_support_pubs(tier: str, cap: int = 256,
+                     pub_cap: int = 10_000) -> str:
+    """Shared-provenance supporter oracle (`builder/omnicorp.py:14-32`
+    semantics): per within-conversation pair, the sorted capped list of
+    CONV: ids mentioning both entities."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
+pubs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_sort(list(DISTINCT 'CONV:' || a.conv_id)) AS all_pubs
+  FROM conv_ent_r a JOIN conv_ent_r b
+    ON a.conv_id = b.conv_id AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       all_pubs[1:{pub_cap}] AS publications,
+       least(len(all_pubs), {pub_cap}) AS n_pubs,
+       'shared_pubs.term_to_term' AS edge_source,
+       true AS is_support
+FROM pubs"""
+
+
+def sql_edges_full(tier: str, cap: int = 256) -> str:
+    """One-edge-table oracle (reference sink shape, `builder/builder.py:
+    32-41`): extraction edges UNION cooccur support edges (stats payload,
+    `builder/cdw.py:55-60` {c1,c2,c,e,p} dict flattened to columns) UNION
+    shared-pubs support edges."""
+    edges = sql_edges(tier)
+    support = sql_support(tier, cap)
+    pubs = sql_support_pubs(tier, cap)
+    return f"""
+WITH x_edges AS ({edges}),
+x_support AS ({support}),
+x_pubs AS ({pubs})
+SELECT subj_id, pred_id, standard_label, obj_id, edge_source, ctime,
+       input_identifiers, publications, n_mentions, is_support,
+       CAST(NULL AS BIGINT) AS c1, CAST(NULL AS BIGINT) AS c2,
+       CAST(NULL AS BIGINT) AS c, CAST(NULL AS DOUBLE) AS expected,
+       CAST(NULL AS DOUBLE) AS chi2
+FROM x_edges
+UNION ALL
+SELECT id_a AS subj_id, 'SUPPORT:literature_co-occurence' AS pred_id,
+       'SUPPORT_literature_co-occurence' AS standard_label, id_b AS obj_id,
+       'cooccur.term_to_term' AS edge_source, CAST(0 AS BIGINT) AS ctime,
+       id_a || ',' || id_b AS input_identifiers,
+       CAST([] AS VARCHAR[]) AS publications,
+       CAST(NULL AS BIGINT) AS n_mentions, true AS is_support,
+       c1, c2, c, expected, chi2
+FROM x_support
+UNION ALL
+SELECT id_a AS subj_id, 'SUPPORT:literature_co-occurence' AS pred_id,
+       'SUPPORT_literature_co-occurence' AS standard_label, id_b AS obj_id,
+       edge_source, CAST(0 AS BIGINT) AS ctime,
+       id_a || ',' || id_b AS input_identifiers, publications,
+       CAST(NULL AS BIGINT) AS n_mentions, true AS is_support,
+       CAST(NULL AS BIGINT) AS c1, CAST(NULL AS BIGINT) AS c2,
+       CAST(NULL AS BIGINT) AS c, CAST(NULL AS DOUBLE) AS expected,
+       CAST(NULL AS DOUBLE) AS chi2
+FROM x_pubs"""
 
 
 def sql_node_type_histogram(tier: str) -> str:
@@ -197,3 +300,200 @@ reach(id, lbl) AS (
   FROM reach r JOIN read_parquet('{p["bridges"]}') b ON r.id = b.a OR r.id = b.b
 )
 SELECT id, min(lbl) AS component FROM reach GROUP BY id"""
+
+
+# ----------------------------------------------------- dedup sketch oracles
+#
+# The minhash / simhash pair queries are not directly SQL-expressible (the
+# hash functions aren't), but their SIGNATURES are deterministic pure
+# functions of the document text. A sequential single-process numpy
+# recomputation (below — independent of the Ray actor/batch code paths)
+# writes them as parquet; DuckDB then recomputes the entire distributed
+# machinery — banding, bucket-candidate generation, signature verification,
+# pigeonhole chunk blocking, hamming filter, connected components — in SQL
+# from those signatures. That checks everything the Ray pipeline does after
+# hashing: the exchanges, joins, caps and dedup steps.
+
+_AUX_VERSION = "v2"  # bump when any sketch constant/algorithm changes
+_MINHASH_NUM_PERM = 128
+_MINHASH_SEED = 7
+_SHINGLE_N = 3
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_aux_paths(tier: str) -> dict[str, str]:
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    return {
+        "root": root,
+        "minhash_sig": f"{root}/minhash_sig.parquet",
+        "simhash": f"{root}/simhash.parquet",
+    }
+
+
+def _grams(text: str, n: int) -> list[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def ensure_dedup_aux(tier: str) -> dict[str, str]:
+    """Write the signature tables for ``/root/testdata/<tier>/documents``
+    (idempotent; ~1 s for 500 docs)."""
+    import os
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = dedup_aux_paths(tier)
+    if os.path.exists(p["minhash_sig"]) and os.path.exists(p["simhash"]):
+        return p
+    os.makedirs(p["root"], exist_ok=True)
+    docs = pd.read_parquet(f"/root/testdata/{tier}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    rng = np.random.default_rng(_MINHASH_SEED)
+    A = rng.integers(1, _MERSENNE, size=_MINHASH_NUM_PERM, dtype=np.uint64)
+    B = rng.integers(0, _MERSENNE, size=_MINHASH_NUM_PERM, dtype=np.uint64)
+
+    sig_doc, sig_perm, sig_val = [], [], []
+    sim_doc, sim_val = [], []
+    arange64 = np.arange(64, dtype=np.uint64)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        grams = _grams(text, _SHINGLE_N)
+        # --- minhash (crc32 shingles, universal-hash min; uint64 wrap is
+        # part of the spec and matches the distributed implementation)
+        h = np.unique(np.array([zlib.crc32(g.encode()) for g in grams],
+                               dtype=np.uint64))
+        if len(h) == 0:
+            sig = np.zeros(_MINHASH_NUM_PERM, dtype=np.uint64)
+        else:
+            with np.errstate(over="ignore"):
+                vals = (A[:, None] * h[None, :] + B[:, None]) % _MERSENNE
+            sig = vals.min(axis=1).astype(np.uint64)
+        sig_doc.extend([int(doc_id)] * _MINHASH_NUM_PERM)
+        sig_perm.extend(range(_MINHASH_NUM_PERM))
+        sig_val.extend(sig.tolist())
+        # --- simhash (siphash shingle features, +1/-1 bit votes)
+        sim_doc.append(int(doc_id))
+        if not grams:
+            sim_val.append(0)
+        else:
+            hs = pd.util.hash_array(np.asarray(grams, dtype=object))
+            bits = ((hs[:, None] >> arange64[None, :]) & 1).astype(np.int64)
+            score = 2 * bits.sum(axis=0) - len(grams)
+            sim_val.append(int(((score > 0).astype(np.uint64)
+                                << arange64).sum()))
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sig_doc, pa.int64()),
+                  "perm_idx": pa.array(sig_perm, pa.int32()),
+                  "sig_val": pa.array(sig_val, pa.uint64())}),
+        p["minhash_sig"],
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sim_doc, pa.int64()),
+                  "simhash": pa.array(sim_val, pa.uint64())}),
+        p["simhash"],
+    )
+    return p
+
+
+def _minhash_pair_ctes(tier: str, threshold: float, bands: int) -> str:
+    """CTE chain ending in ``mh_pairs(id_a, id_b)``: recomputes LSH banding +
+    signature-Jaccard verification from the signature parquet."""
+    p = dedup_aux_paths(tier)
+    rows = _MINHASH_NUM_PERM // bands
+    return f"""
+sig AS (
+  SELECT doc_id, perm_idx, sig_val
+  FROM read_parquet('{p["minhash_sig"]}')
+),
+bands AS (
+  SELECT doc_id, perm_idx // {rows} AS band_id,
+         list(sig_val ORDER BY perm_idx) AS bvec
+  FROM sig GROUP BY doc_id, perm_idx // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bvec = b.bvec AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.perm_idx = sa.perm_idx
+  GROUP BY c.id_a, c.id_b
+  HAVING avg(CASE WHEN sa.sig_val = sb.sig_val THEN 1.0 ELSE 0.0 END)
+         >= {threshold}
+)"""
+
+
+def sql_dedup_minhash_lsh(tier: str, threshold: float = 0.5,
+                          bands: int = 32) -> str:
+    return (f"WITH {_minhash_pair_ctes(tier, threshold, bands)[1:]}\n"
+            "SELECT id_a, id_b FROM mh_pairs")
+
+
+def sql_dedup_simhash(tier: str, max_hamming: int = 3) -> str:
+    p = dedup_aux_paths(tier)
+    return f"""
+WITH sh AS (SELECT doc_id, simhash FROM read_parquet('{p["simhash"]}')),
+chunks AS (
+  SELECT doc_id, simhash, t.k AS chunk_idx,
+         (simhash >> (16 * t.k)) & 65535 AS chunk_val
+  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+def sql_dedup_ngram_jaccard(threshold: float = 0.3, n: int = 3) -> str:
+    """Fully independent oracle: EXACT all-pairs word n-gram Jaccard in SQL
+    over the registered ``documents`` view (the engine is LSH-blocked; at
+    sf0.01 every true pair sits far above threshold, so blocking recall is
+    exactly 1 — verified empirically, duplicate pairs have j >= 0.9 vs next
+    value 0.067)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents
+),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {n - 2}),
+                             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+    END) AS gs
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(a.gs) + len(b.gs) > 0
+  AND 1.0 * len(list_intersect(a.gs, b.gs))
+      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+      >= {threshold}"""
+
+
+def sql_dedup_clusters(tier: str, threshold: float = 0.5,
+                       bands: int = 32) -> str:
+    """Connected components over the SQL-recomputed minhash pairs; cluster =
+    min doc_id of the duplicate group, singletons map to themselves."""
+    return f"""WITH RECURSIVE {_minhash_pair_ctes(tier, threshold, bands)[1:]},
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.id = p.id_a THEN p.id_b ELSE p.id_a END, r.lbl
+  FROM reach r JOIN mh_pairs p ON r.id = p.id_a OR r.id = p.id_b
+)
+SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id"""

@@ -45,6 +45,15 @@ class Step(NamedTuple):
 _TOKEN_RE = re.compile(r"([SGPCATDXW?])|\((\d+)-(\d+)\)|(\s+)|(.)")
 
 
+def step_type_pairs(steps: list["Step"]) -> list[tuple[str, str]]:
+    """Adjacent (node_type, node_type) pairs a path implies — the query
+    shape the reference's run() derives from the DSL
+    (`builder/builder.py:497-521`). ``?`` maps to 'unspecified' (wildcard
+    for consumers)."""
+    types = [NODE_TYPE_BY_CODE[s.nodetype] for s in steps]
+    return list(zip(types[:-1], types[1:]))
+
+
 def tokenize_path(path: str) -> list[Step]:
     """Lex a path DSL string into Steps; raises ValueError on bad input."""
     steps: list[Step] = []

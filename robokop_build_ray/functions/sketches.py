@@ -17,11 +17,16 @@ import pyarrow as pa
 
 
 class MisraGries:
-    """Bounded-count heavy-hitter sketch with merge support."""
+    """Bounded-count heavy-hitter sketch with merge support.
+
+    ``exact`` turns False the moment any decrement fires (capacity
+    exceeded): counts are then lower-bound estimates, not exact — consumers
+    presenting counts as exact MUST check the flag."""
 
     def __init__(self, capacity: int = 1024):
         self.capacity = capacity
         self.counts: dict = {}
+        self.exact = True
 
     def add_counts(self, items: dict) -> None:
         for k, c in items.items():
@@ -33,11 +38,13 @@ class MisraGries:
                     self._decrement()
 
     def _decrement(self) -> None:
+        self.exact = False
         dec = min(self.counts.values())
         self.counts = {k: v - dec for k, v in self.counts.items() if v > dec}
 
     def merge(self, other: "MisraGries") -> "MisraGries":
         self.add_counts(other.counts)
+        self.exact = self.exact and other.exact
         return self
 
     def top(self, k: int) -> list[tuple[object, int]]:
@@ -68,6 +75,16 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 1024,
     total = MisraGries(capacity)
     for r in sketches:
         total.merge(pickle.loads(r["sketch"]))
+    if not total.exact:
+        # the oracle compares against an exact GROUP BY: surface the loss of
+        # exactness loudly instead of silently returning estimates as truth
+        import warnings
+
+        warnings.warn(
+            f"heavy_hitters({col!r}): distinct count exceeded sketch "
+            f"capacity {capacity}; counts are lower-bound estimates",
+            stacklevel=2,
+        )
 
     top = total.top(k)
     import ray.data as rd

@@ -106,6 +106,7 @@ def build_graph(
     materialize_intermediate: bool = False,
     include_support: bool = True,
     timings: dict | None = None,
+    path: str | None = None,
 ) -> dict[str, Any]:
     """Run (or resume) the flagship pipeline; returns named Datasets.
 
@@ -151,6 +152,10 @@ def build_graph(
         canonical = checkpointed(
             "canonical", lambda: canonicalize_stage(linked, state.canon_ref)
         )
+    if path is not None:
+        # Path-DSL scoping (M1 -> §2.10 consumer): the parsed Steps drive
+        # which triples reach the graph, like the reference's run()
+        canonical = path_filter(canonical, path, state.nodeinfo_ref)
     if materialize_intermediate and checkpoint_dir is None:
         # canonical fans out to nodes/edges/support; pin it in the object
         # store so the three consumers don't each replay extract->link.
@@ -196,6 +201,138 @@ def build_graph(
         "n_conversations": n_convs,
         "state": state,
     }
+
+
+def path_filter(canonical, path: str, nodeinfo_ref):
+    """Scope canonical triples to a Path-DSL pattern (M1 consumer): keep a
+    triple when its endpoint node types match ANY adjacent step pair of the
+    path, in either direction; ``?`` is a wildcard. This is the engine-side
+    analog of the reference's DSL -> query derivation
+    (`builder/builder.py:497-521`): the DSL now drives which triples flow to
+    the graph, not just a parsed-and-dropped artifact."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..functions.pathdsl import step_type_pairs, tokenize_path
+
+    pairs = step_type_pairs(tokenize_path(path))
+    if not pairs:
+        raise ValueError(f"path {path!r} has fewer than two steps")
+
+    class TypePairFilter:
+        def __init__(self):
+            info = _ray.get(nodeinfo_ref)
+            self.types = {k: v[1] for k, v in info.items()}
+            universe = sorted(set(self.types.values()))
+            # expand wildcards against the (small) type universe, then match
+            # vectorized on 'a|b' keys in BOTH directions
+            allowed: set[str] = set()
+            for x, y in pairs:
+                xs = universe if x == "unspecified" else [x]
+                ys = universe if y == "unspecified" else [y]
+                for a in xs:
+                    for c in ys:
+                        allowed.add(f"{a}|{c}")
+                        allowed.add(f"{c}|{a}")
+            self.allowed = allowed
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            key = b["subj_id"].map(self.types) + "|" + b["obj_id"].map(self.types)
+            return b[key.isin(self.allowed)]
+
+    return canonical.map_batches(TypePairFilter, batch_format="pandas",
+                                 concurrency=(1, 2))
+
+
+def combined_edges(graph: dict[str, Any],
+                   max_entities_per_conv: int = 256):
+    """ONE edge table, reference-sink shape (`builder/builder.py:32-41`):
+    extraction edges + cooccur support edges + shared-pubs support edges,
+    with the support stats payload (`builder/cdw.py:55-60` props dict
+    {c1,c2,c,e,p}) flattened to Arrow-typed nullable columns (p excluded:
+    it is a monotone erfc transform of chi2, pytest-checked; DuckDB cannot
+    recompute erfc for the oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.support import shared_publications_stage
+
+    SUPPORT_PRED = "SUPPORT:literature_co-occurence"
+    SUPPORT_LABEL = "SUPPORT_literature_co-occurence"
+
+    def pad_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return t.drop_columns([c for c in ("p",) if c in t.column_names]) \
+            .append_column("c1", pa.nulls(n, pa.int64())) \
+            .append_column("c2", pa.nulls(n, pa.int64())) \
+            .append_column("c", pa.nulls(n, pa.int64())) \
+            .append_column("expected", pa.nulls(n, pa.float64())) \
+            .append_column("chi2", pa.nulls(n, pa.float64()))
+
+    def support_to_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        from ..stages.canonicalize import BUILD_CTIME
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "subj_id": t["id_a"],
+                "pred_id": pa.array([SUPPORT_PRED] * n, pa.string()),
+                "standard_label": pa.array([SUPPORT_LABEL] * n, pa.string()),
+                "obj_id": t["id_b"],
+                "edge_source": pa.array(["cooccur.term_to_term"] * n,
+                                        pa.string()),
+                "ctime": pa.array(np.full(n, BUILD_CTIME), pa.int64()),
+                "input_identifiers": pc.binary_join_element_wise(
+                    pc.cast(t["id_a"], pa.string()),
+                    pc.cast(t["id_b"], pa.string()), ","
+                ),
+                "publications": pa.array([[]] * n, pa.list_(pa.string())),
+                "n_mentions": pa.nulls(n, pa.int64()),
+                "is_support": pa.array([True] * n, pa.bool_()),
+                "c1": t["c1"], "c2": t["c2"], "c": t["c"],
+                "expected": t["expected"], "chi2": t["chi2"],
+            }
+        )
+
+    def pubs_to_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        from ..stages.canonicalize import BUILD_CTIME
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "subj_id": t["id_a"],
+                "pred_id": pa.array([SUPPORT_PRED] * n, pa.string()),
+                "standard_label": pa.array([SUPPORT_LABEL] * n, pa.string()),
+                "obj_id": t["id_b"],
+                "edge_source": t["edge_source"],
+                "ctime": pa.array(np.full(n, BUILD_CTIME), pa.int64()),
+                "input_identifiers": pc.binary_join_element_wise(
+                    pc.cast(t["id_a"], pa.string()),
+                    pc.cast(t["id_b"], pa.string()), ","
+                ),
+                "publications": t["publications"],
+                "n_mentions": pa.nulls(n, pa.int64()),
+                "is_support": t["is_support"],
+                "c1": pa.nulls(n, pa.int64()),
+                "c2": pa.nulls(n, pa.int64()),
+                "c": pa.nulls(n, pa.int64()),
+                "expected": pa.nulls(n, pa.float64()),
+                "chi2": pa.nulls(n, pa.float64()),
+            }
+        )
+
+    if graph.get("support") is None:
+        raise ValueError("combined_edges requires include_support=True")
+    e = graph["edges"].map_batches(pad_edges, batch_format="pyarrow")
+    s = graph["support"].select_columns(
+        ["id_a", "id_b", "c1", "c2", "c", "expected", "chi2"]
+    ).map_batches(support_to_edges, batch_format="pyarrow")
+    p = shared_publications_stage(
+        graph["canonical"], max_entities_per_conv
+    ).map_batches(pubs_to_edges, batch_format="pyarrow")
+    return e.union(s, p)
 
 
 def run_supporters(graph: dict[str, Any], names: list[str],
@@ -244,11 +381,15 @@ def _ensure_fsspec_http_stub() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
+SMALL_SORT_MAX_ROWS = 4_000_000
+
+
 def _small_sort(ds, keys: list[str]):
     """Exact global sort for AGGREGATE-BOUNDED outputs (node/edge/support
     tables are bounded by the entity universe, not the corpus): coalesce to
     one block and sort it — skips the sort-shuffle's fixed AllToAll cost.
-    For outputs that outgrow a single block, use ``Dataset.sort``."""
+    For outputs that outgrow a single block, use ``Dataset.sort``
+    (``materialize_graph`` enforces this with a row-count check)."""
     return ds.repartition(1).map_batches(
         lambda t: t.sort_by([(k, "ascending") for k in keys]),
         batch_format="pyarrow",
@@ -265,7 +406,15 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
     from ..state import lineage
 
     def srt(ds, keys):
-        return _small_sort(ds, keys) if small_sorts else ds.sort(keys)
+        if not small_sorts:
+            return ds.sort(keys)
+        # the "aggregate-bounded" assumption is ENFORCED, not assumed: pin
+        # the table (it is about to be written anyway), and fall back to the
+        # distributed sort when it outgrows a single block
+        m = ds.materialize()
+        if m.count() > SMALL_SORT_MAX_ROWS:
+            return m.sort(keys)
+        return _small_sort(m, keys)
 
     manifests = {}
     jobs = {

@@ -90,7 +90,16 @@ Q3_DATE = "1995-06-01"
 
 def q3_top_orders(sf_dir: str, k: int = 10):
     """Revenue of unshipped BUILDING-segment orders; top-k by revenue.
-    customer + orders are broadcast small sides (`ray.put` once)."""
+
+    orders is a FACT table (1/4 of lineitem in TPC-H), so lineitem joins it
+    with a distributed hash join on the order key — never a driver-side
+    broadcast dict. Only the customer key set (a dimension, further shrunk
+    by the segment filter) is broadcast. The top-k is a per-batch local
+    top-k partial followed by a single-block final merge, not a full sort
+    of the aggregate."""
+    from ..functions.bucketing import bucketed_sum
+    from ..functions.ray_utils import default_parallelism
+
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
@@ -98,50 +107,54 @@ def q3_top_orders(sf_dir: str, k: int = 10):
         r["c_custkey"]
         for r in cust.filter(expr=f"c_mktsegment == '{SEGMENT}'").take_all()
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
+    keys_ref = ray.put(custkeys)
     cutoff = np.datetime64(Q3_DATE)
-    odate: dict[int, np.datetime64] = {}
-    for r in orders.take_all():
-        if r["o_custkey"] in custkeys and np.datetime64(r["o_orderdate"]) < cutoff:
-            odate[r["o_orderkey"]] = r["o_orderdate"]
-    odate_ref = ray.put(odate)
 
-    class RevenuePartial:
+    class OrderFilter:
         def __init__(self):
-            self.odate = ray.get(odate_ref)
+            self.keys = ray.get(keys_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            keep = b["l_orderkey"].isin(self.odate.keys())
-            keep &= b["l_shipdate"].to_numpy() > cutoff
-            b = b[keep]
-            rev = _cents(
-                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
-            )
-            out = pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": rev})
-            return out.groupby("l_orderkey", as_index=False)["rev"].sum()
+            keep = b["o_custkey"].isin(self.keys)
+            keep &= b["o_orderdate"].to_numpy() < cutoff
+            return b[keep][["o_orderkey", "o_orderdate"]]
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(OrderFilter, batch_format="pandas", concurrency=(1, 4))
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy() > cutoff]
+        rev = _cents(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        out = pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return out.groupby("l_orderkey", as_index=False)["rev"].sum()
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(rev_partial, batch_format="pandas")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=default_parallelism(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
     agg = rename(
-        li.map_batches(RevenuePartial, batch_format="pandas", concurrency=(1, 4))
-        .groupby("l_orderkey")
-        .sum("rev"),
-        {"sum(rev)": "revenue_cents"},
+        bucketed_sum(joined, ["l_orderkey", "o_orderdate"], "rev"),
+        {"rev": "revenue_cents"},
     )
 
-    def attach(b: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(odate_ref)
-        b["o_orderdate"] = b["l_orderkey"].map(od)
-        return b
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue_cents", "l_orderkey"],
+                             ascending=[False, True]).head(k)
 
     return (
-        agg.map_batches(attach, batch_format="pandas")
-        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
-        .limit(k)
+        agg.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas")
+        .select_columns(["l_orderkey", "revenue_cents", "o_orderdate"])
     )
 
 
@@ -164,8 +177,14 @@ LIMIT {k}"""
 # ------------------------------------------------------- nation revenue
 
 def nation_revenue(sf_dir: str):
-    """Revenue per customer nation: 3-level broadcast-join chain
-    (nation <- customer <- orders) applied to the streaming lineitem scan."""
+    """Revenue per customer nation.
+
+    nation and customer->nation are genuinely dimension-sized and broadcast
+    once; orders is FACT-sized, so the order->nation attachment happens with
+    a distributed hash join of per-batch lineitem partials against the
+    (streamed, dimension-mapped) orders scan — no driver-side order dict."""
+    from ..functions.ray_utils import default_parallelism
+
     nation = {
         r["n_nationkey"]: r["n_name"]
         for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
@@ -176,35 +195,43 @@ def nation_revenue(sf_dir: str):
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         ).take_all()
     }
-    order_cust = {
-        r["o_orderkey"]: r["o_custkey"]
-        for r in rd.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-        ).take_all()
-    }
-    maps_ref = ray.put((nation, cust_nation, order_cust))
+    maps_ref = ray.put((nation, cust_nation))
 
-    class Partial:
+    class OrderNation:
         def __init__(self):
-            self.nation, self.cn, self.oc = ray.get(maps_ref)
+            self.nation, self.cn = ray.get(maps_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            rev = _cents(
-                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "n_name": b["o_custkey"].map(self.cn).map(self.nation),
+                }
             )
-            nk = b["l_orderkey"].map(self.oc).map(self.cn)
-            out = pd.DataFrame({"n_name": nk.map(self.nation), "rev": rev})
-            return out.groupby("n_name", as_index=False)["rev"].sum()
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderNation, batch_format="pandas", concurrency=(1, 4))
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents(
+            b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        )
+        out = pd.DataFrame({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return out.groupby("l_orderkey", as_index=False)["rev"].sum()
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(rev_partial, batch_format="pandas")
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=default_parallelism(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
+    # n_name cardinality is tiny (25): native groupby-sum after the join
     return rename(
-        li.map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
-        .groupby("n_name")
-        .sum("rev"),
-        {"sum(rev)": "revenue_cents"},
+        joined.groupby("n_name").sum("rev"), {"sum(rev)": "revenue_cents"}
     )
 
 
@@ -378,12 +405,16 @@ def customers_without_orders(sf_dir: str):
     """Broadcast ANTI JOIN: customers with no URGENT orders — the key set is
     broadcast once and the customer scan filters against it (semi/anti joins
     never shuffle when one side's key set fits memory)."""
+    from ..functions.bucketing import bucketed_distinct
+
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderpriority"])
-    custkeys_with_orders = {
-        r["o_custkey"]
-        for r in orders.filter(expr="o_orderpriority == '1-URGENT'").take_all()
-    }
+    # distinct BEFORE collecting: the driver sees only the customer-bounded
+    # key set, never the fact-scale filtered order stream
+    distinct_keys = bucketed_distinct(
+        orders.filter(expr="o_orderpriority == '1-URGENT'"), ["o_custkey"]
+    )
+    custkeys_with_orders = {r["o_custkey"] for r in distinct_keys.take_all()}
     keys_ref = ray.put(custkeys_with_orders)
 
     class AntiFilter:
@@ -425,6 +456,8 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     ordering CUSTOMER share a nation inside one region. Four dimension
     tables broadcast once; the equality predicate (c_nationkey ==
     s_nationkey) evaluates vectorized inside the lineitem scan."""
+    from ..functions.ray_utils import default_parallelism
+
     nation_rows = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
     region_keys = {
         r["r_regionkey"]
@@ -443,36 +476,63 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
         for r in rd.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_custkey", "c_nationkey"]).take_all()
     }
-    order_cust = {
-        r["o_orderkey"]: r["o_custkey"]
-        for r in rd.read_parquet(f"{sf_dir}/orders.parquet",
-                                 columns=["o_orderkey", "o_custkey"]).take_all()
-    }
-    refs = ray.put((nation_name, supp_nation, cust_nation, order_cust))
+    # nation/region/supplier/customer maps are dimension-sized: broadcast.
+    # orders is FACT-sized: stream it to (o_orderkey, c_nat) and hash-join.
+    refs = ray.put((nation_name, supp_nation, cust_nation))
 
-    class Partial:
+    class OrderCustNation:
         def __init__(self):
-            self.nn, self.sn, self.cn, self.oc = ray.get(refs)
+            _, _, self.cn = ray.get(refs)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_orderkey": b["o_orderkey"],
+                 "c_nat": b["o_custkey"].map(self.cn)}
+            )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderCustNation, batch_format="pandas", concurrency=(1, 4))
+
+    class LineitemPartial:
+        def __init__(self):
+            self.nn, self.sn, _ = ray.get(refs)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             s_nat = b["l_suppkey"].map(self.sn)
-            c_nat = b["l_orderkey"].map(self.oc).map(self.cn)
-            keep = (s_nat == c_nat) & s_nat.map(self.nn).notna()
+            keep = s_nat.map(self.nn).notna()  # supplier in region
             b = b[keep]
             rev = _cents(
                 b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
             )
             out = pd.DataFrame(
-                {"n_name": s_nat[keep].map(self.nn), "rev": rev}
+                {"l_orderkey": b["l_orderkey"], "s_nat": s_nat[keep], "rev": rev}
             )
-            return out.groupby("n_name", as_index=False)["rev"].sum()
+            return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev"].sum()
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(LineitemPartial, batch_format="pandas", concurrency=(1, 4))
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=default_parallelism(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
+
+    class LocalNation:
+        def __init__(self):
+            self.nn, _, _ = ray.get(refs)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["s_nat"] == b["c_nat"]]  # supplier nation == customer nation
+            return pd.DataFrame(
+                {"n_name": b["s_nat"].map(self.nn), "rev": b["rev"]}
+            )
+
     return rename(
-        li.map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+        joined.map_batches(LocalNation, batch_format="pandas",
+                           concurrency=(1, 4))
         .groupby("n_name").sum("rev"),
         {"sum(rev)": "revenue_cents"},
     )
@@ -494,22 +554,182 @@ GROUP BY n_name"""
 
 # -------------------------------------------------------------- percentile
 
-def events_value_median(sf_dir: str):
-    """Median event value per event_type — percentile aggregate via
-    per-group numpy (event_type cardinality is tiny; the sort happens inside
-    one vectorized call per group)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_type", "value"])
+_MEDIAN_BUCKETS = 4096
+_MEDIAN_COLLECT_CAP = 65_536
 
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "median_value": [float(np.median(g["value"].to_numpy()))],
-            }
-        )
 
-    return ev.groupby("event_type").map_groups(med, batch_format="pandas")
+def events_value_median(sf_dir: str, collect_cap: int = _MEDIAN_COLLECT_CAP):
+    """EXACT median event value per event_type, scale-safe: never
+    materializes a full group. Iterative histogram selection — each pass
+    streams the fact table, counts values per (group, uniform bucket) with a
+    distributed aggregate, and the driver narrows each group's candidate
+    range 4096x until the in-range row count is driver-sized; the final pass
+    collects only those rows and picks the exact order statistics (average
+    of the two middle values for even n, matching DuckDB ``median``).
+    Duplicate-heavy groups terminate via the zero-width-range shortcut."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.bucketing import bucketed_sum
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    stats = (
+        scan().groupby("event_type")
+        .aggregate(Count(alias_name="n"), Min("value", alias_name="lo"),
+                   Max("value", alias_name="hi"))
+        .take_all()
+    )
+    # state per group: candidate range [lo, hi], below = #values < lo,
+    # target global 0-based ranks r1 <= r2 (median = (v[r1]+v[r2])/2)
+    state: dict[str, dict] = {}
+    for r in stats:
+        n = int(r["n"])
+        state[r["event_type"]] = {
+            "lo": float(r["lo"]), "hi": float(r["hi"]),
+            "r1": (n - 1) // 2, "r2": n // 2, "in_range": n, "done": False,
+        }
+
+    def resolve_trivial():
+        for s in state.values():
+            if not s["done"] and (s["hi"] <= s["lo"] or s["in_range"] == 0):
+                s["median"] = s["lo"]
+                s["done"] = True
+
+    resolve_trivial()
+    for _ in range(4):  # 4096^4 range reduction; 2 passes in practice
+        open_groups = {g: s for g, s in state.items()
+                       if not s["done"] and s["in_range"] > collect_cap}
+        if not open_groups:
+            break
+        ranges_ref = ray.put({g: (s["lo"], s["hi"]) for g, s in open_groups.items()})
+
+        class HistPartial:
+            """Per-batch counts: bucket -1 = values BELOW the range (measured
+            fresh each pass — never derived, so float boundary rounding can
+            never desynchronize rank bookkeeping from filter semantics)."""
+
+            def __init__(self):
+                self.ranges = ray.get(ranges_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                outs = []
+                for g, (lo, hi) in self.ranges.items():
+                    v = b.loc[b["event_type"] == g, "value"].to_numpy()
+                    n_below = int((v < lo).sum())
+                    v = v[(v >= lo) & (v <= hi)]
+                    buckets, ns = [], []
+                    if n_below:
+                        buckets.append(-1)
+                        ns.append(n_below)
+                    if len(v):
+                        idx = np.minimum(
+                            ((v - lo) * (_MEDIAN_BUCKETS / (hi - lo)))
+                            .astype(np.int64),
+                            _MEDIAN_BUCKETS - 1,
+                        )
+                        bc = np.bincount(np.maximum(idx, 0),
+                                         minlength=_MEDIAN_BUCKETS)
+                        nz = np.flatnonzero(bc)
+                        buckets.extend(nz.tolist())
+                        ns.extend(bc[nz].tolist())
+                    if buckets:
+                        outs.append(pd.DataFrame(
+                            {"event_type": g, "bucket": buckets, "n": ns}
+                        ))
+                if not outs:
+                    return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                         "bucket": pd.Series([], dtype="int64"),
+                                         "n": pd.Series([], dtype="int64")})
+                return pd.concat(outs, ignore_index=True)
+
+        hist = bucketed_sum(
+            scan().map_batches(HistPartial, batch_format="pandas",
+                               concurrency=(1, 4)),
+            ["event_type", "bucket"], "n",
+        ).take_all()  # <= groups x 4097 aggregated rows: driver-bounded
+        per_group: dict[str, np.ndarray] = {}
+        below_meas: dict[str, int] = {}
+        for row in hist:
+            if int(row["bucket"]) < 0:
+                below_meas[row["event_type"]] = int(row["n"])
+                continue
+            per_group.setdefault(row["event_type"],
+                                 np.zeros(_MEDIAN_BUCKETS, dtype=np.int64))[
+                int(row["bucket"])] += int(row["n"])
+        for g, s in open_groups.items():
+            counts = per_group.get(g)
+            below = below_meas.get(g, 0)
+            if counts is None:
+                s["median"], s["done"] = s["lo"], True
+                continue
+            cum = np.cumsum(counts)
+            w = (s["hi"] - s["lo"]) / _MEDIAN_BUCKETS
+            b1 = int(np.searchsorted(cum, s["r1"] - below, side="right"))
+            b2 = int(np.searchsorted(cum, s["r2"] - below, side="right"))
+            s["lo"], s["hi"] = s["lo"] + b1 * w, min(s["hi"], s["lo"] + (b2 + 1) * w)
+            s["in_range"] = int(cum[b2] - (cum[b1 - 1] if b1 > 0 else 0))
+            if s["hi"] - s["lo"] < 1e-12:  # duplicate-heavy: range collapsed
+                s["median"], s["done"] = s["lo"], True
+        resolve_trivial()
+
+    # final pass: collect ONLY the candidate-range rows per group
+    open_groups = {g: s for g, s in state.items() if not s["done"]}
+    if open_groups:
+        ranges_ref = ray.put({g: (s["lo"], s["hi"])
+                              for g, s in open_groups.items()})
+
+        class RangeFilter:
+            """Emit in-range values, plus one NaN row per (batch, group)
+            carrying the measured count of values BELOW the range (needed to
+            convert global ranks to in-range indices)."""
+
+            def __init__(self):
+                self.ranges = ray.get(ranges_ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                outs = []
+                for g, (lo, hi) in self.ranges.items():
+                    v = b.loc[b["event_type"] == g, "value"]
+                    n_below = int((v < lo).sum())
+                    v = v[(v >= lo) & (v <= hi)]
+                    if len(v):
+                        outs.append(pd.DataFrame(
+                            {"event_type": g, "value": v, "nbelow": 0}))
+                    if n_below:
+                        outs.append(pd.DataFrame(
+                            {"event_type": [g], "value": [np.nan],
+                             "nbelow": [n_below]}))
+                if not outs:
+                    return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                         "value": pd.Series([], dtype="float64"),
+                                         "nbelow": pd.Series([], dtype="int64")})
+                return pd.concat(outs, ignore_index=True)
+
+        rows = scan().map_batches(RangeFilter, batch_format="pandas",
+                                  concurrency=(1, 4)).take_all()
+        vals: dict[str, list] = {}
+        below_final: dict[str, int] = {}
+        for r in rows:
+            if int(r["nbelow"]) > 0:
+                below_final[r["event_type"]] = (
+                    below_final.get(r["event_type"], 0) + int(r["nbelow"])
+                )
+            else:
+                vals.setdefault(r["event_type"], []).append(r["value"])
+        for g, s in open_groups.items():
+            v = np.sort(np.asarray(vals.get(g, []), dtype=np.float64))
+            below = below_final.get(g, 0)
+            i1, i2 = s["r1"] - below, s["r2"] - below
+            s["median"] = float((v[i1] + v[i2]) / 2.0)
+            s["done"] = True
+
+    out = pd.DataFrame(
+        {"event_type": sorted(state),
+         "median_value": [float(state[g]["median"]) for g in sorted(state)]}
+    )
+    return rd.from_pandas(out)
 
 
 def sql_events_value_median() -> str:

@@ -27,6 +27,18 @@ import ray
 
 EDGE_SOURCE = "extractor.triple_pattern"
 PUBLICATION_CAP = 10_000
+# Deterministic build timestamp. The reference stamps wall-clock ctime on
+# every edge (`builder/builder.py:32-41` `calendar.timegm(ke.ctime...)`); a
+# reproducible pipeline cannot hash-verify wall clocks, so ctime is injected
+# as a build constant (runners may pass the real build epoch via
+# ``set_build_ctime``) — same payload slot, deterministic value.
+BUILD_CTIME = 0
+
+
+def set_build_ctime(epoch_s: int) -> None:
+    global BUILD_CTIME
+    BUILD_CTIME = int(epoch_s)
+
 
 NODES_SCHEMA = pa.schema(
     [
@@ -36,6 +48,9 @@ NODES_SCHEMA = pa.schema(
         ("equivalent_identifiers", pa.list_(pa.string())),
     ]
 )
+# Edge payload mirrors the reference sink row (`builder/builder.py:32-41`):
+# edge_source, ctime, standard_label, publications, input_identifiers; plus
+# n_mentions (aggregation count) and the is_support flag.
 EDGES_SCHEMA = pa.schema(
     [
         ("subj_id", pa.string()),
@@ -43,6 +58,8 @@ EDGES_SCHEMA = pa.schema(
         ("standard_label", pa.string()),
         ("obj_id", pa.string()),
         ("edge_source", pa.string()),
+        ("ctime", pa.int64()),
+        ("input_identifiers", pa.string()),
         ("publications", pa.list_(pa.string())),
         ("n_mentions", pa.int64()),
         ("is_support", pa.bool_()),
@@ -215,6 +232,11 @@ def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
                                        pa.string()),
             "obj_id": pa.array(head["obj_id"], pa.string()),
             "edge_source": pa.array([EDGE_SOURCE] * n, pa.string()),
+            "ctime": pa.array([BUILD_CTIME] * n, pa.int64()),
+            # `builder/chemotext.py:53` / `omnicorp.py:27` input_id formula
+            "input_identifiers": pa.array(
+                head["subj_id"] + "," + head["obj_id"], pa.string()
+            ),
             "publications": publications,
             "n_mentions": pa.array(n_mentions, pa.int64()),
             "is_support": pa.array([False] * n, pa.bool_()),

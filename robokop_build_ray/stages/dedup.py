@@ -11,13 +11,13 @@ Training-data-pipeline dedup family, all Ray-Data-first:
                 candidate buckets (no all-pairs at scale)
 - embedding:    cosine near-dup within label blocks (numpy matmul per group)
 
-All hashes are process-stable (crc32 / blake2b), never Python's randomized
-``hash``. Stateful pieces (permutation tables) live in actor ``__init__``.
+All hashes are process-stable (crc32 / fixed-key siphash), never Python's
+randomized ``hash``. Stateful pieces (permutation tables) live in actor
+``__init__``.
 """
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -25,10 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _stable_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -137,15 +133,18 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     )
     from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
 
+    from ..functions.ray_utils import default_parallelism
+
+    npart = default_parallelism()
     cand = bucketed_distinct(
         bucketed_group_pairs(band_ds, ["band_id", "band_hash"], _bucket_pairs),
         ["id_a", "id_b"],
     )
     # verify: estimated Jaccard = fraction of equal signature coordinates
     joined = cand.join(
-        sigs, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+        sigs, join_type="inner", num_partitions=npart, on=("id_a",), right_on=("doc_id",)
     ).rename_columns({"sig": "sig_a"}).join(
-        sigs, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+        sigs, join_type="inner", num_partitions=npart, on=("id_b",), right_on=("doc_id",)
     ).rename_columns({"sig": "sig_b"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -196,10 +195,13 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
         ),
         batch_format="pandas",
     ).materialize()
+    from ..functions.ray_utils import default_parallelism
+
+    npart = default_parallelism()
     joined = cand.join(
-        shingles, join_type="inner", num_partitions=8, on=("id_a",), right_on=("doc_id",)
+        shingles, join_type="inner", num_partitions=npart, on=("id_a",), right_on=("doc_id",)
     ).rename_columns({"sh": "sh_a"}).join(
-        shingles, join_type="inner", num_partitions=8, on=("id_b",), right_on=("doc_id",)
+        shingles, join_type="inner", num_partitions=npart, on=("id_b",), right_on=("doc_id",)
     ).rename_columns({"sh": "sh_b"})
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -226,33 +228,57 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
 
 # ------------------------------------------------------------------ simhash
 
+def simhash_values(texts, shingle_n: int = 3) -> np.ndarray:
+    """Vectorized 64-bit simhash over word n-gram shingle features.
+
+    Word n-grams (not unigrams) are the features: unigram bags collapse on
+    template-heavy corpora where unrelated docs share most of the vocabulary.
+    Feature hashes come from ``pd.util.hash_array`` (fixed-key siphash —
+    process-stable); the whole batch is hashed in ONE call and bit votes are
+    reduced per-doc with ``np.add.reduceat`` — no per-token Python loop.
+    Vote scores accumulate in int64 (uint64 arithmetic would wrap negative
+    votes into huge positives and set nearly every bit)."""
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        if len(toks) < shingle_n:
+            g = [" ".join(toks)] if toks else []
+        else:
+            g = [" ".join(toks[j : j + shingle_n])
+                 for j in range(len(toks) - shingle_n + 1)]
+        grams.extend(g)
+        counts[i] = len(g)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not grams:
+        return out
+    hs = pd.util.hash_array(np.asarray(grams, dtype=object))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    # segment offsets over nonempty docs only (empty docs keep simhash 0 and
+    # would corrupt reduceat boundaries otherwise)
+    ne = np.flatnonzero(counts > 0)
+    ne_counts = counts[ne]
+    offsets = np.concatenate(([0], np.cumsum(ne_counts)[:-1]))
+    sums = np.add.reduceat(bits, offsets, axis=0)
+    score = 2 * sums - ne_counts[:, None]  # +1/-1 votes per bit
+    sig = ((score > 0).astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    out[ne] = sig
+    return out
+
+
 class SimHasher:
-    """64-bit simhash per doc; token hashes cached per actor."""
+    """Batch simhash stage (see :func:`simhash_values`)."""
 
-    def __init__(self):
-        self.cache: dict[str, int] = {}
-
-    def _tok_hash(self, tok: str) -> int:
-        h = self.cache.get(tok)
-        if h is None:
-            h = _stable_u64(tok)
-            self.cache[tok] = h
-        return h
+    def __init__(self, shingle_n: int = 3):
+        self.shingle_n = shingle_n
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            toks = text.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            score = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes
-            out.append(int(((score > 0).astype(np.uint64)
-                            << np.arange(64, dtype=np.uint64)).sum()))
+        vals = simhash_values(list(batch["text"]), self.shingle_n)
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "simhash": pd.Series(out, dtype="uint64")})
+                             "simhash": pd.Series(vals, dtype="uint64")})
 
 
 def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
@@ -356,20 +382,39 @@ def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
             }
         )
 
+    from ..functions.bucketing import bucketed_apply
+    from ..functions.ray_utils import default_parallelism
+
     comp = connected_components(pairs.map_batches(pad, batch_format="pyarrow"),
-                                num_partitions=8)
-    import ray as _ray
+                                num_partitions=default_parallelism())
 
-    comp_map = {int(r["id"]): int(r["component"]) for r in comp.take_all()}
-    ref = _ray.put(comp_map)
-
-    def assign(b: pd.DataFrame) -> pd.DataFrame:
-        cm = _ray.get(ref)
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].astype("int64"),
-                "cluster": b["doc_id"].map(lambda d: cm.get(d, d)).astype("int64"),
-            }
+    # cluster membership is O(duplicated docs) — NOT driver-sized at scale.
+    # Attach labels with a bucketed LEFT merge (docs + labels co-bucket on
+    # the doc key, one pandas merge per bucket); acero joins are avoided
+    # (they fail on empty hash partitions when there are no duplicates).
+    def doc_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pc.cast(t["doc_id"], pa.int64()),
+             "comp": pa.nulls(len(t), pa.int64())}
         )
 
-    return docs.map_batches(assign, batch_format="pandas")
+    def label_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pc.cast(t["id"], pa.int64()),
+             "comp": pc.cast(t["component"], pa.int64())}
+        )
+
+    u = docs.select_columns(["doc_id"]).map_batches(
+        doc_side, batch_format="pyarrow"
+    ).union(comp.map_batches(label_side, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["comp"].isna(), ["k"]]
+        lab = g.loc[g["comp"].notna(), ["k", "comp"]]
+        m = left.merge(lab, on="k", how="left")
+        return pd.DataFrame(
+            {"doc_id": m["k"].astype("int64"),
+             "cluster": m["comp"].fillna(m["k"]).astype("int64")}
+        )
+
+    return bucketed_apply(u, ["k"], merge)

@@ -16,9 +16,10 @@ joint counts (c < 11 -> suppressed, `builder/cdw.py:94-98`; modeled as a bool
 flag per SURVEY §7.4.6 to stay Arrow-typed).
 
 Shuffle plan: distinct (conv_id, entity) via per-batch dedup + groupby;
-marginals are an entity-bounded SMALL table -> driver dict -> ``ray.put``
-broadcast (no join shuffle); joints via groupby on the canonical unordered
-pair key (min,max) (`builder/builder.py:367-369`).
+marginals via a bucketed count (the driver collects only the entity-bounded
+aggregate, then ``ray.put`` broadcast — no corpus-scale driver stream);
+joints via groupby on the canonical unordered pair key (min,max)
+(`builder/builder.py:367-369`).
 """
 
 from __future__ import annotations
@@ -150,6 +151,97 @@ def candidate_pairs(canonical, max_entities_per_conv: int = 256):
     return bucketed_distinct(pairs, ["id_a", "id_b"])
 
 
+SHARED_PUBS_SOURCE = "shared_pubs.term_to_term"
+SHARED_PUBS_CAP = 10_000  # `builder/chemotext.py:42` LIMIT 10000
+
+SHARED_PUBS_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("publications", pa.list_(pa.string())),
+        ("n_pubs", pa.int64()),
+        ("edge_source", pa.string()),
+        ("is_support", pa.bool_()),
+    ]
+)
+
+
+def shared_publications_stage(canonical, max_entities_per_conv: int = 256,
+                              cap: int = SHARED_PUBS_CAP, n_buckets: int = 64):
+    """Per-pair SHARED provenance lists — the omnicorp/chemotext supporter
+    family (`builder/omnicorp.py:14-32` ``get_shared_pmids``,
+    `builder/chemotext.py:48-61` article accumulation with LIMIT 10000):
+    for every within-conversation entity pair, the sorted list of
+    conversations (``CONV:<id>`` — the corpus' PMID analog) mentioning BOTH
+    entities, capped at ``cap``.
+
+    Plan: conv-scoped pair rows CARRYING conv_id (one bucketed exchange on
+    conv) -> pair-keyed bucketed merge collecting sorted distinct lists as an
+    Arrow ListArray (one vectorized call per bucket)."""
+    from ..functions.bucketing import bucketed_apply
+
+    conv_ent = conv_entity_stage(canonical)
+
+    def conv_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for conv, sub in g.groupby("conv_id", sort=False):
+            p = _pairs_group(sub, max_entities_per_conv)
+            if len(p):
+                p["pub"] = "CONV:" + str(conv)
+                outs.append(p)
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "pub": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    pair_rows = bucketed_apply(conv_ent, ["conv_id"], conv_pairs,
+                               None, n_buckets)
+
+    def merge_lists(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return SHARED_PUBS_SCHEMA.empty_table()
+        g = g.drop_duplicates(["id_a", "id_b", "pub"])
+        g = g.sort_values(["id_a", "id_b", "pub"], kind="mergesort")
+        key = g["id_a"] + "\x00" + g["id_b"]
+        kv = key.to_numpy()
+        boundary = np.empty(len(g), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = kv[1:] != kv[:-1]
+        starts = np.flatnonzero(boundary)
+        offsets = np.append(starts, len(g)).astype(np.int64)
+        lengths = np.diff(offsets)
+        if (lengths > cap).any():
+            pubs_vals = g["pub"].to_numpy()
+            publications = pa.array(
+                [pubs_vals[a:b][:cap].tolist()
+                 for a, b in zip(offsets[:-1], offsets[1:])],
+                pa.list_(pa.string()),
+            )
+            n_pubs = np.minimum(lengths, cap)
+        else:
+            publications = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(g["pub"], pa.string())
+            )
+            n_pubs = lengths
+        head = g.iloc[starts]
+        return pa.table(
+            {
+                "id_a": pa.array(head["id_a"], pa.string()),
+                "id_b": pa.array(head["id_b"], pa.string()),
+                "publications": publications,
+                "n_pubs": pa.array(n_pubs, pa.int64()),
+                "edge_source": pa.array([SHARED_PUBS_SOURCE] * len(starts),
+                                        pa.string()),
+                "is_support": pa.array([True] * len(starts), pa.bool_()),
+            },
+            schema=SHARED_PUBS_SCHEMA,
+        )
+
+    return bucketed_apply(pair_rows, ["id_a", "id_b"], merge_lists,
+                          None, n_buckets)
+
+
 class SupportScorer:
     """Attach marginals (broadcast dict) and compute chi2 stats per batch."""
 
@@ -186,18 +278,15 @@ def support_stage(canonical, n_conversations: int,
     # materialized: consumed twice (marginals broadcast + pair generation)
     conv_ent = conv_entity_stage(canonical).materialize()
 
-    from ..functions.bucketing import bucketed_sum
+    from ..functions.bucketing import bucketed_count, bucketed_sum
     from ..functions.ray_utils import rename
 
-    # marginals: entity-bounded small aggregate. conv_ent is already
-    # distinct, so counting per entity is a streamed driver-side
-    # accumulation over its batches — the result dict must fit the driver
-    # anyway (it is broadcast to scorers), and skipping the extra shuffle
-    # saves a whole AllToAll exchange.
-    marg: dict[str, int] = {}
-    for batch in conv_ent.iter_batches(batch_size=65_536, batch_format="pandas"):
-        for ent, n in batch["entity"].value_counts().items():
-            marg[ent] = marg.get(ent, 0) + int(n)
+    # marginals: aggregate DISTRIBUTED first (bucketed count per entity) and
+    # collect only the entity-bounded result — the driver never streams the
+    # corpus-scale (conv, entity) table, only the dictionary it must hold to
+    # broadcast anyway.
+    marg_rows = bucketed_count(conv_ent, ["entity"], name="mc").take_all()
+    marg = {r["entity"]: int(r["mc"]) for r in marg_rows}
     marg_ref = ray.put(marg)
 
     pairs = _pairs_stage(conv_ent, max_entities_per_conv, counted=True)

@@ -15,6 +15,9 @@ Built-ins:
                    `builder/chemotext2.py:30-66`): max Jaccard over
                    ``generate_phrases`` of the two entity names, with the
                    argmax phrase pair carried in properties (A6 semantics).
+- ``shared_pubs`` — per-pair shared provenance lists (the omnicorp/chemotext
+                   analog, `builder/omnicorp.py:14-32` +
+                   `builder/chemotext.py:48-61` LIMIT-10000 accumulation).
 """
 
 from __future__ import annotations
@@ -44,35 +47,43 @@ PHRASE_SIM_SCHEMA = pa.schema(
 
 class PhraseSimScorer:
     """prepare() analog: node name dict broadcast once; term_to_term analog:
-    per-pair max token-Jaccard over generated phrase sets."""
+    per-pair max TOKEN-set Jaccard over generated phrase sets (the chemotext2
+    semantics — "dog park" vs "grok pad" share zero tokens and score 0, where
+    character-set Jaccard would spuriously score them ~1)."""
 
     def __init__(self, names_ref):
         self.names: dict[str, str] = ray.get(names_ref)
-        self._phrases: dict[str, list[str]] = {}
+        # per-actor cache: node -> [(phrase, frozenset(tokens))]
+        self._phrases: dict[str, list[tuple[str, frozenset]]] = {}
 
-    def phrases(self, node_id: str) -> list[str]:
+    def phrases(self, node_id: str) -> list[tuple[str, frozenset]]:
         ph = self._phrases.get(node_id)
         if ph is None:
-            ph = generate_phrases(self.names.get(node_id, node_id))
+            ph = [(p, frozenset(p.lower().split()))
+                  for p in generate_phrases(self.names.get(node_id, node_id))]
             self._phrases[node_id] = ph
         return ph
 
     @staticmethod
-    def _sim(a: str, b: str) -> float:
-        A, B = set(a.lower()), set(b.lower())
+    def _sim(A: frozenset, B: frozenset) -> float:
         if not A or not B:
             return 0.0
-        return len(A & B) / len(A | B)
+        inter = len(A & B)
+        if inter == 0:
+            return 0.0
+        return inter / (len(A) + len(B) - inter)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         ids_a, ids_b, sims, terms_a, terms_b = [], [], [], [], []
         for a, b in zip(batch["id_a"], batch["id_b"]):
             best, best_pair = -1.0, ("", "")
-            for pa_ in self.phrases(a):
-                for pb in self.phrases(b):
-                    s = self._sim(pa_, pb)
+            for pa_, ta in self.phrases(a):
+                for pb, tb in self.phrases(b):
+                    s = self._sim(ta, tb)
                     if s > best:
                         best, best_pair = s, (pa_, pb)
+                if best == 1.0:
+                    break  # token sets can't beat exact overlap
             if best <= 0.0:
                 continue  # term_to_term -> None (no edge)
             ids_a.append(a)
@@ -134,6 +145,17 @@ def _cooccur(ctx):
 @register("phrase_sim")
 def _phrase_sim(ctx):
     return phrase_sim_supporter(ctx["pairs"], ctx["state"].nodeinfo_ref)
+
+
+@register("shared_pubs")
+def _shared_pubs(ctx):
+    """omnicorp/chemotext analog: per-pair shared provenance lists
+    (`builder/omnicorp.py:14-32`, `builder/chemotext.py:48-61`)."""
+    from .support import shared_publications_stage
+
+    return shared_publications_stage(
+        ctx["canonical"], ctx.get("max_entities_per_conv", 256)
+    )
 
 
 class StaticCountScorer:

@@ -88,21 +88,28 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
-    """Winnowing-style document fingerprint: min rolling hash over token
-    windows (not SQL-expressible; rows-only check)."""
+    """Winnowing-style document fingerprint: lexicographic min of md5 over
+    token windows. md5 (not Python's ``hash``) so the value is deterministic
+    across worker processes AND byte-verifiable by DuckDB's ``md5()``; at
+    production scale swap for xxhash/crc32 and drop SQL parity."""
     out_ids, out_fp = [], []
     for did, text in zip(batch["doc_id"], batch["text"]):
         toks = text.lower().split()
         if len(toks) < window:
-            h = hash(tuple(toks)) & 0x7FFFFFFFFFFFFFFF
+            wins = [" ".join(toks)]
         else:
-            h = min(
-                hash(tuple(toks[i : i + window])) & 0x7FFFFFFFFFFFFFFF
-                for i in range(len(toks) - window + 1)
-            )
+            wins = [" ".join(toks[i : i + window])
+                    for i in range(len(toks) - window + 1)]
         out_ids.append(did)
-        out_fp.append(h)
+        out_fp.append(min(hashlib.md5(w.encode()).hexdigest() for w in wins))
     return pd.DataFrame({"doc_id": out_ids, "rolling_fp": out_fp})
+
+
+def rolling_fingerprints(docs, window: int = 8, batch_size: int = 4096):
+    return docs.map_batches(
+        lambda b: rolling_fingerprints_batch(b, window),
+        batch_format="pandas", batch_size=batch_size,
+    )
 
 
 def token_stats(docs, batch_size: int = 4096):

@@ -36,6 +36,37 @@ def test_tokenize_rejects_bad_input():
             tokenize_path(bad)
 
 
+def test_step_type_pairs():
+    from robokop_build_ray.functions.pathdsl import step_type_pairs
+
+    assert step_type_pairs(tokenize_path("S(1-2)D")) == [
+        ("chemical_substance", "disease")
+    ]
+    assert step_type_pairs(tokenize_path("SGD")) == [
+        ("chemical_substance", "gene"), ("gene", "disease")
+    ]
+    assert step_type_pairs(tokenize_path("?D")) == [("unspecified", "disease")]
+
+
+def test_path_filter_scopes_triples(smoke_corpus):
+    """M1 consumer: the DSL drives which triples reach the graph."""
+    from robokop_build_ray.pipelines.kg_build import build_graph
+
+    full = build_graph("sf0.001", include_support=False)
+    scoped = build_graph("sf0.001", include_support=False, path="S(1-2)D")
+    types = {k: v[1] for k, v in
+             __import__("ray").get(full["state"].nodeinfo_ref).items()}
+    rows = scoped["canonical"].take_all()
+    n_full = full["canonical"].count()
+    assert 0 < len(rows) < n_full
+    for r in rows:
+        assert {types[r["subj_id"]], types[r["obj_id"]]} == \
+            {"chemical_substance", "disease"}
+    # wildcard keeps every typed triple
+    wild = build_graph("sf0.001", include_support=False, path="??")
+    assert wild["canonical"].count() == n_full
+
+
 LEX = {
     "allergic asthma": ("MONDO:1", "HP:9", "MESH:5"),
     "aspirin": ("MESH:2", "CHEBI:3", "MESH:2"),

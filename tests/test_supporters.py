@@ -31,9 +31,42 @@ def test_scalar_functions():
 
 
 def test_registry():
-    assert set(SUPPORTERS) >= {"cooccur", "phrase_sim"}
+    assert set(SUPPORTERS) >= {"cooccur", "phrase_sim", "shared_pubs"}
     with pytest.raises(KeyError):
         get_supporter("nope")
+
+
+def test_shared_pubs_supporter(smoke_corpus):
+    """omnicorp/chemotext analog: per-pair sorted shared CONV lists."""
+    g = build_graph("sf0.001", materialize_intermediate=True,
+                    include_support=False)
+    out = run_supporters(g, ["shared_pubs"])["shared_pubs"].take_all()
+    assert len(out) > 0
+    # ground truth from the canonical triples themselves
+    convs: dict[str, set] = {}
+    for r in g["canonical"].take_all():
+        for e in (r["subj_id"], r["obj_id"]):
+            convs.setdefault(e, set()).add(r["conv_id"])
+    for r in out[:50]:
+        a, b = r["id_a"], r["id_b"]
+        assert a < b
+        shared = sorted("CONV:" + c for c in convs[a] & convs[b])
+        assert list(r["publications"]) == shared
+        assert r["n_pubs"] == len(shared)
+        assert r["edge_source"] == "shared_pubs.term_to_term"
+
+
+def test_phrase_sim_is_token_jaccard():
+    """T3/A6: similarity is TOKEN-set Jaccard, not character-set Jaccard —
+    'dog park' vs 'grok pad' share every letter but zero tokens."""
+    from robokop_build_ray.stages.supporters import PhraseSimScorer
+
+    sim = PhraseSimScorer._sim
+    assert sim(frozenset("dog park".split()), frozenset("grok pad".split())) == 0.0
+    assert sim(frozenset("dog park".split()), frozenset("dog beach".split())) \
+        == pytest.approx(1.0 / 3.0)
+    assert sim(frozenset("dog park".split()), frozenset("park dog".split())) == 1.0
+    assert sim(frozenset(), frozenset("x".split())) == 0.0
 
 
 def test_phrase_sim_supporter(smoke_corpus):

@@ -78,6 +78,34 @@ def test_ngram_jaccard_exact_values():
     assert abs(pairs[0]["jaccard"] - expect) < 1e-12
 
 
+def test_simhash_bit_balance_and_determinism():
+    """Unrelated docs must land ~32 bits apart (the uint64 vote-wrap bug
+    collapsed every simhash to near-all-ones, hamming ~0); values must be
+    process-stable (no randomized hash())."""
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{v}" for v in rng.integers(0, 5000, size=120))
+             for _ in range(2)]
+    h = dedup.simhash_values(texts)
+    assert h.dtype == np.uint64
+    pop = [bin(int(x)).count("1") for x in h]
+    assert all(14 <= p <= 50 for p in pop), pop
+    ham = bin(int(h[0]) ^ int(h[1])).count("1")
+    assert 15 <= ham <= 49, ham
+    assert np.array_equal(h, dedup.simhash_values(texts))
+    # empty / sub-shingle docs are well-defined
+    small = dedup.simhash_values(["", "one two"])
+    assert small[0] == 0 and small[1] != 0
+
+
+def test_rolling_fingerprint_deterministic():
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["alpha beta gamma " * 10, "short text"]})
+    a = ta.rolling_fingerprints_batch(df)
+    b = ta.rolling_fingerprints_batch(df.copy())
+    assert list(a["rolling_fp"]) == list(b["rolling_fp"])
+    assert all(len(fp) == 32 for fp in a["rolling_fp"])  # md5 hex
+
+
 def test_simhash_identical_and_near_docs():
     text = " ".join(f"tok{i}" for i in range(80))
     near = " ".join(f"tok{i}" for i in range(79)) + " other"
