@@ -34,6 +34,8 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from robokop_build_ray.functions.ray_utils import silence_empty_block_schema_warnings
+    silence_empty_block_schema_warnings()
 
     from robokop_build_ray.sources.corpus import ensure_corpus, tier_of
     from robokop_build_ray.pipelines.kg_build import (
@@ -65,7 +67,7 @@ def run_bench() -> dict:
         graph = build_graph(sf_dir, materialize_intermediate=True, timings=ph)
         n_tr = graph["canonical"].count()
         t0 = time.time()
-        man = materialize_graph(graph, out_dir)
+        man = materialize_graph(graph, out_dir, timings=ph)
         ph["materialize_outputs"] = round(time.time() - t0, 3)
         tot = round(time.time() - t_all, 3)
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from .functions.ray_utils import silence_empty_block_schema_warnings
+    silence_empty_block_schema_warnings()
 
     from .pipelines.kg_build import build_graph, materialize_graph, run_supporters
 

@@ -314,7 +314,7 @@ SELECT id, min(lbl) AS component FROM reach GROUP BY id"""
 # from those signatures. That checks everything the Ray pipeline does after
 # hashing: the exchanges, joins, caps and dedup steps.
 
-_AUX_VERSION = "v2"  # bump when any sketch constant/algorithm changes
+_AUX_VERSION = "v3"  # bump when any sketch constant/algorithm changes
 _MINHASH_NUM_PERM = 128
 _MINHASH_SEED = 7
 _SHINGLE_N = 3
@@ -341,7 +341,6 @@ def ensure_dedup_aux(tier: str) -> dict[str, str]:
     """Write the signature tables for ``/root/testdata/<tier>/documents``
     (idempotent; ~1 s for 500 docs)."""
     import os
-    import zlib
 
     import numpy as np
     import pandas as pd
@@ -364,10 +363,12 @@ def ensure_dedup_aux(tier: str) -> dict[str, str]:
     arange64 = np.arange(64, dtype=np.uint64)
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         grams = _grams(text, _SHINGLE_N)
-        # --- minhash (crc32 shingles, universal-hash min; uint64 wrap is
+        # --- minhash (siphash shingles, universal-hash min; uint64 wrap is
         # part of the spec and matches the distributed implementation)
-        h = np.unique(np.array([zlib.crc32(g.encode()) for g in grams],
-                               dtype=np.uint64))
+        if grams:
+            h = np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+        else:
+            h = np.array([], dtype=np.uint64)
         if len(h) == 0:
             sig = np.zeros(_MINHASH_NUM_PERM, dtype=np.uint64)
         else:

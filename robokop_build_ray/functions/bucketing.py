@@ -77,6 +77,28 @@ def bucketed_count(ds, keys: list[str], name: str = "c", n_buckets: int = 64):
     return bucketed_apply(ds, keys, merge, partial, n_buckets)
 
 
+def coalesced_count(ds, keys: list[str], name: str = "c",
+                    coalesce: int = 16):
+    """groupby(keys).count() for KEY-BOUNDED cardinality (e.g. entities):
+    per-batch partial counts -> block COALESCE (``repartition`` without a
+    shuffle — blocks move, rows don't re-key) -> one vectorized merge per
+    coalesced block. Skips the sort-based AllToAll entirely; the result has
+    at most ``coalesce`` x |keys| rows (collect + final merge driver-side).
+    Use :func:`bucketed_count` when the key space itself is corpus-scale."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, sort=False).size().rename(name).reset_index()
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, sort=False, as_index=False)[name].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(coalesce)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
 def bucketed_distinct(ds, keys: list[str], n_buckets: int = 64):
     """DISTINCT over keys for high-cardinality keys. ``n_buckets=1`` is the
     degenerate unsalted case (single reducer) used as the equivalence

@@ -15,6 +15,25 @@ def default_parallelism(minimum: int = 8) -> int:
     return max(minimum, cpus)
 
 
+def silence_empty_block_schema_warnings() -> None:
+    """Drop Ray's 'RefBundle with a different schema ... names=[]' warnings.
+
+    Empty shuffle partitions (buckets with no keys) are emitted by Ray's
+    sort-based groupby as ZERO-COLUMN blocks without calling user code —
+    verified by instrumentation; our stages always return typed empties.
+    The filter matches only the empty-schema variant, so genuine schema
+    mismatches still warn."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "PandasBlockSchema(names=[], types=[])" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def rename(ds, mapping: dict[str, str]):
     """Rename columns via an Arrow map_batches — unlike
     ``Dataset.rename_columns``, this works regardless of whether upstream

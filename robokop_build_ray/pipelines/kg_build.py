@@ -398,7 +398,8 @@ def _small_sort(ds, keys: list[str]):
 
 
 def materialize_graph(graph: dict[str, Any], out_dir: str,
-                      small_sorts: bool = True) -> dict[str, dict]:
+                      small_sorts: bool = True,
+                      timings: dict | None = None) -> dict[str, dict]:
     """Stage 5 — determinism sort + committed parquet tables (S5/S6 analog).
 
     edges sorted by (subj_id, pred_id, obj_id); support by ascending p then
@@ -417,14 +418,17 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
         return _small_sort(m, keys)
 
     manifests = {}
+    # jobs stay LAZY here — srt() materializes, and doing that during dict
+    # construction would serialize the three table DAGs that the thread pool
+    # exists to overlap
     jobs = {
-        "nodes": srt(graph["nodes"], ["id"]),
-        "edges": srt(graph["edges"], ["subj_id", "pred_id", "obj_id"]),
+        "nodes": (graph["nodes"], ["id"]),
+        "edges": (graph["edges"], ["subj_id", "pred_id", "obj_id"]),
     }
     if graph.get("support") is not None:
-        jobs["support"] = srt(graph["support"], ["p", "id_a", "id_b"])
+        jobs["support"] = (graph["support"], ["p", "id_a", "id_b"])
     for sup_name, ds in graph.get("extra_supports", {}).items():
-        jobs[f"support_{sup_name}"] = srt(ds, ["id_a", "id_b"])
+        jobs[f"support_{sup_name}"] = (ds, ["id_a", "id_b"])
     # the three output pipelines are independent: execute them CONCURRENTLY
     # (driver threads; Ray Data supports concurrent dataset executions) so
     # wall time is max(job), not sum(job)
@@ -433,10 +437,15 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
     _ensure_fsspec_http_stub()
 
     def run(item):
-        name, ds = item
-        return name, lineage.commit_stage(
-            ds, os.path.join(out_dir, name), inputs=["canonical"]
-        )
+        import time as _time
+
+        name, (ds, keys) = item
+        t0 = _time.time()
+        m = lineage.commit_stage(srt(ds, keys), os.path.join(out_dir, name),
+                                 inputs=["canonical"])
+        if timings is not None:
+            timings[f"write_{name}"] = round(_time.time() - t0, 3)
+        return name, m
 
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         for name, m in pool.map(run, jobs.items()):

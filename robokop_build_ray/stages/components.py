@@ -87,27 +87,31 @@ def _propagate(adj, labels, n_buckets: int):
     return bucketed_apply(a.union(l), ["node"], merge, None, n_buckets)
 
 
-def _n_changed(old, new, n_buckets: int) -> int:
-    tagged_old = old.map_batches(
+def _min_with_changed(labels, msgs, n_buckets: int):
+    """Fused round finisher: ONE exchange computes both the new label
+    (min over own + neighbor labels) AND a per-node changed flag, replacing
+    the separate min-merge + tagged-diff exchanges (2 AllToAlls -> 1).
+    Convergence then reads ``sum(changed)`` — a tree aggregate, no shuffle."""
+    tagged_old = labels.map_batches(
         lambda t: pa.table({"id": t["id"], "lbl": t["lbl"],
-                            "gen": pa.array([0] * t.num_rows, pa.int8())}),
+                            "is_old": pa.array([1] * t.num_rows, pa.int8())}),
         batch_format="pyarrow",
     )
-    tagged_new = new.map_batches(
+    tagged_msgs = msgs.map_batches(
         lambda t: pa.table({"id": t["id"], "lbl": t["lbl"],
-                            "gen": pa.array([1] * t.num_rows, pa.int8())}),
+                            "is_old": pa.array([0] * t.num_rows, pa.int8())}),
         batch_format="pyarrow",
     )
 
-    def diff(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.pivot_table(index="id", columns="gen", values="lbl",
-                          aggfunc="first")
-        changed = int((p.get(0) != p.get(1)).sum()) if p.shape[1] == 2 else len(p)
-        return pd.DataFrame({"n": [changed]})
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        new = g.groupby("id", sort=False)["lbl"].min()
+        old = g.loc[g["is_old"] == 1].set_index("id")["lbl"].reindex(new.index)
+        changed = (new.to_numpy() != old.to_numpy()) | old.isna().to_numpy()
+        return pd.DataFrame({"id": new.index.to_numpy(), "lbl": new.to_numpy(),
+                             "changed": changed.astype(np.int64)})
 
-    parts = bucketed_apply(tagged_old.union(tagged_new), ["id"], diff,
-                           None, n_buckets).take_all()
-    return sum(r["n"] for r in parts)
+    return bucketed_apply(tagged_old.union(tagged_msgs), ["id"], merge,
+                          None, n_buckets)
 
 
 def connected_components(
@@ -124,11 +128,10 @@ def connected_components(
 
     for _ in range(max_iters):
         msgs = _propagate(adj, labels, num_partitions)
-        new_labels = bucketed_min(labels.union(msgs), ["id"], "lbl",
-                                  num_partitions).materialize()
-        changed = _n_changed(labels, new_labels, num_partitions)
-        labels = new_labels
-        if changed == 0:
+        combined = _min_with_changed(labels, msgs, num_partitions).materialize()
+        changed = combined.sum("changed")
+        labels = combined.drop_columns(["changed"])
+        if not changed:
             break
     from ..functions.ray_utils import rename
 

@@ -11,14 +11,12 @@ Training-data-pipeline dedup family, all Ray-Data-first:
                 candidate buckets (no all-pairs at scale)
 - embedding:    cosine near-dup within label blocks (numpy matmul per group)
 
-All hashes are process-stable (crc32 / fixed-key siphash), never Python's
-randomized ``hash``. Stateful pieces (permutation tables) live in actor
-``__init__``.
+All hashes are process-stable (fixed-key siphash / FNV folds), never
+Python's randomized ``hash``. Stateful pieces (permutation tables) live in
+actor ``__init__``.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -28,15 +26,16 @@ _MERSENNE = (1 << 61) - 1
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """crc32 hashes of word n-gram shingles (sorted unique, uint64)."""
+    """Stable hashes of word n-gram shingles (sorted unique, uint64) —
+    one vectorized fixed-key siphash call per doc, no per-gram Python loop."""
     toks = text.lower().split()
     if len(toks) < n:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(
-        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
-    )
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
 
 
 # ------------------------------------------------------------------ exact
@@ -74,9 +73,31 @@ class MinHasher:
         return vals.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        # signatures packed to binary: pyarrow's hash join cannot carry
-        # list<uint64> payload columns, bytes it can
-        sigs = [self.signature(t).tobytes() for t in batch["text"]]
+        # fully batch-vectorized: ONE siphash call over every shingle in the
+        # batch, one (num_perm, total_grams) universal-hash matrix, per-doc
+        # min via minimum.reduceat (min over the gram multiset == min over
+        # the unique set, so no per-doc unique needed)
+        grams: list[str] = []
+        counts = np.empty(len(batch), dtype=np.int64)
+        for i, text in enumerate(batch["text"]):
+            toks = text.lower().split()
+            if len(toks) < self.shingle_n:
+                g = [" ".join(toks)] if toks else []
+            else:
+                g = [" ".join(toks[j : j + self.shingle_n])
+                     for j in range(len(toks) - self.shingle_n + 1)]
+            grams.extend(g)
+            counts[i] = len(g)
+        sig_mat = np.zeros((len(batch), self.num_perm), dtype=np.uint64)
+        if grams:
+            h = pd.util.hash_array(np.asarray(grams, dtype=object))
+            with np.errstate(over="ignore"):
+                vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            ne = np.flatnonzero(counts > 0)
+            offsets = np.concatenate(([0], np.cumsum(counts[ne])[:-1]))
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # (perm, ne)
+            sig_mat[ne] = mins.T.astype(np.uint64)
+        sigs = [sig_mat[i].tobytes() for i in range(len(batch))]
         return pa.table(
             {
                 "doc_id": pa.array(batch["doc_id"], pa.int64()),
@@ -94,21 +115,35 @@ def minhash_signatures(docs, num_perm: int = 128, shingle_n: int = 3,
     )
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    doc_ids, band_ids, band_hashes = [], [], []
+    """Vectorized band expansion: all signatures view as one (n, bands, rows)
+    uint64 array; the band bucket id is a polynomial (FNV-style) hash folded
+    over the rows axis — ``rows`` iterations of whole-array ops, no per-doc
+    Python loop. Bucket ids only GROUP candidates (verification filters any
+    hash collision), so the hash needs stability, not cryptography."""
     sig_col = batch["sig"].to_pylist()
-    ids = batch["doc_id"].to_pylist()
-    for did, sig in zip(ids, sig_col):
-        for b in range(bands):
-            chunk = sig[b * rows * 8 : (b + 1) * rows * 8]
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hashes.append(zlib.crc32(chunk))
+    n = len(sig_col)
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "band_id": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.int64())}
+        )
+    sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(
+        n, bands, rows
+    )
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):  # rows is small (e.g. 4): vectorized over n*bands
+        h = h * _FNV_PRIME + sigs[:, :, r]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64)),
         }
     )
 

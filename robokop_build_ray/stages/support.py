@@ -278,15 +278,18 @@ def support_stage(canonical, n_conversations: int,
     # materialized: consumed twice (marginals broadcast + pair generation)
     conv_ent = conv_entity_stage(canonical).materialize()
 
-    from ..functions.bucketing import bucketed_count, bucketed_sum
+    from ..functions.bucketing import bucketed_sum, coalesced_count
     from ..functions.ray_utils import rename
 
-    # marginals: aggregate DISTRIBUTED first (bucketed count per entity) and
-    # collect only the entity-bounded result — the driver never streams the
-    # corpus-scale (conv, entity) table, only the dictionary it must hold to
-    # broadcast anyway.
-    marg_rows = bucketed_count(conv_ent, ["entity"], name="mc").take_all()
-    marg = {r["entity"]: int(r["mc"]) for r in marg_rows}
+    # marginals: aggregate DISTRIBUTED first and collect only the
+    # entity-bounded result — the driver never streams the corpus-scale
+    # (conv, entity) table, only (a few copies of) the dictionary it must
+    # hold to broadcast anyway. coalesced_count avoids a sort-based
+    # AllToAll: entities are gazetteer-bounded, so per-block partials are
+    # tiny and a block coalesce suffices.
+    marg: dict[str, int] = {}
+    for r in coalesced_count(conv_ent, ["entity"], name="mc").take_all():
+        marg[r["entity"]] = marg.get(r["entity"], 0) + int(r["mc"])
     marg_ref = ray.put(marg)
 
     pairs = _pairs_stage(conv_ent, max_entities_per_conv, counted=True)
