@@ -39,7 +39,18 @@ def main(argv: list[str] | None = None) -> int:
                         "A=anatomy T=phenotype D=disease X=genetic_condition "
                         "W=drug_class ?=any); filters triples to adjacent "
                         "step type pairs")
+    b.add_argument("-q", "--question", type=int, choices=[1, 2, 3],
+                   default=None,
+                   help="canned-question shortcut (1=Disease/GeneticCondition"
+                        " DGX, 2=COP SGPCATD, 3=COP-to-Phenotype SGPCAT; "
+                        "`builder/builder.py:574-602`); cannot combine with "
+                        "--path")
     args = p.parse_args(argv)
+
+    if args.question is not None and args.path is not None:
+        p.error("cannot specify both --question and --path")
+    if args.question is not None:
+        args.path = {1: "DGX", 2: "SGPCATD", 3: "SGPCAT"}[args.question]
 
     import ray
 

@@ -51,17 +51,37 @@ def bucketed_apply(
         batch = batch.copy()
         if len(batch) == 0:
             batch["_b"] = pd.Series([], dtype="int64")
-        else:
-            batch["_b"] = _bucket_col(batch, keys, n_buckets)
+            batch["_s"] = pd.Series([], dtype="int64")
+            return pa.Table.from_pandas(batch, preserve_index=False)
+        batch["_b"] = _bucket_col(batch, keys, n_buckets)
+        batch["_s"] = 0
+        # SENTINEL PADDING: one type-perfect row (copied from the batch) per
+        # bucket id, dropped again in `run`. Guarantees every reduce
+        # partition is non-empty — Ray's sort emits ZERO-COLUMN blocks for
+        # empty partitions, which bypass map operators and crash any later
+        # AllToAll concat (acero joins and repartition both choke on them).
+        pad = batch.iloc[[0] * n_buckets].copy()
+        pad["_b"] = np.arange(n_buckets, dtype=np.int64)
+        pad["_s"] = 1
+        out = pd.concat([batch, pad], ignore_index=True)
         # emit ARROW blocks: the AllToAll exchange serializes pandas object
         # columns via pickle, Arrow string columns zero-copy
-        return pa.Table.from_pandas(batch, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(group.drop(columns=["_b"]))
+        real = group.loc[group["_s"] == 0]
+        return bucket_fn(real.drop(columns=["_b", "_s"]))
 
-    return ds.map_batches(prep, batch_format="pandas").groupby("_b").map_groups(
-        run, batch_format="pandas"
+    # COALESCE to n_buckets blocks before the exchange: Ray's sort-based
+    # groupby creates one reduce partition PER INPUT BLOCK, so B blocks make
+    # B x B shuffle objects with at most n_buckets non-empty — measured
+    # superlinear slowdown at 288 blocks (9.6M rows). The repartition is a
+    # block split/merge (no row re-keying), cost O(data) once.
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .repartition(n_buckets)
+        .groupby("_b")
+        .map_groups(run, batch_format="pandas")
     )
 
 
@@ -133,6 +153,64 @@ def bucketed_min(ds, keys: list[str], value: str, n_buckets: int = 64):
         return g.groupby(keys, sort=False, as_index=False)[value].min()
 
     return bucketed_apply(ds, keys, merge, partial, n_buckets)
+
+
+def bucketed_attach(left, right, left_on: str, right_on: str,
+                    left_cols: list[str], payload: dict[str, str],
+                    n_buckets: int = 64, payload_fill=b"",
+                    left_fill: dict | None = None):
+    """INNER hash-join replacement: attach ``right``'s payload columns to
+    ``left`` rows by key equality through ONE bucketed exchange. Used where
+    pyarrow's acero `Dataset.join` cannot go: empty sides / empty hash
+    partitions (acero raises "No match for key field") and binary or
+    list-typed payload columns. ``payload`` maps right column -> output
+    column name; the right side's key must be unique per row (dict-like)."""
+    import pandas as pd
+
+    dsts = list(payload.values())
+
+    def prep_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[left_cols].copy()
+        out["_k"] = b[left_on]
+        for d in dsts:
+            # typed sentinel, not None: an all-null column becomes Arrow
+            # null-type and the exchange cannot unify it with the right
+            # side's real payload type (these placeholders are dropped
+            # before the merge)
+            out[d] = payload_fill
+        out["_side"] = 0
+        return out
+
+    fills = left_fill or {}
+
+    def prep_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_k": b[right_on]})
+        for c in left_cols:
+            # type-compatible filler (dropped in the merge): keeps every
+            # union block's schema identical so the exchange can concat.
+            # Non-key-typed left columns need an explicit left_fill entry.
+            out[c] = fills.get(c, b[right_on])
+        for src, dst in payload.items():
+            out[dst] = b[src]
+        out["_side"] = 1
+        return out[left_cols + ["_k"] + dsts + ["_side"]]
+
+    u = left.map_batches(prep_left, batch_format="pandas").union(
+        right.map_batches(prep_right, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "_side" not in g.columns:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object)
+                 for c in (*left_cols, *dsts)}
+            )
+        l = g.loc[g["_side"] == 0, [*left_cols, "_k"]]
+        r = g.loc[g["_side"] == 1, ["_k", *dsts]].drop_duplicates("_k")
+        m = l.merge(r, on="_k", how="inner")
+        return m[[*left_cols, *dsts]]
+
+    return bucketed_apply(u, ["_k"], merge, None, n_buckets)
 
 
 def bucketed_group_pairs(ds, group_keys: list[str],

@@ -45,6 +45,45 @@ class Step(NamedTuple):
 _TOKEN_RE = re.compile(r"([SGPCATDXW?])|\((\d+)-(\d+)\)|(\s+)|(.)")
 
 
+def generate_concept_cypher(steps: list["Step"],
+                            anchor_both_ends: bool = False) -> str:
+    """M11: concept-level cypher for a DSL path — re-expression of
+    `builder/userquery.py:26-36` (per-transition pathstring: `--` for
+    direct hops, `-[:translation*min..max]-` for ranged ones) and
+    `builder/userquery.py:115-130` (MATCH/WHERE traversable/EXISTS(r.op)/
+    RETURN framing; end anchored only when an end value was looked up).
+
+    The Ray engine executes paths natively (``kg_build.path_filter``), so
+    this is a PLANNER ARTIFACT kept for parity with the reference's
+    neo4j-planning surface, not an execution path."""
+    types = [NODE_TYPE_BY_CODE[s.nodetype] for s in steps]
+    if len(types) < 2:
+        raise ValueError("cypher generation needs at least two steps")
+    buf = ["MATCH p=\n"]
+    for i, step in enumerate(steps[1:]):
+        if i == 0:
+            buf.append(f'(c0:Concept {{name: "{types[0]}" }})\n')
+        if step.max_path_length > 1:
+            buf.append(
+                f"-[:translation*{step.min_path_length}.."
+                f"{step.max_path_length}]-\n"
+            )
+        else:
+            buf.append("--\n")
+        buf.append(f'(c{i + 1}:Concept {{name: "{types[i + 1]}" }})\n')
+    last = len(steps) - 1
+    if anchor_both_ends:
+        buf.append(
+            f"WHERE robokop.traversable(nodes(p), relationships(p), "
+            f"[c0,c{last}])\n"
+        )
+    else:
+        buf.append("WHERE robokop.traversable(nodes(p), relationships(p), [c0])\n")
+    buf.append("AND ALL( r in relationships(p) WHERE EXISTS(r.op) )")
+    buf.append("RETURN p\n")
+    return "".join(buf)
+
+
 def step_type_pairs(steps: list["Step"]) -> list[tuple[str, str]]:
     """Adjacent (node_type, node_type) pairs a path implies — the query
     shape the reference's run() derives from the DSL

@@ -431,8 +431,12 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
         jobs[f"support_{sup_name}"] = (ds, ["id_a", "id_b"])
     # the three output pipelines are independent: execute them CONCURRENTLY
     # (driver threads; Ray Data supports concurrent dataset executions) so
-    # wall time is max(job), not sum(job)
+    # wall time is max(job), not sum(job). GRAFT_SERIAL_WRITES=1 serializes
+    # them (diagnostic for concurrent-execution scheduler contention).
     from concurrent.futures import ThreadPoolExecutor
+
+    max_workers = (1 if os.environ.get("GRAFT_SERIAL_WRITES") == "1"
+                   else len(jobs))
 
     _ensure_fsspec_http_stub()
 
@@ -447,7 +451,7 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
             timings[f"write_{name}"] = round(_time.time() - t0, 3)
         return name, m
 
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
         for name, m in pool.map(run, jobs.items()):
             manifests[name] = m
     return manifests

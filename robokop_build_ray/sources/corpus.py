@@ -31,11 +31,13 @@ CORPUS_ROOT = os.environ.get("GRAFT_CORPUS_DIR", "/tmp/graft_corpus")
 # turns per tier (FIXTURES.md F5 smoke/correctness/bench; bench sized so
 # per-stage compute dominates Ray's fixed scheduling/shuffle overheads at
 # 32 CPUs — the scaling-efficiency measurement is meaningless otherwise).
-# GRAFT_BENCH_TURNS overrides the bench tier for experimentation.
+# Round 2 made the engine ~2.3x faster, so the bench tier grew 4x (2.4M ->
+# 9.6M turns) to preserve that sizing rule; throughput (rows/s) stays
+# comparable across rounds. GRAFT_BENCH_TURNS overrides for experimentation.
 TIERS: dict[str, int] = {
     "sf0.001": 2_000,
     "sf0.01": 20_000,
-    "sf0.1": int(os.environ.get("GRAFT_BENCH_TURNS", "2400000")),
+    "sf0.1": int(os.environ.get("GRAFT_BENCH_TURNS", "9600000")),
 }
 N_ENTITIES = 400
 SEED = 42
@@ -61,10 +63,17 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
     tier = tier_of(sf_dir_or_tier)
     paths = corpus_paths(tier)
     final_dir = os.path.dirname(paths["transcripts"])
+    meta_path = os.path.join(final_dir, "_META.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(
-        os.path.join(final_dir, "_META.json")
+        meta_path
     ):
-        return paths
+        import json as _json
+
+        with open(meta_path) as f:
+            cached_turns = _json.load(f).get("n_turns")
+        if cached_turns == TIERS[tier]:
+            return paths
+        # tier size changed (e.g. bench tier resize): regenerate
     import shutil
 
     shutil.rmtree(final_dir, ignore_errors=True)  # stale cache (no metadata)

@@ -253,6 +253,8 @@ def edges_stage(canonical, batch_size: int = 16_384):
     partial = canonical.map_batches(
         _edge_partial, batch_format="pandas", batch_size=batch_size
     )
-    return partial.groupby("_bucket").map_groups(
+    # coalesce before the exchange: reduce partitions track input block
+    # count, and only 64 bucket values exist (see bucketing.bucketed_apply)
+    return partial.repartition(64).groupby("_bucket").map_groups(
         _edge_merge_bucket, batch_format="pandas"
     )

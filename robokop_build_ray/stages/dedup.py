@@ -166,21 +166,26 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     band_ds = sigs.map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
     )
-    from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
+    from ..functions.bucketing import (
+        bucketed_attach,
+        bucketed_distinct,
+        bucketed_group_pairs,
+    )
 
-    from ..functions.ray_utils import default_parallelism
-
-    npart = default_parallelism()
     cand = bucketed_distinct(
         bucketed_group_pairs(band_ds, ["band_id", "band_hash"], _bucket_pairs),
         ["id_a", "id_b"],
     )
-    # verify: estimated Jaccard = fraction of equal signature coordinates
-    joined = cand.join(
-        sigs, join_type="inner", num_partitions=npart, on=("id_a",), right_on=("doc_id",)
-    ).rename_columns({"sig": "sig_a"}).join(
-        sigs, join_type="inner", num_partitions=npart, on=("id_b",), right_on=("doc_id",)
-    ).rename_columns({"sig": "sig_b"})
+    # verify: estimated Jaccard = fraction of equal signature coordinates.
+    # signature attach via the bucketed merge join (acero Dataset.join
+    # raises on the empty hash partitions sparse candidate sets produce)
+    joined = bucketed_attach(
+        cand, sigs, "id_a", "doc_id", ["id_a", "id_b"], {"sig": "sig_a"}
+    )
+    joined = bucketed_attach(
+        joined, sigs, "id_b", "doc_id", ["id_a", "id_b", "sig_a"],
+        {"sig": "sig_b"}, left_fill={"sig_a": b""},
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -230,14 +235,15 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
         ),
         batch_format="pandas",
     ).materialize()
-    from ..functions.ray_utils import default_parallelism
+    from ..functions.bucketing import bucketed_attach
 
-    npart = default_parallelism()
-    joined = cand.join(
-        shingles, join_type="inner", num_partitions=npart, on=("id_a",), right_on=("doc_id",)
-    ).rename_columns({"sh": "sh_a"}).join(
-        shingles, join_type="inner", num_partitions=npart, on=("id_b",), right_on=("doc_id",)
-    ).rename_columns({"sh": "sh_b"})
+    joined = bucketed_attach(
+        cand, shingles, "id_a", "doc_id", ["id_a", "id_b"], {"sh": "sh_a"}
+    )
+    joined = bucketed_attach(
+        joined, shingles, "id_b", "doc_id", ["id_a", "id_b", "sh_a"],
+        {"sh": "sh_b"}, left_fill={"sh_a": b""},
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []

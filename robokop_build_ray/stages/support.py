@@ -15,11 +15,12 @@ correction, p = erfc(sqrt(chi2/2)) (df=1), and privacy suppression of small
 joint counts (c < 11 -> suppressed, `builder/cdw.py:94-98`; modeled as a bool
 flag per SURVEY §7.4.6 to stay Arrow-typed).
 
-Shuffle plan: distinct (conv_id, entity) via per-batch dedup + groupby;
-marginals via a bucketed count (the driver collects only the entity-bounded
-aggregate, then ``ray.put`` broadcast — no corpus-scale driver stream);
-joints via groupby on the canonical unordered pair key (min,max)
-(`builder/builder.py:367-369`).
+Shuffle plan (fused): ONE conv-keyed bucketed exchange performs within-conv
+distinct + per-bucket marginal partials + counted pair generation (map-side
+per-batch dedup bounds hot-conversation skew before the shuffle); the only
+other exchange is the pair-keyed count sum (`builder/builder.py:367-369`).
+The driver collects only the entity-bounded marginal aggregate, then
+``ray.put`` broadcast — no corpus-scale driver stream.
 """
 
 from __future__ import annotations
@@ -272,27 +273,61 @@ class SupportScorer:
         )
 
 
-def support_stage(canonical, n_conversations: int,
-                  max_entities_per_conv: int = 256):
-    """canonical triples -> scored co-occurrence pair table."""
-    # materialized: consumed twice (marginals broadcast + pair generation)
-    conv_ent = conv_entity_stage(canonical).materialize()
+def _fused_conv_merge(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Per-conv-bucket fused merge: exact within-conv distinct, per-bucket
+    partial MARGINAL counts (rows kind='m'), and counted candidate pairs
+    (rows kind='p') — one exchange produces everything the support scorer
+    needs upstream of the pair-keyed sum."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                          "id_b": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype="int64"),
+                          "kind": pd.Series([], dtype=object)})
+    if len(g) == 0:
+        return empty
+    d = g.drop_duplicates(["conv_id", "entity"])
+    marg = d.groupby("entity", sort=False).size().rename("n").reset_index()
+    marg = pd.DataFrame({"id_a": marg["entity"], "id_b": None,
+                         "n": marg["n"].astype("int64"), "kind": "m"})
+    outs = [_pairs_group(sub, cap) for _, sub in d.groupby("conv_id", sort=False)]
+    outs = [o for o in outs if len(o)]
+    if outs:
+        cat = pd.concat(outs, ignore_index=True)
+        pairs = (cat.groupby(["id_a", "id_b"], sort=False)
+                 .size().rename("n").reset_index())
+        pairs["kind"] = "p"
+        return pd.concat([marg, pairs], ignore_index=True)
+    return marg if len(marg) else empty
 
-    from ..functions.bucketing import bucketed_sum, coalesced_count
+
+def support_stage(canonical, n_conversations: int,
+                  max_entities_per_conv: int = 256, n_buckets: int = 64):
+    """canonical triples -> scored co-occurrence pair table.
+
+    ONE conv-keyed exchange does within-conv distinct + marginal partials +
+    counted pair generation (see :func:`_fused_conv_merge`): per-batch
+    dedup in `_conv_entity_batch` already bounds a hot conversation's
+    map-side contribution to ~|entity pool| rows per batch, so conv-keyed
+    reducers see no skew and the separate salted distinct exchange +
+    marginal pass of the unfused plan collapse away (3 AllToAlls -> 2 on
+    the support critical path)."""
+    from ..functions.bucketing import bucketed_apply, bucketed_sum
     from ..functions.ray_utils import rename
 
-    # marginals: aggregate DISTRIBUTED first and collect only the
-    # entity-bounded result — the driver never streams the corpus-scale
-    # (conv, entity) table, only (a few copies of) the dictionary it must
-    # hold to broadcast anyway. coalesced_count avoids a sort-based
-    # AllToAll: entities are gazetteer-bounded, so per-block partials are
-    # tiny and a block coalesce suffices.
+    explode = canonical.map_batches(_conv_entity_batch, batch_format="pyarrow")
+    fused = bucketed_apply(
+        explode, ["conv_id"],
+        lambda g: _fused_conv_merge(g, max_entities_per_conv),
+        None, n_buckets,
+    ).materialize()
+
+    # marginals: per-bucket partials are entity-bounded; the driver merges
+    # <= n_buckets x |entities| aggregated rows, never the corpus stream
     marg: dict[str, int] = {}
-    for r in coalesced_count(conv_ent, ["entity"], name="mc").take_all():
-        marg[r["entity"]] = marg.get(r["entity"], 0) + int(r["mc"])
+    for r in fused.filter(expr="kind == 'm'").take_all():
+        marg[r["id_a"]] = marg.get(r["id_a"], 0) + int(r["n"])
     marg_ref = ray.put(marg)
 
-    pairs = _pairs_stage(conv_ent, max_entities_per_conv, counted=True)
+    pairs = fused.filter(expr="kind == 'p'").drop_columns(["kind"])
     joint = rename(
         bucketed_sum(pairs, ["id_a", "id_b"], "n"), {"n": "c"}
     )

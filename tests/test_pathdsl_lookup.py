@@ -36,6 +36,24 @@ def test_tokenize_rejects_bad_input():
             tokenize_path(bad)
 
 
+def test_generate_concept_cypher():
+    """M11 planner artifact: `builder/userquery.py:26-36,115-130` shape."""
+    from robokop_build_ray.functions.pathdsl import generate_concept_cypher
+
+    cy = generate_concept_cypher(tokenize_path("S(1-2)D"))
+    assert cy.startswith("MATCH p=\n")
+    assert '(c0:Concept {name: "chemical_substance" })' in cy
+    assert "-[:translation*1..2]-" in cy
+    assert '(c1:Concept {name: "disease" })' in cy
+    assert "robokop.traversable(nodes(p), relationships(p), [c0])" in cy
+    assert "EXISTS(r.op)" in cy and cy.endswith("RETURN p\n")
+    # direct hop renders as `--`, both-ends anchor names the last concept
+    cy2 = generate_concept_cypher(tokenize_path("SGD"), anchor_both_ends=True)
+    assert "--\n" in cy2 and "[c0,c2]" in cy2
+    with pytest.raises(ValueError):
+        generate_concept_cypher(tokenize_path("S"))
+
+
 def test_step_type_pairs():
     from robokop_build_ray.functions.pathdsl import step_type_pairs
 
@@ -46,6 +64,15 @@ def test_step_type_pairs():
         ("chemical_substance", "gene"), ("gene", "disease")
     ]
     assert step_type_pairs(tokenize_path("?D")) == [("unspecified", "disease")]
+
+
+def test_cli_question_path_conflict_and_mapping():
+    """`builder/builder.py:574-602` canned questions: -q maps to a path,
+    and -q with -p is rejected before any work starts."""
+    from robokop_build_ray.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["build", "--out", "/tmp/_x", "--path", "SD", "-q", "1"])
 
 
 def test_path_filter_scopes_triples(smoke_corpus):

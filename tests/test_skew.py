@@ -47,3 +47,21 @@ def test_salted_distinct_generic():
                plain_distinct(ds, ["k", "v"]).take_all())
     assert a == b
     assert len(a) == 21
+
+
+def test_coalesced_count_equals_bucketed():
+    """coalesced_count (no sort AllToAll) must agree with bucketed_count
+    after the driver-side final merge it documents."""
+    from robokop_build_ray.functions.bucketing import (
+        bucketed_count,
+        coalesced_count,
+    )
+
+    rows = [{"e": f"e{i % 13}"} for i in range(2_000)]
+    ds = rd.from_items(rows)
+    want = {r["e"]: r["c"] for r in bucketed_count(ds, ["e"]).take_all()}
+    got: dict[str, int] = {}
+    for r in coalesced_count(ds, ["e"], coalesce=3).take_all():
+        got[r["e"]] = got.get(r["e"], 0) + int(r["c"])
+    assert got == want
+    assert sum(got.values()) == 2_000
