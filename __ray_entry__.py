@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": lambda sf: ta.fingerprints(_docs(sf)),
         # winnowing-style min-rolling-hash fingerprint (md5 windows)
         "doc_rolling_fp": lambda sf: ta.rolling_fingerprints(_docs(sf)),
+        # BPE-ish subword piece counting + PII scrub (training-data ops)
+        "doc_bpe_tokens": lambda sf: ta.bpe_token_stats(_docs(sf)),
+        "doc_redacted": lambda sf: ta.redact_pii(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -368,6 +371,27 @@ SELECT doc_id,
        md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))
          AS fingerprint
 FROM documents""",
+        "doc_bpe_tokens": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+         AS n_bpe_tokens
+FROM documents""",
+        "doc_redacted": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')
+         AS text_redacted,
+       c1 + len(regexp_extract_all(t1, '\+?[0-9][0-9()\- ]{7,}[0-9]'))
+         AS n_redactions
+FROM s1""",
         "doc_rolling_fp": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents

@@ -112,6 +112,63 @@ def rolling_fingerprints(docs, window: int = 8, batch_size: int = 4096):
     )
 
 
+# BPE-ish pretokenizer (GPT-2-style contraction/word/number/punct pieces,
+# simplified to what DuckDB's regex engine can mirror exactly)
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+# PII patterns for redaction (emails, international-ish phone numbers,
+# 16-digit card-like numbers) — the standard scrub pass a training-data
+# pipeline runs before anything else sees the text
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def bpe_token_stats_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, n_bpe_tokens — subword-style piece count via the BPE-ish
+    pretokenizer regex (vectorized str.count)."""
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": batch["text"].str.count(BPE_RE).astype("int64"),
+        }
+    )
+
+
+class PiiRedactor:
+    """Actor-pool scrub stage: patterns compiled once per actor, applied
+    vectorized (`str.replace`) per batch; emits the redacted text plus a
+    per-doc count of redactions (audit trail)."""
+
+    def __init__(self):
+        self.patterns = [(re.compile(p), repl) for p, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_hits = pd.Series(0, index=batch.index, dtype="int64")
+        for pat, repl in self.patterns:
+            n_hits += text.str.count(pat.pattern).astype("int64")
+            text = text.str.replace(pat.pattern, repl, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "text_redacted": text,
+                "n_redactions": n_hits,
+            }
+        )
+
+
+def bpe_token_stats(docs, batch_size: int = 4096):
+    return docs.map_batches(bpe_token_stats_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def redact_pii(docs, batch_size: int = 4096, concurrency=(1, 2)):
+    return docs.map_batches(PiiRedactor, batch_format="pandas",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
 def token_stats(docs, batch_size: int = 4096):
     return docs.map_batches(token_stats_batch, batch_format="pandas",
                             batch_size=batch_size)

@@ -97,6 +97,32 @@ def test_simhash_bit_balance_and_determinism():
     assert small[0] == 0 and small[1] != 0
 
 
+def test_pii_redaction_planted():
+    """The corpus carries no PII, so the redaction semantics are pinned on
+    planted strings here (the driver oracle still hash-checks text
+    pass-through equality)."""
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["mail me at bob@example.com now",
+                  "call +1 (919) 555-0100 ok",
+                  "nothing sensitive here"]}
+    )
+    out = ta.PiiRedactor()(df)
+    assert "<EMAIL>" in out["text_redacted"][0]
+    assert "bob@" not in out["text_redacted"][0]
+    assert "<PHONE>" in out["text_redacted"][1]
+    assert "555" not in out["text_redacted"][1]
+    assert list(out["n_redactions"]) == [1, 1, 0]
+    assert out["text_redacted"][2] == "nothing sensitive here"
+
+
+def test_bpe_token_stats():
+    df = pd.DataFrame({"doc_id": [1], "text": ["I can't do 42 things, really!"]})
+    out = ta.bpe_token_stats_batch(df)
+    # pieces: I / ' can / 't / ' do / ' 42 / ' things / ',' / ' really / '!'
+    assert out["n_bpe_tokens"][0] == 9
+
+
 def test_rolling_fingerprint_deterministic():
     df = pd.DataFrame({"doc_id": [1, 2],
                        "text": ["alpha beta gamma " * 10, "short text"]})
