@@ -189,6 +189,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "neighbor_id", "rank"]
         )
 
+    def ann_lsh(sf_dir: str):
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        return ann.lsh_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id", "rank"]
+        )
+
     return {
         # --- KG pipeline (synthesized transcripts; SQL recomputes from the
         # same parquet via read_parquet) --------------------------------
@@ -259,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
+        "ann_lsh_topk": ann_lsh,
     }
 
 
@@ -288,10 +296,45 @@ def _ivf_probe_labels(sf_dir: str, n_queries: int = 5, nprobe: int = 2) -> list[
     return sorted(probe)
 
 
+def _lsh_member_ids(sf_dir: str, n_queries: int = 5, n_planes: int = 6,
+                    multiprobe: int = 1, seed: int = 11) -> list[int]:
+    """Sequential numpy recomputation of the LSH probe membership: the set
+    of vec_ids whose hyperplane bucket any query probes (own bucket +
+    hamming<=multiprobe)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    R = np.random.default_rng(seed).standard_normal((M.shape[1], n_planes))
+    shifts = np.arange(n_planes, dtype=np.int64)
+
+    def buckets(X):
+        return (((X @ R) > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+
+    probe: set[int] = set()
+    for b in buckets(M[:n_queries]):
+        b = int(b)
+        probe.add(b)
+        for d in range(1, multiprobe + 1):
+            for flips in combinations(range(n_planes), d):
+                m = 0
+                for f in flips:
+                    m |= 1 << f
+                probe.add(b ^ m)
+    ids = emb["vec_id"].to_numpy()
+    member = np.fromiter((int(x) in probe for x in buckets(M)),
+                         dtype=bool, count=len(ids))
+    return sorted(int(i) for i in ids[member])
+
+
 def oracle_sql() -> dict[str, str]:
     ensure_corpus(_SQL_TIER)  # SQL reads these parquet files
     entry_sql.ensure_dedup_aux(_SQL_TIER)  # minhash/simhash signature tables
     probed = _ivf_probe_labels(f"/root/testdata/{_SQL_TIER}")
+    lsh_ids = _lsh_member_ids(f"/root/testdata/{_SQL_TIER}")
     t = _SQL_TIER
     return {
         "kg_extract": entry_sql.sql_extract(t),
@@ -442,6 +485,22 @@ s AS (
                                 CAST(q.qe AS DOUBLE[])) AS cos
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> q.qid AND e.label IN ({", ".join(map(str, probed))})
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10""",
+        "ann_lsh_topk": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid AND e.vec_id IN ({", ".join(map(str, lsh_ids))})
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -52,7 +52,7 @@ def bucketed_apply(
         if len(batch) == 0:
             batch["_b"] = pd.Series([], dtype="int64")
             batch["_s"] = pd.Series([], dtype="int64")
-            return pa.Table.from_pandas(batch, preserve_index=False)
+            return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
         batch["_b"] = _bucket_col(batch, keys, n_buckets)
         batch["_s"] = 0
         # SENTINEL PADDING: one type-perfect row (copied from the batch) per
@@ -66,7 +66,7 @@ def bucketed_apply(
         out = pd.concat([batch, pad], ignore_index=True)
         # emit ARROW blocks: the AllToAll exchange serializes pandas object
         # columns via pickle, Arrow string columns zero-copy
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         real = group.loc[group["_s"] == 0]

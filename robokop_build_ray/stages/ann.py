@@ -114,6 +114,67 @@ def label_centroids(embeddings):
     return np.array(labels, dtype=np.int64), C
 
 
+def lsh_buckets(M: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids: sign bits of M @ R packed to int."""
+    bits = (M @ R) > 0
+    return (bits.astype(np.int64)
+            << np.arange(R.shape[1], dtype=np.int64)[None, :]).sum(axis=1)
+
+
+def lsh_probe_set(Q: np.ndarray, R: np.ndarray, multiprobe: int = 1) -> set[int]:
+    """Buckets each query probes: its own bucket plus all buckets within
+    hamming distance ``multiprobe`` (flip subsets of bits)."""
+    from itertools import combinations
+
+    n_planes = R.shape[1]
+    probe: set[int] = set()
+    for b in lsh_buckets(Q, R):
+        b = int(b)
+        probe.add(b)
+        for d in range(1, multiprobe + 1):
+            for flips in combinations(range(n_planes), d):
+                m = 0
+                for f in flips:
+                    m |= 1 << f
+                probe.add(b ^ m)
+    return probe
+
+
+def lsh_topk(embeddings, queries_ref, k: int = 10, n_planes: int = 6,
+             multiprobe: int = 1, seed: int = 11,
+             batch_size: int = 4096, concurrency=(1, 4)):
+    """LSH-bucketed ANN (the scale path alongside IVF): random-hyperplane
+    buckets prune the corpus to the probed buckets (query bucket +
+    hamming<=multiprobe neighbors), then the same broadcast batch-matmul
+    scan. Deterministic: hyperplanes from a seeded RNG; probe set is a pure
+    function of (queries, seed), so the oracle can recompute membership."""
+    qids, Q = ray.get(queries_ref)
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((dim, n_planes))
+    probed = lsh_probe_set(np.asarray(Q, dtype=np.float64), R, multiprobe)
+    R_ref = ray.put((R, frozenset(probed)))
+
+    class BucketFilter:
+        def __init__(self):
+            self.R, self.probed = ray.get(R_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return b
+            M = _as_matrix(b["embedding"])
+            keep = np.fromiter(
+                (int(x) in self.probed for x in lsh_buckets(M, self.R)),
+                dtype=bool, count=len(b),
+            )
+            return b[keep]
+
+    pruned = embeddings.map_batches(BucketFilter, batch_format="pandas",
+                                    batch_size=batch_size,
+                                    concurrency=concurrency)
+    return brute_force_topk(pruned, queries_ref, k, batch_size, concurrency)
+
+
 def ivf_topk(embeddings, queries_ref, k: int = 10, nprobe: int = 2,
              batch_size: int = 4096, concurrency=(1, 4)):
     """IVF scan: keep only vectors whose label is among each query's nprobe

@@ -188,7 +188,7 @@ def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
         % np.uint64(64)
     ).astype("int64")
     # Arrow blocks shuffle zero-copy; pandas object columns would pickle
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:

@@ -75,7 +75,7 @@ def _conv_entity_batch(batch: pa.Table) -> pa.Table:
     df = pd.DataFrame(
         {"conv_id": np.concatenate([conv, conv]), "entity": np.concatenate([s, o])}
     ).drop_duplicates()
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def conv_entity_stage(canonical, salt_k: int | None = 64):

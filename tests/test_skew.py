@@ -65,3 +65,34 @@ def test_coalesced_count_equals_bucketed():
         got[r["e"]] = got.get(r["e"], 0) + int(r["c"])
     assert got == want
     assert sum(got.values()) == 2_000
+
+
+def test_bucketed_attach_equals_pandas_merge():
+    """bucketed_attach == pandas inner merge, including binary payloads and
+    keys missing from the right side (dropped rows)."""
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_attach
+
+    pairs = [{"id_a": i, "id_b": i + 100} for i in range(20)]
+    sigs = [{"doc_id": i, "sig": bytes([i % 7] * 4)} for i in range(15)]
+    left = rd.from_items(pairs)
+    right = rd.from_items(sigs)
+    out = bucketed_attach(left, right, "id_a", "doc_id",
+                          ["id_a", "id_b"], {"sig": "sig_a"}).take_all()
+    want = pd.DataFrame(pairs).merge(
+        pd.DataFrame(sigs), left_on="id_a", right_on="doc_id"
+    )
+    got = sorted((r["id_a"], r["id_b"], r["sig_a"]) for r in out)
+    assert got == sorted(map(tuple, want[["id_a", "id_b", "sig"]].values))
+    assert len(got) == 15  # ids 15..19 have no signature -> dropped
+
+
+def test_bucketed_apply_sparse_keys_typed_outputs():
+    """2 distinct keys over 64 buckets: sentinel padding must keep every
+    partition non-empty/typed, results unchanged, sentinels invisible."""
+    from robokop_build_ray.functions.bucketing import bucketed_count
+
+    rows = [{"k": "a"}] * 30 + [{"k": "b"}] * 12
+    out = bucketed_count(rd.from_items(rows).repartition(6), ["k"]).take_all()
+    assert sorted((r["k"], r["c"]) for r in out) == [("a", 30), ("b", 12)]

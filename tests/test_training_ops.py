@@ -189,6 +189,22 @@ def test_ann_ivf_recall(emb):
     assert recall >= 0.5  # nprobe=2 of 3 labels
 
 
+def test_ann_lsh_recall_and_self_bucket(emb):
+    qref = ann.make_query_ref(emb, n_queries=3)
+    brute = ann.brute_force_topk(emb, qref, k=10).take_all()
+    lsh = ann.lsh_topk(emb, qref, k=10, n_planes=6, multiprobe=1).take_all()
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    v = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    assert len(b & v) / len(b) >= 0.3  # hyperplane LSH, 1-bit multiprobe
+    # a query's own bucket is always probed, so near-identical vectors
+    # (cosine ~1) must be found
+    import ray as _ray
+
+    qids, Q = _ray.get(qref)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in lsh if r["rank"] == 1}
+    assert set(top1) == set(int(q) for q in qids)
+
+
 def test_multimodal_plumbing():
     media = rd.from_arrow(multimodal.synthesize_media(30))
     feats = multimodal.decode_features(media).take_all()
