@@ -24,6 +24,7 @@ import ray.data as rd
 
 from robokop_build_ray import entry_sql
 from robokop_build_ray.pipelines import relational as rel
+from robokop_build_ray.pipelines import temporal as tmp
 from robokop_build_ray.sources.corpus import corpus_paths, ensure_corpus, tier_of
 
 _SQL_TIER = "sf0.01"  # the driver's correctness scale
@@ -228,6 +229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_sliding": rel.events_sliding,
         "events_sessions": rel.events_sessions,
+        # temporal joins (custom operators Ray Data lacks): bucketed
+        # merge as-of, interval join + aggregate, per-key windowed top-k
+        "events_asof_join": tmp.events_asof_join,
+        "events_window_join": tmp.events_window_join,
+        "events_user_topk": tmp.events_user_topk,
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
         "customers_without_orders": rel.customers_without_orders,
@@ -366,6 +372,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.sql_events_hourly(),
         "events_sliding": rel.sql_events_sliding(),
         "events_sessions": rel.sql_events_sessions(),
+        "events_asof_join": tmp.sql_events_asof_join(),
+        "events_window_join": tmp.sql_events_window_join(),
+        "events_user_topk": tmp.sql_events_user_topk(),
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),
         "customers_without_orders": rel.sql_customers_without_orders(),
