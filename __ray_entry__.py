@@ -273,7 +273,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
+        # iterative algorithm: distributed Lloyd's k-means (quantized
+        # integer partial sums -> bit-identical to the sequential oracle
+        # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
+        "embedding_kmeans": _clustering().embedding_kmeans,
+        "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
+
+
+def _clustering():
+    from robokop_build_ray.stages import clustering
+
+    return clustering
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -340,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
     ensure_corpus(_SQL_TIER)  # SQL reads these parquet files
     entry_sql.ensure_dedup_aux(_SQL_TIER)  # minhash/simhash signature tables
     probed = _ivf_probe_labels(f"/root/testdata/{_SQL_TIER}")
+    kmeans_c = _clustering().kmeans_fit_sequential(f"/root/testdata/{_SQL_TIER}")
     lsh_ids = _lsh_member_ids(f"/root/testdata/{_SQL_TIER}")
     t = _SQL_TIER
     return {
@@ -517,4 +529,6 @@ SELECT query_id, neighbor_id, rank FROM (
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM s
 ) WHERE rank <= 10""",
+        "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
+        "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
     }

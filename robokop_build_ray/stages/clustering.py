@@ -1,0 +1,218 @@
+"""Distributed k-means (Lloyd's) over an embedding column + SemDeDup-style
+semantic near-dup pairs (k-means blocking -> per-cluster cosine).
+
+Scale shape: each Lloyd's iteration is ONE pass of per-batch partial
+statistics (assignment by nearest centroid, then per-cluster vector sums)
+coalesced to a k-bounded table — centroid state is k x dim floats, always
+driver-sized; the data is never materialized. This is the canonical
+"iterative algorithm as repeated map_batches + tiny reduce" pattern.
+
+Determinism contract (repo invariant — results must be bit-identical to a
+sequential recomputation regardless of batch boundaries or parallelism):
+partial sums accumulate QUANTIZED int64 components (exact, associative),
+so merge order cannot perturb centroids; per-row assignment math
+(:func:`assign_nearest`) is shared between the distributed and the
+sequential-oracle paths and has no cross-row accumulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# fixed-point scale for order-independent integer partial sums: float32
+# inputs have 24-bit mantissas, so *2^20 keeps ~6 decimal digits; int64
+# overflows only past ~2^43 rows per cluster per batch-tree level.
+QUANT = 1 << 20
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def _matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def assign_nearest(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row (squared L2, ties -> lowest cluster id).
+    Shared by the distributed fit/assign AND the sequential oracle
+    recomputation so per-row float math is identical in both."""
+    d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def _partial_stats(M: np.ndarray, C: np.ndarray, k: int) -> pd.DataFrame:
+    a = assign_nearest(M, C)
+    q = np.rint(M * QUANT).astype(np.int64)
+    sums = np.zeros((k, M.shape[1]), dtype=np.int64)
+    np.add.at(sums, a, q)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n": counts,
+        "s": list(sums),
+    })
+
+
+def _merge_stats(frames: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for cl, g in frames.groupby("cluster", sort=True):
+        out.append({
+            "cluster": cl,
+            "n": int(g["n"].sum()),
+            "s": np.sum(np.stack(g["s"].to_numpy()), axis=0),
+        })
+    return pd.DataFrame(out)
+
+
+def initial_centroids(embeddings, k: int) -> np.ndarray:
+    """First ``k`` vectors by vec_id — deterministic init without a full
+    sort: per-batch partial min-k, coalesce, final min-k (k-bounded)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values("vec_id").head(k)[["vec_id", "embedding"]]
+
+    rows = (embeddings.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(partial, batch_format="pandas", batch_size=None)
+            .take_all())
+    rows = sorted(rows, key=lambda r: r["vec_id"])[:k]
+    return _matrix([r["embedding"] for r in rows])
+
+
+def kmeans_fit(embeddings, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+               coalesce: int = 16) -> np.ndarray:
+    """Distributed Lloyd's: returns final centroids (k x dim float64).
+    ``embeddings`` needs columns vec_id, embedding(list<float>)."""
+    C = initial_centroids(embeddings, k)
+    for _ in range(iters):
+        Ci = C  # bind per-iteration (closure ships k x dim floats per task)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return _partial_stats(_matrix(b["embedding"].to_numpy()), Ci, k)
+
+        stats = _merge_stats(pd.DataFrame(
+            (embeddings.map_batches(partial, batch_format="pandas")
+             .repartition(coalesce)
+             .map_batches(_merge_stats, batch_format="pandas",
+                          batch_size=None)
+             .take_all())
+        ))
+        C = Ci.copy()
+        for r in stats.itertuples(index=False):
+            if r.n > 0:  # empty cluster keeps its previous centroid
+                C[r.cluster] = np.asarray(r.s, dtype=np.float64) / (
+                    float(r.n) * QUANT)
+    return C
+
+
+def kmeans_fit_sequential(sf_dir: str, k: int = KMEANS_K,
+                          iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Independent single-process recomputation (oracle side): same
+    quantized-sum arithmetic -> bit-identical centroids to
+    :func:`kmeans_fit` by construction."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    M = _matrix(emb["embedding"].to_numpy())
+    C = M[:k].copy()
+    for _ in range(iters):
+        a = assign_nearest(M, C)
+        q = np.rint(M * QUANT).astype(np.int64)
+        for j in range(k):
+            m = a == j
+            n = int(m.sum())
+            if n > 0:
+                C[j] = q[m].sum(axis=0).astype(np.float64) / (n * QUANT)
+    return C
+
+
+def kmeans_assign(embeddings, C: np.ndarray):
+    """(vec_id, cluster) assignment under fixed centroids."""
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        a = assign_nearest(_matrix(b["embedding"].to_numpy()), C)
+        return pd.DataFrame({"vec_id": b["vec_id"],
+                             "cluster": a.astype(np.int64)})
+
+    return embeddings.map_batches(assign, batch_format="pandas")
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k, iters)
+    return kmeans_assign(emb, C)
+
+
+def semantic_dedup_pairs(sf_dir: str, threshold: float = 0.4,
+                         k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """SemDeDup-shaped semantic near-dup pairs: k-means clusters as the
+    blocking key, exact cosine within each cluster (never all-pairs across
+    the table). Returns (id_a, id_b) with cosine >= threshold and both ids
+    in the same fitted cluster."""
+    from .dedup import embedding_cosine_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k, iters)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        a = assign_nearest(_matrix(b["embedding"].to_numpy()), C)
+        return pd.DataFrame({"vec_id": b["vec_id"],
+                             "embedding": b["embedding"],
+                             "label": a.astype(np.int64)})
+
+    return embedding_cosine_pairs(
+        emb.map_batches(label, batch_format="pandas"), threshold)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+def _centroid_values_sql(C: np.ndarray) -> str:
+    rows = []
+    for j, c in enumerate(C):
+        lit = ", ".join(repr(float(x)) for x in c)
+        rows.append(f"({j}, CAST([{lit}] AS DOUBLE[]))")
+    return ",\n    ".join(rows)
+
+
+def sql_kmeans_assign(C: np.ndarray) -> str:
+    """Assignment recomputed by DuckDB from centroid literals (centroids
+    from the INDEPENDENT sequential fit — same trust pattern as the IVF
+    probe-set oracle)."""
+    return f"""
+WITH c(cluster, ce) AS (VALUES
+    {_centroid_values_sql(C)}
+),
+a AS (
+  SELECT e.vec_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                    c.cluster) AS rn
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cluster FROM a WHERE rn = 1"""
+
+
+def sql_semantic_dedup(C: np.ndarray, threshold: float = 0.4) -> str:
+    return f"""
+WITH c(cluster, ce) AS (VALUES
+    {_centroid_values_sql(C)}
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cluster,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                    c.cluster) AS rn
+  FROM embeddings e CROSS JOIN c
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b
+FROM a x JOIN a y
+  ON x.rn = 1 AND y.rn = 1 AND x.cluster = y.cluster
+ AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= {threshold}"""
