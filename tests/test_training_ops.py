@@ -230,11 +230,18 @@ def test_multimodal_strict_raises():
 def test_connected_components_chain_and_clique():
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"),
              ("r", "p")]
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+            "p": "p", "q": "p", "r": "p"}
     ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
-    got = {r["id"]: r["component"] for r in
-           connected_components(ds, num_partitions=2).take_all()}
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
-                   "p": "p", "q": "p", "r": "p"}
+    # distributed min-label propagation (local_threshold=0 pins the
+    # corpus-scale path) and the local union-find finish must agree
+    dist = {r["id"]: r["component"] for r in
+            connected_components(ds, num_partitions=2,
+                                 local_threshold=0).take_all()}
+    local = {r["id"]: r["component"] for r in
+             connected_components(ds, num_partitions=2).take_all()}
+    assert dist == want
+    assert local == want
 
 
 def test_multimodal_frame_sampling():
