@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": tmp.events_asof_join,
         "events_window_join": tmp.events_window_join,
         "events_user_topk": tmp.events_user_topk,
+        # deterministic per-key sampling + fixed-enum pivot
+        "events_user_sample": rel.events_user_sample,
+        "events_type_pivot": rel.events_type_pivot,
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
         "customers_without_orders": rel.customers_without_orders,
@@ -387,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": tmp.sql_events_asof_join(),
         "events_window_join": tmp.sql_events_window_join(),
         "events_user_topk": tmp.sql_events_user_topk(),
+        "events_user_sample": rel.sql_events_user_sample(),
+        "events_type_pivot": rel.sql_events_type_pivot(),
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),
         "customers_without_orders": rel.sql_customers_without_orders(),

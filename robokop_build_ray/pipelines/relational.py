@@ -388,6 +388,94 @@ SELECT p_partkey, p_name,
 FROM part ORDER BY price_cents DESC, p_partkey LIMIT {k}"""
 
 
+# Knuth multiplicative hash: a deterministic pseudo-random ordering both
+# the engine (vectorized int64 numpy) and DuckDB (BIGINT arithmetic) can
+# compute identically. Safe from int64 overflow while id * A < 2^63
+# (ids < ~3.4e9; asserted below, documented at scale in SCALE.md).
+_SAMPLE_A = 2654435761
+_SAMPLE_M = 1 << 32
+
+
+def events_user_sample(sf_dir: str, k: int = 5):
+    """Deterministic per-key sample: each user's ``k`` events with the
+    smallest multiplicative hash of event_id — an order-stable,
+    seed-free uniform-ish subsample (training-data "cap rows per group"
+    op). Per-batch partials keep <= k rows per user before the exchange,
+    so shuffle volume is O(users x k) like the top-k operator."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+
+    by = ["user_id", "h", "event_id"]
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(by, kind="mergesort")
+                .groupby("user_id", sort=False).head(k))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].to_numpy()
+        assert ids.max(initial=0) < (1 << 62) // _SAMPLE_A
+        out = pd.DataFrame({
+            "user_id": b["user_id"],
+            "event_id": ids,
+            "h": (ids * _SAMPLE_A) % _SAMPLE_M,
+        })
+        return topk(out)
+
+    return bucketed_apply(ev, ["user_id"], topk, partial)
+
+
+def sql_events_user_sample(k: int = 5) -> str:
+    return f"""
+SELECT user_id, event_id, h FROM (
+  SELECT user_id, event_id,
+         (event_id * {_SAMPLE_A}) % {_SAMPLE_M} AS h,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY (event_id * {_SAMPLE_A}) % {_SAMPLE_M},
+                                     event_id) AS rn
+  FROM events
+) WHERE rn <= {k}"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str):
+    """PIVOT: one row per user with per-event-type counts as columns.
+    The type enum is a fixed, schema-level list (documented assumption —
+    a pivot's output schema must be known up front); counts accumulate as
+    per-batch partial crosstabs, so the exchange carries one row per
+    (user, batch), never per event."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"])
+        for t in EVENT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[EVENT_TYPES].astype("int64")
+        ct.columns = cols
+        return ct.reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", sort=False, as_index=False)[cols].sum()
+
+    return bucketed_apply(ev, ["user_id"], merge, partial)
+
+
+def sql_events_type_pivot() -> str:
+    counts = ",\n       ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n       {counts}\nFROM events GROUP BY user_id"
+
+
 def orders_status_histogram(sf_dir: str):
     return (
         rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])

@@ -70,6 +70,32 @@ def test_user_topk_rank_and_tiebreak(events_dir):
     assert got == [(1, 1, 3), (1, 2, 2), (2, 1, 6), (2, 2, 7), (3, 1, 8)]
 
 
+def test_user_sample_deterministic_and_capped(events_dir):
+    from robokop_build_ray.pipelines import relational as rel
+
+    a = (rel.events_user_sample(events_dir, k=2).to_pandas()
+         .sort_values(["user_id", "h"]).reset_index(drop=True))
+    b = (rel.events_user_sample(events_dir, k=2).to_pandas()
+         .sort_values(["user_id", "h"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)  # seed-free, rerun-stable
+    assert a.groupby("user_id").size().max() <= 2
+    # hash order, not id order: the kept ids are the k smallest by h
+    h = (a["event_id"] * rel._SAMPLE_A) % rel._SAMPLE_M
+    assert (a["h"] == h).all()
+
+
+def test_type_pivot_counts(events_dir):
+    from robokop_build_ray.pipelines import relational as rel
+
+    out = (rel.events_type_pivot(events_dir).to_pandas()
+           .set_index("user_id").sort_index())
+    assert out.loc[1, "n_view"] == 2
+    assert out.loc[1, "n_error"] == 2
+    assert out.loc[1, "n_purchase"] == 1
+    assert out.loc[3, "n_view"] == 1
+    assert out.loc[3, ["n_click", "n_error", "n_purchase", "n_signup"]].sum() == 0
+
+
 def test_user_topk_tie_on_cents_prefers_lower_event_id(tmp_path):
     t = pa.table({
         "event_id": pa.array([11, 10, 12], pa.int64()),
