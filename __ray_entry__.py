@@ -165,6 +165,14 @@ def _events_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=10, capacity=4096)
 
 
+def _events_distinct_users(sf_dir: str):
+    from robokop_build_ray.functions.sketches import grouped_distinct_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, "event_type", "user_id", k=4096)
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -242,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         # mergeable-sketch heavy hitters (exact at this cardinality)
         "events_heavy_hitters": _events_heavy_hitters,
+        # KMV distinct sketch (exact below capacity) + ROLLUP grouping sets
+        "events_distinct_users": _events_distinct_users,
+        "orders_rollup": rel.orders_rollup,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -401,6 +412,10 @@ SELECT user_id, n FROM (
          row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
   FROM events GROUP BY user_id
 ) WHERE rk <= 10""",
+        "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type""",
+        "orders_rollup": rel.sql_orders_rollup(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -97,3 +97,82 @@ def heavy_hitters(ds, col: str, k: int = 10, capacity: int = 1024,
             }
         )
     )
+
+
+class KMinValues:
+    """KMV distinct-count sketch: keeps the k smallest stable 64-bit hashes
+    of the values seen. Mergeable (union + re-truncate). While fewer than
+    ``k`` distinct hashes exist the sketch holds ALL of them, so the count
+    is exact; past capacity the standard (k-1)/max_kept estimator applies
+    and ``exact`` turns False (same consumer contract as MisraGries)."""
+
+    def __init__(self, k: int = 1024):
+        import numpy as np
+
+        self.k = k
+        self.vals = np.array([], dtype=np.uint64)
+
+    def add_hashes(self, h) -> None:
+        import numpy as np
+
+        self.vals = np.unique(np.concatenate([self.vals, h]))[: self.k]
+
+    def merge(self, other: "KMinValues") -> "KMinValues":
+        self.add_hashes(other.vals)
+        return self
+
+    @property
+    def exact(self) -> bool:
+        return len(self.vals) < self.k
+
+    def estimate(self) -> int:
+        if self.exact:
+            return int(len(self.vals))
+        frac = float(self.vals[-1]) / float(1 << 64)
+        return int(round((self.k - 1) / frac))
+
+
+def grouped_distinct_count(ds, key: str, col: str, k: int = 1024,
+                           batch_size: int = 65_536):
+    """-> Dataset (key, n_distinct): distinct ``col`` values per ``key``
+    via one KMV sketch per (batch, key) — the shuffle moves
+    #batches x #keys sketch rows, never input rows. Exact whenever each
+    key's distinct count fits ``k`` (warned otherwise, like
+    :func:`heavy_hitters`); ``key`` must be enum-bounded (one merged
+    sketch per key is held driver-side)."""
+    import pickle
+    import warnings
+
+    import numpy as np
+    import ray.data as rd
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in b.groupby(key, sort=False):
+            sk = KMinValues(k)
+            sk.add_hashes(pd.util.hash_array(g[col].unique()))
+            rows.append((kv, pickle.dumps(sk)))
+        return pd.DataFrame(rows, columns=[key, "sketch"])
+
+    merged: dict = {}
+    for r in ds.select_columns([key, col]).map_batches(
+        per_batch, batch_size=batch_size, batch_format="pandas"
+    ).iter_rows():
+        sk = pickle.loads(r["sketch"])
+        if r[key] in merged:
+            merged[r[key]].merge(sk)
+        else:
+            merged[r[key]] = sk
+    for kv, sk in merged.items():
+        if not sk.exact:
+            warnings.warn(
+                f"grouped_distinct_count({key!r}, {col!r}): key {kv!r} "
+                f"exceeded sketch capacity {k}; count is an estimate",
+                stacklevel=2,
+            )
+    keys = sorted(merged)
+    return rd.from_arrow(pa.table({
+        key: pa.array(keys),
+        "n_distinct": pa.array([merged[x].estimate() for x in keys],
+                               pa.int64()),
+    }))

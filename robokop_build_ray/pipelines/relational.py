@@ -489,6 +489,43 @@ def sql_orders_status_histogram() -> str:
     return "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
 
 
+def orders_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP: counts at (status, priority), per-status
+    subtotals, and the grand total, with 'ALL' as the rolled-up marker.
+    Both grouping columns are schema-level enums, so the base aggregate is
+    key-bounded: per-batch partials -> block coalesce -> one merge; the
+    rollup levels derive from the TINY base result (<= |status| x
+    |priority| rows), never from a second fact scan."""
+    from ..functions.bucketing import coalesced_count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_orderpriority"])
+    base = pd.DataFrame(
+        coalesced_count(orders, ["o_orderstatus", "o_orderpriority"],
+                        name="n").take_all()
+    ).groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["n"].sum()
+    sub = base.groupby("o_orderstatus", as_index=False)["n"].sum()
+    sub["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({"o_orderstatus": ["ALL"],
+                          "o_orderpriority": ["ALL"],
+                          "n": [base["n"].sum()]})
+    out = pd.concat([base, sub, total], ignore_index=True)
+    return rd.from_arrow(pa.table({
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+    }))
+
+
+def sql_orders_rollup() -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+
 def customers_without_orders(sf_dir: str):
     """Broadcast ANTI JOIN: customers with no URGENT orders — the key set is
     broadcast once and the customer scan filters against it (semi/anti joins
