@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish subword piece counting + PII scrub (training-data ops)
         "doc_bpe_tokens": lambda sf: ta.bpe_token_stats(_docs(sf)),
         "doc_redacted": lambda sf: ta.redact_pii(_docs(sf)),
+        # vocabulary / index-building passes (stages/vocab.py)
+        "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
+        "doc_tfidf": lambda sf: _vocab().doc_tfidf(_docs(sf)),
+        "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
+        # windowed exact COUNT DISTINCT (users per tumbling hour)
+        "events_hourly_users": rel.events_hourly_users,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -299,6 +305,12 @@ def _clustering():
     from robokop_build_ray.stages import clustering
 
     return clustering
+
+
+def _vocab():
+    from robokop_build_ray.stages import vocab
+
+    return vocab
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -416,6 +428,10 @@ SELECT user_id, n FROM (
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
+        "doc_vocab_topk": _vocab().sql_vocab_topk(),
+        "doc_tfidf": _vocab().sql_doc_tfidf(),
+        "doc_inverted_index": _vocab().sql_inverted_index(),
+        "events_hourly_users": rel.sql_events_hourly_users(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -332,6 +332,49 @@ SELECT window_start, count(*) AS n_events,
 FROM w GROUP BY window_start"""
 
 
+def events_hourly_users(sf_dir: str, n_buckets: int = 64):
+    """Windowed COUNT DISTINCT: unique users per 1-hour tumbling window.
+    Exact, one bucketed exchange: per-batch (hour, user) dedup partial ->
+    (hour, user)-bucketed global dedup emitting per-hour partial counts
+    (each pair lands in exactly one bucket, so bucket counts are disjoint)
+    -> tiny hour-bounded final sum (n_buckets x |hours| rows)."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(b["ts"], pa.int64()), 3_600_000_000)
+        return pa.table({"user_id": b["user_id"], "hour": hour})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["hour", "user_id"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["hour", "user_id"])
+        return (g.groupby("hour", sort=False).size()
+                .rename("n_users").reset_index())
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("hour", sort=False, as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        bucketed_apply(ev.map_batches(derive, batch_format="pyarrow"),
+                       ["hour", "user_id"], merge, partial, n_buckets)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_events_hourly_users() -> str:
+    return """
+SELECT epoch_us(ts) // 3600000000 AS hour,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY hour"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 

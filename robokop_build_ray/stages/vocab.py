@@ -1,0 +1,207 @@
+"""Corpus vocabulary / term-statistics operators over the documents table.
+
+The three classic index-building passes a training-data pipeline runs over a
+text corpus, each expressed as bucketed exchanges (functions/bucketing.py)
+so the shuffle moves aggregated term rows, never raw text:
+
+- :func:`vocab_topk` — global term frequencies, top-k (word-count with a
+  per-batch combiner; the canonical MapReduce example, Ray-Data-shaped).
+- :func:`doc_tfidf` — per-document top-k terms by a df-normalized term
+  frequency (tf/df). The weight is a single exact-int division so the
+  float is bit-identical to the DuckDB oracle (repo float-determinism
+  rule); a log-idf variant would rank identically for fixed tf.
+- :func:`inverted_index` — term -> sorted posting list of doc_ids, bounded
+  to a df band (stop-words and hapaxes excluded), the retrieval-index
+  build step.
+
+Terms are ``[a-z0-9]+`` runs of the lower-cased text — chosen because
+DuckDB's ``regexp_extract_all`` tokenizes identically, which is what makes
+the oracles exact.
+
+Scale notes (100 TB): tf is computed entirely within a batch (one document
+is one row, so a doc's term counts never span batches — no exchange);
+df and the postings lists shuffle one row per DISTINCT (term, doc) pair
+through a term-hash bucket; the df->tf attach is a bucketed merge join
+(vocabulary at web scale is corpus-sized — never broadcast it); per-doc
+top-k caps rows per (doc, batch) BEFORE its exchange so shuffle volume is
+O(docs * k).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.bucketing import bucketed_apply, bucketed_attach, bucketed_count
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def _tf_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, term, tf) for every batch — complete per doc, since one
+    document is one input row."""
+    toks = b["text"].str.lower().str.findall(TOKEN_RE)
+    flat = toks.explode().dropna()
+    if len(flat) == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype="int64"),
+        })
+    out = pd.DataFrame({
+        "doc_id": b["doc_id"].loc[flat.index].to_numpy(),
+        "term": flat.to_numpy(),
+    })
+    return (out.groupby(["doc_id", "term"], sort=False).size()
+            .rename("tf").reset_index())
+
+
+def vocab_topk(docs, k: int = 100, n_buckets: int = 64):
+    """Global top-k terms by total frequency -> (rk, term, tf).
+
+    Per-batch counts (combiner) -> term-bucketed sum -> per-bucket top-k
+    (buckets hold disjoint term slices, so the global top-k is a subset of
+    the per-bucket winners) -> one tiny final cut. Tie-break (tf desc,
+    term asc) matches the oracle's row_number ordering."""
+    by, asc = ["tf", "term"], [False, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(TOKEN_RE)
+        flat = toks.explode().dropna()
+        return (flat.value_counts().rename("tf").rename_axis("term")
+                .reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("term", sort=False, as_index=False)["tf"].sum()
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b["rk"] = np.arange(1, len(b) + 1)
+        b["tf"] = b["tf"].astype("int64")
+        return b[["rk", "term", "tf"]]
+
+    return (
+        bucketed_apply(docs.select_columns(["text"]), ["term"], merge,
+                       partial, n_buckets)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_vocab_topk(k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+SELECT rk, term, tf FROM (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term) AS rk
+  FROM counts
+) WHERE rk <= {k}"""
+
+
+def doc_tfidf(docs, k: int = 5, n_buckets: int = 64):
+    """Per-document top-k terms by df-normalized frequency
+    -> (doc_id, term, tf, df, score) with score = tf / df.
+
+    Three exchanges, each bucketed: df count on term, df->tf attach on
+    term (bucketed merge join — the vocabulary is corpus-scale, never a
+    broadcast), per-doc top-k on doc_id (partial caps k rows per doc per
+    batch before the shuffle). score is one IEEE division of two exact
+    ints, bit-identical to the oracle's CAST(tf AS DOUBLE)/df."""
+    tf = docs.select_columns(["doc_id", "text"]).map_batches(
+        _tf_batch, batch_format="pandas")
+    # one row per (doc, term) -> row-count per term IS the document freq
+    df = bucketed_count(tf, ["term"], name="df", n_buckets=n_buckets)
+    joined = bucketed_attach(
+        tf, df, left_on="term", right_on="term",
+        left_cols=["doc_id", "term", "tf"], payload={"df": "df"},
+        n_buckets=n_buckets,
+        payload_fill=np.int64(0),
+        left_fill={"doc_id": np.int64(0), "tf": np.int64(0)},
+    )
+
+    by, asc = ["doc_id", "score", "term"], [True, False, True]
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = b["tf"].to_numpy(np.int64) / b["df"].to_numpy(np.int64)
+        b = b.sort_values(by, ascending=asc, kind="mergesort")
+        return b.groupby("doc_id", sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(by, ascending=asc, kind="mergesort")
+             .groupby("doc_id", sort=False).head(k))
+        g["tf"] = g["tf"].astype("int64")
+        g["df"] = g["df"].astype("int64")
+        return g[["doc_id", "term", "tf", "df", "score"]]
+
+    return bucketed_apply(joined, ["doc_id"], merge, score_topk, n_buckets)
+
+
+def sql_doc_tfidf(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rk
+  FROM tf JOIN df USING (term)
+) WHERE rk <= {k}"""
+
+
+def inverted_index(docs, min_df: int = 30, max_df: int = 390,
+                   n_buckets: int = 64):
+    """Retrieval-index build: term -> (df, sorted int64 posting list),
+    restricted to the useful df band (rarer than stop-words, more than a
+    hapax). One term-bucketed exchange over distinct (term, doc) pairs;
+    postings emit as a typed Arrow ListArray per bucket."""
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return _tf_batch(b)[["term", "doc_id"]]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        sizes = g.groupby("term", sort=False)["doc_id"].size()
+        keep = sizes[(sizes >= min_df) & (sizes <= max_df)]
+        g = g[g["term"].isin(keep.index)]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype=object),
+            })
+        agg = g.groupby("term", sort=False)["doc_id"].agg(list)
+        return pd.DataFrame({
+            "term": agg.index.to_numpy(),
+            "df": agg.str.len().astype("int64").to_numpy(),
+            "postings": agg.to_numpy(),
+        })
+
+    return bucketed_apply(
+        docs.select_columns(["doc_id", "text"]), ["term"], merge,
+        pairs, n_buckets)
+
+
+def sql_inverted_index(min_df: int = 30, max_df: int = 390) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+FROM toks GROUP BY term
+HAVING count(*) BETWEEN {min_df} AND {max_df}"""

@@ -1,0 +1,64 @@
+"""Vocabulary / index-building operators (stages/vocab.py) vs tiny
+hand-computable corpora, plus the KMV distinct sketch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from robokop_build_ray.functions.sketches import KMinValues, grouped_distinct_count
+from robokop_build_ray.stages import vocab
+
+
+def _corpus():
+    return rd.from_items([
+        {"doc_id": 1, "text": "apple banana apple Cherry"},
+        {"doc_id": 2, "text": "banana cherry cherry date!"},
+        {"doc_id": 3, "text": "apple date 42"},
+        {"doc_id": 4, "text": ""},
+    ])
+
+
+def test_vocab_topk_counts_and_order():
+    out = vocab.vocab_topk(_corpus(), k=3).take_all()
+    # totals: apple 3, cherry 3, banana 2, date 2, 42 1
+    assert [(r["rk"], r["term"], r["tf"]) for r in out] == [
+        (1, "apple", 3), (2, "cherry", 3), (3, "banana", 2)]
+
+
+def test_doc_tfidf_score_and_cut():
+    out = pd.DataFrame(vocab.doc_tfidf(_corpus(), k=2).take_all())
+    # doc 2: cherry tf=2 df=2 -> 1.0 beats banana tf=1 df=2 and date tf=1 df=2
+    d2 = out[out.doc_id == 2].sort_values("score", ascending=False)
+    assert list(d2["term"])[0] == "cherry"
+    assert d2.iloc[0]["score"] == 1.0
+    assert (out.groupby("doc_id").size() <= 2).all()
+    # score is exactly tf/df (single IEEE division)
+    assert np.array_equal(out["score"], out["tf"] / out["df"])
+
+
+def test_inverted_index_band_and_postings():
+    out = {r["term"]: r for r in
+           vocab.inverted_index(_corpus(), min_df=2, max_df=2).take_all()}
+    # df: apple 2, banana 2, cherry 2, date 2, 42 1 -> band [2,2] keeps 4
+    assert set(out) == {"apple", "banana", "cherry", "date"}
+    assert list(out["apple"]["postings"]) == [1, 3]
+    assert out["apple"]["df"] == 2
+
+
+def test_kmv_exact_below_capacity_and_merge():
+    a, b = KMinValues(k=64), KMinValues(k=64)
+    a.add_hashes(pd.util.hash_array(np.array(["u1", "u2", "u3"], dtype=object)))
+    b.add_hashes(pd.util.hash_array(np.array(["u2", "u4"], dtype=object)))
+    assert a.exact and b.exact
+    assert a.merge(b).estimate() == 4
+
+
+def test_grouped_distinct_count_matches_pandas():
+    rows = [{"k": f"t{i % 3}", "v": f"u{i % 17}"} for i in range(300)]
+    got = {r["k"]: r["n_distinct"]
+           for r in grouped_distinct_count(
+               rd.from_items(rows), "k", "v", k=256).take_all()}
+    want = pd.DataFrame(rows).groupby("k")["v"].nunique().to_dict()
+    assert got == want
