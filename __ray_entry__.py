@@ -97,6 +97,14 @@ def _kg_components(sf_dir: str):
     return comp.union(singles)
 
 
+def _kg_pagerank(sf_dir: str):
+    """Entity importance over the built graph: quantized-integer PageRank
+    (stages/pagerank.py) on the distinct canonical edge list."""
+    from robokop_build_ray.stages.pagerank import pagerank
+
+    return pagerank(_kg(sf_dir, "edges"))
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -221,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_underexpected": _kg_support_underexpected,
         "kg_turns_ordered": _kg_turns_ordered,
         "kg_components": _kg_components,
+        # iterative graph analytics over the built KG (quantized integer)
+        "kg_pagerank": _kg_pagerank,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -270,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
+        # ordered window function (per-user running sum, event grain)
+        "events_running_total": rel.events_running_total,
+        # LEFT OUTER aggregate via union-with-zeros + bucketed fold
+        "customer_order_counts": rel.customer_order_counts,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -399,6 +413,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
         "kg_components": entry_sql.sql_components(t),
+        "kg_pagerank": entry_sql.sql_pagerank(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
@@ -432,6 +447,8 @@ FROM events GROUP BY event_type""",
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "events_hourly_users": rel.sql_events_hourly_users(),
+        "events_running_total": rel.sql_events_running_total(),
+        "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

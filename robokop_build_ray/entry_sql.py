@@ -276,6 +276,34 @@ SELECT id_a AS subj_id, 'SUPPORT:literature_co-occurence' AS pred_id,
 FROM x_pubs"""
 
 
+def sql_pagerank(tier: str, iters: int = 3) -> str:
+    """Quantized-integer PageRank unrolled per iteration (aggregates are
+    not allowed in a recursive CTE member, and ``iters`` is a small fixed
+    constant). Integer `//` + associative sums make every iterate
+    bit-identical to both engine paths (stages/pagerank.py docstring)."""
+    p = corpus_paths(tier)
+    ctes = [f"""e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM canon),
+nodes AS (
+  -- NOT plain UNION: inside a WITH RECURSIVE block DuckDB 1.0 applies
+  -- recursive-union semantics to non-recursive CTEs and skips the dedup
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+meta AS (SELECT count(*) AS n FROM nodes),
+it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""it{i} AS (
+  SELECT nd.id,
+         150000000000 // (SELECT n FROM meta)
+           + (85 * coalesce(s.inb, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r // d.deg) AS inb
+    FROM e JOIN it{i-1} p ON e.src = p.id JOIN deg d ON d.id = e.src
+    GROUP BY e.dst) s ON nd.id = s.id)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n" + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
+
+
 def sql_node_type_histogram(tier: str) -> str:
     """Histogram over the emitted node table (`builder/builder.py:129-134`)."""
     nodes = sql_nodes(tier)

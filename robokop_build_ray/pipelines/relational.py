@@ -406,6 +406,74 @@ SELECT user_id,
 FROM d GROUP BY user_id"""
 
 
+def events_running_total(sf_dir: str, n_buckets: int = 64):
+    """Ordered window function: per-user running total of value_cents over
+    (ts, event_id) order — one user-bucketed exchange, then a single
+    vectorized sort + groupby-cumsum per bucket (no per-user Python
+    calls). Output is event-grain, streaming out one block per bucket."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_id", "user_id", "ts"]].copy()
+        out["cents"] = np.floor(
+            b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["running_cents"] = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return g[["event_id", "user_id", "ts", "running_cents"]]
+
+    return bucketed_apply(ev, ["user_id"], merge, prep, n_buckets)
+
+
+def sql_events_running_total() -> str:
+    return """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_cents
+FROM events"""
+
+
+def customer_order_counts(sf_dir: str, n_buckets: int = 64):
+    """LEFT OUTER aggregate: every customer with their order count,
+    including zero. Expressed without an outer-join operator: the order
+    counts union a zero row per customer, and one bucketed sum folds them
+    — valid because o_custkey is a foreign key into customer, so the union
+    key set IS the customer key set."""
+    from ..functions.bucketing import bucketed_count, bucketed_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    counts = bucketed_count(orders, ["o_custkey"], name="n_orders",
+                            n_buckets=n_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "n_orders": b["n_orders"].astype("int64"),
+        }), batch_format="pandas")
+    zeros = cust.map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "n_orders": np.zeros(len(b), dtype=np.int64),
+        }), batch_format="pandas")
+    return bucketed_sum(counts.union(zeros), ["c_custkey"], "n_orders",
+                        n_buckets=n_buckets).map_batches(
+        lambda b: b.astype({"n_orders": "int64"}), batch_format="pandas")
+
+
+def sql_customer_order_counts() -> str:
+    return """
+SELECT c_custkey, count(o.o_custkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c_custkey"""
+
+
 # ------------------------------------------------------------ small ops
 
 def part_topk(sf_dir: str, k: int = 20):

@@ -1,0 +1,151 @@
+"""Distributed PageRank over the KG edge list (quantized-integer, exact).
+
+The second iterative graph algorithm next to ``components`` (min-label
+propagation) and ``clustering`` (Lloyd's k-means) — the "rank the entities
+of the built graph" analysis the reference runs downstream of its builds
+(graph analytics over builder output; the reference itself defers analytics
+to its neo4j sink — this is the engine-native equivalent).
+
+Determinism contract (repo invariant): all rank arithmetic is int64
+fixed-point (``SCALE`` units) with only associative integer adds and floor
+divisions, so the result is bit-identical at any batch boundary,
+parallelism, or merge order — the same trick as ``clustering.QUANT`` — and
+the DuckDB oracle re-derives it with integer `//` unrolled per iteration.
+
+Semantics (documented simplifications, shared by engine and oracle):
+- damping 85/100, fixed ``iters`` sweeps (no convergence test — rank
+  deltas are not cheaply computable without another exchange);
+- dangling-node mass (nodes with no out-edges) is dropped, not
+  redistributed — ranks sum to < SCALE; ordering is unaffected for the
+  usual use (top-entity ranking);
+- the edge list is DISTINCT (multi-edges collapse, like the reference's
+  edge dedup sink).
+
+Hybrid scale shape (same gate as ``connected_components``): rank state is
+node-bounded but the per-iteration messages are edge-scale, so when the
+distinct edge list fits ``local_threshold`` the loop runs as one driver
+numpy pass (zero AllToAlls per sweep); beyond it, each sweep is exactly two
+bucketed exchanges — attach rank/degree to edges by src, then fold
+contributions by dst with a zeros-union that re-seats every node (including
+in-degree-0 nodes) and re-carries its static out-degree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.bucketing import bucketed_apply, bucketed_attach, bucketed_distinct, bucketed_sum
+
+SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE_TOTAL = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # (1-d) mass
+PAGERANK_ITERS = 3
+
+
+def _local_pagerank(e, iters: int):
+    """Driver numpy sweeps for a distinct edge list under the gate —
+    identical integer math to the distributed path and the SQL oracle."""
+    import ray.data as rd
+
+    frames = list(e.iter_batches(batch_format="pandas", batch_size=65536))
+    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"src": [], "dst": []})
+    nodes = np.unique(np.concatenate([df["src"].to_numpy(dtype=object),
+                                      df["dst"].to_numpy(dtype=object)]))
+    n = len(nodes)
+    if n == 0:
+        return rd.from_arrow(pa.table({"id": pa.array([], pa.string()),
+                                       "rank_units": pa.array([], pa.int64())}))
+    si = np.searchsorted(nodes, df["src"].to_numpy(dtype=object))
+    di = np.searchsorted(nodes, df["dst"].to_numpy(dtype=object))
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    base = BASE_TOTAL // n
+    for _ in range(iters):
+        contrib = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        inb = np.zeros(n, dtype=np.int64)
+        np.add.at(inb, di, contrib[si])
+        r = base + (DAMP_NUM * inb) // DAMP_DEN
+    return rd.from_arrow(pa.table({
+        "id": pa.array(nodes, pa.string()),
+        "rank_units": pa.array(r, pa.int64()),
+    }))
+
+
+def pagerank(edges, src: str = "subj_id", dst: str = "obj_id",
+             iters: int = PAGERANK_ITERS, n_buckets: int = 64,
+             local_threshold: int = 1_000_000):
+    """edges Dataset (two castable-to-string endpoint columns)
+    -> Dataset(id, rank_units int64)."""
+
+    def to_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].combine_chunks().cast(pa.string()),
+            "dst": t[dst].combine_chunks().cast(pa.string()),
+        })
+
+    e = bucketed_distinct(edges.map_batches(to_sd, batch_format="pyarrow"),
+                          ["src", "dst"], n_buckets).materialize()
+    if e.count() <= local_threshold:
+        return _local_pagerank(e, iters)
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    # static per-node state: out-degree (0 for sink-only nodes)
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("src", sort=False).size().rename("deg").reset_index()
+        s = s.rename(columns={"src": "id"})
+        d = pd.DataFrame({"id": b["dst"].unique()})
+        d["deg"] = 0
+        return pd.concat([s, d], ignore_index=True)
+
+    deg = bucketed_sum(
+        e.map_batches(deg_partial, batch_format="pandas"), ["id"], "deg",
+        n_buckets).materialize()
+    n = deg.count()
+    r0, base = SCALE // n, BASE_TOTAL // n
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["r"] = np.int64(r0)
+        return out[["id", "r", "deg"]]
+
+    state = deg.map_batches(seed, batch_format="pandas")
+    zeros = deg.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"],
+            "inb": np.zeros(len(b), dtype=np.int64),
+            "deg": b["deg"].astype("int64"),
+        }), batch_format="pandas")
+
+    for _ in range(iters):
+        attached = bucketed_attach(
+            e, state, left_on="src", right_on="id",
+            left_cols=["dst"], payload={"r": "r", "deg": "deg"},
+            n_buckets=n_buckets, payload_fill=np.int64(0))
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["deg"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "id": b["dst"],
+                "inb": b["r"].to_numpy(np.int64) // np.maximum(d, 1),
+                "deg": np.zeros(len(b), dtype=np.int64),
+            })
+
+        msgs = attached.map_batches(contrib, batch_format="pandas")
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("id", sort=False).agg(
+                inb=("inb", "sum"), deg=("deg", "max")).reset_index()
+            agg["r"] = base + (DAMP_NUM * agg["inb"].to_numpy(np.int64)
+                               ) // DAMP_DEN
+            return agg[["id", "r", "deg"]]
+
+        state = bucketed_apply(msgs.union(zeros), ["id"], fold, None,
+                               n_buckets).materialize()
+
+    return state.map_batches(
+        lambda b: pd.DataFrame({"id": b["id"],
+                                "rank_units": b["r"].astype("int64")}),
+        batch_format="pandas")

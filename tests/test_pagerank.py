@@ -1,0 +1,57 @@
+"""Quantized-integer PageRank: hand-checkable values, and the distributed
+bucketed path pinned bit-identical to the driver-local path."""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data as rd
+
+from robokop_build_ray.stages.pagerank import SCALE, pagerank
+
+
+def _star_edges():
+    # hub <- a, b, c ; hub -> a (so hub has out-degree and a gets mass back)
+    return rd.from_items([
+        {"subj_id": "a", "obj_id": "hub"},
+        {"subj_id": "b", "obj_id": "hub"},
+        {"subj_id": "c", "obj_id": "hub"},
+        {"subj_id": "hub", "obj_id": "a"},
+    ])
+
+
+def test_pagerank_hand_values_one_iter():
+    got = {r["id"]: r["rank_units"]
+           for r in pagerank(_star_edges(), iters=1).take_all()}
+    n, r0 = 4, SCALE // 4
+    base = (SCALE * 15 // 100) // n
+    # hub receives r0//1 from each of a,b,c; a receives r0//1 from hub
+    assert got["hub"] == base + (85 * 3 * r0) // 100
+    assert got["a"] == base + (85 * r0) // 100
+    assert got["b"] == base  # no in-edges
+    assert got["c"] == base
+    assert set(got) == {"a", "b", "c", "hub"}
+
+
+def test_pagerank_distributed_matches_local():
+    rng = np.random.default_rng(7)
+    edges = rd.from_items([
+        {"subj_id": f"n{int(a)}", "obj_id": f"n{int(b)}"}
+        for a, b in rng.integers(0, 40, size=(300, 2)) if a != b
+    ])
+    local = sorted((r["id"], r["rank_units"])
+                   for r in pagerank(edges, iters=3).take_all())
+    dist = sorted((r["id"], r["rank_units"])
+                  for r in pagerank(edges, iters=3, local_threshold=0,
+                                    n_buckets=8).take_all())
+    assert local == dist  # bit-identical integer math on both paths
+
+
+def test_pagerank_mass_conserved_without_dangling():
+    # cycle graph: no dangling nodes -> total rank stays ~SCALE (floor-div
+    # losses only), and symmetry makes every rank equal
+    edges = rd.from_items([
+        {"subj_id": f"n{i}", "obj_id": f"n{(i + 1) % 5}"} for i in range(5)
+    ])
+    got = [r["rank_units"] for r in pagerank(edges, iters=4).take_all()]
+    assert len(set(got)) == 1
+    assert abs(sum(got) - SCALE) < 100  # integer floor losses only
