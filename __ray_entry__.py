@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
+        # exact distributed multi-quantile (p25/p50/p75 per group)
+        "events_value_quartiles": rel.events_value_quartiles,
         # ordered window function (per-user running sum, event grain)
         "events_running_total": rel.events_running_total,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
@@ -447,6 +449,7 @@ FROM events GROUP BY event_type""",
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "events_hourly_users": rel.sql_events_hourly_users(),
+        "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_running_total": rel.sql_events_running_total(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),

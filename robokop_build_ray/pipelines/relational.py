@@ -968,6 +968,45 @@ def events_value_median(sf_dir: str, collect_cap: int = _MEDIAN_COLLECT_CAP):
     return rd.from_pandas(out)
 
 
+def events_value_quartiles(sf_dir: str):
+    """EXACT per-group quartiles (p25/p50/p75) via the generalized
+    iterative histogram selection (functions/quantiles.py) — same
+    scale-safe guarantee as events_value_median but resolving three rank
+    targets per group in shared passes over the fact table. Quantile
+    index semantics = DuckDB quantile_disc (exact ceil(q*n)-1; the three
+    q are binary-exact so float evaluation agrees)."""
+    from ..functions.quantiles import grouped_exact_ranks, quantile_disc_rank
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    counts = {r["event_type"]: int(r["count()"])
+              for r in scan().groupby("event_type").count().take_all()}
+    targets = {
+        g: [(lbl, quantile_disc_rank(q, n))
+            for lbl, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))]
+        for g, n in counts.items()
+    }
+    got = grouped_exact_ranks(scan, "event_type", "value", targets)
+    groups = sorted(counts)
+    return rd.from_pandas(pd.DataFrame({
+        "event_type": groups,
+        "q25": [got[(g, "q25")] for g in groups],
+        "q50": [got[(g, "q50")] for g in groups],
+        "q75": [got[(g, "q75")] for g in groups],
+    }))
+
+
+def sql_events_value_quartiles() -> str:
+    return """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.50) AS q50,
+       quantile_disc(value, 0.75) AS q75
+FROM events GROUP BY event_type"""
+
+
 def sql_events_value_median() -> str:
     return """
 SELECT event_type, median(value) AS median_value

@@ -1,0 +1,55 @@
+"""Exact distributed order statistics: histogram-pass path pinned against
+a straight numpy sort, and quantile_disc rank semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from robokop_build_ray.functions.quantiles import grouped_exact_ranks, quantile_disc_rank
+
+
+def test_quantile_disc_rank_matches_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (1, 2, 4, 5, 7, 10, 33):
+        vals = ",".join(f"({i + 1})" for i in range(n))
+        for q in (0.25, 0.5, 0.75):
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM (VALUES {vals}) t(x)"
+            ).fetchone()[0]
+            assert quantile_disc_rank(q, n) == want - 1, (n, q)
+
+
+def test_grouped_exact_ranks_forced_histogram_path():
+    rng = np.random.default_rng(11)
+    frames = []
+    for g, n in (("a", 900), ("b", 400)):
+        frames.append(pd.DataFrame({"grp": g, "value": rng.normal(size=n)}))
+    df = pd.concat(frames, ignore_index=True)
+    ds = rd.from_pandas(df).repartition(6)
+
+    targets = {
+        g: [(f"q{int(q * 100)}", quantile_disc_rank(q, n))
+            for q in (0.25, 0.5, 0.75)]
+        for g, n in (("a", 900), ("b", 400))
+    }
+    # collect_cap=10 forces the iterative narrowing passes to run
+    got = grouped_exact_ranks(lambda: ds, "grp", "value", targets,
+                              collect_cap=10)
+    for g, sub in df.groupby("grp"):
+        v = np.sort(sub["value"].to_numpy())
+        for q in (0.25, 0.5, 0.75):
+            assert got[(g, f"q{int(q * 100)}")] == v[
+                quantile_disc_rank(q, len(v))], (g, q)
+
+
+def test_grouped_exact_ranks_duplicate_heavy_group():
+    df = pd.DataFrame({"grp": "x", "value": [3.5] * 50 + [1.0, 9.0]})
+    ds = rd.from_pandas(df)
+    got = grouped_exact_ranks(
+        lambda: ds, "grp", "value",
+        {"x": [("q50", quantile_disc_rank(0.5, len(df)))]}, collect_cap=5)
+    assert got[("x", "q50")] == 3.5
