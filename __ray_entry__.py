@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             _docs(sf), threshold=0.3
         ).select_columns(["id_a", "id_b"]),
+        # SymSpell deletion-variant blocking, exact levenshtein<=1 verify
+        "part_name_editdist": lambda sf: dedup.edit_distance_pairs(
+            rd.read_parquet(f"{sf}/part.parquet",
+                            columns=["p_partkey", "p_name"]),
+            id_col="p_partkey", text_col="p_name",
+        ),
         # composition: LSH pairs -> connected components -> cluster ids
         "dedup_clusters": lambda sf: dedup.near_dup_clusters(
             _docs(sf), threshold=0.5
@@ -450,6 +456,10 @@ FROM events GROUP BY event_type""",
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
+        "part_name_editdist": """
+SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b
+FROM part p1 JOIN part p2 ON p1.p_partkey < p2.p_partkey
+WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_running_total": rel.sql_events_running_total(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),

@@ -459,3 +459,95 @@ def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
         )
 
     return bucketed_apply(u, ["k"], merge)
+
+
+# ------------------------------------------------------------- edit distance
+
+def _within_edit1(a: str, b: str) -> bool:
+    """levenshtein(a, b) <= 1, exact (one substitution OR one indel)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        cap: int = 1000, n_buckets: int = 64):
+    """(id_a, id_b) with levenshtein(text) <= 1 — SymSpell-style blocking:
+    two strings within one edit ALWAYS share a member of
+    {s} ∪ {s minus one char}, so candidates are exactly the pairs meeting
+    in a deletion-variant bucket (complete, never all-pairs). Texts ride
+    the variant rows so verification is local to the pair-generation
+    bucket; a second exchange dedups pairs that met in several variants.
+    ``cap`` bounds any one variant bucket (hot variant = mass-duplicated
+    short string); capped groups are logged, mirroring _bucket_pairs."""
+    import logging
+
+    from ..functions.bucketing import bucketed_apply, bucketed_distinct
+
+    log = logging.getLogger(__name__)
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        ids, texts, keys = [], [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            t = str(t)
+            ids.append(i)
+            texts.append(t)
+            keys.append(t)
+            for d in range(len(t)):
+                ids.append(i)
+                texts.append(t)
+                keys.append(t[:d] + t[d + 1:])
+        return pd.DataFrame({"vkey": keys, "vid": ids, "vtext": texts})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, sub in g.groupby("vkey", sort=False):
+            sub = sub.drop_duplicates("vid").sort_values("vid")
+            if len(sub) > cap:
+                log.warning("edit_distance_pairs: variant bucket %r capped "
+                            "%d -> %d", sub["vkey"].iloc[0], len(sub), cap)
+                sub = sub.head(cap)
+            if len(sub) < 2:
+                continue
+            ids = sub["vid"].to_numpy()
+            txt = sub["vtext"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ok = np.fromiter(
+                (_within_edit1(txt[x], txt[y]) for x, y in zip(ii, jj)),
+                dtype=bool, count=len(ii))
+            outs_a.append(ids[ii][ok])
+            outs_b.append(ids[jj][ok])
+        if not outs_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(outs_a),
+                             "id_b": np.concatenate(outs_b)})
+
+    cand = bucketed_apply(
+        ds.map_batches(variants, batch_format="pandas"),
+        ["vkey"], pairs_in_bucket, None, n_buckets)
+    return bucketed_distinct(cand, ["id_a", "id_b"], n_buckets)

@@ -62,3 +62,24 @@ def test_grouped_distinct_count_matches_pandas():
                rd.from_items(rows), "k", "v", k=256).take_all()}
     want = pd.DataFrame(rows).groupby("k")["v"].nunique().to_dict()
     assert got == want
+
+
+def test_edit_distance_pairs_planted():
+    from robokop_build_ray.stages.dedup import _within_edit1, edit_distance_pairs
+
+    assert _within_edit1("bolt", "bolt")
+    assert _within_edit1("bolt", "bolts")      # insertion
+    assert _within_edit1("bolt", "bot" + "t")  # substitution
+    assert _within_edit1("bolt", "olt")        # deletion
+    assert not _within_edit1("bolt", "gear")
+    assert not _within_edit1("bolt", "boltss")
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "red bolt"},
+        {"doc_id": 2, "text": "red bolts"},   # 1 edit from doc 1
+        {"doc_id": 3, "text": "red bolt"},    # identical to doc 1
+        {"doc_id": 4, "text": "blue gear"},
+    ])
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in edit_distance_pairs(ds, n_buckets=4).take_all())
+    assert got == [(1, 2), (1, 3), (2, 3)]
