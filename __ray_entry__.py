@@ -105,6 +105,48 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(_kg(sf_dir, "edges"))
 
 
+def _kg_degree_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """Undirected distinct-neighbor degree per entity, global top-k —
+    the hub census of the built graph. One id-bucketed exchange (dedup +
+    count fused per bucket), per-bucket top-k, tiny final cut."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from robokop_build_ray.functions.bucketing import bucketed_apply
+
+    edges = _kg(sf_dir, "edges")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t["subj_id"].combine_chunks().cast(pa.string())
+        o = t["obj_id"].combine_chunks().cast(pa.string())
+        return pa.table({"id": pa.concat_arrays([s, o]),
+                         "nb": pa.concat_arrays([o, s])})
+
+    by, asc = ["degree", "id"], [False, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id", "nb"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["id", "nb"]).groupby("id", sort=False)
+             .size().rename("degree").reset_index())
+        return d.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b["rk"] = np.arange(1, len(b) + 1)
+        b["degree"] = b["degree"].astype("int64")
+        return b[["rk", "id", "degree"]]
+
+    return (
+        bucketed_apply(edges.map_batches(both_dirs, batch_format="pyarrow"),
+                       ["id"], merge, partial, n_buckets)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -231,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         # iterative graph analytics over the built KG (quantized integer)
         "kg_pagerank": _kg_pagerank,
+        # hub census: distinct-neighbor degree, global top-k
+        "kg_degree_topk": _kg_degree_topk,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -422,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
         "kg_components": entry_sql.sql_components(t),
         "kg_pagerank": entry_sql.sql_pagerank(t),
+        "kg_degree_topk": entry_sql.sql_degree_topk(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

@@ -304,6 +304,25 @@ it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
             + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
 
 
+def sql_degree_topk(tier: str, k: int = 20) -> str:
+    """Undirected distinct-neighbor degree, global top-k with rank.
+    Degree over distinct (subj, obj) pairs from the canonical closure ==
+    degree over the deduped edge table (pred multiplicity collapses under
+    DISTINCT nb)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+pairs AS (SELECT DISTINCT subj_id, obj_id FROM canon),
+und AS (
+  SELECT subj_id AS id, obj_id AS nb FROM pairs
+  UNION ALL SELECT obj_id, subj_id FROM pairs
+),
+d AS (SELECT id, count(DISTINCT nb) AS degree FROM und GROUP BY id)
+SELECT rk, id, degree FROM (
+  SELECT row_number() OVER (ORDER BY degree DESC, id) AS rk, id, degree
+  FROM d
+) WHERE rk <= {k}"""
+
+
 def sql_node_type_histogram(tier: str) -> str:
     """Histogram over the emitted node table (`builder/builder.py:129-134`)."""
     nodes = sql_nodes(tier)
