@@ -147,6 +147,34 @@ def _kg_degree_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
     )
 
 
+def _kg_triangles(sf_dir: str):
+    """Per-node triangle participation over the built graph (graph
+    analytics the reference defers to its neo4j sink)."""
+    from robokop_build_ray.stages.graph_metrics import triangles_per_node
+
+    return triangles_per_node(_kg(sf_dir, "edges"))
+
+
+def _kg_neighbor_jaccard(sf_dir: str):
+    """Common-neighbor Jaccard link prediction, global top-50."""
+    from robokop_build_ray.stages.graph_metrics import neighbor_jaccard_topk
+
+    return neighbor_jaccard_topk(_kg(sf_dir, "edges"))
+
+
+def _kg_metapath_2hop(sf_dir: str):
+    """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import metapath_2hop
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return metapath_2hop(_kg(sf_dir, "edges"), tm,
+                         "chemical_substance", "disease")
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -275,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         # hub census: distinct-neighbor degree, global top-k
         "kg_degree_topk": _kg_degree_topk,
+        # structural graph metrics (stages/graph_metrics.py)
+        "kg_triangles": _kg_triangles,
+        "kg_neighbor_jaccard": _kg_neighbor_jaccard,
+        "kg_metapath_2hop": _kg_metapath_2hop,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -467,6 +499,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": entry_sql.sql_components(t),
         "kg_pagerank": entry_sql.sql_pagerank(t),
         "kg_degree_topk": entry_sql.sql_degree_topk(t),
+        "kg_triangles": entry_sql.sql_triangles(t),
+        "kg_neighbor_jaccard": entry_sql.sql_neighbor_jaccard(t),
+        "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

@@ -323,6 +323,76 @@ SELECT rk, id, degree FROM (
 ) WHERE rk <= {k}"""
 
 
+_UND_CTES = """p0 AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+       WHERE subj_id <> obj_id),
+und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM p0),
+adj AS (SELECT a AS id, b AS nb FROM und UNION ALL SELECT b, a FROM und)"""
+
+
+def sql_triangles(tier: str) -> str:
+    """Per-node triangle counts over the undirected simple graph (mirrors
+    graph_metrics.triangles_per_node's degree-ordered enumeration: SQL
+    enumerates each triangle once via a < b < c ordering instead)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ids AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT id, count(*) AS n_triangles FROM ids GROUP BY id"""
+
+
+def sql_neighbor_jaccard(tier: str, k: int = 50) -> str:
+    """Top-k common-neighbor Jaccard pairs; ONE double division of exact
+    ints on both sides (repo float invariant)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+cmn AS (
+  SELECT m1.nb AS id_a, m2.nb AS id_b, count(*) AS common
+  FROM adj m1 JOIN adj m2 ON m1.id = m2.id AND m1.nb < m2.nb
+  GROUP BY m1.nb, m2.nb
+),
+scored AS (
+  SELECT c.id_a, c.id_b, c.common,
+         1.0 * c.common / (d1.d + d2.d - c.common) AS jaccard
+  FROM cmn c
+  JOIN deg d1 ON d1.id = c.id_a
+  JOIN deg d2 ON d2.id = c.id_b
+)
+SELECT rk, id_a, id_b, common, jaccard FROM (
+  SELECT row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rk,
+         id_a, id_b, common, jaccard
+  FROM scored
+) WHERE rk <= {k}"""
+
+
+def sql_metapath_2hop(tier: str, type_a: str = "chemical_substance",
+                      type_b: str = "disease") -> str:
+    """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg): adjacency
+    rows are unique per (mid, neighbor) so count(*) == distinct mids."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES}
+SELECT m1.nb AS id_a, m2.nb AS id_b, count(*) AS n_paths
+FROM adj m1
+JOIN adj m2 ON m1.id = m2.id
+JOIN read_parquet('{p["gazetteer"]}') ga
+  ON ga.curie = m1.nb AND ga.node_type = '{type_a}'
+JOIN read_parquet('{p["gazetteer"]}') gb
+  ON gb.curie = m2.nb AND gb.node_type = '{type_b}'
+GROUP BY m1.nb, m2.nb"""
+
+
 def sql_node_type_histogram(tier: str) -> str:
     """Histogram over the emitted node table (`builder/builder.py:129-134`)."""
     nodes = sql_nodes(tier)

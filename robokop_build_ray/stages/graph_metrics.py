@@ -1,0 +1,253 @@
+"""Distributed graph metrics over the built KG edge list.
+
+Third member of the graph-analytics family next to ``components``
+(min-label propagation) and ``pagerank`` (fixed-point rank): structural
+metrics the reference defers to its neo4j sink (graph queries over builder
+output — `builder/builder.py:497-521` run() ships edges to a graph DB and
+answers path/centrality questions there). Engine-native equivalents:
+
+- :func:`triangles_per_node` — exact triangle participation counts via
+  degree-ordered wedge generation + one bucketed edge-membership join.
+- :func:`neighbor_jaccard_topk` — common-neighbor Jaccard link prediction
+  (chemotext2-style "how similar are two entities" rephrased structurally,
+  `builder/userquery.py` similarity semantics at graph grain).
+- :func:`metapath_2hop` — typed 2-hop path counts (the Path-DSL's
+  ``S(1-2)D`` two-hop leg, `builder/lookup_utils.py` type dispatch).
+
+Scale shape: every corpus-scale exchange is a bucketed salted shuffle
+(``functions/bucketing``); the only driver-sized state is the per-entity
+degree map (entity-bounded — the gazetteer universe, same bound as the
+canonicalization closure broadcast). Wedge generation from a center node is
+O(deg^2): triangles bound it by degree-ordered orientation (each edge
+points low-degree -> high-degree, so per-center work is out-degree^2, the
+classic distributed-triangle bound); the Jaccard pass needs TRUE common
+-neighbor counts so its wedge fan-out is inherent — cap with
+``max_center_degree`` (hubs above the cap are skipped and logged, the
+standard approximation in link-prediction at scale; None = exact for the
+oracle-checked tier).
+
+Determinism: all counts are int64; jaccard is ONE float64 division of two
+exact integers (repo float invariant), bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.bucketing import (
+    bucketed_attach,
+    bucketed_count,
+    bucketed_distinct,
+    bucketed_group_pairs,
+    coalesced_count,
+)
+
+_SEP = "\x1f"  # key-join separator (never appears in CURIEs)
+
+
+def undirected_pairs(edges, src: str = "subj_id", dst: str = "obj_id",
+                     n_buckets: int = 64):
+    """Distinct undirected (a < b) endpoint pairs, self-loops dropped —
+    the simple-graph view of the deduped edge table (pred multiplicity
+    collapses)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t[src].combine_chunks().cast(pa.string())
+        o = t[dst].combine_chunks().cast(pa.string())
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    return bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"],
+        n_buckets)
+
+
+def _adjacency(und):
+    """Both directions of the undirected pair table: one row per
+    (node, distinct neighbor)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.string())
+        b = t["b"].combine_chunks().cast(pa.string())
+        return pa.table({"id": pa.concat_arrays([a, b]),
+                         "nb": pa.concat_arrays([b, a])})
+
+    return und.map_batches(both, batch_format="pyarrow")
+
+
+def degree_map(und, coalesce: int = 16) -> dict[str, int]:
+    """Driver-side distinct-neighbor degree dict. Entity-bounded (the
+    canonical id universe is the gazetteer's, the same bound the
+    canonicalization broadcast already relies on); collected from the
+    COALESCED partial counts, never from a corpus-scale stream."""
+    parts = coalesced_count(_adjacency(und), ["id"], name="deg",
+                            coalesce=coalesce)
+    frames = list(parts.iter_batches(batch_format="pandas", batch_size=None))
+    if not frames:
+        return {}
+    df = pd.concat(frames, ignore_index=True)
+    return df.groupby("id", sort=False)["deg"].sum().to_dict()
+
+
+def triangles_per_node(edges, src: str = "subj_id", dst: str = "obj_id",
+                       n_buckets: int = 64):
+    """Exact per-node triangle counts: Dataset(id, n_triangles), one row
+    per node in >= 1 triangle.
+
+    Degree-ordered orientation (edge points to the (deg, id)-larger
+    endpoint) makes the orientation acyclic, so each triangle is generated
+    exactly once — as the wedge of its (deg, id)-minimal vertex — and
+    per-center wedge work is out-degree^2 (bounded even at hub nodes)."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg_ref = ray.put(degree_map(und))
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        deg = ray.get(deg_ref)
+        if len(b) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                 "nb": pd.Series([], dtype=object)})
+        da = b["a"].map(deg).to_numpy(np.int64)
+        db = b["b"].map(deg).to_numpy(np.int64)
+        # a < b lexicographically, so (deg, id) order reduces to deg
+        # comparison with the lexicographic tiebreak already encoded
+        a_first = (da < db) | (da == db)
+        return pd.DataFrame({
+            "id": np.where(a_first, b["a"], b["b"]),
+            "nb": np.where(a_first, b["b"], b["a"]),
+        })
+
+    oriented = und.map_batches(orient, batch_format="pandas")
+
+    def wedge_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        nbs = np.sort(sub["nb"].to_numpy(dtype=object))
+        if len(nbs) < 2:
+            return pd.DataFrame({"mid": pd.Series([], dtype=object),
+                                 "_kk": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(nbs), k=1)
+        x, y = nbs[i], nbs[j]
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pd.DataFrame({"mid": sub["id"].iloc[0],
+                             "_kk": lo + _SEP + hi})
+
+    wedges = bucketed_group_pairs(oriented, ["id"], wedge_fn, n_buckets)
+
+    def key_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_kk": b["a"] + _SEP + b["b"],
+                             "hit": np.ones(len(b), dtype=np.int64)})
+
+    closed = bucketed_attach(
+        wedges, und.map_batches(key_edges, batch_format="pandas"),
+        left_on="_kk", right_on="_kk", left_cols=["mid", "_kk"],
+        payload={"hit": "hit"}, n_buckets=n_buckets,
+        payload_fill=np.int64(0))
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype=object)})
+        xy = b["_kk"].str.split(_SEP, expand=True)
+        return pd.DataFrame({"id": np.concatenate([
+            b["mid"].to_numpy(dtype=object),
+            xy[0].to_numpy(dtype=object),
+            xy[1].to_numpy(dtype=object)])})
+
+    tri_ids = closed.map_batches(explode, batch_format="pandas")
+    counts = bucketed_count(tri_ids, ["id"], name="n_triangles",
+                            n_buckets=min(n_buckets, 16))
+    return counts.map_batches(
+        lambda b: pd.DataFrame({"id": b["id"],
+                                "n_triangles": b["n_triangles"].astype("int64")}),
+        batch_format="pandas")
+
+
+def neighbor_jaccard_topk(edges, src: str = "subj_id", dst: str = "obj_id",
+                          k: int = 50, n_buckets: int = 64,
+                          max_center_degree: int | None = None):
+    """Top-k entity pairs by neighborhood Jaccard |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| over pairs sharing >= 1 common neighbor:
+    Dataset(rk, id_a, id_b, jaccard). Pairs need not be directly connected
+    (link-prediction semantics)."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg = degree_map(und)
+    deg_ref = ray.put(deg)
+
+    def wedge_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        nbs = np.sort(sub["nb"].to_numpy(dtype=object))
+        if len(nbs) < 2 or (max_center_degree is not None
+                            and len(nbs) > max_center_degree):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(nbs), k=1)
+        return pd.DataFrame({"id_a": nbs[i], "id_b": nbs[j]})
+
+    common = bucketed_count(
+        bucketed_group_pairs(_adjacency(und), ["id"], wedge_fn, n_buckets),
+        ["id_a", "id_b"], name="common", n_buckets=n_buckets)
+
+    by, asc = ["jaccard", "id_a", "id_b"], [False, True, True]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(deg_ref)
+        if len(b) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "common": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        c = b["common"].to_numpy(np.int64)
+        da = b["id_a"].map(d).to_numpy(np.int64)
+        db = b["id_b"].map(d).to_numpy(np.int64)
+        out = b[["id_a", "id_b"]].copy()
+        out["common"] = c
+        # ONE division of exact ints (repo float invariant)
+        out["jaccard"] = c / (da + db - c)
+        return out.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        return b[["rk", "id_a", "id_b", "common", "jaccard"]]
+
+    return (common.map_batches(score, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def metapath_2hop(edges, type_map: dict[str, str], type_a: str, type_b: str,
+                  src: str = "subj_id", dst: str = "obj_id",
+                  n_buckets: int = 64):
+    """Typed 2-hop path counts over the undirected simple graph:
+    Dataset(id_a, id_b, n_paths) where id_a has node type ``type_a``, id_b
+    has ``type_b``, and n_paths = number of distinct intermediate nodes —
+    the Path-DSL's two-hop leg (``S(1-2)D``) made queryable. ``type_map``
+    is the gazetteer's curie -> node_type dict (lexicon-bounded
+    broadcast)."""
+    und = undirected_pairs(edges, src, dst, n_buckets)
+    types_ref = ray.put(type_map)
+
+    def pair_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(types_ref)
+        nbs = sub["nb"].to_numpy(dtype=object)
+        kinds = np.array([tm.get(x, "") for x in nbs], dtype=object)
+        aa = nbs[kinds == type_a]
+        bb = nbs[kinds == type_b]
+        if len(aa) == 0 or len(bb) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"id_a": np.repeat(aa, len(bb)),
+                             "id_b": np.tile(bb, len(aa))})
+
+    pairs = bucketed_group_pairs(_adjacency(und), ["id"], pair_fn, n_buckets)
+    counts = bucketed_count(pairs, ["id_a", "id_b"], name="n_paths",
+                            n_buckets=n_buckets)
+    return counts.map_batches(
+        lambda b: pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"],
+                                "n_paths": b["n_paths"].astype("int64")}),
+        batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Graph metrics: hand-checkable triangle / Jaccard / metapath values on
+tiny graphs, plus brute-force equivalence on a random graph."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import ray.data as rd
+
+from robokop_build_ray.stages.graph_metrics import (
+    metapath_2hop,
+    neighbor_jaccard_topk,
+    triangles_per_node,
+)
+
+
+def _edges(pairs):
+    return rd.from_items([{"subj_id": a, "obj_id": b} for a, b in pairs])
+
+
+def test_triangles_hand_values():
+    # K4 on a,b,c,d (4 triangles, each node in 3) + pendant e + a self-loop
+    # + a duplicated/reversed edge (must collapse)
+    k4 = list(combinations("abcd", 2))
+    ds = _edges(k4 + [("b", "a"), ("d", "e"), ("e", "e")])
+    got = {r["id"]: r["n_triangles"]
+           for r in triangles_per_node(ds, n_buckets=8).take_all()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_match_bruteforce_random():
+    rng = np.random.default_rng(5)
+    pairs = {tuple(sorted((f"n{int(a)}", f"n{int(b)}")))
+             for a, b in rng.integers(0, 30, size=(150, 2)) if a != b}
+    nodes = sorted({x for p in pairs for x in p})
+    nbrs = {n: {b for p in pairs for b in p if n in p and b != n}
+            for n in nodes}
+    want = {}
+    for trio in combinations(nodes, 3):
+        if all(tuple(sorted(e)) in pairs for e in combinations(trio, 2)):
+            for n in trio:
+                want[n] = want.get(n, 0) + 1
+    got = {r["id"]: r["n_triangles"]
+           for r in triangles_per_node(_edges(sorted(pairs)),
+                                       n_buckets=8).take_all()}
+    assert got == want
+
+
+def test_neighbor_jaccard_hand_values():
+    # path graph a-b-c-d: (a,c) share {b}, deg 1+2 -> J=1/2; (b,d) share
+    # {c} -> J=1/2 ; no other pair shares a neighbor
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d")])
+    rows = neighbor_jaccard_topk(ds, k=10, n_buckets=4).take_all()
+    got = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"], r["rk"])
+           for r in rows}
+    assert got == {("a", "c"): (1, 0.5, 1), ("b", "d"): (1, 0.5, 2)}
+
+
+def test_metapath_2hop_hand_values():
+    # chem1 - g1 - dis1, chem1 - g2 - dis1 (2 mids), chem2 - g1 - dis1,
+    # and a direct chem-dis edge (1 hop, must NOT count as 2-hop unless a
+    # mid exists)
+    ds = _edges([
+        ("chem1", "g1"), ("g1", "dis1"),
+        ("chem1", "g2"), ("g2", "dis1"),
+        ("chem2", "g1"),
+        ("chem2", "dis2"),
+    ])
+    tm = {"chem1": "chemical_substance", "chem2": "chemical_substance",
+          "g1": "gene", "g2": "gene", "dis1": "disease", "dis2": "disease"}
+    got = {(r["id_a"], r["id_b"]): r["n_paths"]
+           for r in metapath_2hop(ds, tm, "chemical_substance", "disease",
+                                  n_buckets=4).take_all()}
+    # chem2-dis2 has no intermediate (direct edge only); chem1/chem2 reach
+    # dis1 through g1 (and g2 for chem1)
+    assert got == {("chem1", "dis1"): 2, ("chem2", "dis1"): 1}
