@@ -354,12 +354,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
         "doc_tfidf": lambda sf: _vocab().doc_tfidf(_docs(sf)),
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
+        # collocation mining: top-k bigrams by lift (PMI-monotone)
+        "doc_bigram_lift": lambda sf: _vocab().bigram_lift(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
         "events_value_quartiles": rel.events_value_quartiles,
         # ordered window function (per-user running sum, event grain)
         "events_running_total": rel.events_running_total,
+        # ordered LAG window: per-user inter-event gap statistics
+        "events_user_gaps": rel.events_user_gaps,
+        # TPC-H Q7 shape: bilateral nation trade per ship year
+        "q7_nation_trade": rel.q7_nation_trade,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
         "customer_order_counts": rel.customer_order_counts,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -541,6 +547,9 @@ SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b
 FROM part p1 JOIN part p2 ON p1.p_partkey < p2.p_partkey
 WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_running_total": rel.sql_events_running_total(),
+        "events_user_gaps": rel.sql_events_user_gaps(),
+        "q7_nation_trade": rel.sql_q7_nation_trade(),
+        "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""

@@ -439,6 +439,185 @@ SELECT event_id, user_id, ts,
 FROM events"""
 
 
+def events_user_gaps(sf_dir: str, n_buckets: int = 64):
+    """Ordered LAG window: per-user inter-event gap statistics
+    (n_gaps, min/max/sum in microseconds, mean as one exact-int division)
+    for users with >= 2 events. One user-bucketed exchange; the per-bucket
+    merge sorts once and diffs the whole bucket vectorized (user
+    boundaries masked) — no per-user Python calls."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "t": t["ts"].cast(pa.int64()),  # microseconds since epoch
+        })
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n_gaps": pd.Series([], dtype="int64"),
+        "min_gap_us": pd.Series([], dtype="int64"),
+        "max_gap_us": pd.Series([], dtype="int64"),
+        "sum_gap_us": pd.Series([], dtype="int64"),
+        "mean_gap_us": pd.Series([], dtype="float64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(_empty)
+        gaps = pd.DataFrame({"user_id": u[1:][same],
+                             "gap": (t[1:] - t[:-1])[same]})
+        agg = gaps.groupby("user_id", sort=False).agg(
+            n_gaps=("gap", "size"), min_gap_us=("gap", "min"),
+            max_gap_us=("gap", "max"), sum_gap_us=("gap", "sum"),
+        ).reset_index()
+        # ONE IEEE division of exact ints (repo float invariant)
+        agg["mean_gap_us"] = (agg["sum_gap_us"].to_numpy(np.float64)
+                              / agg["n_gaps"].to_numpy(np.int64))
+        for c in ("n_gaps", "min_gap_us", "max_gap_us", "sum_gap_us"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_gaps() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pt
+  FROM events
+),
+g AS (SELECT user_id, t - pt AS gap FROM o WHERE pt IS NOT NULL)
+SELECT user_id, count(*) AS n_gaps,
+       min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       1.0 * CAST(sum(gap) AS BIGINT) / count(*) AS mean_gap_us
+FROM g GROUP BY user_id"""
+
+
+# -------------------------------------------------------------- Q7 shape
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q7_nation_trade(sf_dir: str):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per ship
+    year. supplier->nation and customer->nation are dimension maps
+    (broadcast once); lineitem streams with a per-batch partial keyed on
+    (orderkey, supp_nation, year); the order->cust_nation attachment is a
+    distributed hash join against the (filtered, dimension-mapped) orders
+    scan; the final groupby is tiny (2 directions x years)."""
+    from ..functions.ray_utils import default_parallelism
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    }
+    supp_nation = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).take_all()
+    }
+    cust_nation = {
+        r["c_custkey"]: nation[r["c_nationkey"]]
+        for r in rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).take_all()
+    }
+    pair = set(Q7_NATIONS)
+    sn_ref = ray.put(supp_nation)
+    cn_ref = ray.put(cust_nation)
+
+    class OrderNation:
+        def __init__(self):
+            self.cn = ray.get(cn_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            cn = b["o_custkey"].map(self.cn)
+            keep = cn.isin(pair).to_numpy()
+            return pd.DataFrame({"o_orderkey": b["o_orderkey"][keep],
+                                 "cust_nation": cn[keep]})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(OrderNation, batch_format="pandas", concurrency=(1, 4))
+
+    class LiPartial:
+        def __init__(self):
+            self.sn = ray.get(sn_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sn = b["l_suppkey"].map(self.sn)
+            keep = sn.isin(pair).to_numpy()
+            b, sn = b[keep], sn[keep]
+            out = pd.DataFrame({
+                "l_orderkey": b["l_orderkey"],
+                "supp_nation": sn,
+                "l_year": b["l_shipdate"].dt.year.astype("int64"),
+                "rev": _cents(b["l_extendedprice"].to_numpy()
+                              * (1.0 - b["l_discount"].to_numpy())),
+            })
+            return out.groupby(["l_orderkey", "supp_nation", "l_year"],
+                               as_index=False)["rev"].sum()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 8))
+
+    joined = li.join(
+        orders, join_type="inner", num_partitions=default_parallelism(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cross_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["supp_nation"] != b["cust_nation"]]
+        return b[["supp_nation", "cust_nation", "l_year", "rev"]]
+
+    return rename(
+        joined.map_batches(cross_only, batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation", "l_year"]).sum("rev"),
+        {"sum(rev)": "revenue_cents"},
+    )
+
+
+def sql_q7_nation_trade() -> str:
+    n1, n2 = Q7_NATIONS
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  WHERE ns.n_name IN ('{n1}', '{n2}') AND nc.n_name IN ('{n1}', '{n2}')
+    AND ns.n_name <> nc.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year"""
+
+
 def customer_order_counts(sf_dir: str, n_buckets: int = 64):
     """LEFT OUTER aggregate: every customer with their order count,
     including zero. Expressed without an outer-join operator: the order

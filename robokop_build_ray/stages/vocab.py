@@ -162,6 +162,128 @@ SELECT doc_id, term, tf, df, score FROM (
 ) WHERE rk <= {k}"""
 
 
+def bigram_lift(docs, k: int = 50, min_count: int = 5, n_buckets: int = 64):
+    """Collocation mining: top-k within-document bigrams by lift
+    c_xy * N / (c_x * c_y) -> (rk, bigram, c_xy, lift).
+
+    Lift orders identically to PMI (log is monotone) but stays ONE float
+    expression over exact ints, so the ranking and the value are
+    bit-identical to the oracle. Bigram and unigram counts are each a
+    bucketed word-count (combiner per batch); the two unigram attaches are
+    bucketed merge joins on w1/w2 (the vocabulary is corpus-scale at web
+    scale — never a broadcast); N folds from the unigram table (a tiny
+    aggregate). Tokens are space-free (``TOKEN_RE``), so the space-joined
+    bigram string is unambiguous."""
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat = b["text"].str.lower().str.findall(TOKEN_RE).explode().dropna()
+        return (flat.value_counts().rename("c").rename_axis("w")
+                .reset_index())
+
+    def uni_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False, as_index=False)["c"].sum()
+
+    uni = bucketed_apply(docs.select_columns(["text"]), ["w"], uni_merge,
+                         uni_partial, n_buckets).materialize()
+    n_tokens = int(uni.sum("c"))
+
+    def big_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # explode all tokens once; adjacent pairs with the same (reset)
+        # doc index are the within-document bigrams — no per-doc loop
+        flat = (b["text"].str.lower().str.findall(TOKEN_RE)
+                .reset_index(drop=True).explode().dropna())
+        idx = flat.index.to_numpy()
+        vals = flat.to_numpy(dtype=object)
+        if len(vals) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "c_xy": pd.Series([], dtype="int64")})
+        same = idx[1:] == idx[:-1]
+        bigrams = vals[:-1][same] + " " + vals[1:][same]
+        return (pd.Series(bigrams).value_counts().rename("c_xy")
+                .rename_axis("bigram").reset_index())
+
+    def big_merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("bigram", sort=False, as_index=False)["c_xy"].sum()
+        return g[g["c_xy"] >= min_count]
+
+    big = bucketed_apply(docs.select_columns(["text"]), ["bigram"],
+                         big_merge, big_partial, n_buckets)
+
+    def split_w(col: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out["_w"] = b["bigram"].str.split(" ").str[col]
+            return out
+        return f
+
+    with_w1 = bucketed_attach(
+        big.map_batches(split_w(0), batch_format="pandas"), uni,
+        left_on="_w", right_on="w", left_cols=["bigram", "c_xy"],
+        payload={"c": "c_x"}, n_buckets=n_buckets,
+        payload_fill=np.int64(0), left_fill={"c_xy": np.int64(0)})
+    with_both = bucketed_attach(
+        with_w1.map_batches(split_w(1), batch_format="pandas"), uni,
+        left_on="_w", right_on="w", left_cols=["bigram", "c_xy", "c_x"],
+        payload={"c": "c_y"}, n_buckets=n_buckets,
+        payload_fill=np.int64(0),
+        left_fill={"c_xy": np.int64(0), "c_x": np.int64(0)})
+
+    by, asc = ["lift", "bigram"], [False, True]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "c_xy": pd.Series([], dtype="int64"),
+                                 "lift": pd.Series([], dtype="float64")})
+        out = b[["bigram"]].copy()
+        out["c_xy"] = b["c_xy"].astype("int64")
+        # mirrors the oracle's ((1.0 * c_xy) * N) / (c_x * c_y) op order
+        out["lift"] = (b["c_xy"].to_numpy(np.float64) * np.float64(n_tokens)
+                       ) / (b["c_x"].to_numpy(np.int64)
+                            * b["c_y"].to_numpy(np.int64))
+        return out.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        return b[["rk", "bigram", "c_xy", "lift"]]
+
+    return (with_both.map_batches(score, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_bigram_lift(k: int = 50, min_count: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks
+),
+bc AS (SELECT bigram, count(*) AS c_xy FROM big
+       GROUP BY bigram HAVING count(*) >= {min_count}),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT count(*) AS n FROM uni),
+scored AS (
+  SELECT b.bigram, b.c_xy,
+         1.0 * b.c_xy * t.n / (u1.c * u2.c) AS lift
+  FROM bc b
+  JOIN uc u1 ON u1.w = split_part(b.bigram, ' ', 1)
+  JOIN uc u2 ON u2.w = split_part(b.bigram, ' ', 2)
+  CROSS JOIN tot t
+)
+SELECT rk, bigram, c_xy, lift FROM (
+  SELECT row_number() OVER (ORDER BY lift DESC, bigram) AS rk,
+         bigram, c_xy, lift
+  FROM scored
+) WHERE rk <= {k}"""
+
+
 def inverted_index(docs, min_df: int = 30, max_df: int = 390,
                    n_buckets: int = 64):
     """Retrieval-index build: term -> (df, sorted int64 posting list),
