@@ -162,6 +162,14 @@ def _kg_neighbor_jaccard(sf_dir: str):
     return neighbor_jaccard_topk(_kg(sf_dir, "edges"))
 
 
+def _kg_kcore(sf_dir: str):
+    """Fixed-round k-core peeling (hybrid local/distributed, like
+    pagerank/components)."""
+    from robokop_build_ray.stages.graph_metrics import kcore
+
+    return kcore(_kg(sf_dir, "edges"))
+
+
 def _kg_metapath_2hop(sf_dir: str):
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
     import pandas as pd
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _kg_triangles,
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_metapath_2hop": _kg_metapath_2hop,
+        "kg_kcore": _kg_kcore,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -508,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": entry_sql.sql_triangles(t),
         "kg_neighbor_jaccard": entry_sql.sql_neighbor_jaccard(t),
         "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
+        "kg_kcore": entry_sql.sql_kcore(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

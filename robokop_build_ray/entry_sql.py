@@ -376,6 +376,32 @@ SELECT rk, id_a, id_b, common, jaccard FROM (
 ) WHERE rk <= {k}"""
 
 
+def sql_kcore(tier: str, k: int = 30, rounds: int = 8) -> str:
+    """Fixed-round k-core peeling unrolled per round (mirrors
+    graph_metrics.kcore: ``rounds`` is a spec constant, so the oracle
+    re-derives exactly that many peels — bit-identical whether or not the
+    peeling has converged)."""
+    p = corpus_paths(tier)
+    # MATERIALIZED: each round references the previous edge set twice, so
+    # plain CTE inlining would expand the recursive canon scan 2^rounds
+    # times (observed as a too-many-open-files blowup)
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT id, count(*) AS d FROM (
+    SELECT a AS id FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+  GROUP BY id),
+n{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r - 1} e
+         JOIN n{r} x ON x.id = e.a JOIN n{r} y ON y.id = e.b)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes)
+            + f"""
+SELECT id, count(*) AS core_degree FROM (
+  SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY id""")
+
+
 def sql_metapath_2hop(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease") -> str:
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg): adjacency

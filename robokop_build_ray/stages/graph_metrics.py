@@ -220,6 +220,89 @@ def neighbor_jaccard_topk(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+KCORE_K = 30
+KCORE_ROUNDS = 8
+
+
+def _local_kcore(und, k: int, rounds: int):
+    """Driver numpy peeling for an edge list under the gate — identical
+    round semantics to the distributed path and the SQL oracle."""
+    import ray.data as rd
+
+    frames = list(und.iter_batches(batch_format="pandas", batch_size=65536))
+    df = (pd.concat(frames, ignore_index=True) if frames
+          else pd.DataFrame({"a": [], "b": []}))
+    nodes = np.unique(np.concatenate([df["a"].to_numpy(dtype=object),
+                                      df["b"].to_numpy(dtype=object)]))
+    n = len(nodes)
+    empty = pa.table({"id": pa.array([], pa.string()),
+                      "core_degree": pa.array([], pa.int64())})
+    if n == 0:
+        return rd.from_arrow(empty)
+    ai = np.searchsorted(nodes, df["a"].to_numpy(dtype=object))
+    bi = np.searchsorted(nodes, df["b"].to_numpy(dtype=object))
+    alive = np.ones(n, dtype=bool)
+    for _ in range(rounds):
+        em = alive[ai] & alive[bi]
+        deg = (np.bincount(ai[em], minlength=n)
+               + np.bincount(bi[em], minlength=n))
+        alive = deg >= k
+    em = alive[ai] & alive[bi]
+    deg = (np.bincount(ai[em], minlength=n)
+           + np.bincount(bi[em], minlength=n)).astype(np.int64)
+    out = deg >= 1
+    if not out.any():
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(nodes[out], pa.string()),
+        "core_degree": pa.array(deg[out], pa.int64()),
+    }))
+
+
+def kcore(edges, k: int = KCORE_K, rounds: int = KCORE_ROUNDS,
+          src: str = "subj_id", dst: str = "obj_id", n_buckets: int = 64,
+          local_threshold: int = 1_000_000):
+    """Fixed-round k-core peeling over the undirected simple graph:
+    Dataset(id, core_degree) for nodes still carrying an edge after
+    ``rounds`` rounds of "drop every node whose current degree < k".
+
+    ``rounds`` is a spec constant (like ``PAGERANK_ITERS``): both engine
+    paths and the SQL oracle unroll exactly this many peels, so results
+    are bit-identical whether or not the peeling has converged. Hybrid
+    scale shape (same gate as components/pagerank): under the edge gate
+    the loop is one driver numpy pass; above it, each round is one
+    coalesced degree count (entity-bounded) + one broadcast-filtered edge
+    pass — the corpus-scale edge list never leaves the cluster."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    if und.count() <= local_threshold:
+        return _local_kcore(und, k, rounds)
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    e = und
+    for _ in range(rounds):
+        degs = degree_map(e)
+        keep_ref = ray.put({i for i, d in degs.items() if d >= k})
+
+        def filt(b: pd.DataFrame, _ref=keep_ref) -> pd.DataFrame:
+            s = ray.get(_ref)
+            m = b["a"].isin(s).to_numpy() & b["b"].isin(s).to_numpy()
+            return b[m]
+
+        e = e.map_batches(filt, batch_format="pandas").materialize()
+    final = degree_map(e)
+    if not final:
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.string()),
+            "core_degree": pa.array([], pa.int64())}))
+    ids = sorted(final)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "core_degree": pa.array([int(final[i]) for i in ids], pa.int64()),
+    }))
+
+
 def metapath_2hop(edges, type_map: dict[str, str], type_a: str, type_b: str,
                   src: str = "subj_id", dst: str = "obj_id",
                   n_buckets: int = 64):

@@ -9,6 +9,7 @@ import numpy as np
 import ray.data as rd
 
 from robokop_build_ray.stages.graph_metrics import (
+    kcore,
     metapath_2hop,
     neighbor_jaccard_topk,
     triangles_per_node,
@@ -55,6 +56,31 @@ def test_neighbor_jaccard_hand_values():
     got = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"], r["rk"])
            for r in rows}
     assert got == {("a", "c"): (1, 0.5, 1), ("b", "d"): (1, 0.5, 2)}
+
+
+def test_kcore_hand_values():
+    # K4 (abcd) + tail d-e-f: e,f die (deg<3), then d keeps deg 3 in K4;
+    # 3-core = K4 with degree 3 each
+    k4 = list(combinations("abcd", 2))
+    ds = _edges(k4 + [("d", "e"), ("e", "f")])
+    got = {r["id"]: r["core_degree"]
+           for r in kcore(ds, k=3, rounds=4, n_buckets=4).take_all()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_cascade_and_distributed_match():
+    # path graph: every node degree <=2, so the 2-core of a pure path
+    # cascades empty; add a cycle that survives
+    path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    cyc = [(f"c{i}", f"c{(i+1) % 5}") for i in range(5)]
+    ds = _edges(path + cyc)
+    local = sorted((r["id"], r["core_degree"])
+                   for r in kcore(ds, k=2, rounds=8).take_all())
+    assert local == sorted((f"c{i}", 2) for i in range(5))
+    dist = sorted((r["id"], r["core_degree"])
+                  for r in kcore(ds, k=2, rounds=8, local_threshold=0,
+                                 n_buckets=4).take_all())
+    assert local == dist  # hybrid paths bit-identical
 
 
 def test_metapath_2hop_hand_values():
