@@ -375,6 +375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": rel.events_user_gaps,
         # TPC-H Q7 shape: bilateral nation trade per ship year
         "q7_nation_trade": rel.q7_nation_trade,
+        # market-basket pair mining (support-pair shape, relational grain)
+        "part_copurchase_topk": rel.part_copurchase_topk,
+        # fixed-width binned histogram per event type
+        "events_value_histogram": rel.events_value_histogram,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
         "customer_order_counts": rel.customer_order_counts,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -559,6 +563,8 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_running_total": rel.sql_events_running_total(),
         "events_user_gaps": rel.sql_events_user_gaps(),
         "q7_nation_trade": rel.sql_q7_nation_trade(),
+        "part_copurchase_topk": rel.sql_part_copurchase_topk(),
+        "events_value_histogram": rel.sql_events_value_histogram(),
         "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),

@@ -508,6 +508,110 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g GROUP BY user_id"""
 
 
+def part_copurchase_topk(sf_dir: str, k: int = 25, n_buckets: int = 64):
+    """Market-basket pair mining: top-k part pairs by co-occurrence across
+    orders -> (rk, part_a, part_b, n).
+
+    Same shape as the KG support-pair stage at relational grain: an order's
+    lines can span input blocks, so pair generation happens after ONE
+    orderkey-bucketed exchange (per-order fanout is bounded — TPC-H orders
+    have <= 7-ish parts); pair counts partial-aggregate inside the bucket
+    (a vectorized self-merge, no per-order Python), then one pair-bucketed
+    sum and a partial-capped top-k."""
+    from ..functions.bucketing import bucketed_apply, bucketed_sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    _empty = {
+        "part_a": pd.Series([], dtype="int64"),
+        "part_b": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+    }
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(_empty)
+        out = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+               .size().rename("n").reset_index())
+        return out.rename(columns={"l_partkey_x": "part_a",
+                                   "l_partkey_y": "part_b"})
+
+    counted = bucketed_apply(li, ["l_orderkey"], pair_counts, dedup,
+                             n_buckets)
+    agg = bucketed_sum(counted, ["part_a", "part_b"], "n", n_buckets)
+
+    by, asc = ["n", "part_a", "part_b"], [False, True, True]
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        b["n"] = b["n"].astype("int64")
+        return b[["rk", "part_a", "part_b", "n"]]
+
+    return (agg.map_batches(local_topk, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_part_copurchase_topk(k: int = 25) -> str:
+    return f"""
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT rk, part_a, part_b, n FROM (
+  SELECT row_number() OVER (ORDER BY n DESC, part_a, part_b) AS rk,
+         part_a, part_b, n
+  FROM pairs
+) WHERE rk <= {k}"""
+
+
+HIST_BIN_WIDTH = 50.0
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width binned histogram per event type -> (event_type, bin, n).
+    Binning is a vectorized floor-divide inside the scan (same IEEE ops as
+    the oracle's floor(value / width)); the groupby key space is tiny
+    (types x bins), so partials collapse in one native aggregate."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(b["value"].to_numpy()
+                        / HIST_BIN_WIDTH).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"], "bin": bins})
+        return (df.groupby(["event_type", "bin"], sort=False)
+                .size().rename("n").reset_index())
+
+    return rename(
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "bin"]).sum("n"),
+        {"sum(n)": "n"},
+    )
+
+
+def sql_events_value_histogram() -> str:
+    return f"""
+SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events GROUP BY event_type, bin"""
+
+
 # -------------------------------------------------------------- Q7 shape
 
 Q7_NATIONS = ("NATION_1", "NATION_2")
