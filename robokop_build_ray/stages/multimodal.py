@@ -1,19 +1,27 @@
-"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-Image/audio decode libraries are not available in this environment, so the
-DECODE KERNELS ARE STUBS (deterministic fakes / NotImplementedError), but the
-Ray-side plumbing is real and tested: schema, actor-pool signature, small
-batch sizes for wide binary rows, and output layout.
+Payloads stay ``binary`` end-to-end (Arrow batches, never pandas object
+columns); per-item work happens in an actor pool whose codec/model state is
+created once in ``__init__``; ``batch_size`` stays small so
+payload x batch x concurrency fits worker heaps (SURVEY §4.2 memory note).
 
-Pattern: payloads stay ``binary`` end-to-end (Arrow batches, never pandas
-object columns); per-item work happens in an actor pool whose model handle
-is created once in ``__init__``; ``batch_size`` is kept small so
-batch x concurrency fits worker heaps (SURVEY §4.2 memory note).
+Decode story (honest split):
+- UNCOMPRESSED formats are decoded FOR REAL in pure numpy — no codec
+  library needed: P6 PPM images (``decode_ppm``/``encode_ppm``) and
+  RIFF/WAVE PCM16 mono audio (``decode_wav``/``encode_wav``). Features and
+  thumbnails computed from these are exact, tested values.
+- COMPRESSED formats (png/jpeg/mp4/...) require codec libraries absent
+  from this environment, so their decode is a clearly-marked STUB:
+  ``strict=True`` raises NotImplementedError on first contact, else a
+  deterministic fake feature (blake2b of payload) keeps the plumbing
+  testable end-to-end. Swapping the stub for a real codec changes ONE
+  method, not the pipeline shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -31,58 +39,179 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 FEATURE_DIM = 16
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
+WAV_RATE = 8000
 
+
+# --------------------------------------------------- real numpy codecs
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 PPM bytes."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM bytes -> (h, w, 3) uint8. Pure numpy, no codec lib."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while payload[pos] in b" \t\r\n":
+            pos += 1
+        if payload[pos] in b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while payload[end] not in b" \t\r\n":
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    pos += 1  # single whitespace after maxval
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """int16 mono samples -> canonical 44-byte-header RIFF/WAVE PCM bytes."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono bytes -> (int16 samples, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt, ch, rate, bits = struct.unpack("<HHIxxxxxxH", payload[20:36])
+    if (fmt, ch, bits) != (1, 1, 16):
+        raise ValueError("only PCM16 mono supported")
+    if payload[36:40] != b"data":
+        raise ValueError("non-canonical WAV chunk layout")
+    (n_bytes,) = struct.unpack("<I", payload[40:44])
+    return np.frombuffer(payload, dtype=np.int16, count=n_bytes // 2,
+                         offset=44), rate
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy fancy indexing."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+# ------------------------------------------------------ synthetic media
 
 def synthesize_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table: REAL payloads for the decodable formats
+    (P6 PPM images, PCM16 WAV audio), seeded opaque bytes for video."""
     rng = np.random.default_rng(seed)
-    kinds = ["image", "audio", "video"]
-    payloads = [rng.integers(0, 256, size=64 + i % 128, dtype=np.uint8).tobytes()
-                for i in range(n)]
+    kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        kinds.append(kind)
+        if kind == "image":
+            w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            mimes.append(PPM_MIME)
+            ws.append(w); hs.append(h); durs.append(-1)
+        elif kind == "audio":
+            n_samp = WAV_RATE // 4 + 64 * (i % 5)  # ~250ms+
+            t = np.arange(n_samp, dtype=np.float64)
+            tone = np.sin(2 * np.pi * (220.0 + 20 * (i % 7)) * t / WAV_RATE)
+            noise = rng.standard_normal(n_samp) * 0.05
+            samples = np.clip((tone + noise) * 16000, -32768,
+                              32767).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            mimes.append(WAV_MIME)
+            ws.append(-1); hs.append(-1)
+            durs.append(int(n_samp * 1000 / WAV_RATE))
+        else:
+            payloads.append(
+                rng.integers(0, 256, size=64 + i % 128,
+                             dtype=np.uint8).tobytes())
+            mimes.append("video/mp4")
+            ws.append(-1); hs.append(-1); durs.append(1000 + i)
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
-            "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
+            "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(
-                [{"image": "image/png", "audio": "audio/wav",
-                  "video": "video/mp4"}[kinds[i % 3]] for i in range(n)]
-            ),
-            "width": pa.array([64 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
-            "height": pa.array([48 if i % 3 == 0 else -1 for i in range(n)], pa.int32()),
-            "duration_ms": pa.array(
-                [-1 if i % 3 == 0 else 1000 + i for i in range(n)], pa.int32()
-            ),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
 
 
+# ------------------------------------------------------------- stages
+
 class MediaDecoder:
     """Actor-pool decode/feature stage.
 
-    Real deployments load the codec/model here ONCE (``__init__``); this
-    sandbox has no image/audio libs, so decode is a clearly-marked stub:
-    ``strict=True`` raises NotImplementedError, else a deterministic fake
-    feature (blake2b of payload -> FEATURE_DIM floats) keeps the plumbing
-    testable end-to-end.
-    """
+    PPM images and PCM WAV audio decode for real (pure numpy); compressed
+    formats hit the stub path: ``strict=True`` raises NotImplementedError,
+    else a deterministic blake2b fake keeps plumbing testable. Output adds
+    ``decoded`` so downstream stages can tell exact features from stub
+    features."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
 
-    def _fake_feature(self, payload: bytes) -> list[float]:
+    def _fake_feature(self, payload: bytes) -> np.ndarray:
         d = hashlib.blake2b(payload, digest_size=2 * FEATURE_DIM).digest()
-        return (np.frombuffer(d, dtype=np.uint16).astype(np.float32)
-                / 65535.0).tolist()
+        return np.frombuffer(d, dtype=np.uint16).astype(np.float32) / 65535.0
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _feature(self, mime: str, payload: bytes) -> tuple[np.ndarray, bool]:
+        f = np.zeros(FEATURE_DIM, dtype=np.float32)
+        if mime == PPM_MIME:
+            img = decode_ppm(payload)
+            gray = img.astype(np.float32).mean(axis=2)
+            f[0], f[1] = img.shape[1], img.shape[0]
+            f[2:5] = img.reshape(-1, 3).mean(axis=0)
+            f[5] = gray.std()
+            f[6] = gray.min()
+            f[7] = gray.max()
+            return f, True
+        if mime == WAV_MIME:
+            samples, rate = decode_wav(payload)
+            x = samples.astype(np.float32)
+            f[0] = len(samples)
+            f[1] = rate
+            f[2] = np.sqrt(np.mean(x * x)) if len(x) else 0.0  # RMS
+            f[3] = np.abs(x).max() if len(x) else 0.0          # peak
+            f[4] = len(samples) * 1000.0 / rate                # ms
+            return f, True
         if self.strict:
             raise NotImplementedError(
-                "media decode requires codec libraries not present in this "
-                "environment; run with strict=False for the deterministic stub"
+                f"decode of {mime!r} requires codec libraries not present "
+                "in this environment; run with strict=False for the "
+                "deterministic stub"
             )
-        feats = [self._fake_feature(p.as_py()) for p in batch["payload"]]
+        return self._fake_feature(payload), False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, decoded = [], []
+        for mime, p in zip(batch["mime"].to_pylist(),
+                           batch["payload"].to_pylist()):
+            f, ok = self._feature(mime, p)
+            feats.append(f.tolist())
+            decoded.append(ok)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -91,13 +220,42 @@ class MediaDecoder:
                     [len(p.as_py()) for p in batch["payload"]], pa.int64()
                 ),
                 "feature": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+                "decoded": pa.array(decoded, pa.bool_()),
+            }
+        )
+
+
+class Thumbnailer:
+    """Real image transform stage: decode PPM -> nearest-neighbor resize ->
+    re-encode PPM. Non-PPM rows pass through untouched (flagged)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, resized = [], []
+        for mime, p in zip(batch["mime"].to_pylist(),
+                           batch["payload"].to_pylist()):
+            if mime == PPM_MIME:
+                thumb = resize_nearest(decode_ppm(p), self.out_w, self.out_h)
+                out.append(encode_ppm(thumb))
+                resized.append(True)
+            else:
+                out.append(p)
+                resized.append(False)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "payload": pa.array(out, pa.binary()),
+                "resized": pa.array(resized, pa.bool_()),
             }
         )
 
 
 class FrameSampler:
     """Video frame-sampling plumbing (flat-map shape: one row in, N frame
-    rows out). The actual codec is STUBBED (deterministic byte slices of the
+    rows out). The video codec is STUBBED (deterministic byte slices of the
     payload stand in for decoded frames); the Ray-side contract — binary in,
     multiple binary rows out, frame_idx column, small batches — is real."""
 
@@ -145,6 +303,18 @@ def decode_features(media, batch_size: int = 64, concurrency=(1, 2),
     return media.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def thumbnails(media, out_w: int = 8, out_h: int = 8, batch_size: int = 32,
+               concurrency=(1, 2)):
+    return media.map_batches(
+        Thumbnailer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

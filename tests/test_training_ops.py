@@ -221,6 +221,54 @@ def test_multimodal_plumbing():
     assert a == b  # deterministic stub
 
 
+def test_multimodal_codecs_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+    samples = rng.integers(-30000, 30000, size=777, dtype=np.int16)
+    got, rate = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+    assert rate == 8000 and (got == samples).all()
+    # nearest-neighbor resize: exact corner pixels survive
+    thumb = multimodal.resize_nearest(img, 4, 4)
+    assert thumb.shape == (4, 4, 3) and (thumb[0, 0] == img[0, 0]).all()
+
+
+def test_multimodal_real_decode_features():
+    import numpy as np
+
+    media = rd.from_arrow(multimodal.synthesize_media(6))
+    feats = {r["media_id"]: r for r in
+             multimodal.decode_features(media).take_all()}
+    # image and audio rows decode for real; video rows are stub features
+    assert feats[0]["decoded"] and feats[1]["decoded"]
+    assert not feats[2]["decoded"]
+    # image feature = (w, h, mean RGB, ...) — check against direct decode
+    tbl = multimodal.synthesize_media(6)
+    img = multimodal.decode_ppm(tbl["payload"][0].as_py())
+    f = feats[0]["feature"]
+    assert (f[0], f[1]) == (img.shape[1], img.shape[0])
+    assert abs(f[2] - img.reshape(-1, 3).mean(axis=0)[0]) < 1e-3
+    # audio feature carries n_samples, rate, RMS > 0
+    samples, rate = multimodal.decode_wav(tbl["payload"][1].as_py())
+    fa = feats[1]["feature"]
+    assert (fa[0], fa[1]) == (len(samples), rate) and fa[2] > 0
+
+
+def test_multimodal_thumbnails():
+    media = rd.from_arrow(multimodal.synthesize_media(9))
+    out = {r["media_id"]: r for r in
+           multimodal.thumbnails(media, out_w=5, out_h=4).take_all()}
+    for mid, r in out.items():
+        if mid % 3 == 0:  # image rows: re-encoded PPM at thumb size
+            assert r["resized"]
+            thumb = multimodal.decode_ppm(r["payload"])
+            assert thumb.shape == (4, 5, 3)
+        else:  # pass-through untouched
+            assert not r["resized"]
+
+
 def test_multimodal_strict_raises():
     media = rd.from_arrow(multimodal.synthesize_media(4))
     with pytest.raises(Exception):  # NotImplementedError surfaces as RayTaskError
