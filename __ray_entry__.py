@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_topk": rel.part_copurchase_topk,
         # fixed-width binned histogram per event type
         "events_value_histogram": rel.events_value_histogram,
+        # predicate pushdown at the parquet read (prune-at-the-read)
+        "orders_priority_year": rel.orders_priority_year,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
         "customer_order_counts": rel.customer_order_counts,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -565,6 +567,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q7_nation_trade": rel.sql_q7_nation_trade(),
         "part_copurchase_topk": rel.sql_part_copurchase_topk(),
         "events_value_histogram": rel.sql_events_value_histogram(),
+        "orders_priority_year": rel.sql_orders_priority_year(),
         "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),

@@ -580,6 +580,58 @@ SELECT rk, part_a, part_b, n FROM (
 ) WHERE rk <= {k}"""
 
 
+ORDERS_YEAR = 1996
+
+
+def orders_priority_year(sf_dir: str):
+    """Predicate pushdown at the read: per-priority order count + value for
+    one order year. The date filter is a pyarrow expression handed to the
+    parquet scan (``filter=``), so row groups outside the year never leave
+    storage — the prune-at-the-read pattern every 100 TB scan needs."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(datetime(ORDERS_YEAR, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(ORDERS_YEAR + 1, 1, 1), pa.timestamp("us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": _cents(b["o_totalprice"].to_numpy()),
+        }).groupby("o_orderpriority", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("cents", alias_name="total_cents")))
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_orders"] = b["n_orders"].astype("int64")
+        b["total_cents"] = b["total_cents"].astype("int64")
+        return b
+
+    return agg.map_batches(fix, batch_format="pandas")
+
+
+def sql_orders_priority_year() -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{ORDERS_YEAR}-01-01'
+  AND o_orderdate < TIMESTAMP '{ORDERS_YEAR + 1}-01-01'
+GROUP BY o_orderpriority"""
+
+
 HIST_BIN_WIDTH = 50.0
 
 
