@@ -580,6 +580,93 @@ SELECT rk, part_a, part_b, n FROM (
 ) WHERE rk <= {k}"""
 
 
+def lineitem_qty_price_corr(sf_dir: str):
+    """Moment-based distributed Pearson correlation of quantity vs
+    extended price per return flag -> (l_returnflag, n, corr).
+
+    The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT
+    int64 partials inside the scan (x = quantity units, y = price cents),
+    so the shuffle carries six ints per (flag, batch) and the merge is
+    associative integer addition — bit-identical at any parallelism. Only
+    the final correlation converts to float, with the same operation order
+    as the oracle expression (products of exact ints promoted one at a
+    time via 1.0*), so the doubles match bit-for-bit."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy().astype(np.int64)  # integral qty
+        y = _cents(b["l_extendedprice"].to_numpy())
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+        })
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        # EXACT arbitrary-precision integer moments (Python int == the
+        # oracle's HUGEINT), ONE rounding each at the double conversion —
+        # group-bounded rows, so the per-row loop is free
+        corrs = []
+        for n, sx, sy, sxy, sxx, syy in zip(
+            b["n"], b["sx"], b["sy"], b["sxy"], b["sxx"], b["syy"]
+        ):
+            n, sx, sy = int(n), int(sx), int(sy)
+            sxy, sxx, syy = int(sxy), int(sxx), int(syy)
+            num = n * sxy - sx * sy
+            dxx, dyy = n * sxx - sx * sx, n * syy - sy * sy
+            corrs.append(float(num)
+                         / (math.sqrt(float(dxx)) * math.sqrt(float(dyy))))
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"].astype("int64"),
+            "corr": np.array(corrs, dtype=np.float64),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sql_lineitem_qty_price_corr() -> str:
+    return """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr
+FROM m"""
+
+
 ORDERS_YEAR = 1996
 
 
