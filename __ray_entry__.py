@@ -105,46 +105,11 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(_kg(sf_dir, "edges"))
 
 
-def _kg_degree_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
-    """Undirected distinct-neighbor degree per entity, global top-k —
-    the hub census of the built graph. One id-bucketed exchange (dedup +
-    count fused per bucket), per-bucket top-k, tiny final cut."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
+def _kg_degree_topk(sf_dir: str):
+    """Hub census: undirected distinct-neighbor degree, global top-k."""
+    from robokop_build_ray.stages.graph_metrics import degree_topk
 
-    from robokop_build_ray.functions.bucketing import bucketed_apply
-
-    edges = _kg(sf_dir, "edges")
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        s = t["subj_id"].combine_chunks().cast(pa.string())
-        o = t["obj_id"].combine_chunks().cast(pa.string())
-        return pa.table({"id": pa.concat_arrays([s, o]),
-                         "nb": pa.concat_arrays([o, s])})
-
-    by, asc = ["degree", "id"], [False, True]
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates(["id", "nb"])
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        d = (g.drop_duplicates(["id", "nb"]).groupby("id", sort=False)
-             .size().rename("degree").reset_index())
-        return d.sort_values(by, ascending=asc, kind="mergesort").head(k)
-
-    def final(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
-        b["rk"] = np.arange(1, len(b) + 1)
-        b["degree"] = b["degree"].astype("int64")
-        return b[["rk", "id", "degree"]]
-
-    return (
-        bucketed_apply(edges.map_batches(both_dirs, batch_format="pyarrow"),
-                       ["id"], merge, partial, n_buckets)
-        .repartition(1)
-        .map_batches(final, batch_format="pandas", batch_size=None)
-    )
+    return degree_topk(_kg(sf_dir, "edges"))
 
 
 def _kg_triangles(sf_dir: str):

@@ -15,6 +15,43 @@ import json
 import sys
 
 
+def _analyze(args) -> int:
+    import ray.data as rd
+
+    from .stages import graph_metrics as gm
+
+    edges = rd.read_parquet(f"{args.graph}/edges")
+    if args.metric == "components":
+        from .stages.components import connected_components
+
+        res = connected_components(
+            edges.select_columns(["subj_id", "obj_id"]),
+            col_a="subj_id", col_b="obj_id")
+    elif args.metric == "pagerank":
+        from .stages.pagerank import pagerank
+
+        res = pagerank(edges)
+    elif args.metric == "degree":
+        res = gm.degree_topk(edges, k=args.k or 20)
+    elif args.metric == "triangles":
+        res = gm.triangles_per_node(edges)
+    elif args.metric == "jaccard":
+        res = gm.neighbor_jaccard_topk(edges, k=args.k or 50)
+    elif args.metric == "kcore":
+        res = gm.kcore(edges, k=args.k or gm.KCORE_K)
+    else:  # metapath2
+        import pandas as pd
+
+        gaz = pd.read_parquet(args.gazetteer)
+        tm = dict(zip(gaz["curie"], gaz["node_type"]))
+        res = gm.metapath_2hop(edges, tm, args.type_a, args.type_b)
+    if args.out:
+        res.write_parquet(args.out)
+        res = rd.read_parquet(args.out)
+    print(json.dumps({"metric": args.metric, "rows": res.count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="robokop-build-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -45,12 +82,35 @@ def main(argv: list[str] | None = None) -> int:
                         " DGX, 2=COP SGPCATD, 3=COP-to-Phenotype SGPCAT; "
                         "`builder/builder.py:574-602`); cannot combine with "
                         "--path")
+    a = sub.add_parser(
+        "analyze",
+        help="graph analytics over a built graph (the neo4j-side queries "
+             "the reference defers to its sink, run engine-native)")
+    a.add_argument("--graph", required=True,
+                   help="graph directory produced by `build --out` "
+                        "(reads <graph>/edges/)")
+    a.add_argument("--metric", required=True,
+                   choices=["components", "pagerank", "degree", "triangles",
+                            "jaccard", "metapath2", "kcore"])
+    a.add_argument("--out", default=None,
+                   help="write result parquet here (else just print counts)")
+    a.add_argument("--gazetteer", default=None,
+                   help="gazetteer parquet with curie/node_type "
+                        "(required for metapath2)")
+    a.add_argument("--type-a", default="chemical_substance")
+    a.add_argument("--type-b", default="disease")
+    a.add_argument("--k", type=int, default=None,
+                   help="top-k (degree/jaccard) or core k (kcore)")
+    a.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    if args.question is not None and args.path is not None:
-        p.error("cannot specify both --question and --path")
-    if args.question is not None:
-        args.path = {1: "DGX", 2: "SGPCATD", 3: "SGPCAT"}[args.question]
+    if args.cmd == "build":
+        if args.question is not None and args.path is not None:
+            p.error("cannot specify both --question and --path")
+        if args.question is not None:
+            args.path = {1: "DGX", 2: "SGPCATD", 3: "SGPCAT"}[args.question]
+    elif args.metric == "metapath2" and not args.gazetteer:
+        p.error("--metric metapath2 requires --gazetteer")
 
     import ray
 
@@ -63,6 +123,11 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
     from .functions.ray_utils import silence_empty_block_schema_warnings
     silence_empty_block_schema_warnings()
+
+    if args.cmd == "analyze":
+        rc = _analyze(args)
+        ray.shutdown()
+        return rc
 
     from .pipelines.kg_build import build_graph, materialize_graph, run_supporters
 

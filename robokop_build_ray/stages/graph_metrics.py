@@ -220,6 +220,46 @@ def neighbor_jaccard_topk(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def degree_topk(edges, k: int = 20, src: str = "subj_id",
+                dst: str = "obj_id", n_buckets: int = 64):
+    """Undirected distinct-neighbor degree per entity, global top-k ->
+    Dataset(rk, id, degree) — the hub census of the built graph. One
+    id-bucketed exchange (dedup + count fused per bucket), per-bucket
+    top-k, tiny final cut."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t[src].combine_chunks().cast(pa.string())
+        o = t[dst].combine_chunks().cast(pa.string())
+        return pa.table({"id": pa.concat_arrays([s, o]),
+                         "nb": pa.concat_arrays([o, s])})
+
+    by, asc = ["degree", "id"], [False, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id", "nb"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["id", "nb"]).groupby("id", sort=False)
+             .size().rename("degree").reset_index())
+        return d.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        b["degree"] = b["degree"].astype("int64")
+        return b[["rk", "id", "degree"]]
+
+    from ..functions.bucketing import bucketed_apply
+
+    return (
+        bucketed_apply(edges.map_batches(both_dirs, batch_format="pyarrow"),
+                       ["id"], merge, partial, n_buckets)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 KCORE_K = 30
 KCORE_ROUNDS = 8
 
