@@ -43,14 +43,25 @@ def entry() -> Any:
 
 # ------------------------------------------------------------------- queries
 
+_GRAPH_CACHE: dict[tuple[str, bool], dict] = {}
+
+
 def _kg(sf_dir: str, which: str):
+    """Build (or reuse) the KG for this sf_dir. The driver runs every
+    query in one process, so the ~20 kg_* queries share one build per
+    (tier, support) variant — the datasets are lazy plans over
+    materialized intermediates, safe to consume repeatedly."""
     from robokop_build_ray.pipelines.kg_build import build_graph
 
-    graph = build_graph(
-        sf_dir,
-        materialize_intermediate=(which == "support"),
-        include_support=(which == "support"),
-    )
+    key = (sf_dir, which == "support")
+    graph = _GRAPH_CACHE.get(key)
+    if graph is None:
+        graph = build_graph(
+            sf_dir,
+            materialize_intermediate=(which == "support"),
+            include_support=(which == "support"),
+        )
+        _GRAPH_CACHE[key] = graph
     if which == "support":
         # SQL oracle carries no p column (DuckDB lacks erfc); drop it here.
         return graph["support"].select_columns(
