@@ -359,6 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_year": rel.orders_priority_year,
         # moment-based distributed Pearson correlation (int64 partials)
         "lineitem_qty_price_corr": rel.lineitem_qty_price_corr,
+        # funnel analysis: first-A-before-last-B user counts per type pair
+        "events_funnel": rel.events_funnel,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
         "customer_order_counts": rel.customer_order_counts,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -547,6 +549,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_value_histogram": rel.sql_events_value_histogram(),
         "orders_priority_year": rel.sql_orders_priority_year(),
         "lineitem_qty_price_corr": rel.sql_lineitem_qty_price_corr(),
+        "events_funnel": rel.sql_events_funnel(),
         "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "mktsegments": rel.sql_mktsegments(),

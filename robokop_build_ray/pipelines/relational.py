@@ -580,6 +580,65 @@ SELECT rk, part_a, part_b, n FROM (
 ) WHERE rk <= {k}"""
 
 
+def events_funnel(sf_dir: str, n_buckets: int = 64):
+    """Funnel analysis: for every ordered event-type pair (a, b), the
+    number of users whose FIRST a precedes their LAST b ->
+    (step_a, step_b, n_users).
+
+    Per-batch partial min/max ts per (user, type) shrinks the exchange to
+    user x type rows; one user-bucketed fold completes the extrema; the
+    pair comparison is a vectorized per-user self-merge inside the bucket
+    (type fan-out is enum-bounded); the final count is a tiny native
+    aggregate."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t": t["ts"].cast(pa.int64()),
+        })
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "event_type"], as_index=False).agg(
+            mn=("t", "min"), mx=("t", "max"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+        p = m.merge(m, on="user_id")
+        p = p[(p["event_type_x"] != p["event_type_y"])
+              & (p["mn_x"] < p["mx_y"])]
+        out = (p.groupby(["event_type_x", "event_type_y"], sort=False)
+               .size().rename("n_users").reset_index())
+        return out.rename(columns={"event_type_x": "step_a",
+                                   "event_type_y": "step_b"})
+
+    folded = bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                            ["user_id"], merge, partial, n_buckets)
+    return rename(
+        folded.groupby(["step_a", "step_b"]).sum("n_users"),
+        {"sum(n_users)": "n_users"},
+    )
+
+
+def sql_events_funnel() -> str:
+    return """
+WITH m AS (
+  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS step_a, b.event_type AS step_b,
+       count(*) AS n_users
+FROM m a JOIN m b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+WHERE a.mn < b.mx
+GROUP BY step_a, step_b"""
+
+
 def lineitem_qty_price_corr(sf_dir: str):
     """Moment-based distributed Pearson correlation of quantity vs
     extended price per return flag -> (l_returnflag, n, corr).
