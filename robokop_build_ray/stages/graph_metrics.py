@@ -108,22 +108,28 @@ def triangles_per_node(edges, src: str = "subj_id", dst: str = "obj_id",
     und = undirected_pairs(edges, src, dst, n_buckets).materialize()
     deg_ref = ray.put(degree_map(und))
 
-    def orient(b: pd.DataFrame) -> pd.DataFrame:
-        deg = ray.get(deg_ref)
-        if len(b) == 0:
-            return pd.DataFrame({"id": pd.Series([], dtype=object),
-                                 "nb": pd.Series([], dtype=object)})
-        da = b["a"].map(deg).to_numpy(np.int64)
-        db = b["b"].map(deg).to_numpy(np.int64)
-        # a < b lexicographically, so (deg, id) order reduces to deg
-        # comparison with the lexicographic tiebreak already encoded
-        a_first = (da < db) | (da == db)
-        return pd.DataFrame({
-            "id": np.where(a_first, b["a"], b["b"]),
-            "nb": np.where(a_first, b["b"], b["a"]),
-        })
+    class Orient:
+        """Degree map deserialized ONCE per actor, not per batch."""
 
-    oriented = und.map_batches(orient, batch_format="pandas")
+        def __init__(self):
+            self.deg = ray.get(deg_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                     "nb": pd.Series([], dtype=object)})
+            da = b["a"].map(self.deg).to_numpy(np.int64)
+            db = b["b"].map(self.deg).to_numpy(np.int64)
+            # a < b lexicographically, so (deg, id) order reduces to deg
+            # comparison with the lexicographic tiebreak already encoded
+            a_first = (da < db) | (da == db)
+            return pd.DataFrame({
+                "id": np.where(a_first, b["a"], b["b"]),
+                "nb": np.where(a_first, b["b"], b["a"]),
+            })
+
+    oriented = und.map_batches(Orient, batch_format="pandas",
+                               concurrency=(1, 4))
 
     def wedge_fn(sub: pd.DataFrame) -> pd.DataFrame:
         nbs = np.sort(sub["nb"].to_numpy(dtype=object))
@@ -193,21 +199,28 @@ def neighbor_jaccard_topk(edges, src: str = "subj_id", dst: str = "obj_id",
 
     by, asc = ["jaccard", "id_a", "id_b"], [False, True, True]
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(deg_ref)
-        if len(b) == 0:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                 "id_b": pd.Series([], dtype=object),
-                                 "common": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        c = b["common"].to_numpy(np.int64)
-        da = b["id_a"].map(d).to_numpy(np.int64)
-        db = b["id_b"].map(d).to_numpy(np.int64)
-        out = b[["id_a", "id_b"]].copy()
-        out["common"] = c
-        # ONE division of exact ints (repo float invariant)
-        out["jaccard"] = c / (da + db - c)
-        return out.sort_values(by, ascending=asc, kind="mergesort").head(k)
+    class Score:
+        """Degree map deserialized ONCE per actor, not per batch."""
+
+        def __init__(self):
+            self.deg = ray.get(deg_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype=object),
+                     "id_b": pd.Series([], dtype=object),
+                     "common": pd.Series([], dtype="int64"),
+                     "jaccard": pd.Series([], dtype="float64")})
+            c = b["common"].to_numpy(np.int64)
+            da = b["id_a"].map(self.deg).to_numpy(np.int64)
+            db = b["id_b"].map(self.deg).to_numpy(np.int64)
+            out = b[["id_a", "id_b"]].copy()
+            out["common"] = c
+            # ONE division of exact ints (repo float invariant)
+            out["jaccard"] = c / (da + db - c)
+            return out.sort_values(by, ascending=asc,
+                                   kind="mergesort").head(k)
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
@@ -215,7 +228,8 @@ def neighbor_jaccard_topk(edges, src: str = "subj_id", dst: str = "obj_id",
         b["rk"] = np.arange(1, len(b) + 1)
         return b[["rk", "id_a", "id_b", "common", "jaccard"]]
 
-    return (common.map_batches(score, batch_format="pandas")
+    return (common.map_batches(Score, batch_format="pandas",
+                               concurrency=(1, 4))
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
 
