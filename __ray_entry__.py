@@ -159,6 +159,19 @@ def _kg_metapath_2hop(sf_dir: str):
                          "chemical_substance", "disease")
 
 
+def _kg_bfs_distances(sf_dir: str):
+    """Multi-source BFS hop distances from all chemical_substance nodes
+    (graph reachability the reference defers to its neo4j sink)."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import bfs_distances
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return bfs_distances(_kg(sf_dir, "edges"), tm, "chemical_substance")
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -292,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_metapath_2hop": _kg_metapath_2hop,
         "kg_kcore": _kg_kcore,
+        # multi-source BFS reachability (hop distance from typed seeds)
+        "kg_bfs_distances": _kg_bfs_distances,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -504,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard": entry_sql.sql_neighbor_jaccard(t),
         "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
         "kg_kcore": entry_sql.sql_kcore(t),
+        "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

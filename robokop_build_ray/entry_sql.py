@@ -419,6 +419,26 @@ JOIN read_parquet('{p["gazetteer"]}') gb
 GROUP BY m1.nb, m2.nb"""
 
 
+def sql_bfs_distances(tier: str, seed_type: str = "chemical_substance",
+                      rounds: int = 4) -> str:
+    """Multi-source BFS hop distances (graph_metrics.bfs_distances): seeds
+    are the edge-endpoint nodes of ``seed_type``; the recursive CTE expands
+    at most ``rounds`` hops and min(dist) collapses re-reaches — identical
+    round semantics to both engine paths."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+bfs(id, dist) AS (
+  SELECT ga.curie, 0 FROM read_parquet('{p["gazetteer"]}') ga
+  WHERE ga.node_type = '{seed_type}'
+    AND ga.curie IN (SELECT id FROM adj)
+  UNION
+  SELECT adj.nb, b.dist + 1 FROM bfs b JOIN adj ON adj.id = b.id
+  WHERE b.dist < {rounds}
+)
+SELECT id, min(dist) AS dist FROM bfs GROUP BY id"""
+
+
 def sql_node_type_histogram(tier: str) -> str:
     """Histogram over the emitted node table (`builder/builder.py:129-134`)."""
     nodes = sql_nodes(tier)

@@ -388,3 +388,89 @@ def metapath_2hop(edges, type_map: dict[str, str], type_a: str, type_b: str,
         lambda b: pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"],
                                 "n_paths": b["n_paths"].astype("int64")}),
         batch_format="pandas")
+
+
+# -------------------------------------------------------- BFS distances
+
+BFS_ROUNDS = 4
+
+
+def _local_bfs(und, seeds: set[str], rounds: int):
+    """Driver numpy BFS for an edge list under the gate — identical
+    round semantics to the distributed path and the SQL oracle."""
+    frames = list(und.iter_batches(batch_format="pandas", batch_size=65536))
+    df = (pd.concat(frames, ignore_index=True) if frames
+          else pd.DataFrame({"a": [], "b": []}))
+    dist: dict[str, int] = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    a = df["a"].to_numpy(dtype=object)
+    b = df["b"].to_numpy(dtype=object)
+    for r in range(1, rounds + 1):
+        if not frontier:
+            break
+        in_f = np.fromiter((x in frontier for x in a), bool, len(a))
+        in_b = np.fromiter((x in frontier for x in b), bool, len(b))
+        reached = set(b[in_f]) | set(a[in_b])
+        frontier = {x for x in reached if x not in dist}
+        for x in frontier:
+            dist[x] = r
+    return _dist_table(dist)
+
+
+def _dist_table(dist: dict[str, int]):
+    import ray.data as rd
+
+    ids = sorted(dist)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "dist": pa.array([dist[i] for i in ids], pa.int64()),
+    }))
+
+
+def bfs_distances(edges, type_map: dict[str, str], seed_type: str,
+                  rounds: int = BFS_ROUNDS,
+                  src: str = "subj_id", dst: str = "obj_id",
+                  n_buckets: int = 64, local_threshold: int = 1_000_000):
+    """Multi-source BFS hop distances over the undirected simple graph:
+    Dataset(id, dist) for every node within ``rounds`` hops of any node
+    whose gazetteer type is ``seed_type`` (graph-reachability analytics the
+    reference defers to its neo4j sink's shortest-path queries,
+    `builder/userquery.py` path semantics at graph grain).
+
+    Seeds are the graph nodes (edge endpoints) of the given type; ``rounds``
+    is a spec constant both engine paths and the SQL oracle unroll, so the
+    output is bit-identical whether or not the frontier has emptied.
+
+    Scale shape (same hybrid gate as kcore/components): under the gate the
+    whole BFS is one driver numpy pass; above it each round broadcasts the
+    frontier (node-bounded — the same gazetteer-universe bound as the
+    canonicalization closure) and runs ONE vectorized membership pass over
+    the adjacency plus one coalesced distinct, so the corpus-scale edge
+    list never leaves the cluster and per-round exchange size is bounded
+    by the new frontier, not the graph."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    node_deg = degree_map(und)  # node-bounded (gazetteer universe)
+    seeds = {i for i in node_deg if type_map.get(i) == seed_type}
+    if und.count() <= local_threshold:
+        return _local_bfs(und, seeds, rounds)
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    adj = _adjacency(und).materialize()
+    dist: dict[str, int] = {s: 0 for s in seeds}
+    for r in range(1, rounds + 1):
+        if not dist:
+            break
+        frontier_ref = ray.put({i for i, d in dist.items() if d == r - 1})
+
+        def expand(batch: pd.DataFrame, _ref=frontier_ref) -> pd.DataFrame:
+            fr = ray.get(_ref)
+            m = batch["id"].isin(fr).to_numpy()
+            return pd.DataFrame({"nb": batch["nb"].to_numpy()[m]})
+
+        reached = bucketed_distinct(
+            adj.map_batches(expand, batch_format="pandas"), ["nb"],
+            n_buckets)
+        for row in reached.take_all():  # new-frontier-bounded, not corpus
+            if row["nb"] not in dist:
+                dist[row["nb"]] = r
+    return _dist_table(dist)

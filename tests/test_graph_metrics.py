@@ -101,3 +101,36 @@ def test_metapath_2hop_hand_values():
     # chem2-dis2 has no intermediate (direct edge only); chem1/chem2 reach
     # dis1 through g1 (and g2 for chem1)
     assert got == {("chem1", "dis1"): 2, ("chem2", "dis1"): 1}
+
+
+def test_bfs_distances_hand_values():
+    # star: s1 - m - far1 - far2 ; s2 isolated-in-graph via edge to m too;
+    # unreachable island x-y
+    from robokop_build_ray.stages.graph_metrics import bfs_distances
+
+    ds = _edges([("s1", "m"), ("s2", "m"), ("m", "far1"),
+                 ("far1", "far2"), ("x", "y")])
+    tm = {"s1": "chem", "s2": "chem", "m": "gene", "far1": "gene",
+          "far2": "gene", "x": "gene", "y": "gene"}
+    got = {r["id"]: r["dist"]
+           for r in bfs_distances(ds, tm, "chem", rounds=2,
+                                  n_buckets=4).take_all()}
+    # rounds=2 cap: far2 (3 hops) not reached; island never reached
+    assert got == {"s1": 0, "s2": 0, "m": 1, "far1": 2}
+
+
+def test_bfs_distances_distributed_matches_local():
+    rng = np.random.default_rng(7)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b]
+    tm = {f"n{i}": ("chem" if i % 7 == 0 else "gene") for i in range(40)}
+    ds = _edges(pairs)
+    from robokop_build_ray.stages.graph_metrics import bfs_distances
+
+    local = sorted((r["id"], r["dist"])
+                   for r in bfs_distances(ds, tm, "chem", rounds=3).take_all())
+    dist = sorted((r["id"], r["dist"])
+                  for r in bfs_distances(ds, tm, "chem", rounds=3,
+                                         local_threshold=0,
+                                         n_buckets=4).take_all())
+    assert local == dist and len(local) > 0  # hybrid paths bit-identical
