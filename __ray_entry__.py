@@ -378,6 +378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         # LEFT OUTER aggregate via union-with-zeros + bucketed fold
         "customer_order_counts": rel.customer_order_counts,
+        # per-column data-quality profile (null/distinct/range stats)
+        "lineitem_profile": rel.lineitem_profile,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -568,6 +570,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_funnel": rel.sql_events_funnel(),
         "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
+        "lineitem_profile": rel.sql_lineitem_profile(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -1492,3 +1492,33 @@ def sql_events_value_median() -> str:
     return """
 SELECT event_type, median(value) AS median_value
 FROM events GROUP BY event_type"""
+
+
+# -------------------------------------------------- table profiling
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount",
+                "l_partkey", "l_suppkey"]
+
+
+def lineitem_profile(sf_dir: str):
+    """Data-quality profile of lineitem's numeric columns ->
+    (column_name, n, n_null, n_distinct, min_v, max_v). One streaming
+    scan for count/null/min/max + one bucketed distinct per column
+    (stages/profile.py for the scale argument)."""
+    from ..stages.profile import table_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=PROFILE_COLS)
+    return table_profile(ds, PROFILE_COLS)
+
+
+def sql_lineitem_profile() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, count(*) AS n,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -1,0 +1,26 @@
+"""Table profiling: hand-checkable stats incl. the null path (the driver
+testdata carries no NULLs, so this is the only coverage of n_null)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from robokop_build_ray.stages.profile import table_profile
+
+
+def test_profile_hand_values_with_nulls():
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, 2.0, np.nan, 5.0],
+        "y": [10, 10, 10, 10, 10],
+    })
+    ds = rd.from_pandas(df).repartition(3)  # exercise partial merge
+    rows = {r["column_name"]: r
+            for r in table_profile(ds, ["x", "y"], n_buckets=4).take_all()}
+    x = rows["x"]
+    assert (x["n"], x["n_null"], x["n_distinct"]) == (5, 1, 3)
+    assert (x["min_v"], x["max_v"]) == (1.0, 5.0)
+    y = rows["y"]
+    assert (y["n"], y["n_null"], y["n_distinct"]) == (5, 0, 1)
+    assert (y["min_v"], y["max_v"]) == (10.0, 10.0)
