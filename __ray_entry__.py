@@ -380,6 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": rel.customer_order_counts,
         # per-column data-quality profile (null/distinct/range stats)
         "lineitem_profile": rel.lineitem_profile,
+        # Q14 shape: month-filtered fact x part bucketed join, cents-exact
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        # Q18 shape: HAVING-filtered fact fold + two bucketed attaches
+        "q18_large_orders": rel.q18_large_orders,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -571,6 +575,8 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "doc_bigram_lift": _vocab().sql_bigram_lift(),
         "customer_order_counts": rel.sql_customer_order_counts(),
         "lineitem_profile": rel.sql_lineitem_profile(),
+        "q14_promo_revenue": rel.sql_q14_promo_revenue(),
+        "q18_large_orders": rel.sql_q18_large_orders(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -1522,3 +1522,171 @@ FROM lineitem"""
         for c in PROFILE_COLS
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------------------ Q14 / Q18 shapes
+
+Q14_YEAR, Q14_MONTH = 1995, 9
+
+
+def q14_promo_revenue(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q14 shape: promo-part revenue share for one ship month ->
+    one row (promo_cents, total_cents, promo_pct).
+
+    The month predicate is pushed into the parquet scan; part type rides
+    in via ONE bucketed merge join on the part key (part scales with SF —
+    never a driver broadcast); both sums accumulate as exact int64 cents
+    and the percentage is the single float expression both sides share."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_attach
+
+    lo = pa.scalar(datetime(Q14_YEAR, Q14_MONTH, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(Q14_YEAR, Q14_MONTH + 1, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"],
+            "rc": _cents(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    joined = bucketed_attach(
+        li.map_batches(derive, batch_format="pandas"), part,
+        left_on="l_partkey", right_on="p_partkey",
+        left_cols=["rc"], payload={"p_type": "p_type"},
+        payload_fill="", n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rc = b["rc"].to_numpy(dtype=np.int64)
+        promo = (b["p_type"] == "PROMO").to_numpy()
+        return pd.DataFrame({"promo_cents": [np.int64(rc[promo].sum())],
+                             "total_cents": [np.int64(rc.sum())]})
+
+    sums = (joined.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "promo_cents": [np.int64(b["promo_cents"].sum())],
+                    "total_cents": [np.int64(b["total_cents"].sum())]}),
+                batch_format="pandas", batch_size=None))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        p = int(b["promo_cents"].iloc[0])
+        t = int(b["total_cents"].iloc[0])
+        b = b.copy()
+        b["promo_pct"] = 100.0 * float(p) / float(t)
+        return b
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def sql_q14_promo_revenue() -> str:
+    m = f"{Q14_YEAR}-{Q14_MONTH:02d}"
+    nxt = f"{Q14_YEAR}-{Q14_MONTH + 1:02d}"
+    return f"""
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rc,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{m}-01' AND l_shipdate < TIMESTAMP '{nxt}-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(rc) AS BIGINT) AS total_cents,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(sum(rc) AS DOUBLE) AS promo_pct
+FROM j"""
+
+
+Q18_QTY = 300
+
+
+def q18_large_orders(sf_dir: str, threshold: int = Q18_QTY,
+                     n_buckets: int = 64):
+    """TPC-H Q18 shape: orders whose total quantity exceeds ``threshold``
+    -> (c_name, c_custkey, o_orderkey, o_totalprice, sum_qty).
+
+    The per-order quantity fold is one bucketed salted exchange over the
+    full fact table; the HAVING filter shrinks it to a result-bounded set,
+    and order/customer attributes ride in via two bucketed merge joins
+    (orders is fact-scale, customer scales with SF — neither is ever a
+    driver broadcast)."""
+    from ..functions.bucketing import bucketed_attach, bucketed_sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def to_int(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "q": b["l_quantity"].to_numpy().astype(np.int64),
+        })
+
+    per_order = bucketed_sum(li.map_batches(to_int, batch_format="pandas"),
+                             ["l_orderkey"], "q", n_buckets)
+    big = per_order.filter(expr=f"q > {threshold}")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    with_ord = bucketed_attach(
+        big, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "q"],
+        payload={"o_custkey": "o_custkey", "o_totalprice": "o_totalprice"},
+        payload_fill=0.0, n_buckets=n_buckets,
+    ).map_batches(
+        # re-type the join key: the attach's float sentinel fill upcasts
+        # o_custkey, and a float64 key hashes into different buckets than
+        # the customer table's int64 key
+        lambda b: pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "q": b["q"].astype("int64"),
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "o_totalprice": b["o_totalprice"].astype("float64"),
+        }),
+        batch_format="pandas",
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    with_cust = bucketed_attach(
+        with_ord, cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["l_orderkey", "q", "o_custkey", "o_totalprice"],
+        payload={"c_name": "c_name"}, payload_fill="",
+        left_fill={"o_totalprice": 0.0}, n_buckets=n_buckets,
+    )
+    return with_cust.map_batches(
+        lambda b: pd.DataFrame({
+            "c_name": b["c_name"],
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "o_orderkey": b["l_orderkey"].astype("int64"),
+            "o_totalprice": b["o_totalprice"].astype("float64"),
+            "sum_qty": b["q"].astype("int64"),
+        }),
+        batch_format="pandas")
+
+
+def sql_q18_large_orders() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey"""
