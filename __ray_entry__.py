@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             columns=["p_partkey", "p_name"]),
             id_col="p_partkey", text_col="p_name",
         ),
+        # exact-substring duplication signal (Lee et al. 2021 shape):
+        # cross-doc repeated 8-token windows with doc/occurrence counts
+        "doc_duplicate_ngrams": lambda sf: dedup.duplicate_ngrams(_docs(sf)),
         # composition: LSH pairs -> connected components -> cluster ids
         "dedup_clusters": lambda sf: dedup.near_dup_clusters(
             _docs(sf), threshold=0.5
@@ -651,6 +654,17 @@ FROM toks""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))""",
+        "doc_duplicate_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+  WHERE len(tk) >= 8
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2""",
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b

@@ -551,3 +551,59 @@ def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         ds.map_batches(variants, batch_format="pandas"),
         ["vkey"], pairs_in_bucket, None, n_buckets)
     return bucketed_distinct(cand, ["id_a", "id_b"], n_buckets)
+
+
+# ----------------------------------------------- duplicate n-gram spans
+
+def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
+                     n_buckets: int = 64):
+    """Cross-document repeated token windows -> Dataset(gram, n_docs,
+    n_occurrences): every ``window``-token span whose md5 appears in at
+    least ``min_docs`` distinct documents (the exact-substring duplication
+    signal of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better" — the suffix-array pass re-expressed as a fixed-width
+    window count, the streaming-friendly variant).
+
+    Scale shape: per-batch windowing emits PER-DOC partial counts (a doc's
+    text lives in one row, so each (gram, doc) partial is complete at the
+    scan), then ONE bucketed salted exchange on the gram hash folds
+    distinct-doc and occurrence counts; the >= min_docs filter drops the
+    unique-gram long tail inside the merge, so only duplicated spans leave
+    the exchange. md5 keeps the gram byte-verifiable by DuckDB's ``md5()``
+    (oracle parity); production would swap xxhash/crc and drop SQL parity
+    (same tradeoff as ``text_analysis.rolling_fingerprints``)."""
+    from collections import Counter
+
+    import hashlib
+
+    from ..functions.bucketing import bucketed_apply
+
+    def windows(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        dids: list[int] = []
+        occs: list[int] = []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            toks = text.lower().split()
+            if len(toks) < window:
+                continue
+            c = Counter(
+                hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
+                for i in range(len(toks) - window + 1))
+            grams.extend(c.keys())
+            dids.extend([did] * len(c))
+            occs.extend(c.values())
+        return pd.DataFrame({
+            "gram": pd.Series(grams, dtype=object),
+            "doc_id": pd.Series(dids, dtype="int64"),
+            "n": pd.Series(occs, dtype="int64"),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby("gram", sort=False)
+             .agg(n_docs=("doc_id", "nunique"), n_occurrences=("n", "sum"))
+             .reset_index())
+        a = a[a["n_docs"] >= min_docs]
+        return a.astype({"n_docs": "int64", "n_occurrences": "int64"})
+
+    return bucketed_apply(docs.map_batches(windows, batch_format="pandas"),
+                          ["gram"], merge, None, n_buckets)

@@ -24,3 +24,26 @@ def test_profile_hand_values_with_nulls():
     y = rows["y"]
     assert (y["n"], y["n_null"], y["n_distinct"]) == (5, 0, 1)
     assert (y["min_v"], y["max_v"]) == (10.0, 10.0)
+
+
+def test_duplicate_ngrams_planted():
+    import ray.data as rd
+
+    from robokop_build_ray.stages.dedup import duplicate_ngrams
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = rd.from_items([
+        {"doc_id": 1, "text": f"{shared} tail one"},
+        {"doc_id": 2, "text": f"lead {shared} and {shared}"},
+        {"doc_id": 3, "text": "совершенно unrelated text with nothing shared here at all"},
+        {"doc_id": 4, "text": "short doc"},
+    ])
+    rows = duplicate_ngrams(docs, window=8, n_buckets=4).take_all()
+    import hashlib
+
+    g = hashlib.md5(shared.encode()).hexdigest()
+    got = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in rows}
+    # the planted 8-gram: docs {1,2}, 3 occurrences (doc 2 has it twice)
+    assert got[g] == (2, 3)
+    # every reported gram spans >= 2 docs
+    assert all(nd >= 2 for nd, _ in got.values())
