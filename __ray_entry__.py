@@ -384,6 +384,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": rel.q14_promo_revenue,
         # Q18 shape: HAVING-filtered fact fold + two bucketed attaches
         "q18_large_orders": rel.q18_large_orders,
+        # Q4 shape: distributed SEMI join (EXISTS) via one bucketed exchange
+        "q4_order_priority": rel.q4_order_priority,
+        # Q12 shape: conditional (CASE) counts over a bucketed fact join
+        "q12_priority_lines": rel.q12_priority_lines,
+        # Q10 shape: returned-item revenue top-k + result-bounded dim attach
+        "q10_returned_items": rel.q10_returned_items,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -409,6 +415,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.near_dup_clusters(
             _docs(sf), threshold=0.5
         ),
+        # materialized dedup decision: canonical-representative keep flags
+        "dedup_keep": lambda sf: dedup.near_dup_keep_list(
+            _docs(sf), threshold=0.5
+        ),
+        # deterministic md5 train/val/test split (stable across resharding)
+        "doc_split": lambda sf: ta.train_split(_docs(sf)),
+        # benchmark decontamination: broadcast eval-gram set, zero shuffles
+        "doc_decontaminate": lambda sf: dedup.contamination_check(_docs(sf)),
         # --- embeddings -------------------------------------------------
         "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(
             _embeddings(sf), threshold=0.4
@@ -580,6 +594,9 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "lineitem_profile": rel.sql_lineitem_profile(),
         "q14_promo_revenue": rel.sql_q14_promo_revenue(),
         "q18_large_orders": rel.sql_q18_large_orders(),
+        "q4_order_priority": rel.sql_q4_order_priority(),
+        "q12_priority_lines": rel.sql_q12_priority_lines(),
+        "q10_returned_items": rel.sql_q10_returned_items(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -692,6 +709,31 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_simhash": entry_sql.sql_dedup_simhash(t),
         "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
         "dedup_clusters": entry_sql.sql_dedup_clusters(t),
+        "dedup_keep": f"""
+SELECT doc_id, cluster, doc_id = cluster AS kept
+FROM ({entry_sql.sql_dedup_clusters(t)})""",
+        "doc_split": """
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+         THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM documents""",
+        "doc_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS gram
+  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+  WHERE len(tk) >= 8
+),
+ev AS (SELECT DISTINCT gram FROM w WHERE doc_id % 50 = 0)
+SELECT w.doc_id, count(DISTINCT w.gram) AS n_eval_grams
+FROM w JOIN ev USING (gram)
+WHERE w.doc_id % 50 <> 0
+GROUP BY w.doc_id""",
         "ann_ivf_topk": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 5),

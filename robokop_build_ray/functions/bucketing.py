@@ -213,6 +213,50 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
     return bucketed_apply(u, ["_k"], merge, None, n_buckets)
 
 
+def bucketed_semi(left, right, left_on: str, right_on: str,
+                  left_cols: list[str], n_buckets: int = 64,
+                  anti: bool = False, left_fill: dict | None = None):
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join: keep
+    ``left`` rows whose key does / does not appear anywhere in ``right`` —
+    for the case where BOTH sides are fact-scale so neither key set is
+    driver-bounded. The right side is deduplicated per batch (membership
+    needs each key once), both sides meet in ONE bucketed exchange, and the
+    per-bucket test is a single vectorized ``isin``. When one key set IS
+    memory-bounded, prefer the broadcast pattern
+    (``relational.customers_without_orders``) — it skips the shuffle."""
+    import pandas as pd
+
+    fills = left_fill or {}
+
+    def prep_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[left_cols].copy()
+        out["_k"] = b[left_on]
+        out["_side"] = 0
+        return out
+
+    def prep_right(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[right_on].drop_duplicates()
+        out = pd.DataFrame({"_k": keys})
+        for c in left_cols:
+            # type-compatible filler (dropped in the merge) so union blocks
+            # share one schema; non-key-typed columns need a left_fill entry
+            out[c] = fills.get(c, keys)
+        out["_side"] = 1
+        return out[left_cols + ["_k", "_side"]]
+
+    u = left.map_batches(prep_left, batch_format="pandas").union(
+        right.map_batches(prep_right, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0]
+        present = l["_k"].isin(g.loc[g["_side"] == 1, "_k"].unique())
+        keep = l.loc[~present if anti else present]
+        return keep[left_cols]
+
+    return bucketed_apply(u, ["_k"], merge, None, n_buckets)
+
+
 def bucketed_group_pairs(ds, group_keys: list[str],
                          pair_fn: Callable[[pd.DataFrame], pd.DataFrame],
                          n_buckets: int = 64):

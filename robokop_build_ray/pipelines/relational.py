@@ -1690,3 +1690,218 @@ SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
 FROM big
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey"""
+
+
+Q4_QUARTER = ("1996-07-01", "1996-10-01")
+
+
+def q4_order_priority(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q4 shape: one quarter's orders having at least one RETURNED
+    lineitem, counted per priority -> (o_orderpriority, order_count).
+
+    A distributed SEMI join (EXISTS): the returned-lineitem key stream and
+    the date-filtered orders are BOTH fact-scale, so they meet in one
+    bucketed exchange (``bucketed_semi``) — no key set ever lands on the
+    driver. Survivors fold into an enum-bounded count (5 priorities) via
+    per-batch partials + a single-block merge, no second shuffle.
+    Reference analog: EXISTS-style support gating in
+    ``builder/builder.py:364-370`` (pairs kept only when evidence exists)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_semi
+
+    lo, hi = Q4_QUARTER
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(np.datetime64(lo, "us")))
+        & (pc.field("o_orderdate") < pa.scalar(np.datetime64(hi, "us"))),
+    )
+    returned = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+    kept = bucketed_semi(
+        orders, returned, left_on="o_orderkey", right_on="l_orderkey",
+        left_cols=["o_orderkey", "o_orderpriority"],
+        left_fill={"o_orderpriority": ""}, n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_orderpriority", sort=False).size()
+                .rename("order_count").reset_index())
+
+    return (kept.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("o_orderpriority", sort=False,
+                                    as_index=False)["order_count"].sum(),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_q4_order_priority() -> str:
+    lo, hi = Q4_QUARTER
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+Q12_YEAR = 1997
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q12 shape: lines shipped in one year, split into high- vs
+    low-priority order counts per linestatus ->
+    (l_linestatus, high_line_count, low_line_count).
+
+    The year predicate is pushed into the lineitem scan; order priority
+    rides in via ONE bucketed merge join on the order key (orders is
+    fact-scale — never a broadcast); the conditional counts are per-batch
+    int64 partials folded in a single-block merge (enum-bounded output)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_attach
+
+    lo = np.datetime64(f"{Q12_YEAR}-01-01", "us")
+    hi = np.datetime64(f"{Q12_YEAR + 1}-01-01", "us")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_linestatus"], payload={"o_orderpriority": "prio"},
+        payload_fill="", left_fill={"l_linestatus": ""}, n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        high = b["prio"].isin(_Q12_HIGH).to_numpy()
+        g = pd.DataFrame({
+            "l_linestatus": b["l_linestatus"],
+            "high_line_count": high.astype(np.int64),
+            "low_line_count": (~high).astype(np.int64),
+        })
+        return g.groupby("l_linestatus", sort=False, as_index=False).sum()
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("l_linestatus", sort=False,
+                                    as_index=False).sum(),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_q12_priority_lines() -> str:
+    hi_set = ", ".join(f"'{p}'" for p in _Q12_HIGH)
+    return f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi_set}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hi_set}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{Q12_YEAR + 1}-01-01'
+GROUP BY l_linestatus"""
+
+
+Q10_QUARTER = ("1996-01-01", "1996-04-01")
+
+
+def q10_returned_items(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """TPC-H Q10 shape: top-k customers by revenue lost to returned items
+    in one quarter -> (c_custkey, c_name, n_name, revenue_cents).
+
+    lineitem (returnflag filter pushed to the scan) joins quarter-filtered
+    orders through ONE bucketed exchange on the order key; per-customer
+    cents fold in a second bucketed exchange; the top-k is per-batch
+    partial top-k + a single-block final merge. Only then — with a
+    RESULT-BOUNDED k-row set — do customer/nation names attach via a
+    key-filtered dimension read (k keys, never the fact stream)."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_attach, bucketed_sum
+
+    lo, hi = Q10_QUARTER
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(np.datetime64(lo, "us")))
+        & (pc.field("o_orderdate") < pa.scalar(np.datetime64(hi, "us"))),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "rc": _cents(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    joined = bucketed_attach(
+        li.map_batches(derive, batch_format="pandas"), orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rc"], payload={"o_custkey": "o_custkey"},
+        payload_fill=np.int64(0), n_buckets=n_buckets,
+    )
+    per_cust = bucketed_sum(joined, ["o_custkey"], "rc", n_buckets)
+
+    def topk_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["rc", "o_custkey"],
+                             ascending=[False, True]).head(k)
+
+    top = (per_cust.map_batches(topk_part, batch_format="pandas")
+           .repartition(1)
+           .map_batches(topk_part, batch_format="pandas", batch_size=None))
+    rows = top.take_all()  # k rows — result-bounded by construction
+    keys = [int(r["o_custkey"]) for r in rows]
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).take_all()  # k dimension rows
+    cmap = {r["c_custkey"]: (r["c_name"], r["c_nationkey"]) for r in cust}
+    nmap = {r["n_nationkey"]: r["n_name"]
+            for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+    return pd.DataFrame({
+        "c_custkey": pd.Series(keys, dtype="int64"),
+        "c_name": [cmap[c][0] for c in keys],
+        "n_name": [nmap[cmap[c][1]] for c in keys],
+        "revenue_cents": pd.Series([int(r["rc"]) for r in rows],
+                                   dtype="int64"),
+    })
+
+
+def sql_q10_returned_items(k: int = 20) -> str:
+    lo, hi = Q10_QUARTER
+    return f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{lo}' AND o_orderdate < TIMESTAMP '{hi}'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, revenue_cents
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT {k}"""

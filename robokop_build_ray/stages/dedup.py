@@ -461,6 +461,88 @@ def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
     return bucketed_apply(u, ["k"], merge)
 
 
+def near_dup_keep_list(docs, threshold: float = 0.8, num_perm: int = 128,
+                       bands: int = 32):
+    """The MATERIALIZED dedup decision — (doc_id, cluster, kept) where
+    ``kept`` iff the doc is its cluster's canonical representative (min
+    doc_id; singletons keep themselves). This is the 'drop the duplicates'
+    step the near-dup workflow exists for: filtering the corpus to
+    ``kept == true`` yields the deduplicated training set, and the
+    (doc_id -> cluster) rows double as the lineage record of what was
+    dropped and why."""
+    import pyarrow.compute as pc
+
+    comp = near_dup_clusters(docs, threshold, num_perm, bands)
+
+    def decide(t: pa.Table) -> pa.Table:
+        return t.append_column("kept", pc.equal(t["doc_id"], t["cluster"]))
+
+    return comp.map_batches(decide, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- decontamination
+
+def contamination_check(docs, eval_mod: int = 50, window: int = 8,
+                        batch_size: int = 1024, concurrency=(1, 4)):
+    """Benchmark decontamination — the n-gram-overlap screen an LLM
+    training pipeline runs before training (GPT-3 appendix C shape): flag
+    every training doc sharing at least one ``window``-token span with an
+    eval/benchmark set. Output: (doc_id, n_eval_grams) per contaminated
+    non-eval doc, counting DISTINCT shared spans.
+
+    Scale shape: an eval set is SMALL BY DEFINITION (a benchmark, not a
+    corpus), so its gram-hash set is computed distributed, collected once
+    (eval-bounded, never corpus-bounded), and broadcast via ``ray.put``;
+    the training stream then maps over it embarrassingly parallel — ZERO
+    shuffles at any corpus size. The eval set here is the deterministic
+    ``doc_id % eval_mod == 0`` slice (stand-in for an external benchmark
+    file); md5 grams keep the spans byte-verifiable by DuckDB's ``md5()``
+    (same oracle-parity tradeoff as :func:`duplicate_ngrams`)."""
+    import hashlib
+
+    import ray
+
+    def grams_of(text: str) -> set:
+        toks = text.lower().split()
+        return {
+            hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
+            for i in range(len(toks) - window + 1)
+        }
+
+    def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b["doc_id"] % eval_mod == 0]
+        out: set = set()
+        for text in sub["text"]:
+            out |= grams_of(text)
+        return pd.DataFrame({"gram": sorted(out)})
+
+    ev_rows = docs.map_batches(eval_grams, batch_format="pandas",
+                               batch_size=batch_size).take_all()
+    ev_ref = ray.put({r["gram"] for r in ev_rows})
+
+    class Decontaminator:
+        def __init__(self):
+            self.ev = ray.get(ev_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids: list[int] = []
+            hits: list[int] = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                if did % eval_mod == 0:
+                    continue
+                n = len(grams_of(text) & self.ev)
+                if n:
+                    ids.append(int(did))
+                    hits.append(n)
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_eval_grams": pd.Series(hits, dtype="int64"),
+            })
+
+    return docs.map_batches(Decontaminator, batch_format="pandas",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
 # ------------------------------------------------------------- edit distance
 
 def _within_edit1(a: str, b: str) -> bool:

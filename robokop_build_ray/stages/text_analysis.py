@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 
 TOKEN_RE = r"\S+"
@@ -186,4 +187,36 @@ def langid(docs, batch_size: int = 4096, concurrency=(1, 2)):
 
 def fingerprints(docs, batch_size: int = 4096):
     return docs.map_batches(fingerprint_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+# train/val/test thresholds: exact 0.8 * 2^32 and 0.9 * 2^32 — SPEC
+# constants shared with the oracle SQL (lowercase fixed-width hex compares
+# lexicographically == numerically, so both sides test integers, no floats)
+SPLIT_THRESHOLDS = (0xCCCCCCCC, 0xE6666666)
+
+
+def split_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, lang, split — deterministic 80/10/10 train/val/test
+    assignment from md5(doc_id). md5 (not Python ``hash``) keeps the
+    assignment stable across worker processes, runs and cluster sizes, AND
+    recomputable by DuckDB's ``md5()``; no shuffle, no stored split table —
+    any stage can re-derive a doc's split locally (the property a 100 TB
+    corpus needs: re-sharding never re-splits)."""
+    import hashlib
+
+    t_train, t_val = SPLIT_THRESHOLDS
+    hs = np.fromiter(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+         for d in batch["doc_id"]),
+        dtype=np.uint64, count=len(batch),
+    )
+    split = np.where(hs < t_train, "train",
+                     np.where(hs < t_val, "val", "test"))
+    return pd.DataFrame({"doc_id": batch["doc_id"], "lang": batch["lang"],
+                         "split": split})
+
+
+def train_split(docs, batch_size: int = 4096):
+    return docs.map_batches(split_batch, batch_format="pandas",
                             batch_size=batch_size)

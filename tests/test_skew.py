@@ -88,6 +88,35 @@ def test_bucketed_attach_equals_pandas_merge():
     assert len(got) == 15  # ids 15..19 have no signature -> dropped
 
 
+def test_bucketed_semi_and_anti_equal_pandas():
+    """bucketed_semi == pandas isin membership for both semi and anti,
+    with a string attribute column riding along (left_fill) and right-side
+    duplicate keys (membership counts once)."""
+    from robokop_build_ray.functions.bucketing import bucketed_semi
+
+    left_rows = [{"k": i, "attr": f"a{i % 4}"} for i in range(30)]
+    right_rows = [{"rk": i % 10} for i in range(50)]  # keys 0..9, duplicated
+    left = rd.from_items(left_rows)
+    right = rd.from_items(right_rows)
+
+    semi = sorted(
+        (r["k"], r["attr"]) for r in bucketed_semi(
+            left, right, "k", "rk", ["k", "attr"],
+            left_fill={"attr": ""}, n_buckets=8,
+        ).take_all()
+    )
+    anti = sorted(
+        (r["k"], r["attr"]) for r in bucketed_semi(
+            left, right, "k", "rk", ["k", "attr"],
+            left_fill={"attr": ""}, n_buckets=8, anti=True,
+        ).take_all()
+    )
+    want_semi = sorted((i, f"a{i % 4}") for i in range(10))
+    want_anti = sorted((i, f"a{i % 4}") for i in range(10, 30))
+    assert semi == want_semi
+    assert anti == want_anti
+
+
 def test_bucketed_apply_sparse_keys_typed_outputs():
     """2 distinct keys over 64 buckets: sentinel padding must keep every
     partition non-empty/typed, results unchanged, sentinels invisible."""
