@@ -390,6 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_lines": rel.q12_priority_lines,
         # Q10 shape: returned-item revenue top-k + result-bounded dim attach
         "q10_returned_items": rel.q10_returned_items,
+        # Q17 shape: per-key aggregate joined back onto its own fact stream
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        # Q22 shape: scalar subquery + distributed ANTI join + enum rollup
+        "q22_idle_customers": rel.q22_idle_customers,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -597,6 +601,8 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q4_order_priority": rel.sql_q4_order_priority(),
         "q12_priority_lines": rel.sql_q12_priority_lines(),
         "q10_returned_items": rel.sql_q10_returned_items(),
+        "q17_small_qty_revenue": rel.sql_q17_small_qty_revenue(),
+        "q22_idle_customers": rel.sql_q22_idle_customers(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

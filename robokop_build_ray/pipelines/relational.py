@@ -1887,6 +1887,215 @@ def q10_returned_items(sf_dir: str, k: int = 20, n_buckets: int = 64):
     })
 
 
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_qty_revenue(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q17 shape: revenue from small-quantity lines of one brand —
+    lines whose quantity is below 20% of their part's average quantity ->
+    one row (small_qty_cents, n_lines, avg_yearly).
+
+    The new shape is the JOIN-BACK OF A PER-KEY AGGREGATE onto the fact
+    stream that produced it (a correlated scalar subquery): per-part
+    (sum, count) partials fold in one bucketed exchange, then ride back
+    onto the brand-filtered lines via a second bucketed exchange. The
+    threshold test is EXACT integer arithmetic — ``5 * qty * count < sum``
+    instead of ``qty < 0.2 * avg`` — so no float ever decides a row. The
+    brand-filtered stream is consumed twice (aggregate + join-back); it
+    re-executes from the column-pruned scan rather than materializing,
+    which is the right trade at fact scale."""
+    from ..functions.bucketing import bucketed_apply, bucketed_attach
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+
+    def brand_lines():
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+        def derive(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_partkey": b["l_partkey"],
+                "q": b["l_quantity"].to_numpy().astype(np.int64),
+                "ec": _cents(b["l_extendedprice"].to_numpy()),
+            })
+
+        withbrand = bucketed_attach(
+            li.map_batches(derive, batch_format="pandas"), part,
+            left_on="l_partkey", right_on="p_partkey",
+            left_cols=["l_partkey", "q", "ec"],
+            payload={"p_brand": "brand"}, payload_fill="",
+            n_buckets=n_buckets,
+        )
+        return withbrand.filter(expr=f"brand == '{Q17_BRAND}'")
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_partkey", sort=False)["q"]
+        out = g.sum().rename("s").to_frame()
+        out["c"] = g.size()
+        return out.reset_index()
+
+    def agg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", sort=False, as_index=False).sum()
+
+    per_part = bucketed_apply(
+        brand_lines().select_columns(["l_partkey", "q"]),
+        ["l_partkey"], agg_merge, agg_partial, n_buckets)
+
+    lines = bucketed_attach(
+        brand_lines(), per_part, left_on="l_partkey", right_on="l_partkey",
+        left_cols=["q", "ec"], payload={"s": "s", "c": "c"},
+        payload_fill=np.int64(0), n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["q"].to_numpy(dtype=np.int64)
+        small = 5 * q * b["c"].to_numpy(dtype=np.int64) \
+            < b["s"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "small_qty_cents": [np.int64(b["ec"].to_numpy()[small].sum())],
+            "n_lines": [np.int64(small.sum())],
+        })
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.int64(b["small_qty_cents"].sum())
+        return pd.DataFrame({
+            "small_qty_cents": [cents],
+            "n_lines": [np.int64(b["n_lines"].sum())],
+            "avg_yearly": [float(cents) / 700.0],
+        })
+
+    return (lines.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(finish, batch_format="pandas", batch_size=None))
+
+
+def sql_q17_small_qty_revenue() -> str:
+    return f"""
+WITH pa AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+  GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS small_qty_cents,
+       count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 700.0 AS avg_yearly
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * pa.c < pa.s"""
+
+
+def q22_idle_customers(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q22 shape: per-nation count + balance of above-average-balance
+    customers with no URGENT order -> (n_name, numcust, totacctbal_cents).
+
+    Three composed shapes: a GLOBAL SCALAR SUBQUERY (positive-balance
+    average, folded from int64-cents partials and broadcast as two scalars
+    — the comparison is exact ``cents * count > sum``, no float threshold),
+    a distributed ANTI join against the fact-scale filtered order stream
+    (``bucketed_semi(anti=True)`` — the NOT EXISTS), and an enum-bounded
+    final rollup keyed by the broadcast nation dimension. (TPC-H proper
+    anti-joins ALL orders; this corpus gives every customer some order, so
+    the urgency filter keeps the result non-degenerate while exercising
+    the identical plan.)"""
+    from ..functions.bucketing import bucketed_semi
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def with_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": b["c_nationkey"],
+            "ac": _cents(b["c_acctbal"].to_numpy()),
+        })
+
+    def cust():
+        return rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=cust_cols
+        ).map_batches(with_cents, batch_format="pandas")
+
+    # scalar subquery: (sum, count) of positive balances -> two driver ints
+    pos = (cust()
+           .filter(expr="ac > 0")
+           .map_batches(
+               lambda b: pd.DataFrame({
+                   "s": [np.int64(b["ac"].sum())],
+                   "c": [np.int64(len(b))]}),
+               batch_format="pandas")
+           .repartition(1)
+           .map_batches(
+               lambda b: pd.DataFrame({"s": [np.int64(b["s"].sum())],
+                                       "c": [np.int64(b["c"].sum())]}),
+               batch_format="pandas", batch_size=None)
+           .take_all())
+    s_pos, c_pos = int(pos[0]["s"]), int(pos[0]["c"])
+
+    rich = cust().map_batches(
+        lambda b: b[b["ac"].to_numpy(dtype=np.int64) * c_pos > s_pos],
+        batch_format="pandas")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT")
+    idle = bucketed_semi(
+        rich, orders, left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_nationkey", "ac"], anti=True, n_buckets=n_buckets)
+
+    nmap = {r["n_nationkey"]: r["n_name"]
+            for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+    nref = ray.put(nmap)
+
+    class Partial:
+        def __init__(self):
+            self.nmap = ray.get(nref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby("c_nationkey", sort=False)["ac"]
+            out = g.sum().rename("totacctbal_cents").to_frame()
+            out["numcust"] = g.size()
+            out = out.reset_index()
+            out["n_name"] = out["c_nationkey"].map(self.nmap)
+            return out[["n_name", "numcust", "totacctbal_cents"]]
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:  # typed empty, never a schema-less block
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "numcust": pd.Series([], dtype="int64"),
+                                 "totacctbal_cents": pd.Series([], dtype="int64")})
+        return (b.groupby("n_name", sort=False, as_index=False)
+                [["numcust", "totacctbal_cents"]].sum())
+
+    return (idle.map_batches(Partial, batch_format="pandas",
+                             concurrency=(1, 2))
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_q22_idle_customers() -> str:
+    return """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS ac
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(ac) AS BIGINT) AS s, count(*) AS c FROM c WHERE ac > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(ac) AS BIGINT) AS totacctbal_cents
+FROM c, pos
+JOIN nation ON n_nationkey = c_nationkey
+WHERE ac * pos.c > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY n_name"""
+
+
 def sql_q10_returned_items(k: int = 20) -> str:
     lo, hi = Q10_QUARTER
     return f"""
