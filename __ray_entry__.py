@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": rel.events_hourly_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
         "events_value_quartiles": rel.events_value_quartiles,
+        # high-cardinality grouped exact median (per-key co-location)
+        "events_user_median": rel.events_user_median,
         # ordered window function (per-user running sum, event grain)
         "events_running_total": rel.events_running_total,
         # ordered LAG window: per-user inter-event gap statistics
@@ -581,6 +583,7 @@ FROM events GROUP BY event_type""",
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
+        "events_user_median": rel.sql_events_user_median(),
         "part_name_editdist": """
 SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b
 FROM part p1 JOIN part p2 ON p1.p_partkey < p2.p_partkey

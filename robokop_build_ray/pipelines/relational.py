@@ -1887,6 +1887,65 @@ def q10_returned_items(sf_dir: str, k: int = 20, n_buckets: int = 64):
     })
 
 
+def events_user_median(sf_dir: str, n_buckets: int = 64):
+    """Per-USER exact median at HIGH key cardinality -> (user_id,
+    med2_cents, n_events). ``med2_cents`` is the doubled median as an
+    exact int (lower middle + upper middle of the sorted per-user cents)
+    so no float ever enters the hash compare.
+
+    This is the OTHER exact-quantile scale shape: the global
+    iterative-histogram selection (``events_value_median``) rescans the
+    fact table per refinement round and never co-locates a group — right
+    when groups are enum-bounded but each group's volume is corpus-scale.
+    Here the per-key value set is BOUNDED (one user's events fit a
+    reducer), so ONE bucketed exchange co-locates each user's values and
+    a single vectorized sort-within-bucket computes every median: one
+    pass, no iteration. Choose by per-key volume, not key count."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "vc": _cents(b["value"].to_numpy())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "med2_cents": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "vc"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        vc = g["vc"].to_numpy()
+        users, starts = np.unique(uid, return_index=True)
+        counts = np.diff(np.append(starts, len(g)))
+        lower = vc[starts + (counts - 1) // 2]
+        upper = vc[starts + counts // 2]
+        return pd.DataFrame({"user_id": users,
+                             "med2_cents": lower + upper,
+                             "n_events": counts.astype(np.int64)})
+
+    return bucketed_apply(ds.map_batches(to_cents, batch_format="pandas"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_median() -> str:
+    return """
+WITH v AS (
+  SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+s AS (SELECT user_id, list_sort(list(vc)) AS l, count(*) AS n
+      FROM v GROUP BY user_id)
+SELECT user_id,
+       l[CAST((n + 1) // 2 AS BIGINT)] + l[CAST(n // 2 + 1 AS BIGINT)]
+         AS med2_cents,
+       n AS n_events
+FROM s"""
+
+
 Q17_BRAND = "Brand#1"
 
 
