@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quartiles": rel.events_value_quartiles,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
+        # grouped argmax (modal event type, deterministic tie-break)
+        "events_user_mode": rel.events_user_mode,
+        # cohort retention: first-week join-back inside one exchange
+        "events_cohort_retention": rel.events_cohort_retention,
         # ordered window function (per-user running sum, event grain)
         "events_running_total": rel.events_running_total,
         # ordered LAG window: per-user inter-event gap statistics
@@ -584,6 +588,8 @@ FROM events GROUP BY event_type""",
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_user_median": rel.sql_events_user_median(),
+        "events_user_mode": rel.sql_events_user_mode(),
+        "events_cohort_retention": rel.sql_events_cohort_retention(),
         "part_name_editdist": """
 SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b
 FROM part p1 JOIN part p2 ON p1.p_partkey < p2.p_partkey

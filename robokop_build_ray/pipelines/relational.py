@@ -1946,6 +1946,106 @@ SELECT user_id,
 FROM s"""
 
 
+def events_user_mode(sf_dir: str, n_buckets: int = 64):
+    """Per-user MODAL event type -> (user_id, mode_type, n_events) with a
+    deterministic tie-break (highest count, then lexicographically
+    smallest type) so every parallelism level picks the same winner.
+
+    Grouped argmax at high key cardinality: per-batch (user, type) count
+    partials shrink the map output to the per-batch key universe, ONE
+    bucketed exchange on the user hash co-locates each user's counts, and
+    the winner falls out of a vectorized sort + drop_duplicates per
+    bucket — no per-user Python."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["user_id", "event_type"], sort=False).size()
+                .rename("n").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], sort=False,
+                      as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        w = c.drop_duplicates("user_id")
+        return pd.DataFrame({"user_id": w["user_id"],
+                             "mode_type": w["event_type"],
+                             "n_events": w["n"].astype(np.int64)})
+
+    return bucketed_apply(ds, ["user_id"], merge, partial, n_buckets)
+
+
+def sql_events_user_mode() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, n AS n_events FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rk
+  FROM c
+) WHERE rk = 1"""
+
+
+_WEEK_US = 604_800_000_000  # 7 * 86400 * 1e6 microseconds
+
+
+def events_cohort_retention(sf_dir: str, n_buckets: int = 64):
+    """Cohort retention -> (cohort_week, week_offset, n_users): users
+    grouped by first-active epoch-week, counted per later active week.
+
+    The classic event-analytics rollup, shaped for scale: per-batch
+    distinct (user, week) partials bound a hot user's map output to one
+    row per (batch, week); ONE bucketed exchange on the user hash
+    co-locates each user's weeks, and each bucket derives (cohort,
+    offset) partial counts locally (first week = min over the co-located
+    set — the per-key-aggregate join-back without a second exchange).
+    The final fold is KEY-BOUNDED (weeks x offsets, not users), so it
+    coalesces to a single block instead of shuffling."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        wk = b["ts"].astype("datetime64[ns]").astype("int64") \
+            // (_WEEK_US * 1000)
+        return pd.DataFrame({"user_id": b["user_id"],
+                             "wk": wk}).drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        first = g.groupby("user_id", sort=False)["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first,
+                            "week_offset": g["wk"].to_numpy() - first})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().rename("n_users").reset_index())
+
+    counts = bucketed_apply(ds, ["user_id"], merge, partial, n_buckets)
+    return (counts.repartition(1)
+            .map_batches(
+                lambda b: b.groupby(["cohort_week", "week_offset"],
+                                    sort=False, as_index=False)
+                ["n_users"].sum(),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_events_cohort_retention() -> str:
+    return f"""
+WITH w AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+SELECT f.cw AS cohort_week, w.wk - f.cw AS week_offset,
+       count(*) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY f.cw, w.wk - f.cw"""
+
+
 Q17_BRAND = "Brand#1"
 
 
