@@ -172,6 +172,20 @@ def _kg_bfs_distances(sf_dir: str):
     return bfs_distances(_kg(sf_dir, "edges"), tm, "chemical_substance")
 
 
+def _kg_weighted_sssp(sf_dir: str):
+    """Multi-source weighted shortest paths (Bellman-Ford, fixed rounds)
+    over the mention-weighted KG — the evidence-discounted sibling of
+    kg_bfs_distances."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import weighted_sssp
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return weighted_sssp(_kg(sf_dir, "canonical"), tm, "chemical_substance")
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -307,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
+        # weighted sibling: Bellman-Ford over mention-discounted weights
+        "kg_weighted_sssp": _kg_weighted_sssp,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -553,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
         "kg_kcore": entry_sql.sql_kcore(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
+        "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

@@ -439,6 +439,37 @@ bfs(id, dist) AS (
 SELECT id, min(dist) AS dist FROM bfs GROUP BY id"""
 
 
+def sql_weighted_sssp(tier: str, seed_type: str = "chemical_substance",
+                      rounds: int = 4) -> str:
+    """Multi-source weighted shortest paths (graph_metrics.weighted_sssp):
+    per-pair mention counts -> evidence-discounted weights (>=3 mentions
+    cost 1, 2 cost 2, 1 costs 3 — SPEC shared with _mention_weight); the
+    recursive CTE enumerates all <= ``rounds``-edge paths from the seeds
+    and min(dist) collapses them — exactly Bellman-Ford after ``rounds``
+    relaxation rounds, identical to both engine paths."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+wpair AS (
+  SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+         count(*) AS m
+  FROM canon WHERE subj_id <> obj_id GROUP BY 1, 2
+),
+wund AS (SELECT a, b,
+                CASE WHEN m >= 3 THEN 1 WHEN m = 2 THEN 2 ELSE 3 END AS wt
+         FROM wpair),
+wadj AS (SELECT a AS id, b AS nb, wt FROM wund
+         UNION ALL SELECT b, a, wt FROM wund),
+sssp(id, dist, hops) AS (
+  SELECT ga.curie, 0, 0 FROM read_parquet('{p["gazetteer"]}') ga
+  WHERE ga.node_type = '{seed_type}' AND ga.curie IN (SELECT id FROM wadj)
+  UNION
+  SELECT wadj.nb, s.dist + wadj.wt, s.hops + 1
+  FROM sssp s JOIN wadj ON wadj.id = s.id
+  WHERE s.hops < {rounds}
+)
+SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM sssp GROUP BY id"""
+
+
 def sql_node_type_histogram(tier: str) -> str:
     """Histogram over the emitted node table (`builder/builder.py:129-134`)."""
     nodes = sql_nodes(tier)

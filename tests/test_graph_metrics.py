@@ -134,3 +134,54 @@ def test_bfs_distances_distributed_matches_local():
                                          local_threshold=0,
                                          n_buckets=4).take_all())
     assert local == dist and len(local) > 0  # hybrid paths bit-identical
+
+
+def test_weighted_sssp_hand_values():
+    # s -(x3: wt 1)- a -(x1: wt 3)- t ; s -(x1: wt 3)- b -(x2: wt 2)- t
+    # cheapest s->t = 1 + 3 = 4 through a (hop count alone would tie)
+    from robokop_build_ray.stages.graph_metrics import weighted_sssp
+
+    ds = _edges([("s", "a")] * 3 + [("a", "t"), ("s", "b")]
+                + [("b", "t")] * 2)
+    tm = {"s": "chem", "a": "gene", "b": "gene", "t": "disease"}
+    got = {r["id"]: r["dist"]
+           for r in weighted_sssp(ds, tm, "chem", rounds=4,
+                                  n_buckets=4).take_all()}
+    assert got == {"s": 0, "a": 1, "b": 3, "t": 4}
+
+
+def test_weighted_sssp_rounds_cap_and_relaxation():
+    # chain s -1- a -1- b -1- c needs 3 rounds for c; rounds=2 stops at b;
+    # the direct heavy edge s -3- c must be RELAXED down once the cheap
+    # 3-edge path is in range
+    from robokop_build_ray.stages.graph_metrics import weighted_sssp
+
+    chain = [("s", "a")] * 3 + [("a", "b")] * 3 + [("b", "c")] * 3
+    heavy = [("s", "c")]
+    tm = {"s": "chem", "a": "g", "b": "g", "c": "g"}
+    capped = {r["id"]: r["dist"]
+              for r in weighted_sssp(_edges(chain + heavy), tm, "chem",
+                                     rounds=2, n_buckets=4).take_all()}
+    assert capped == {"s": 0, "a": 1, "b": 2, "c": 3}  # via heavy edge
+    full = {r["id"]: r["dist"]
+            for r in weighted_sssp(_edges(chain + heavy), tm, "chem",
+                                   rounds=4, n_buckets=4).take_all()}
+    assert full["c"] == 3  # 3-edge path (1+1+1) ties heavy edge (3)
+    assert full == {"s": 0, "a": 1, "b": 2, "c": 3}
+
+
+def test_weighted_sssp_distributed_matches_local():
+    rng = np.random.default_rng(11)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 30, size=(200, 2)) if a != b]
+    tm = {f"n{i}": ("chem" if i % 6 == 0 else "gene") for i in range(30)}
+    from robokop_build_ray.stages.graph_metrics import weighted_sssp
+
+    local = sorted((r["id"], r["dist"])
+                   for r in weighted_sssp(_edges(pairs), tm, "chem",
+                                          rounds=3).take_all())
+    dist = sorted((r["id"], r["dist"])
+                  for r in weighted_sssp(_edges(pairs), tm, "chem",
+                                         rounds=3, local_threshold=0,
+                                         n_buckets=4).take_all())
+    assert local == dist and len(local) > 0  # hybrid paths bit-identical
