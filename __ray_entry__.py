@@ -447,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),
+        # context-window chunking (sequence-packing precursor, flat-map)
+        "doc_chunks": lambda sf: ta.chunk_spans(_docs(sf)),
+        # exact-integer z-score outlier screen (data cleaning)
+        "events_value_outliers": rel.events_value_outliers,
         # benchmark decontamination: broadcast eval-gram set, zero shuffles
         "doc_decontaminate": lambda sf: dedup.contamination_check(_docs(sf)),
         # --- embeddings -------------------------------------------------
@@ -606,6 +610,14 @@ FROM events GROUP BY event_type""",
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
+        "events_value_outliers": rel.sql_events_value_outliers(),
+        "doc_chunks": r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+)
+SELECT doc_id, i AS chunk_idx, least(64, n - i * 64) AS n_tokens
+FROM t, UNNEST(range(0, (n + 63) // 64)) AS u(i)
+WHERE n > 0""",
         "events_cohort_retention": rel.sql_events_cohort_retention(),
         "part_name_editdist": """
 SELECT p1.p_partkey AS id_a, p2.p_partkey AS id_b

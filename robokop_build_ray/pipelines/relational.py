@@ -2046,6 +2046,99 @@ FROM w JOIN f USING (user_id)
 GROUP BY f.cw, w.wk - f.cw"""
 
 
+OUTLIER_Z2 = 9  # z^2 (3-sigma) — SPEC shared with the oracle SQL
+
+
+def events_value_outliers(sf_dir: str, z2: int = OUTLIER_Z2):
+    """Per-type z-score outliers with an EXACT integer decision rule ->
+    (event_id, event_type, vc): keep events where
+    ``(n*vc - s)^2 > z^2 * (n*q - s^2)`` (s = sum cents, q = sum squared
+    cents, n = count) — algebraically |vc - mean| > z * stddev, but no
+    float ever decides a row, so every parallelism level and the oracle
+    keep the identical set.
+
+    Scale shape: the per-type moments are enum-bounded coalesced partials
+    (three int64 scalars per type) collected driver-side as PYTHON ints
+    (arbitrary precision — n*q overflows int64 long before the data stops
+    fitting the cluster) and broadcast; the scan-side filter stays in
+    int64 while the per-type guard ``(n*max|vc| + |s|)^2 < 2^63`` holds
+    and switches that type's compare to object-dtype Python ints beyond
+    it (exact either way)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "vc": _cents(b["value"].to_numpy())})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", sort=False)["vc"]
+        out = g.sum().rename("s").to_frame()
+        out["q"] = b.assign(v2=b["vc"] ** 2) \
+            .groupby("event_type", sort=False)["v2"].sum()
+        out["n"] = g.size()
+        out["m"] = g.apply(lambda x: np.abs(x.to_numpy()).max())
+        return out.reset_index()
+
+    parts = (cents.map_batches(moments, batch_format="pandas")
+             .repartition(1)
+             .map_batches(
+                 lambda b: b.groupby("event_type", sort=False,
+                                     as_index=False)
+                 .agg({"s": "sum", "q": "sum", "n": "sum", "m": "max"}),
+                 batch_format="pandas", batch_size=None)
+             .take_all())  # enum-bounded: one row per event type
+    stats = {}
+    for r in parts:
+        n, s, q, m = int(r["n"]), int(r["s"]), int(r["q"]), int(r["m"])
+        rhs = z2 * (n * q - s * s)  # Python ints: never overflows
+        fits64 = (n * m + abs(s)) ** 2 < 2 ** 63 and rhs < 2 ** 63
+        stats[r["event_type"]] = (n, s, rhs, fits64)
+    stats_ref = ray.put(stats)
+
+    class Filter:
+        def __init__(self):
+            self.stats = ray.get(stats_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keep = np.zeros(len(b), dtype=bool)
+            vc = b["vc"].to_numpy()
+            et = b["event_type"].to_numpy()
+            for t, (n, s, rhs, fits64) in self.stats.items():
+                mask = et == t
+                if not mask.any():
+                    continue
+                v = vc[mask]
+                if fits64:
+                    d = n * v.astype(np.int64) - s
+                    hit = d * d > rhs
+                else:  # exact big-int path (object dtype, still one pass)
+                    d = n * v.astype(object) - s
+                    hit = np.asarray(d * d > rhs, dtype=bool)
+                keep[np.flatnonzero(mask)[hit]] = True
+            return b[keep]
+
+    return cents.map_batches(Filter, batch_format="pandas",
+                             concurrency=(1, 2))
+
+
+def sql_events_value_outliers(z2: int = OUTLIER_Z2) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+m AS (SELECT event_type, count(*) AS n, sum(vc) AS s, sum(vc * vc) AS q
+      FROM v GROUP BY event_type)
+SELECT event_id, v.event_type, vc
+FROM v JOIN m USING (event_type)
+WHERE (n * vc - s) * (n * vc - s) > {z2} * (n * q - s * s)"""
+
+
 Q17_BRAND = "Brand#1"
 
 

@@ -220,3 +220,36 @@ def split_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def train_split(docs, batch_size: int = 4096):
     return docs.map_batches(split_batch, batch_format="pandas",
                             batch_size=batch_size)
+
+
+def chunk_spans_batch(batch: pd.DataFrame,
+                      chunk_tokens: int = 64) -> pd.DataFrame:
+    """Context-window chunking -> (doc_id, chunk_idx, n_tokens): each
+    doc's whitespace-token stream split into fixed-budget windows (the
+    sequence-packing precursor every LM training pipeline runs). A
+    flat-map shape — output grain is chunks, input grain docs — kept
+    vectorized with np.repeat + offset arithmetic, no per-doc loop.
+    Zero-token docs emit no chunk."""
+    n = batch["text"].str.count(TOKEN_RE).to_numpy(dtype=np.int64)
+    k = (n + chunk_tokens - 1) // chunk_tokens  # ceil, 0 for empty docs
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(), k)
+    total = int(k.sum())
+    if total == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "chunk_idx": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64")})
+    # per-row 0..k_i-1 index: global arange minus each row's start offset
+    starts = np.repeat(np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+    idx = np.arange(total, dtype=np.int64) - starts
+    rem = np.repeat(n, k) - idx * chunk_tokens
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "chunk_idx": idx,
+        "n_tokens": np.minimum(rem, chunk_tokens).astype(np.int64),
+    })
+
+
+def chunk_spans(docs, chunk_tokens: int = 64, batch_size: int = 4096):
+    return docs.map_batches(
+        lambda b: chunk_spans_batch(b, chunk_tokens),
+        batch_format="pandas", batch_size=batch_size)
