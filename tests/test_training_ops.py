@@ -340,3 +340,40 @@ def test_misra_gries_exact_and_bounded():
     ds = rd.from_items([{"v": "x"}] * 30 + [{"v": "y"}] * 20 + [{"v": "z"}] * 5)
     out = heavy_hitters(ds, "v", k=2, capacity=100).take_all()
     assert [(r["v"], r["n"]) for r in out] == [("x", 30), ("y", 20)]
+
+
+def test_chunk_spans_batch_hand_values():
+    b = pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["w " * 130, "w " * 64, ""]})
+    out = ta.chunk_spans_batch(b, chunk_tokens=64)
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["n_tokens"]))
+    # 130 tokens -> 64 + 64 + 2; 64 -> one full chunk; empty doc -> none
+    assert got == [(1, 0, 64), (1, 1, 64), (1, 2, 2), (2, 0, 64)]
+
+
+def test_train_split_deterministic_and_proportional():
+    b = pd.DataFrame({"doc_id": range(2000), "lang": ["en"] * 2000})
+    a1 = ta.split_batch(b)
+    a2 = ta.split_batch(b.sample(frac=1.0, random_state=3).reset_index(
+        drop=True)).sort_values("doc_id").reset_index(drop=True)
+    # same assignment regardless of row order (pure function of doc_id)
+    assert (a1["split"].to_numpy()
+            == a2["split"].to_numpy()).all()
+    frac = (a1["split"] == "train").mean()
+    assert 0.75 < frac < 0.85  # ~0.8 by construction
+
+
+def test_contamination_check_planted():
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        {"doc_id": 0, "text": f"intro {span} outro"},        # eval doc
+        {"doc_id": 1, "text": f"training doc copies {span} here"},
+        {"doc_id": 2, "text": "clean doc with none of those words at all"},
+        {"doc_id": 50, "text": "another eval doc nothing shared"},
+    ]
+    out = dedup.contamination_check(rd.from_items(rows), eval_mod=50,
+                                    window=8).take_all()
+    got = {r["doc_id"]: r["n_eval_grams"] for r in out}
+    assert 1 in got and got[1] >= 1   # contaminated doc flagged
+    assert 2 not in got               # clean doc passes
+    assert 0 not in got and 50 not in got  # eval docs never self-flag
