@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
         "doc_quality": lambda sf: ta.quality(_docs(sf)),
         "doc_langid": lambda sf: ta.langid(_docs(sf)),
+        # eval confusion matrix (gold vs predicted language, enum-bounded)
+        "doc_langid_confusion": lambda sf: ta.langid_confusion(_docs(sf)),
         "doc_fingerprint": lambda sf: ta.fingerprints(_docs(sf)),
         # winnowing-style min-rolling-hash fingerprint (md5 windows)
         "doc_rolling_fp": lambda sf: ta.rolling_fingerprints(_docs(sf)),
@@ -481,6 +483,26 @@ def _vocab():
 
 
 # ---------------------------------------------------------------- oracle SQL
+
+# language-ID assignment, shared by the doc_langid and confusion oracles
+_LANGID_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+FROM s"""
 
 def _ivf_probe_labels(sf_dir: str, n_queries: int = 5, nprobe: int = 2) -> list[int]:
     """Sequential numpy recomputation of the IVF probe set (deterministic:
@@ -657,24 +679,12 @@ SELECT doc_id, n_tokens,
        (n_tokens >= 5 AND n_tokens <= 100000
         AND 1.0 * n_stop / greatest(n_tokens, 1) > 0.0) AS is_quality
 FROM s""",
-        "doc_langid": r"""
-WITH s AS (
-  SELECT doc_id,
-    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
-    len(regexp_extract_all(lower(text), '\b(der|die|und|ist|nicht)\b')) AS s_de,
-    len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS s_es,
-    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
-    len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
-  FROM documents
-)
-SELECT doc_id,
-  CASE
-    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-    WHEN s_fr >= s_zh THEN 'fr'
-    ELSE 'zh' END AS pred_lang
-FROM s""",
+        "doc_langid": _LANGID_SQL,
+        "doc_langid_confusion": f"""
+WITH p AS ({_LANGID_SQL})
+SELECT d.lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.pred_lang""",
         "doc_fingerprint": """
 SELECT doc_id,
        md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))

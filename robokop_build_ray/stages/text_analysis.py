@@ -76,6 +76,30 @@ class LangId:
         return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
 
 
+class LangIdConfusion(LangId):
+    """Eval confusion partials: (gold lang, predicted lang, n) per batch —
+    the model-evaluation counterpart of :class:`LangId`. Output is
+    enum-bounded (|langs|^2 rows per batch), so the final fold is a
+    single-block merge, never a shuffle."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pred = super().__call__(batch)["pred_lang"]
+        df = pd.DataFrame({"lang": batch["lang"].to_numpy(),
+                           "pred_lang": pred.to_numpy()})
+        return (df.groupby(["lang", "pred_lang"], sort=False).size()
+                .rename("n").reset_index())
+
+
+def langid_confusion(docs, batch_size: int = 4096, concurrency=(1, 2)):
+    parts = docs.map_batches(LangIdConfusion, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency)
+    return (parts.repartition(1)
+            .map_batches(
+                lambda b: b.groupby(["lang", "pred_lang"], sort=False,
+                                    as_index=False)["n"].sum(),
+                batch_format="pandas", batch_size=None))
+
+
 def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Content fingerprint: md5 of lower(trim(text)) — md5 chosen so DuckDB's
     ``md5()`` verifies byte-for-byte; at production scale swap for xxhash."""
