@@ -453,6 +453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": lambda sf: ta.chunk_spans(_docs(sf)),
         # exact-integer z-score outlier screen (data cleaning)
         "events_value_outliers": rel.events_value_outliers,
+        # fact-grain dense_rank window without a global sort
+        "events_value_dense_rank": rel.events_value_dense_rank,
         # benchmark decontamination: broadcast eval-gram set, zero shuffles
         "doc_decontaminate": lambda sf: dedup.contamination_check(_docs(sf)),
         # --- embeddings -------------------------------------------------
@@ -633,6 +635,7 @@ FROM events GROUP BY event_type""",
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),
+        "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "doc_chunks": r"""
 WITH t AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents

@@ -2046,6 +2046,71 @@ FROM w JOIN f USING (user_id)
 GROUP BY f.cw, w.wk - f.cw"""
 
 
+def events_value_dense_rank(sf_dir: str, n_buckets: int = 64):
+    """Fact-grain window function WITHOUT a global sort ->
+    (event_id, event_type, vc, rnk): per-type ``dense_rank()`` of the
+    event's cent value.
+
+    A corpus-scale ``ORDER BY`` per partition is the classic shuffle
+    bottleneck; dense rank needs only the DISTINCT-value order, and the
+    cent domain is VALUE-BOUNDED (price-like columns always are), so the
+    whole rank table is a (type, vc) histogram: one bounded bucketed
+    exchange builds it, the driver broadcasts per-type sorted value
+    arrays, and every scan batch assigns ranks with a vectorized
+    ``searchsorted`` — the fact table itself is never sorted, never
+    shuffled."""
+    from ..functions.bucketing import bucketed_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "vc": _cents(b["value"].to_numpy())})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    distinct = bucketed_distinct(
+        cents.select_columns(["event_type", "vc"]), ["event_type", "vc"],
+        n_buckets)
+    vals: dict[str, list[int]] = {}
+    for r in distinct.take_all():  # value-domain-bounded, never fact-scale
+        vals.setdefault(r["event_type"], []).append(int(r["vc"]))
+    ranks_ref = ray.put({t: np.array(sorted(v), dtype=np.int64)
+                         for t, v in vals.items()})
+
+    class Rank:
+        def __init__(self):
+            self.sorted_vals = ray.get(ranks_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rnk = np.zeros(len(b), dtype=np.int64)
+            vc = b["vc"].to_numpy()
+            et = b["event_type"].to_numpy()
+            for t, sv in self.sorted_vals.items():
+                m = et == t
+                if m.any():
+                    rnk[m] = np.searchsorted(sv, vc[m], side="left") + 1
+            out = b.copy()
+            out["rnk"] = rnk
+            return out
+
+    return cents.map_batches(Rank, batch_format="pandas",
+                             concurrency=(1, 2))
+
+
+def sql_events_value_dense_rank() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, event_type, vc,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY vc) AS rnk
+FROM v"""
+
+
 OUTLIER_Z2 = 9  # z^2 (3-sigma) — SPEC shared with the oracle SQL
 
 
