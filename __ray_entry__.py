@@ -418,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         # Q22 shape: scalar subquery + distributed ANTI join + enum rollup
         "q22_idle_customers": rel.q22_idle_customers,
+        # Q19 shape: OR-of-ANDs compound predicate after a fact join
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -666,6 +668,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q10_returned_items": rel.sql_q10_returned_items(),
         "q17_small_qty_revenue": rel.sql_q17_small_qty_revenue(),
         "q22_idle_customers": rel.sql_q22_idle_customers(),
+        "q19_disjunctive_revenue": rel.sql_q19_disjunctive_revenue(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -2111,6 +2111,91 @@ SELECT event_id, event_type, vc,
 FROM v"""
 
 
+Q19_TERMS = (  # (brand, max_size, qty_lo, qty_hi) — SPEC disjunction terms
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q19 shape: revenue from lines matching a DISJUNCTION of
+    conjunctive (brand x size-range x quantity-range) terms -> one row
+    (revenue_cents, n_lines).
+
+    The shape is compound-predicate evaluation AFTER a fact join: no
+    single term is scan-pushable (each mixes part and lineitem columns),
+    so brand/size ride in via one bucketed merge join and the OR-of-ANDs
+    evaluates as a vectorized boolean reduction per batch — never a
+    row-at-a-time predicate interpreter."""
+    from ..functions.bucketing import bucketed_attach
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"],
+            "q": b["l_quantity"].to_numpy().astype(np.int64),
+            "rc": _cents(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    # brand and size fused into ONE string payload: bucketed_attach uses a
+    # single type-compatible fill for all payload columns, so mixed-type
+    # payloads ride as an encoded column and split after the join
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "p_partkey": b["p_partkey"],
+            "bs": b["p_brand"] + "|" + b["p_size"].astype(str)}),
+        batch_format="pandas")
+    joined = bucketed_attach(
+        li.map_batches(derive, batch_format="pandas"), part,
+        left_on="l_partkey", right_on="p_partkey",
+        left_cols=["q", "rc"],
+        payload={"bs": "bs"}, payload_fill="", n_buckets=n_buckets,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["q"].to_numpy(dtype=np.int64)
+        parts = b["bs"].str.partition("|")
+        sz = pd.to_numeric(parts[2]).to_numpy()
+        br = parts[0].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, max_size, qlo, qhi in Q19_TERMS:
+            keep |= ((br == brand) & (sz >= 1) & (sz <= max_size)
+                     & (q >= qlo) & (q <= qhi))
+        rc = b["rc"].to_numpy(dtype=np.int64)[keep]
+        return pd.DataFrame({"revenue_cents": [np.int64(rc.sum())],
+                             "n_lines": [np.int64(keep.sum())]})
+
+    return (joined.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "revenue_cents": [np.int64(b["revenue_cents"].sum())],
+                    "n_lines": [np.int64(b["n_lines"].sum())]}),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_q19_disjunctive_revenue() -> str:
+    terms = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+        f"AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in Q19_TERMS)
+    return f"""
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {terms}"""
+
+
 OUTLIER_Z2 = 9  # z^2 (3-sigma) — SPEC shared with the oracle SQL
 
 
