@@ -149,7 +149,16 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
 
 
 def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].unique())[:cap]
+    uniq = np.sort(g["doc_id"].unique())
+    if len(uniq) > cap:  # no silent caps: a truncated bucket is a recall loss
+        import warnings
+
+        warnings.warn(
+            f"LSH bucket holds {len(uniq)} docs > cap {cap}; candidate "
+            f"pairs truncated to the {cap} smallest doc_ids (recall loss "
+            f"on this bucket — raise cap or add bands)",
+            stacklevel=2)
+    ids = uniq[:cap]
     if len(ids) < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64")})
@@ -342,7 +351,15 @@ def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
         return pd.DataFrame(rows, columns=["doc_id", "simhash", "chunk_idx", "chunk_val"])
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) > max_bucket:  # no silent caps (recall loss on hot chunks)
+            import warnings
+
+            warnings.warn(
+                f"simhash chunk bucket holds {len(g)} docs > max_bucket "
+                f"{max_bucket}; truncated (recall loss on this bucket)",
+                stacklevel=2)
+            g = g.head(max_bucket)
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.uint64)
         if len(ids) < 2:
