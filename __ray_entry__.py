@@ -266,6 +266,31 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+_CLUSTERS_CACHE: dict[tuple[str, float], Any] = {}
+
+
+def _clusters(sf_dir: str, threshold: float = 0.5):
+    """Memoized near-dup clusters per (tier, threshold) — dedup_clusters
+    and dedup_keep share one LSH + components build per driver process
+    (same reuse pattern as _GRAPH_CACHE for the kg_* queries)."""
+    from robokop_build_ray.stages import dedup
+
+    key = (sf_dir, threshold)
+    ds = _CLUSTERS_CACHE.get(key)
+    if ds is None:
+        ds = dedup.near_dup_clusters(_docs(sf_dir),
+                                     threshold=threshold).materialize()
+        _CLUSTERS_CACHE[key] = ds
+    return ds
+
+
+def _keep_flags(t):
+    """Keep-flag derivation (dedup.near_dup_keep_list's decide step)."""
+    import pyarrow.compute as pc
+
+    return t.append_column("kept", pc.equal(t["doc_id"], t["cluster"]))
+
+
 def _embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -442,12 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc repeated 8-token windows with doc/occurrence counts
         "doc_duplicate_ngrams": lambda sf: dedup.duplicate_ngrams(_docs(sf)),
         # composition: LSH pairs -> connected components -> cluster ids
-        "dedup_clusters": lambda sf: dedup.near_dup_clusters(
-            _docs(sf), threshold=0.5
-        ),
+        # (memoized per tier: dedup_keep derives from the same build)
+        "dedup_clusters": lambda sf: _clusters(sf, 0.5),
         # materialized dedup decision: canonical-representative keep flags
-        "dedup_keep": lambda sf: dedup.near_dup_keep_list(
-            _docs(sf), threshold=0.5
+        "dedup_keep": lambda sf: _clusters(sf, 0.5).map_batches(
+            _keep_flags, batch_format="pyarrow"
         ),
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),

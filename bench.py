@@ -133,7 +133,11 @@ def main() -> None:
         # bench.py already takes best-of-2 INSIDE each subprocess (wall-time
         # noise is additive: cold workers, page cache, writeback), so one
         # subprocess per level suffices for a stable efficiency ratio
-        lo, hi = 8, 32
+        # levels overridable for N-vs-4N forensics on a contended host
+        # (e.g. 4/16 isolates engine scaling from the full-machine
+        # penalty); the recorded protocol default stays 8/32
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
         os.environ["GRAFT_BENCH_REPEATS"] = (
             "1" if "--quick" in sys.argv else "2"
         )
