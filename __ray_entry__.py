@@ -108,6 +108,28 @@ def _kg_components(sf_dir: str):
     return comp.union(singles)
 
 
+def _kg_component_sizes(sf_dir: str):
+    """Component-size histogram -> (size, n_components): the graph-health
+    summary every dedup/canonicalization pass gets judged by (a runaway
+    giant component means over-merging). Derived from the components
+    labels with one bounded count exchange + an enum-bounded fold."""
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_count
+
+    comp = _kg_components(sf_dir)
+    sizes = bucketed_count(comp, ["component"], name="size", n_buckets=16)
+    return (sizes.map_batches(
+        lambda b: (b.groupby("size", sort=False).size()
+                   .rename("n_components").reset_index()),
+        batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.groupby("size", sort=False, as_index=False)
+            ["n_components"].sum(),
+            batch_format="pandas", batch_size=None))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance over the built graph: quantized-integer PageRank
     (stages/pagerank.py) on the distinct canonical edge list."""
@@ -335,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_underexpected": _kg_support_underexpected,
         "kg_turns_ordered": _kg_turns_ordered,
         "kg_components": _kg_components,
+        # component-size histogram (over-merge health summary)
+        "kg_component_sizes": _kg_component_sizes,
         # iterative graph analytics over the built KG (quantized integer)
         "kg_pagerank": _kg_pagerank,
         # hub census: distinct-neighbor degree, global top-k
@@ -445,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": rel.q22_idle_customers,
         # Q19 shape: OR-of-ANDs compound predicate after a fact join
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        # Q6: canonical prune-at-the-read aggregate (basis-point band)
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -616,6 +642,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_turns_ordered": entry_sql.sql_turns_ordered(t),
         "kg_components": entry_sql.sql_components(t),
+        "kg_component_sizes": f"""
+WITH sizes AS (
+  SELECT component, count(*) AS size
+  FROM ({entry_sql.sql_components(t)}) GROUP BY component
+)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_pagerank": entry_sql.sql_pagerank(t),
         "kg_degree_topk": entry_sql.sql_degree_topk(t),
         "kg_triangles": entry_sql.sql_triangles(t),
@@ -693,6 +725,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q17_small_qty_revenue": rel.sql_q17_small_qty_revenue(),
         "q22_idle_customers": rel.sql_q22_idle_customers(),
         "q19_disjunctive_revenue": rel.sql_q19_disjunctive_revenue(),
+        "q6_forecast_revenue": rel.sql_q6_forecast_revenue(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -2111,6 +2111,62 @@ SELECT event_id, event_type, vc,
 FROM v"""
 
 
+Q6_YEAR = 1997
+Q6_DISC_LO_BP, Q6_DISC_HI_BP = 500, 700  # discount band in basis points
+Q6_QTY = 24
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: revenue increase from discount-band small-qty lines in
+    one ship year -> one row (revenue_cents, n_lines).
+
+    The canonical prune-at-the-read aggregate: year + quantity predicates
+    push into the parquet scan (row groups outside never leave storage);
+    the discount-band test runs in integer BASIS POINTS (floor(d*10000 +
+    0.5)) so the float column never decides a row; revenue = sum of
+    price*discount cents, folded as int64 partials."""
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(np.datetime64(f"{Q6_YEAR}-01-01", "us"))
+    hi = pa.scalar(np.datetime64(f"{Q6_YEAR + 1}-01-01", "us"))
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)
+        & (pc.field("l_quantity") < Q6_QTY),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bp = np.floor(b["l_discount"].to_numpy() * 10_000.0
+                      + 0.5).astype(np.int64)
+        keep = (bp >= Q6_DISC_LO_BP) & (bp <= Q6_DISC_HI_BP)
+        rc = _cents(b["l_extendedprice"].to_numpy()
+                    * b["l_discount"].to_numpy())[keep]
+        return pd.DataFrame({"revenue_cents": [np.int64(rc.sum())],
+                             "n_lines": [np.int64(keep.sum())]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "revenue_cents": [np.int64(b["revenue_cents"].sum())],
+                    "n_lines": [np.int64(b["n_lines"].sum())]}),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_q6_forecast_revenue() -> str:
+    return f"""
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01'
+  AND l_quantity < {Q6_QTY}
+  AND CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+      BETWEEN {Q6_DISC_LO_BP} AND {Q6_DISC_HI_BP}"""
+
+
 Q19_TERMS = (  # (brand, max_size, qty_lo, qty_hi) — SPEC disjunction terms
     ("Brand#12", 5, 1, 11),
     ("Brand#23", 10, 10, 20),
