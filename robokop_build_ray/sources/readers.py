@@ -52,3 +52,39 @@ def read_transcripts(path: str, format: str = "parquet", **kwargs):
     else:
         raise ValueError(f"unsupported transcript format: {format}")
     return ds.map_batches(_normalize, batch_format="pyarrow")
+
+
+def write_table(ds, path: str, format: str = "parquet"):
+    """Multi-format sink: write any output table (nodes / edges / support /
+    doc results) as partitioned parquet (the scale path — one file per
+    block, resumable), CSV, or JSONL. The non-parquet formats exist for
+    interoperability (downstream tools that can't read parquet); list and
+    timestamp columns are stringified for CSV because the format carries
+    no nested types."""
+    if format == "parquet":
+        ds.write_parquet(path)
+    elif format == "csv":
+        def flatten(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cols = {}
+            for name in t.column_names:
+                col = t[name]
+                if pa.types.is_list(col.type) or pa.types.is_large_list(
+                        col.type):
+                    # lists join to a '|'-separated string (CSV carries no
+                    # nested types; this sink is the interop path, not the
+                    # scale path)
+                    col = pc.binary_join(
+                        col.combine_chunks().cast(pa.list_(pa.string())),
+                        "|")
+                elif pa.types.is_timestamp(col.type):
+                    col = col.combine_chunks().cast(pa.string())
+                cols[name] = col
+            return pa.table(cols)
+
+        ds.map_batches(flatten, batch_format="pyarrow").write_csv(path)
+    elif format in ("json", "jsonl"):
+        ds.write_json(path)
+    else:
+        raise ValueError(f"unsupported sink format: {format}")

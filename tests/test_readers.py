@@ -59,3 +59,34 @@ def test_all_formats_same_schema_and_triples(small):
 def test_unknown_format_rejected(small):
     with pytest.raises(ValueError):
         read_transcripts(small["parquet"], format="xml")
+
+
+def test_write_table_all_formats_roundtrip(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from robokop_build_ray.sources.readers import write_table
+
+    rows = [{"id": f"N{i}", "vals": [f"a{i}", f"b{i}"], "n": i}
+            for i in range(10)]
+    ds = rd.from_items(rows)
+    write_table(ds, str(tmp_path / "pq"), "parquet")
+    write_table(ds, str(tmp_path / "csv"), "csv")
+    write_table(ds, str(tmp_path / "jsonl"), "jsonl")
+
+    back_pq = rd.read_parquet(str(tmp_path / "pq")).take_all()
+    assert sorted(r["id"] for r in back_pq) == [f"N{i}" for i in range(10)]
+    assert sorted(back_pq, key=lambda r: r["id"])[0]["vals"] == ["a0", "b0"]
+
+    back_csv = rd.read_csv(str(tmp_path / "csv")).take_all()
+    got = {r["id"]: r["vals"] for r in back_csv}
+    assert got["N3"] == "a3|b3"  # lists join for the nested-type-free format
+
+    back_js = rd.read_json(str(tmp_path / "jsonl")).take_all()
+    assert {r["id"] for r in back_js} == {f"N{i}" for i in range(10)}
+
+    try:
+        write_table(ds, str(tmp_path / "x"), "xml")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
