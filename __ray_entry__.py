@@ -17,6 +17,7 @@ session).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -27,7 +28,10 @@ from robokop_build_ray.pipelines import relational as rel
 from robokop_build_ray.pipelines import temporal as tmp
 from robokop_build_ray.sources.corpus import corpus_paths, ensure_corpus, tier_of
 
-_SQL_TIER = "sf0.01"  # the driver's correctness scale
+# the driver's correctness scale; GRAFT_SQL_TIER lets the local simulator
+# sweep OTHER tiers (tools/drive_contract.py sets it from its sf_dir so
+# the corpus-backed kg_*/dedup oracles track the tier under test)
+_SQL_TIER = os.environ.get("GRAFT_SQL_TIER", "sf0.01")
 
 
 # --------------------------------------------------------------------- entry
@@ -261,12 +265,16 @@ def _kg_path_filtered(sf_dir: str, path: str = "S(1-2)D"):
 
 def _kg_support_underexpected(sf_dir: str):
     """Pairs observed LESS than expected (`CooccurChi2.ipynb` cell 13
-    ``expected > observed`` filter)."""
-    return (
-        _kg(sf_dir, "support")
-        .filter(expr="expected > c")
-        .select_columns(["id_a", "id_b", "c", "expected"])
-    )
+    ``expected > observed`` filter). Projects through Arrow so the result
+    stays schema-typed even when NO pair is under-expected (tiny tiers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["expected"], t["c"]))
+        return t.select(["id_a", "id_b", "c", "expected"])
+
+    return _kg(sf_dir, "support").map_batches(project, batch_format="pyarrow")
 
 
 def _events_heavy_hitters(sf_dir: str):

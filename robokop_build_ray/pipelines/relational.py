@@ -815,14 +815,18 @@ FROM events GROUP BY event_type, bin"""
 Q7_NATIONS = ("NATION_1", "NATION_2")
 
 
-def q7_nation_trade(sf_dir: str):
+def q7_nation_trade(sf_dir: str, n_buckets: int = 64):
     """TPC-H Q7 shape: bilateral trade volume between two nations per ship
     year. supplier->nation and customer->nation are dimension maps
     (broadcast once); lineitem streams with a per-batch partial keyed on
-    (orderkey, supp_nation, year); the order->cust_nation attachment is a
-    distributed hash join against the (filtered, dimension-mapped) orders
-    scan; the final groupby is tiny (2 directions x years)."""
-    from ..functions.ray_utils import default_parallelism
+    (orderkey, supp_nation, year); the order->cust_nation attachment is
+    the repo's bucketed merge join against the (filtered,
+    dimension-mapped) orders scan — Ray 2.49's hash-shuffle
+    ``Dataset.join`` raises ArrowInvalid when a hash partition comes up
+    empty (tiny tiers / sparse filters), the same failure mode as acero,
+    so fact joins here always go through ``bucketing`` (CLAUDE.md
+    invariant); the final groupby is tiny (2 directions x years)."""
+    from ..functions.bucketing import bucketed_attach
 
     nation = {
         r["n_nationkey"]: r["n_name"]
@@ -882,20 +886,42 @@ def q7_nation_trade(sf_dir: str):
                  "l_shipdate"],
     ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 8))
 
-    joined = li.join(
-        orders, join_type="inner", num_partitions=default_parallelism(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["supp_nation", "l_year", "rev"],
+        payload={"cust_nation": "cust_nation"}, payload_fill="",
+        left_fill={"supp_nation": ""}, n_buckets=n_buckets,
     )
 
-    def cross_only(b: pd.DataFrame) -> pd.DataFrame:
+    def partial_fold(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["supp_nation"] != b["cust_nation"]]
-        return b[["supp_nation", "cust_nation", "l_year", "rev"]]
+        return (b.groupby(["supp_nation", "cust_nation", "l_year"],
+                          sort=False, as_index=False)["rev"].sum())
 
-    return rename(
-        joined.map_batches(cross_only, batch_format="pandas")
-        .groupby(["supp_nation", "cust_nation", "l_year"]).sum("rev"),
-        {"sum(rev)": "revenue_cents"},
-    )
+    def final(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby(["supp_nation", "cust_nation", "l_year"],
+                       sort=False, as_index=False)["rev"].sum()
+             if len(b) else b)
+        return pa.table({
+            "supp_nation": pa.array(g["supp_nation"], pa.string()),
+            "cust_nation": pa.array(g["cust_nation"], pa.string()),
+            "l_year": pa.array(g["l_year"], pa.int64()),
+            "revenue_cents": pa.array(g["rev"], pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "supp_nation": pa.array([], pa.string()),
+        "cust_nation": pa.array([], pa.string()),
+        "l_year": pa.array([], pa.int64()),
+        "revenue_cents": pa.array([], pa.int64()),
+    }))
+    # union a typed empty seed: Ray skips map UDFs on zero-row blocks, so
+    # a tier where the nation pair traded nothing would otherwise emit a
+    # SCHEMA-LESS empty dataset (schema() is None)
+    return (joined.map_batches(partial_fold, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .union(seed))
 
 
 def sql_q7_nation_trade() -> str:
@@ -2156,8 +2182,9 @@ def q6_forecast_revenue(sf_dir: str):
 
 def sql_q6_forecast_revenue() -> str:
     return f"""
-SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                                    + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
@@ -2245,8 +2272,9 @@ def sql_q19_disjunctive_revenue() -> str:
         f"AND l_quantity BETWEEN {lo} AND {hi})"
         for b, s, lo, hi in Q19_TERMS)
     return f"""
-SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
-                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+SELECT CAST(COALESCE(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                    * 100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {terms}"""

@@ -81,6 +81,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # corpus-backed oracles (kg_*, dedup sketch tables) must read the SAME
+    # tier the queries run on; the real driver always uses sf0.01
+    import os
+
+    os.environ.setdefault("GRAFT_SQL_TIER", os.path.basename(sf_dir.rstrip("/")))
+
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -113,6 +119,15 @@ def main() -> int:
         try:
             out = fn(sf_dir)
             got = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+            if len(got) == 0 and len(got.columns) == 0 and hasattr(out, "schema"):
+                # Ray's to_pandas() drops the schema of a ZERO-ROW dataset
+                # (typed-empty Arrow blocks come back column-less); rebuild
+                # the typed empty frame from the dataset schema so empty
+                # results compare schemas like the driver does
+                sch = out.schema()
+                base = getattr(sch, "base_schema", None)
+                if base is not None:
+                    got = base.empty_table().to_pandas()
         except Exception as ex:
             print(f"FAIL {name}: ray side raised {type(ex).__name__}: {ex}", flush=True)
             failed.append(name)
