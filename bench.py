@@ -23,6 +23,53 @@ import sys
 import time
 
 
+def _probe_burn(n=10_000_000) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def host_probe() -> dict:
+    """Machine-state probe (BASELINE §2.6 forensics, shipped per run so
+    every scaling ratio carries its host-health annotation):
+
+    - ``matmul_s``: single 2000^2 float64 matmul wall. The documented
+      slow-host state shows >2.5 s here vs <2 s healthy.
+    - ``mp_efficiency``: wall-clock efficiency of 8 concurrent CPU-bound
+      processes vs 1 (1.0 = perfect core scaling). The slow-day no-Ray
+      probe bottomed at ~0.76, capping ANY engine's measurable scaling.
+    """
+    import multiprocessing as mp
+    import time as _t
+
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((2000, 2000))
+    t0 = _t.time()
+    _ = a @ a
+    matmul_s = _t.time() - t0
+
+    ctx = mp.get_context("spawn")
+    work = 10_000_000  # ~1 s/worker: amortizes pool scheduling overhead
+    with ctx.Pool(1) as pool:
+        pool.map(_probe_burn, [1000])  # warm the worker
+        t0 = _t.time()
+        pool.map(_probe_burn, [work])
+        t1 = _t.time() - t0
+    with ctx.Pool(8) as pool:
+        pool.map(_probe_burn, [1000] * 8)
+        t0 = _t.time()
+        pool.map(_probe_burn, [work] * 8)
+        t8 = _t.time() - t0
+    return {
+        "matmul_s": round(matmul_s, 3),
+        "mp_1x_s": round(t1, 3),
+        "mp_8x_s": round(t8, 3),
+        "mp_efficiency": round(t1 / t8, 3) if t8 > 0 else None,
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -103,6 +150,7 @@ def run_bench() -> dict:
     result = {
         "metric": "kg_build_e2e_sec",
         "value": total,
+        "host_probe": host_probe(),
         "triple_precision": precision,
         "triple_recall": recall,
         "unit": "sec",
@@ -160,6 +208,11 @@ def main() -> None:
             "triples_per_sec_lo": r_lo["triples_per_sec"],
             "triples_per_sec_hi": r_hi["triples_per_sec"],
             "sf": r_hi["sf"], "rows": r_hi["rows"],
+            # host-health annotations: a ratio measured on a degraded host
+            # (matmul_s > ~2.5 or mp_efficiency < ~0.85) is not evidence
+            # about the engine (BASELINE §2.6 forensics doctrine)
+            "host_probe_lo": r_lo.get("host_probe"),
+            "host_probe_hi": r_hi.get("host_probe"),
         }))
         return
     print(json.dumps(run_bench()))

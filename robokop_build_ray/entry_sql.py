@@ -123,6 +123,47 @@ JOIN eq ON eq.canon = u.id
 JOIN members m ON m.canon = u.id AND m.curie = u.id"""
 
 
+def sql_nodes_expanded(tier: str) -> str:
+    """kg_nodes + M9 dynamic coded-synonym expansion: the xref table joins
+    on the component MEMBERS' primary curies (exactly the ids in the
+    engine's equivalent_identifiers that can hit the xref dict) and the
+    found codes fold into equivalent_identifiers for the gated node types
+    (`builder/cdw.py:20-21` DISEASE/GENETIC_CONDITION analog)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+used AS (
+  SELECT DISTINCT id FROM (
+    SELECT subj_id AS id FROM canon UNION ALL SELECT obj_id AS id FROM canon
+  )
+),
+members AS (
+  SELECT c.canon, g.curie, g.name, g.node_type, g.synonyms
+  FROM read_parquet('{p["gazetteer"]}') g JOIN cc c ON c.id = g.curie
+),
+eq AS (
+  SELECT canon,
+         list_sort(list_distinct(flatten(list(list_append(synonyms, curie)))))
+           AS equivalent_identifiers
+  FROM members GROUP BY canon
+),
+ex AS (
+  SELECT m.canon, list(DISTINCT x.code) AS codes
+  FROM members m JOIN read_parquet('{p["xrefs"]}') x ON x.curie = m.curie
+  GROUP BY m.canon
+)
+SELECT u.id, m.name, m.node_type,
+       CASE WHEN m.node_type IN ('disease', 'phenotypic_feature')
+                 AND ex.codes IS NOT NULL
+            THEN list_sort(list_distinct(
+                   eq.equivalent_identifiers || ex.codes))
+            ELSE eq.equivalent_identifiers
+       END AS equivalent_identifiers
+FROM used u
+JOIN eq ON eq.canon = u.id
+JOIN members m ON m.canon = u.id AND m.curie = u.id
+LEFT JOIN ex ON ex.canon = u.id"""
+
+
 def sql_edges(tier: str) -> str:
     p = corpus_paths(tier)
     return f"""WITH RECURSIVE {_canon_cte(p)[1:]}
@@ -200,6 +241,43 @@ JOIN read_parquet('{p["gazetteer"]}') gs ON gs.curie = c.subj_id
 JOIN read_parquet('{p["gazetteer"]}') go ON go.curie = c.obj_id
 WHERE (gs.node_type = '{type_a}' AND go.node_type = '{type_b}')
    OR (gs.node_type = '{type_b}' AND go.node_type = '{type_a}')"""
+
+
+def sql_path_filtered_2hop(tier: str, type_a: str = "chemical_substance",
+                           type_b: str = "disease") -> str:
+    """Var-length path oracle for ``S(2-2)D``: canonical triples lying on a
+    2-hop path whose OUTER endpoints are typed (type_a, type_b), with ANY
+    intermediate — independent recomputation of
+    ``kg_build.path_filter_varlen`` via a distinct-undirected-edge CTE and
+    per-vertex neighbor-type counts. Valid for type_a != type_b (the
+    exclude-own-partner adjustment is identically zero then, since an
+    outer endpoint's type never falls in the far type set)."""
+    assert type_a != type_b
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+und AS (
+  SELECT DISTINCT subj_id AS u, obj_id AS v FROM canon WHERE subj_id <> obj_id
+  UNION
+  SELECT DISTINCT obj_id, subj_id FROM canon WHERE subj_id <> obj_id
+),
+nt AS (
+  SELECT und.u, g.node_type AS t, count(DISTINCT und.v) AS n
+  FROM und JOIN read_parquet('{p["gazetteer"]}') g ON g.curie = und.v
+  GROUP BY und.u, g.node_type
+),
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}'))
+SELECT c.conv_id, c.turn_idx, c.subj_id, c.pred_id, c.obj_id
+FROM canon c
+JOIN ty ts ON ts.curie = c.subj_id
+JOIN ty tob ON tob.curie = c.obj_id
+LEFT JOIN nt nys ON nys.u = c.subj_id AND nys.t = '{type_b}'
+LEFT JOIN nt nxs ON nxs.u = c.subj_id AND nxs.t = '{type_a}'
+LEFT JOIN nt nyo ON nyo.u = c.obj_id AND nyo.t = '{type_b}'
+LEFT JOIN nt nxo ON nxo.u = c.obj_id AND nxo.t = '{type_a}'
+WHERE (ts.node_type = '{type_a}' AND coalesce(nyo.n, 0) >= 1)
+   OR (ts.node_type = '{type_b}' AND coalesce(nxo.n, 0) >= 1)
+   OR (tob.node_type = '{type_a}' AND coalesce(nys.n, 0) >= 1)
+   OR (tob.node_type = '{type_b}' AND coalesce(nxs.n, 0) >= 1)"""
 
 
 def sql_support_pubs(tier: str, cap: int = 256,

@@ -38,6 +38,7 @@ def bucketed_apply(
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     n_buckets: int = 64,
+    batch_size: int | None = None,
 ):
     """Generic bucketed exchange: optional per-batch partial -> one shuffle
     on the key-hash bucket -> ``bucket_fn`` once per bucket (all rows of any
@@ -77,8 +78,9 @@ def bucketed_apply(
     # B x B shuffle objects with at most n_buckets non-empty — measured
     # superlinear slowdown at 288 blocks (9.6M rows). The repartition is a
     # block split/merge (no row re-keying), cost O(data) once.
+    kw = {} if batch_size is None else {"batch_size": batch_size}
     return (
-        ds.map_batches(prep, batch_format="pandas")
+        ds.map_batches(prep, batch_format="pandas", **kw)
         .repartition(n_buckets)
         .groupby("_b")
         .map_groups(run, batch_format="pandas")
@@ -155,10 +157,22 @@ def bucketed_min(ds, keys: list[str], value: str, n_buckets: int = 64):
     return bucketed_apply(ds, keys, merge, partial, n_buckets)
 
 
+def _typed_empty(cols: list[str], dtypes: dict | None) -> pd.DataFrame:
+    """Zero-row frame whose dtypes come from ``dtypes`` (fallback object).
+    Untyped empties poison downstream schema unification — Ray logs
+    ``PandasBlockSchema(names=[])`` / size-calculation warnings and Arrow
+    cannot unify an all-object empty with typed non-empty blocks."""
+    d = dtypes or {}
+    return pd.DataFrame(
+        {c: pd.Series([], dtype=d.get(c, object)) for c in cols}
+    )
+
+
 def bucketed_attach(left, right, left_on: str, right_on: str,
                     left_cols: list[str], payload: dict[str, str],
                     n_buckets: int = 64, payload_fill=b"",
-                    left_fill: dict | None = None):
+                    left_fill: dict | None = None,
+                    empty_dtypes: dict | None = None):
     """INNER hash-join replacement: attach ``right``'s payload columns to
     ``left`` rows by key equality through ONE bucketed exchange. Used where
     pyarrow's acero `Dataset.join` cannot go: empty sides / empty hash
@@ -201,10 +215,7 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0 or "_side" not in g.columns:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=object)
-                 for c in (*left_cols, *dsts)}
-            )
+            return _typed_empty([*left_cols, *dsts], empty_dtypes)
         l = g.loc[g["_side"] == 0, [*left_cols, "_k"]]
         r = g.loc[g["_side"] == 1, ["_k", *dsts]].drop_duplicates("_k")
         m = l.merge(r, on="_k", how="inner")
@@ -215,7 +226,8 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
 
 def bucketed_semi(left, right, left_on: str, right_on: str,
                   left_cols: list[str], n_buckets: int = 64,
-                  anti: bool = False, left_fill: dict | None = None):
+                  anti: bool = False, left_fill: dict | None = None,
+                  empty_dtypes: dict | None = None):
     """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join: keep
     ``left`` rows whose key does / does not appear anywhere in ``right`` —
     for the case where BOTH sides are fact-scale so neither key set is
@@ -249,6 +261,11 @@ def bucketed_semi(left, right, left_on: str, right_on: str,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # same guard as bucketed_attach.merge: when BOTH sides filter to
+        # zero rows Ray's sort can hand map_groups a column-less group —
+        # g["_side"] would raise KeyError
+        if len(g) == 0 or "_side" not in g.columns:
+            return _typed_empty(left_cols, empty_dtypes)
         l = g.loc[g["_side"] == 0]
         present = l["_k"].isin(g.loc[g["_side"] == 1, "_k"].unique())
         keep = l.loc[~present if anti else present]

@@ -117,6 +117,29 @@ def build_lexicon_rows(ents: list[Entity]) -> list[tuple[str, str, str]]:
     return sorted(rows)
 
 
+def build_xrefs(ents: list[Entity]) -> list[tuple[str, str]]:
+    """OXO-analog coded-synonym xref rows (curie -> ICD9-like code) for the
+    DYNAMIC expansion operator (M9, `builder/cdw.py:19-34`
+    ``CDWSupport.prepare``: disease/genetic-condition nodes hit OXO for
+    ICD9CM codes at build time and add them to ``node.synonyms``).
+
+    Deterministic arithmetic, disease/phenotype records only (the analog of
+    the reference's DISEASE/GENETIC_CONDITION gate); every 7th eligible
+    record has NO xref (the reference's 'No ICD9 found' warn path,
+    `cdw.py:25-26`) and every 5th carries TWO codes (multi-result loop,
+    `cdw.py:28-32`)."""
+    rows: list[tuple[str, str]] = []
+    for i, e in enumerate(ents):
+        if e.node_type not in ("disease", "phenotypic_feature"):
+            continue
+        if i % 7 == 0:
+            continue
+        rows.append((e.curie, f"ICD9:{(i * 13) % 999:03d}.{i % 10}"))
+        if i % 5 == 0:
+            rows.append((e.curie, f"ICD9:{(i * 17) % 999:03d}.{(i * 3) % 10}"))
+    return rows
+
+
 def canonical_map(ents: list[Entity], bridges: list[tuple[str, str]]) -> dict[str, str]:
     """Union-find closure over bridge edges; canonical id = lexicographic min
     primary CURIE of the component.
@@ -179,4 +202,12 @@ def bridges_table(ents: list[Entity]) -> pa.Table:
     return pa.table(
         {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]},
         schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+
+
+def xrefs_table(ents: list[Entity]) -> pa.Table:
+    rows = build_xrefs(ents)
+    return pa.table(
+        {"curie": [r[0] for r in rows], "code": [r[1] for r in rows]},
+        schema=pa.schema([("curie", pa.string()), ("code", pa.string())]),
     )

@@ -244,6 +244,102 @@ def path_filter(canonical, path: str, nodeinfo_ref):
                                  concurrency=(1, 2))
 
 
+def path_filter_varlen(canonical, path: str, nodeinfo_ref):
+    """VAR-LENGTH Path-DSL execution (M1 + `builder/userquery.py:26-37`
+    ``-[:translation*min..max]-`` semantics): keep a canonical triple when
+    it lies on a path whose OUTER endpoint types match a step pair,
+    honoring the step's edge bounds — direct hops when ``min <= 1`` (the
+    ``path_filter`` behavior) and 2-hop paths through ANY intermediate
+    node when ``max >= 2``, so ``S(2-2)D`` keeps exactly the triples that
+    are either hop of a chemical--*--disease 2-path.
+
+    Scale shape: the canonical node universe is ENTITY-BOUNDED (gazetteer
+    components), so the distinct edge set and the per-vertex
+    neighbor-type counts it implies are computed with one bucketed
+    distinct + a driver fold and broadcast; the corpus-scale triple
+    stream is then filtered vectorized — never joined."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..functions.bucketing import bucketed_distinct
+    from ..functions.pathdsl import NODE_TYPE_BY_CODE, tokenize_path
+
+    steps = tokenize_path(path)
+    if len(steps) < 2:
+        raise ValueError(f"path {path!r} has fewer than two steps")
+    # (X_code, lo, hi, Y_code) per adjacent pair; bounds ride on the step
+    # the edge leads INTO (pathdsl contract)
+    legs = [
+        (NODE_TYPE_BY_CODE[a.nodetype], b.min_path_length,
+         b.max_path_length, NODE_TYPE_BY_CODE[b.nodetype])
+        for a, b in zip(steps[:-1], steps[1:])
+    ]
+    if any(hi > 2 for _, _, hi, _ in legs):
+        raise ValueError("path bounds beyond 2 hops are not implemented")
+
+    # distinct undirected edge set (entity-pair-bounded collect, same
+    # boundedness argument as nodes_stage's coalesced distinct)
+    dist = bucketed_distinct(
+        canonical.select_columns(["subj_id", "obj_id"]),
+        ["subj_id", "obj_id"],
+    ).take_all()
+    neighbors: dict[str, set] = {}
+    for r in dist:
+        a, b = r["subj_id"], r["obj_id"]
+        if a == b:
+            continue  # self-loops are not path hops
+        neighbors.setdefault(a, set()).add(b)
+        neighbors.setdefault(b, set()).add(a)
+
+    info = _ray.get(nodeinfo_ref)
+    types = {k: v[1] for k, v in info.items()}
+    universe = sorted(set(types.values()))
+
+    def tset(code: str) -> frozenset:
+        return frozenset(universe if code == "unspecified" else [code])
+
+    # per-leg broadcast state: for the 2-hop legs, per-vertex counts of
+    # neighbors whose type falls in the X / Y type sets
+    leg_state = []
+    for x, lo, hi, y in legs:
+        xs, ys = tset(x), tset(y)
+        cnt_x = {v: sum(1 for w in nb if types.get(w) in xs)
+                 for v, nb in neighbors.items()} if hi >= 2 else {}
+        cnt_y = {v: sum(1 for w in nb if types.get(w) in ys)
+                 for v, nb in neighbors.items()} if hi >= 2 else {}
+        leg_state.append((xs, ys, lo, hi, cnt_x, cnt_y))
+    state_ref = _ray.put((types, leg_state))
+
+    class VarLenFilter:
+        def __init__(self):
+            self.types, self.legs = _ray.get(state_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ta = b["subj_id"].map(self.types)
+            tb = b["obj_id"].map(self.types)
+            keep = pd.Series(False, index=b.index)
+            for xs, ys, lo, hi, cnt_x, cnt_y in self.legs:
+                in_xa, in_ya = ta.isin(xs), ta.isin(ys)
+                in_xb, in_yb = tb.isin(xs), tb.isin(ys)
+                if lo <= 1:
+                    keep |= (in_xa & in_yb) | (in_ya & in_xb)
+                if hi >= 2:
+                    # outer endpoint on one side, middle on the other: a
+                    # 2-path x-m-y exists iff the middle has ANOTHER
+                    # neighbor of the far type (its own partner excluded
+                    # when its type already falls in that set)
+                    nyb = b["obj_id"].map(cnt_y).fillna(0) - in_ya
+                    nxb = b["obj_id"].map(cnt_x).fillna(0) - in_xa
+                    nya = b["subj_id"].map(cnt_y).fillna(0) - in_yb
+                    nxa = b["subj_id"].map(cnt_x).fillna(0) - in_xb
+                    keep |= (in_xa & (nyb >= 1)) | (in_ya & (nxb >= 1))
+                    keep |= (in_xb & (nya >= 1)) | (in_yb & (nxa >= 1))
+            return b[keep]
+
+    return canonical.map_batches(VarLenFilter, batch_format="pandas",
+                                 concurrency=(1, 2))
+
+
 def combined_edges(graph: dict[str, Any],
                    max_entities_per_conv: int = 256):
     """ONE edge table, reference-sink shape (`builder/builder.py:32-41`):
@@ -382,19 +478,25 @@ def _ensure_fsspec_http_stub() -> None:
 
 
 SMALL_SORT_MAX_ROWS = 4_000_000
+# output files per table: parquet ENCODE parallelism for the write phase
+# (one 225 MB edge file was a single-task encode — write_edges dominated
+# BENCH_r02's wall); also the resumable-output layout (north_rule)
+WRITE_FANOUT = 8
 
 
-def _small_sort(ds, keys: list[str]):
+def _small_sort(ds, keys: list[str], out_blocks: int = WRITE_FANOUT):
     """Exact global sort for AGGREGATE-BOUNDED outputs (node/edge/support
     tables are bounded by the entity universe, not the corpus): coalesce to
-    one block and sort it — skips the sort-shuffle's fixed AllToAll cost.
-    For outputs that outgrow a single block, use ``Dataset.sort``
+    one block and sort it — skips the sort-shuffle's fixed AllToAll cost —
+    then SPLIT the sorted block (order-preserving repartition) so the
+    parquet encode fans out over ``out_blocks`` write tasks. For outputs
+    that outgrow a single block, use ``Dataset.sort``
     (``materialize_graph`` enforces this with a row-count check)."""
     return ds.repartition(1).map_batches(
         lambda t: t.sort_by([(k, "ascending") for k in keys]),
         batch_format="pyarrow",
         batch_size=None,
-    )
+    ).repartition(out_blocks)
 
 
 def materialize_graph(graph: dict[str, Any], out_dir: str,
@@ -408,14 +510,15 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
 
     def srt(ds, keys):
         if not small_sorts:
-            return ds.sort(keys)
+            return ds.sort(keys), None
         # the "aggregate-bounded" assumption is ENFORCED, not assumed: pin
         # the table (it is about to be written anyway), and fall back to the
         # distributed sort when it outgrows a single block
         m = ds.materialize()
-        if m.count() > SMALL_SORT_MAX_ROWS:
-            return m.sort(keys)
-        return _small_sort(m, keys)
+        n = m.count()
+        if n > SMALL_SORT_MAX_ROWS:
+            return m.sort(keys), n
+        return _small_sort(m, keys), n
 
     manifests = {}
     # jobs stay LAZY here — srt() materializes, and doing that during dict
@@ -445,8 +548,14 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
 
         name, (ds, keys) = item
         t0 = _time.time()
-        m = lineage.commit_stage(srt(ds, keys), os.path.join(out_dir, name),
-                                 inputs=["canonical"])
+        sorted_ds, n = srt(ds, keys)
+        # file granularity: WRITE_FANOUT files per table (parallel encode,
+        # resumable parts), floored so tiny tables stay one file
+        mrpf = (200_000 if n is None
+                else max(4096, min(200_000, n // WRITE_FANOUT)))
+        m = lineage.commit_stage(sorted_ds, os.path.join(out_dir, name),
+                                 inputs=["canonical"],
+                                 min_rows_per_file=mrpf)
         if timings is not None:
             timings[f"write_{name}"] = round(_time.time() - t0, 3)
         return name, m

@@ -91,41 +91,46 @@ Q3_DATE = "1995-06-01"
 def q3_top_orders(sf_dir: str, k: int = 10):
     """Revenue of unshipped BUILDING-segment orders; top-k by revenue.
 
-    orders is a FACT table (1/4 of lineitem in TPC-H), so lineitem joins it
-    with a distributed hash join on the order key — never a driver-side
-    broadcast dict. Only the customer key set (a dimension, further shrunk
-    by the segment filter) is broadcast. The top-k is a per-batch local
-    top-k partial followed by a single-block final merge, not a full sort
-    of the aggregate."""
-    from ..functions.bucketing import bucketed_sum
-    from ..functions.ray_utils import default_parallelism
+    orders AND customer both grow with scale factor, so nothing here is
+    driver state: the segment membership test is a distributed
+    ``bucketed_semi`` (orders vs. the segment-filtered customer scan) and
+    the lineitem->orders attachment is the repo's ``bucketed_attach`` merge
+    join (Ray 2.49's hash-shuffle ``Dataset.join`` raises ArrowInvalid on
+    empty hash partitions — CLAUDE.md invariant). The order date rides the
+    exchange as int64 microseconds (one fill type per exchange) and turns
+    back into a timestamp at the driver-sized top-k. The top-k itself is a
+    per-batch local top-k partial followed by a single-block final merge,
+    never a full sort of the aggregate."""
+    from ..functions.bucketing import (bucketed_attach, bucketed_semi,
+                                       bucketed_sum)
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    custkeys = set(
-        r["c_custkey"]
-        for r in cust.filter(expr=f"c_mktsegment == '{SEGMENT}'").take_all()
-    )
-    keys_ref = ray.put(custkeys)
     cutoff = np.datetime64(Q3_DATE)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == SEGMENT,
+    )
 
-    class OrderFilter:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+    def order_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_date_us": b["o_orderdate"].astype("datetime64[us]")
+            .astype("int64"),
+        })
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            keep = b["o_custkey"].isin(self.keys)
-            keep &= b["o_orderdate"].to_numpy() < cutoff
-            return b[keep][["o_orderkey", "o_orderdate"]]
-
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(OrderFilter, batch_format="pandas", concurrency=(1, 4))
+    orders = bucketed_semi(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=pc.field("o_orderdate") < pa.scalar(
+                cutoff.astype("datetime64[us]")),
+        ).map_batches(order_prep, batch_format="pandas"),
+        cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_date_us"],
+        empty_dtypes={"o_orderkey": "int64", "o_date_us": "int64"},
+    )
 
     def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"].to_numpy() > cutoff]
         rev = _cents(
             b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
         )
@@ -134,15 +139,20 @@ def q3_top_orders(sf_dir: str, k: int = 10):
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pa.scalar(
+            cutoff.astype("datetime64[us]")),
     ).map_batches(rev_partial, batch_format="pandas")
 
-    joined = li.join(
-        orders, join_type="inner", num_partitions=default_parallelism(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "rev"],
+        payload={"o_date_us": "o_date_us"}, payload_fill=np.int64(0),
+        empty_dtypes={"l_orderkey": "int64", "rev": "int64",
+                      "o_date_us": "int64"},
     )
     agg = rename(
-        bucketed_sum(joined, ["l_orderkey", "o_orderdate"], "rev"),
+        bucketed_sum(joined, ["l_orderkey", "o_date_us"], "rev"),
         {"rev": "revenue_cents"},
     )
 
@@ -150,11 +160,30 @@ def q3_top_orders(sf_dir: str, k: int = 10):
         return b.sort_values(["revenue_cents", "l_orderkey"],
                              ascending=[False, True]).head(k)
 
+    def finish(b: pd.DataFrame) -> pa.Table:
+        b = local_topk(b)
+        return pa.table({
+            "l_orderkey": pa.array(b["l_orderkey"].astype("int64"),
+                                   pa.int64()),
+            "revenue_cents": pa.array(b["revenue_cents"].astype("int64"),
+                                      pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime(b["o_date_us"].astype("int64"), unit="us"),
+                pa.timestamp("us")),
+        })
+
+    # typed empty seed: a tier where no order matches must still carry the
+    # output schema (Ray skips map UDFs on zero-row blocks)
+    seed = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "revenue_cents": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    }))
     return (
         agg.map_batches(local_topk, batch_format="pandas")
         .repartition(1)
-        .map_batches(local_topk, batch_format="pandas")
-        .select_columns(["l_orderkey", "revenue_cents", "o_orderdate"])
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .union(seed)
     )
 
 
@@ -179,39 +208,44 @@ LIMIT {k}"""
 def nation_revenue(sf_dir: str):
     """Revenue per customer nation.
 
-    nation and customer->nation are genuinely dimension-sized and broadcast
-    once; orders is FACT-sized, so the order->nation attachment happens with
-    a distributed hash join of per-batch lineitem partials against the
-    (streamed, dimension-mapped) orders scan — no driver-side order dict."""
-    from ..functions.ray_utils import default_parallelism
+    nation is a true constant (25 rows) and broadcasts; customer and
+    orders grow with scale factor, so the order->nation attachment is two
+    bucketed merge joins — orders pick up c_nationkey from the customer
+    scan, lineitem revenue partials pick up the nation name from the
+    mapped orders stream. No driver-side dict ever holds an SF-scale
+    table, and ``Dataset.join`` stays banned (CLAUDE.md invariant)."""
+    from ..functions.bucketing import bucketed_attach
 
     nation = {
         r["n_nationkey"]: r["n_name"]
         for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
     }
-    cust_nation = {
-        r["c_custkey"]: r["c_nationkey"]
-        for r in rd.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-        ).take_all()
-    }
-    maps_ref = ray.put((nation, cust_nation))
+    nref = ray.put(nation)
 
-    class OrderNation:
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = bucketed_attach(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey"],
+        payload={"c_nationkey": "c_nat"}, payload_fill=np.int64(0),
+        empty_dtypes={"o_orderkey": "int64", "c_nat": "int64"},
+    )
+
+    class OrderNation:  # 25-key constant dimension: broadcast lookup
         def __init__(self):
-            self.nation, self.cn = ray.get(maps_ref)
+            self.nation = ray.get(nref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "o_orderkey": b["o_orderkey"],
-                    "n_name": b["o_custkey"].map(self.cn).map(self.nation),
-                }
-            )
+            return pd.DataFrame({
+                "o_orderkey": b["o_orderkey"],
+                "n_name": b["c_nat"].map(self.nation),
+            })
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderNation, batch_format="pandas", concurrency=(1, 4))
+    orders = orders.map_batches(OrderNation, batch_format="pandas",
+                                concurrency=(1, 4))
 
     def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
         rev = _cents(
@@ -225,9 +259,10 @@ def nation_revenue(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(rev_partial, batch_format="pandas")
 
-    joined = li.join(
-        orders, join_type="inner", num_partitions=default_parallelism(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev"], payload={"n_name": "n_name"}, payload_fill="",
+        empty_dtypes={"rev": "int64", "n_name": object},
     )
     # n_name cardinality is tiny (25): native groupby-sum after the join
     return rename(
@@ -819,72 +854,93 @@ def q7_nation_trade(sf_dir: str, n_buckets: int = 64):
     """TPC-H Q7 shape: bilateral trade volume between two nations per ship
     year. supplier->nation and customer->nation are dimension maps
     (broadcast once); lineitem streams with a per-batch partial keyed on
-    (orderkey, supp_nation, year); the order->cust_nation attachment is
-    the repo's bucketed merge join against the (filtered,
-    dimension-mapped) orders scan — Ray 2.49's hash-shuffle
-    ``Dataset.join`` raises ArrowInvalid when a hash partition comes up
-    empty (tiny tiers / sparse filters), the same failure mode as acero,
-    so fact joins here always go through ``bucketing`` (CLAUDE.md
-    invariant); the final groupby is tiny (2 directions x years)."""
+    (orderkey, supp_nation, year); the supplier->nation and
+    customer->nation attachments are bucketed merge joins (supplier and
+    customer grow with scale factor — only the 25-row nation table
+    broadcasts), and the order->cust_nation attachment is the same
+    bucketed merge join — Ray 2.49's hash-shuffle ``Dataset.join`` raises
+    ArrowInvalid when a hash partition comes up empty (tiny tiers /
+    sparse filters), the same failure mode as acero, so fact joins here
+    always go through ``bucketing`` (CLAUDE.md invariant); the final
+    groupby is tiny (2 directions x years)."""
     from ..functions.bucketing import bucketed_attach
 
     nation = {
         r["n_nationkey"]: r["n_name"]
         for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
     }
-    supp_nation = {
-        r["s_suppkey"]: nation[r["s_nationkey"]]
-        for r in rd.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-        ).take_all()
-    }
-    cust_nation = {
-        r["c_custkey"]: nation[r["c_nationkey"]]
-        for r in rd.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-        ).take_all()
-    }
     pair = set(Q7_NATIONS)
-    sn_ref = ray.put(supp_nation)
-    cn_ref = ray.put(cust_nation)
+    pair_keys = {k for k, v in nation.items() if v in pair}
+    nref = ray.put(nation)
 
-    class OrderNation:
+    orders = bucketed_attach(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey"],
+        payload={"c_nationkey": "c_nat"}, payload_fill=np.int64(0),
+        n_buckets=n_buckets,
+        empty_dtypes={"o_orderkey": "int64", "c_nat": "int64"},
+    )
+
+    class OrderNation:  # 25-key constant: broadcast name lookup + pair prune
         def __init__(self):
-            self.cn = ray.get(cn_ref)
+            self.nation = ray.get(nref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            cn = b["o_custkey"].map(self.cn)
-            keep = cn.isin(pair).to_numpy()
-            return pd.DataFrame({"o_orderkey": b["o_orderkey"][keep],
-                                 "cust_nation": cn[keep]})
+            keep = b["c_nat"].isin(pair_keys).to_numpy()
+            b = b[keep]
+            return pd.DataFrame({"o_orderkey": b["o_orderkey"],
+                                 "cust_nation": b["c_nat"].map(self.nation)})
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderNation, batch_format="pandas", concurrency=(1, 4))
+    orders = orders.map_batches(OrderNation, batch_format="pandas",
+                                concurrency=(1, 4))
+
+    def li_derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "l_year": b["l_shipdate"].dt.year.astype("int64"),
+            "rev": _cents(b["l_extendedprice"].to_numpy()
+                          * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    li_sn = bucketed_attach(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        ).map_batches(li_derive, batch_format="pandas"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_orderkey", "l_year", "rev"],
+        payload={"s_nationkey": "s_nat"}, payload_fill=np.int64(0),
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "l_year": "int64",
+                      "rev": "int64", "s_nat": "int64"},
+    )
 
     class LiPartial:
         def __init__(self):
-            self.sn = ray.get(sn_ref)
+            self.nation = ray.get(nref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sn = b["l_suppkey"].map(self.sn)
-            keep = sn.isin(pair).to_numpy()
-            b, sn = b[keep], sn[keep]
+            keep = b["s_nat"].isin(pair_keys).to_numpy()
+            b = b[keep]
             out = pd.DataFrame({
                 "l_orderkey": b["l_orderkey"],
-                "supp_nation": sn,
-                "l_year": b["l_shipdate"].dt.year.astype("int64"),
-                "rev": _cents(b["l_extendedprice"].to_numpy()
-                              * (1.0 - b["l_discount"].to_numpy())),
+                "supp_nation": b["s_nat"].map(self.nation),
+                "l_year": b["l_year"],
+                "rev": b["rev"],
             })
             return out.groupby(["l_orderkey", "supp_nation", "l_year"],
                                as_index=False)["rev"].sum()
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                 "l_shipdate"],
-    ).map_batches(LiPartial, batch_format="pandas", concurrency=(1, 8))
+    li = li_sn.map_batches(LiPartial, batch_format="pandas",
+                           concurrency=(1, 8))
 
     joined = bucketed_attach(
         li, orders, left_on="l_orderkey", right_on="o_orderkey",
@@ -1144,32 +1200,24 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
 
-def customers_without_orders(sf_dir: str):
-    """Broadcast ANTI JOIN: customers with no URGENT orders — the key set is
-    broadcast once and the customer scan filters against it (semi/anti joins
-    never shuffle when one side's key set fits memory)."""
-    from ..functions.bucketing import bucketed_distinct
+def customers_without_orders(sf_dir: str, n_buckets: int = 64):
+    """Distributed ANTI JOIN: customers with no URGENT orders. Both sides
+    grow with scale factor (the URGENT key set is customer-scale), so the
+    key sets meet in ONE bucketed exchange (``bucketed_semi(anti=True)``)
+    instead of a driver-collected key-set broadcast — the same plan as
+    ``q22_idle_customers``."""
+    from ..functions.bucketing import bucketed_semi
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_orderpriority"])
-    # distinct BEFORE collecting: the driver sees only the customer-bounded
-    # key set, never the fact-scale filtered order stream
-    distinct_keys = bucketed_distinct(
-        orders.filter(expr="o_orderpriority == '1-URGENT'"), ["o_custkey"]
-    )
-    custkeys_with_orders = {r["o_custkey"] for r in distinct_keys.take_all()}
-    keys_ref = ray.put(custkeys_with_orders)
-
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b[~b["c_custkey"].isin(self.keys)]
-
-    return rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(AntiFilter, batch_format="pandas", concurrency=(1, 2))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return bucketed_semi(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_custkey", "c_name"], anti=True, n_buckets=n_buckets,
+        left_fill={"c_name": ""},
+        empty_dtypes={"c_custkey": "int64", "c_name": object})
 
 
 def sql_customers_without_orders() -> str:
@@ -1194,12 +1242,20 @@ def sql_mktsegments() -> str:
 
 # ------------------------------------------------------------------- Q5
 
-def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             n_buckets: int = 64):
     """TPC-H Q5 shape: revenue from lineitems where the SUPPLIER and the
-    ordering CUSTOMER share a nation inside one region. Four dimension
-    tables broadcast once; the equality predicate (c_nationkey ==
-    s_nationkey) evaluates vectorized inside the lineitem scan."""
-    from ..functions.ray_utils import default_parallelism
+    ordering CUSTOMER share a nation inside one region.
+
+    Only nation/region (true constants, <=25 rows) broadcast; supplier and
+    customer grow with scale factor, so their nationkey attachments ride
+    bucketed merge joins: lineitem picks up s_nationkey from the supplier
+    scan (then prunes to the region and partial-sums per order x nation),
+    orders pick up c_nationkey from the customer scan, and the two streams
+    meet in a third bucketed exchange on the order key where the locality
+    predicate (s_nat == c_nat) evaluates vectorized. ``Dataset.join``
+    stays banned (CLAUDE.md invariant)."""
+    from ..functions.bucketing import bucketed_attach
 
     nation_rows = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
     region_keys = {
@@ -1209,63 +1265,67 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     }
     nation_name = {r["n_nationkey"]: r["n_name"] for r in nation_rows
                    if r["n_regionkey"] in region_keys}
-    supp_nation = {
-        r["s_suppkey"]: r["s_nationkey"]
-        for r in rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_nationkey"]).take_all()
-    }
-    cust_nation = {
-        r["c_custkey"]: r["c_nationkey"]
-        for r in rd.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"]).take_all()
-    }
-    # nation/region/supplier/customer maps are dimension-sized: broadcast.
-    # orders is FACT-sized: stream it to (o_orderkey, c_nat) and hash-join.
-    refs = ray.put((nation_name, supp_nation, cust_nation))
+    nn_ref = ray.put(nation_name)
 
-    class OrderCustNation:
+    def li_derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev": _cents(b["l_extendedprice"].to_numpy()
+                          * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    li = bucketed_attach(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(li_derive, batch_format="pandas"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_orderkey", "rev"],
+        payload={"s_nationkey": "s_nat"}, payload_fill=np.int64(0),
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "rev": "int64",
+                      "s_nat": "int64"},
+    )
+
+    class RegionPartial:  # prune to region + per (order, nation) partial
         def __init__(self):
-            _, _, self.cn = ray.get(refs)
+            self.in_region = set(ray.get(nn_ref))
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"o_orderkey": b["o_orderkey"],
-                 "c_nat": b["o_custkey"].map(self.cn)}
-            )
+            b = b[b["s_nat"].isin(self.in_region)]
+            return b.groupby(["l_orderkey", "s_nat"],
+                             as_index=False)["rev"].sum()
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(OrderCustNation, batch_format="pandas", concurrency=(1, 4))
+    li = li.map_batches(RegionPartial, batch_format="pandas",
+                        concurrency=(1, 4))
 
-    class LineitemPartial:
-        def __init__(self):
-            self.nn, self.sn, _ = ray.get(refs)
+    orders = bucketed_attach(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey"],
+        payload={"c_nationkey": "c_nat"}, payload_fill=np.int64(0),
+        n_buckets=n_buckets,
+        empty_dtypes={"o_orderkey": "int64", "c_nat": "int64"},
+    )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            s_nat = b["l_suppkey"].map(self.sn)
-            keep = s_nat.map(self.nn).notna()  # supplier in region
-            b = b[keep]
-            rev = _cents(
-                b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
-            )
-            out = pd.DataFrame(
-                {"l_orderkey": b["l_orderkey"], "s_nat": s_nat[keep], "rev": rev}
-            )
-            return out.groupby(["l_orderkey", "s_nat"], as_index=False)["rev"].sum()
-
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(LineitemPartial, batch_format="pandas", concurrency=(1, 4))
-
-    joined = li.join(
-        orders, join_type="inner", num_partitions=default_parallelism(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["s_nat", "rev"],
+        payload={"c_nat": "c_nat"}, payload_fill=np.int64(0),
+        n_buckets=n_buckets,
+        empty_dtypes={"s_nat": "int64", "rev": "int64", "c_nat": "int64"},
     )
 
     class LocalNation:
         def __init__(self):
-            self.nn, _, _ = ray.get(refs)
+            self.nn = ray.get(nn_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
             b = b[b["s_nat"] == b["c_nat"]]  # supplier nation == customer nation
@@ -2162,16 +2222,24 @@ def q6_forecast_revenue(sf_dir: str):
         & (pc.field("l_quantity") < Q6_QTY),
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def partial(b: pd.DataFrame) -> pa.Table:
         bp = np.floor(b["l_discount"].to_numpy() * 10_000.0
                       + 0.5).astype(np.int64)
         keep = (bp >= Q6_DISC_LO_BP) & (bp <= Q6_DISC_HI_BP)
         rc = _cents(b["l_extendedprice"].to_numpy()
                     * b["l_discount"].to_numpy())[keep]
-        return pd.DataFrame({"revenue_cents": [np.int64(rc.sum())],
-                             "n_lines": [np.int64(keep.sum())]})
+        # Arrow out: the identity seed below is an Arrow block, and the
+        # repartition reduce cannot mix Arrow and pandas block types
+        return pa.table({"revenue_cents": pa.array([int(rc.sum())], pa.int64()),
+                         "n_lines": pa.array([int(keep.sum())], pa.int64())})
 
+    # typed one-row identity seed: an ungrouped SQL aggregate always emits
+    # exactly one row even over zero input rows, but Ray skips map UDFs on
+    # empty blocks, so an all-filtered scan would otherwise return 0 rows
+    seed = rd.from_arrow(pa.table({"revenue_cents": pa.array([0], pa.int64()),
+                                   "n_lines": pa.array([0], pa.int64())}))
     return (ds.map_batches(partial, batch_format="pandas")
+            .union(seed)
             .repartition(1)
             .map_batches(
                 lambda b: pd.DataFrame({
@@ -2254,10 +2322,15 @@ def q19_disjunctive_revenue(sf_dir: str, n_buckets: int = 64):
             keep |= ((br == brand) & (sz >= 1) & (sz <= max_size)
                      & (q >= qlo) & (q <= qhi))
         rc = b["rc"].to_numpy(dtype=np.int64)[keep]
-        return pd.DataFrame({"revenue_cents": [np.int64(rc.sum())],
-                             "n_lines": [np.int64(keep.sum())]})
+        # Arrow out to match the seed block type (see q6)
+        return pa.table({"revenue_cents": pa.array([int(rc.sum())], pa.int64()),
+                         "n_lines": pa.array([int(keep.sum())], pa.int64())})
 
+    # typed one-row identity seed — same degenerate-tier contract as q6
+    seed = rd.from_arrow(pa.table({"revenue_cents": pa.array([0], pa.int64()),
+                                   "n_lines": pa.array([0], pa.int64())}))
     return (joined.map_batches(partial, batch_format="pandas")
+            .union(seed)
             .repartition(1)
             .map_batches(
                 lambda b: pd.DataFrame({

@@ -23,6 +23,7 @@ from ..gazetteer import (
     build_entities,
     gazetteer_table,
     lexicon_table,
+    xrefs_table,
 )
 from ..textgen import generate_transcripts
 
@@ -42,7 +43,7 @@ TIERS: dict[str, int] = {
 N_ENTITIES = 400
 SEED = 42
 
-_FILES = ("transcripts", "gazetteer", "lexicon", "bridges")
+_FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs")
 
 
 def tier_of(sf_dir: str) -> str:
@@ -86,6 +87,7 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "gazetteer": gazetteer_table(ents),
         "lexicon": lexicon_table(ents),
         "bridges": bridges_table(ents),
+        "xrefs": xrefs_table(ents),
     }
     for name, tbl in tables.items():
         if name == "transcripts":

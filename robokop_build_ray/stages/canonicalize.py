@@ -155,25 +155,61 @@ def nodes_stage(canonical, nodeinfo_ref):
     )
 
 
+# ------------------------------------------- dynamic coded-synonym expansion
+
+# the reference gates expansion on DISEASE / GENETIC_CONDITION
+# (`builder/cdw.py:20-21`); this corpus' analog pair:
+EXPAND_TYPES = ("disease", "phenotypic_feature")
+
+
+class SynonymExpander:
+    """M9 — DYNAMIC coded-synonym expansion (OXO analog,
+    `builder/cdw.py:19-34` ``CDWSupport.prepare``): at node-build time,
+    nodes of the gated types look up every equivalent identifier in a
+    SECOND reference table (curie -> coded synonym, e.g. ICD9-like) and
+    fold the found codes into ``equivalent_identifiers`` — a runtime
+    enrichment operator, unlike the static ALT/UMLS lists baked in at
+    gazetteer build. The xref table is reference data (small side):
+    broadcast once via ``ray.put``, looked up per batch."""
+
+    def __init__(self, xref_ref):
+        self.xref: dict[str, tuple[str, ...]] = ray.get(xref_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eq = batch["equivalent_identifiers"].to_pylist()
+        types = batch["node_type"].to_pylist()
+        out = []
+        for t, lst in zip(types, eq):
+            if t in EXPAND_TYPES:
+                extra = [c for m in lst for c in self.xref.get(m, ())]
+                if extra:
+                    lst = sorted(set(lst) | set(extra))
+            out.append(lst)
+        i = batch.schema.get_field_index("equivalent_identifiers")
+        return batch.set_column(
+            i, "equivalent_identifiers", pa.array(out, pa.list_(pa.string()))
+        )
+
+
+def expand_synonyms_stage(nodes, xref_ref, concurrency=(1, 2)):
+    return nodes.map_batches(
+        SynonymExpander, fn_constructor_args=(xref_ref,),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+
 # ------------------------------------------------------------------- edges
 
 _EDGE_KEYS = ["subj_id", "pred_id", "obj_id"]
 
 
 def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch combiner: collapse duplicate (subj,pred,obj,pub) rows into a
-    count before the shuffle (vectorized pandas groupby.size) and assign the
-    merge bucket — the 'pre-aggregate inside map_batches' pattern."""
-    if len(batch) == 0:
-        return pa.table(
-            {k: pa.array([], pa.string()) for k in (*_EDGE_KEYS, "pub")}
-            | {"n": pa.array([], pa.int64()),
-               "_bucket": pa.array([], pa.int64())}
-        )
-    # no per-batch combiner here on purpose: the provenance string (pub) is
-    # per-turn unique, so a (s,p,o,pub) groupby would shuffle ~the same row
-    # count while burning CPU; rows go straight to their merge bucket
-    g = pd.DataFrame(
+    """Per-batch projection to (edge key, provenance, count) rows. No
+    per-batch combiner on purpose: the provenance string (pub) is per-turn
+    unique, so a (s,p,o,pub) groupby would shuffle ~the same row count
+    while burning CPU. Bucket assignment, Arrow conversion and sentinel
+    padding happen inside ``bucketed_apply``."""
+    return pd.DataFrame(
         {
             "subj_id": batch["subj_id"],
             "pred_id": batch["pred_id"],
@@ -182,13 +218,6 @@ def _edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
             "n": np.ones(len(batch), dtype=np.int64),
         }
     )
-    key = g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
-    g["_bucket"] = (
-        pd.util.hash_array(key.to_numpy(dtype=object), categorize=False)
-        % np.uint64(64)
-    ).astype("int64")
-    # Arrow blocks shuffle zero-copy; pandas object columns would pickle
-    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
@@ -246,15 +275,15 @@ def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
 
 
 def edges_stage(canonical, batch_size: int = 16_384):
-    """Edge dedup/aggregation by (subj, pred, obj): per-batch combiner ->
-    hash-bucket shuffle (64 buckets) -> one vectorized merge per bucket.
-    The bucket count bounds reducer fan-in; a bucket only sees its own key
-    range so the merge is exact."""
-    partial = canonical.map_batches(
-        _edge_partial, batch_format="pandas", batch_size=batch_size
-    )
-    # coalesce before the exchange: reduce partitions track input block
-    # count, and only 64 bucket values exist (see bucketing.bucketed_apply)
-    return partial.repartition(64).groupby("_bucket").map_groups(
-        _edge_merge_bucket, batch_format="pandas"
+    """Edge dedup/aggregation by (subj, pred, obj): per-batch projection ->
+    ONE bucketed exchange (64 buckets) -> one vectorized merge per bucket.
+    A bucket only sees its own key range so the merge is exact.
+    ``bucketed_apply``'s sentinel padding keeps every reduce partition
+    non-empty, so the exchange never emits the zero-column blocks that
+    poison downstream schema unification (PandasBlockSchema warnings)."""
+    from ..functions.bucketing import bucketed_apply
+
+    return bucketed_apply(
+        canonical, _EDGE_KEYS, _edge_merge_bucket, _edge_partial,
+        n_buckets=64, batch_size=batch_size,
     )

@@ -166,13 +166,35 @@ def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
+def _checkpointed(ds, checkpoint_dir: str | None, inputs: list[str]):
+    """Signature-table source factory: the table is consumed by SEVERAL
+    downstream stages (banding + two verify attaches), so it must not be
+    recomputed per consumer. ``checkpoint_dir=None`` pins it in the object
+    store (``materialize()`` — fine while signatures fit the cluster's
+    store); a directory routes it through ``lineage.commit_stage`` so the
+    peak object-store footprint is the WORKING SET, not the corpus: each
+    consumer streams the parquet back independently, and a resumed run
+    skips the signature computation entirely (manifest hit)."""
+    if checkpoint_dir is None:
+        m = ds.materialize()
+        return lambda: m
+    from ..state import lineage
+
+    lineage.commit_stage(ds, checkpoint_dir, inputs=inputs,
+                         min_rows_per_file=100_000)
+    return lambda: lineage.read_stage(checkpoint_dir)
+
+
 def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
-                      bands: int = 32):
+                      bands: int = 32, checkpoint_dir: str | None = None):
     """Near-duplicate candidate pairs with signature-estimated Jaccard >=
-    threshold. bands*rows == num_perm."""
+    threshold. bands*rows == num_perm. ``checkpoint_dir`` spills the
+    signature table to parquet instead of pinning it in the object store
+    (see :func:`_checkpointed`)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm).materialize()
-    band_ds = sigs.map_batches(
+    sigs = _checkpointed(minhash_signatures(docs, num_perm),
+                         checkpoint_dir, inputs=["documents"])
+    band_ds = sigs().map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
     )
     from ..functions.bucketing import (
@@ -189,11 +211,14 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     # signature attach via the bucketed merge join (acero Dataset.join
     # raises on the empty hash partitions sparse candidate sets produce)
     joined = bucketed_attach(
-        cand, sigs, "id_a", "doc_id", ["id_a", "id_b"], {"sig": "sig_a"}
+        cand, sigs(), "id_a", "doc_id", ["id_a", "id_b"], {"sig": "sig_a"},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sig_a": object},
     )
     joined = bucketed_attach(
-        joined, sigs, "id_b", "doc_id", ["id_a", "id_b", "sig_a"],
+        joined, sigs(), "id_b", "doc_id", ["id_a", "id_b", "sig_a"],
         {"sig": "sig_b"}, left_fill={"sig_a": b""},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sig_a": object,
+                      "sig_b": object},
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -217,12 +242,18 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
 # ---------------------------------------------------------------- ngram exact
 
 def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
-                        bands: int = 16, num_perm: int = 64, cap: int = 200):
+                        bands: int = 16, num_perm: int = 64, cap: int = 200,
+                        checkpoint_dir: str | None = None):
     """EXACT n-gram Jaccard over LSH-blocked candidates: blocking via minhash
-    bands (scale path), verification over true shingle sets."""
+    bands (scale path), verification over true shingle sets.
+    ``checkpoint_dir`` spills the signature AND shingle-set tables to
+    parquet instead of pinning them (see :func:`_checkpointed`)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm).materialize()
-    band_ds = sigs.map_batches(
+    sigs = _checkpointed(
+        minhash_signatures(docs, num_perm),
+        None if checkpoint_dir is None else f"{checkpoint_dir}/sigs",
+        inputs=["documents"])
+    band_ds = sigs().map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
     )
     from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
@@ -232,26 +263,33 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,
                              lambda g: _bucket_pairs(g, cap)),
         ["id_a", "id_b"],
     )
-    shingles = docs.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": pa.array(b["doc_id"], pa.int64()),
-                "sh": pa.array(
-                    [shingle_hashes(t, shingle_n).tobytes() for t in b["text"]],
-                    pa.binary(),
-                ),
-            }
+    shingles = _checkpointed(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pa.array(b["doc_id"], pa.int64()),
+                    "sh": pa.array(
+                        [shingle_hashes(t, shingle_n).tobytes()
+                         for t in b["text"]],
+                        pa.binary(),
+                    ),
+                }
+            ),
+            batch_format="pandas",
         ),
-        batch_format="pandas",
-    ).materialize()
+        None if checkpoint_dir is None else f"{checkpoint_dir}/shingles",
+        inputs=["documents"])
     from ..functions.bucketing import bucketed_attach
 
     joined = bucketed_attach(
-        cand, shingles, "id_a", "doc_id", ["id_a", "id_b"], {"sh": "sh_a"}
+        cand, shingles(), "id_a", "doc_id", ["id_a", "id_b"], {"sh": "sh_a"},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sh_a": object},
     )
     joined = bucketed_attach(
-        joined, shingles, "id_b", "doc_id", ["id_a", "id_b", "sh_a"],
+        joined, shingles(), "id_b", "doc_id", ["id_a", "id_b", "sh_a"],
         {"sh": "sh_b"}, left_fill={"sh_a": b""},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sh_a": object,
+                      "sh_b": object},
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -339,9 +377,9 @@ def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
     lowest doc_ids (skew guard — a bucket holding half the corpus would be
     O(n^2); documented completeness trade-off, same spirit as the
     reference's path-scoped pair restriction `builder/builder.py:372-407`)."""
+    # single consumer: stream straight into chunk expansion, no pin
     sh = docs.map_batches(SimHasher, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency
-                          ).materialize()
+                          batch_size=batch_size, concurrency=concurrency)
 
     def chunks(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -419,7 +457,7 @@ def embedding_cosine_pairs(embeddings, threshold: float = 0.95):
 # ----------------------------------------------------------------- clusters
 
 def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
-                      bands: int = 32):
+                      bands: int = 32, checkpoint_dir: str | None = None):
     """Full near-dup WORKFLOW composition: minhash-LSH candidate pairs ->
     distributed connected components -> (doc_id, cluster) where cluster =
     min doc_id of the duplicate group (singletons map to themselves).
@@ -430,7 +468,8 @@ def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
 
     from .components import connected_components
 
-    pairs = minhash_lsh_pairs(docs, threshold, num_perm, bands)
+    pairs = minhash_lsh_pairs(docs, threshold, num_perm, bands,
+                              checkpoint_dir=checkpoint_dir)
 
     def pad(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -479,7 +518,7 @@ def near_dup_clusters(docs, threshold: float = 0.8, num_perm: int = 128,
 
 
 def near_dup_keep_list(docs, threshold: float = 0.8, num_perm: int = 128,
-                       bands: int = 32):
+                       bands: int = 32, checkpoint_dir: str | None = None):
     """The MATERIALIZED dedup decision — (doc_id, cluster, kept) where
     ``kept`` iff the doc is its cluster's canonical representative (min
     doc_id; singletons keep themselves). This is the 'drop the duplicates'
@@ -489,7 +528,8 @@ def near_dup_keep_list(docs, threshold: float = 0.8, num_perm: int = 128,
     dropped and why."""
     import pyarrow.compute as pc
 
-    comp = near_dup_clusters(docs, threshold, num_perm, bands)
+    comp = near_dup_clusters(docs, threshold, num_perm, bands,
+                             checkpoint_dir=checkpoint_dir)
 
     def decide(t: pa.Table) -> pa.Table:
         return t.append_column("kept", pc.equal(t["doc_id"], t["cluster"]))
@@ -513,47 +553,65 @@ def contamination_check(docs, eval_mod: int = 50, window: int = 8,
     the training stream then maps over it embarrassingly parallel — ZERO
     shuffles at any corpus size. The eval set here is the deterministic
     ``doc_id % eval_mod == 0`` slice (stand-in for an external benchmark
-    file); md5 grams keep the spans byte-verifiable by DuckDB's ``md5()``
-    (same oracle-parity tradeoff as :func:`duplicate_ngrams`)."""
-    import hashlib
-
+    file). Output exposes only COUNTS (never hash values), so gram hashing
+    is the vectorized batch siphash (``pd.util.hash_array`` — one C call
+    per batch) unconditionally: the oracle's distinct-shared-window counts
+    are hash-function-independent."""
     import ray
 
-    def grams_of(text: str) -> set:
-        toks = text.lower().split()
-        return {
-            hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
-            for i in range(len(toks) - window + 1)
-        }
+    from .text_analysis import window_strings
+
+    def batch_hashes(texts):
+        grams, counts = window_strings(texts, window, min_one=False)
+        if not grams:
+            return np.array([], dtype=np.uint64), counts
+        return pd.util.hash_array(np.asarray(grams, dtype=object)), counts
 
     def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
         sub = b[b["doc_id"] % eval_mod == 0]
-        out: set = set()
-        for text in sub["text"]:
-            out |= grams_of(text)
-        return pd.DataFrame({"gram": sorted(out)})
+        hs, _ = batch_hashes(sub["text"])
+        return pd.DataFrame({"gram": np.unique(hs).view(np.int64)})
 
     ev_rows = docs.map_batches(eval_grams, batch_format="pandas",
                                batch_size=batch_size).take_all()
-    ev_ref = ray.put({r["gram"] for r in ev_rows})
+    # view as uint64 BEFORE unique: sortedness must hold in the dtype
+    # searchsorted compares in (int64 order != uint64 order on the top bit)
+    ev = np.unique(np.fromiter((r["gram"] for r in ev_rows),
+                               dtype=np.int64, count=len(ev_rows))
+                   .view(np.uint64))
+    ev_ref = ray.put(ev)
 
     class Decontaminator:
         def __init__(self):
-            self.ev = ray.get(ev_ref)
+            self.ev = ray.get(ev_ref)  # sorted uint64 eval-gram hashes
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ids: list[int] = []
-            hits: list[int] = []
-            for did, text in zip(b["doc_id"], b["text"]):
-                if did % eval_mod == 0:
-                    continue
-                n = len(grams_of(text) & self.ev)
-                if n:
-                    ids.append(int(did))
-                    hits.append(n)
+            b = b[b["doc_id"] % eval_mod != 0]
+            empty = pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_eval_grams": pd.Series([], dtype="int64")})
+            if len(b) == 0:
+                return empty
+            hs, counts = batch_hashes(b["text"])
+            if len(hs) == 0:
+                return empty
+            # distinct shared spans per doc: membership via binary search
+            # into the sorted eval set, then per-(doc, gram) dedup
+            idx = np.searchsorted(self.ev, hs)
+            idx[idx == len(self.ev)] = 0
+            member = self.ev[idx] == hs
+            df = pd.DataFrame({
+                "i": np.repeat(np.arange(len(b), dtype=np.int64), counts),
+                "h": hs.view(np.int64),
+            })[member]
+            if len(df) == 0:
+                return empty
+            hits = (df.drop_duplicates().groupby("i", sort=True).size()
+                    .rename("n_eval_grams").reset_index())
+            ids = b["doc_id"].to_numpy()
             return pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "n_eval_grams": pd.Series(hits, dtype="int64"),
+                "doc_id": ids[hits["i"].to_numpy()].astype("int64"),
+                "n_eval_grams": hits["n_eval_grams"].astype("int64"),
             })
 
     return docs.map_batches(Decontaminator, batch_format="pandas",
@@ -655,9 +713,9 @@ def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ----------------------------------------------- duplicate n-gram spans
 
 def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
-                     n_buckets: int = 64):
+                     n_buckets: int = 64, parity: bool | None = None):
     """Cross-document repeated token windows -> Dataset(gram, n_docs,
-    n_occurrences): every ``window``-token span whose md5 appears in at
+    n_occurrences): every ``window``-token span whose hash appears in at
     least ``min_docs`` distinct documents (the exact-substring duplication
     signal of Lee et al. 2021, "Deduplicating Training Data Makes Language
     Models Better" — the suffix-array pass re-expressed as a fixed-width
@@ -668,34 +726,52 @@ def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
     scan), then ONE bucketed salted exchange on the gram hash folds
     distinct-doc and occurrence counts; the >= min_docs filter drops the
     unique-gram long tail inside the merge, so only duplicated spans leave
-    the exchange. md5 keeps the gram byte-verifiable by DuckDB's ``md5()``
-    (oracle parity); production would swap xxhash/crc and drop SQL parity
-    (same tradeoff as ``text_analysis.rolling_fingerprints``)."""
-    from collections import Counter
-
-    import hashlib
-
+    the exchange. Gram hashing defaults to the vectorized batch siphash
+    (one ``pd.util.hash_array`` call per batch, int64 gram column);
+    ``parity`` switches to md5 hex so DuckDB's ``md5()`` verifies the gram
+    VALUES byte-for-byte (see ``text_analysis.resolve_parity``)."""
     from ..functions.bucketing import bucketed_apply
+    from .text_analysis import resolve_parity, window_strings
+
+    use_md5 = resolve_parity(parity)
 
     def windows(batch: pd.DataFrame) -> pd.DataFrame:
-        grams: list[str] = []
-        dids: list[int] = []
-        occs: list[int] = []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            toks = text.lower().split()
-            if len(toks) < window:
-                continue
-            c = Counter(
-                hashlib.md5(" ".join(toks[i:i + window]).encode()).hexdigest()
-                for i in range(len(toks) - window + 1))
-            grams.extend(c.keys())
-            dids.extend([did] * len(c))
-            occs.extend(c.values())
-        return pd.DataFrame({
-            "gram": pd.Series(grams, dtype=object),
-            "doc_id": pd.Series(dids, dtype="int64"),
-            "n": pd.Series(occs, dtype="int64"),
+        if use_md5:
+            import hashlib
+            from collections import Counter
+
+            grams: list[str] = []
+            dids: list[int] = []
+            occs: list[int] = []
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                toks = text.lower().split()
+                if len(toks) < window:
+                    continue
+                c = Counter(
+                    hashlib.md5(
+                        " ".join(toks[i:i + window]).encode()).hexdigest()
+                    for i in range(len(toks) - window + 1))
+                grams.extend(c.keys())
+                dids.extend([did] * len(c))
+                occs.extend(c.values())
+            return pd.DataFrame({
+                "gram": pd.Series(grams, dtype=object),
+                "doc_id": pd.Series(dids, dtype="int64"),
+                "n": pd.Series(occs, dtype="int64"),
+            })
+        gs, counts = window_strings(batch["text"], window, min_one=False)
+        if not gs:
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        hs = pd.util.hash_array(np.asarray(gs, dtype=object)).view(np.int64)
+        df = pd.DataFrame({
+            "gram": hs,
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
         })
+        return (df.groupby(["gram", "doc_id"], sort=False).size()
+                .rename("n").reset_index())
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         a = (g.groupby("gram", sort=False)

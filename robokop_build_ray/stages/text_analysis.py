@@ -100,39 +100,87 @@ def langid_confusion(docs, batch_size: int = 4096, concurrency=(1, 2)):
                 batch_format="pandas", batch_size=None))
 
 
-def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Content fingerprint: md5 of lower(trim(text)) — md5 chosen so DuckDB's
-    ``md5()`` verifies byte-for-byte; at production scale swap for xxhash."""
+def resolve_parity(parity: bool | None) -> bool:
+    """Oracle-parity mode: hash with md5 (byte-verifiable by DuckDB's
+    ``md5()``, a per-value Python loop) instead of the default vectorized
+    ``pd.util.hash_array`` siphash (one C call per batch — the pattern
+    measured 108x in bucketing.py). ``None`` defers to the
+    ``GRAFT_ORACLE_PARITY`` env var; the driver-checked queries that expose
+    hash VALUES in their output pass ``parity=True`` explicitly."""
+    if parity is None:
+        import os
+
+        return os.environ.get("GRAFT_ORACLE_PARITY", "") == "1"
+    return parity
+
+
+def fingerprint_batch(batch: pd.DataFrame,
+                      parity: bool | None = None) -> pd.DataFrame:
+    """Content fingerprint of lower(trim(text)). Default: one vectorized
+    siphash call per batch (int64 fingerprints). Parity mode: md5 hex so
+    DuckDB's ``md5()`` verifies byte-for-byte (see :func:`resolve_parity`)."""
     norm = batch["text"].str.strip().str.lower()
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "fingerprint": [hashlib.md5(t.encode()).hexdigest() for t in norm],
-        }
-    )
+    if resolve_parity(parity):
+        fp = [hashlib.md5(t.encode()).hexdigest() for t in norm]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fp})
+    h = pd.util.hash_array(norm.to_numpy(dtype=object)).view(np.int64)
+    return pd.DataFrame({"doc_id": batch["doc_id"],
+                         "fingerprint": pd.Series(h, index=batch.index)})
 
 
-def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
-    """Winnowing-style document fingerprint: lexicographic min of md5 over
-    token windows. md5 (not Python's ``hash``) so the value is deterministic
-    across worker processes AND byte-verifiable by DuckDB's ``md5()``; at
-    production scale swap for xxhash/crc32 and drop SQL parity."""
-    out_ids, out_fp = [], []
-    for did, text in zip(batch["doc_id"], batch["text"]):
+def window_strings(texts, window: int, min_one: bool = True):
+    """Flatten token windows for a batch: (grams list, per-doc counts).
+    ``min_one`` emits the whole-doc join for short docs (fingerprint
+    semantics); otherwise short docs emit zero windows (Lee-et-al
+    duplicate-span semantics)."""
+    grams: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
         toks = text.lower().split()
         if len(toks) < window:
-            wins = [" ".join(toks)]
+            g = [" ".join(toks)] if min_one else []
         else:
-            wins = [" ".join(toks[i : i + window])
-                    for i in range(len(toks) - window + 1)]
-        out_ids.append(did)
-        out_fp.append(min(hashlib.md5(w.encode()).hexdigest() for w in wins))
-    return pd.DataFrame({"doc_id": out_ids, "rolling_fp": out_fp})
+            g = [" ".join(toks[j:j + window])
+                 for j in range(len(toks) - window + 1)]
+        grams.extend(g)
+        counts[i] = len(g)
+    return grams, counts
 
 
-def rolling_fingerprints(docs, window: int = 8, batch_size: int = 4096):
+def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8,
+                               parity: bool | None = None) -> pd.DataFrame:
+    """Winnowing-style document fingerprint: min hash over token windows.
+    Default: ONE vectorized siphash call over every window in the batch +
+    per-doc ``np.minimum.reduceat`` (int64 values). Parity mode:
+    lexicographic min of md5 hex, byte-verifiable by DuckDB."""
+    if resolve_parity(parity):
+        out_ids, out_fp = [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            toks = text.lower().split()
+            if len(toks) < window:
+                wins = [" ".join(toks)]
+            else:
+                wins = [" ".join(toks[i : i + window])
+                        for i in range(len(toks) - window + 1)]
+            out_ids.append(did)
+            out_fp.append(min(hashlib.md5(w.encode()).hexdigest()
+                              for w in wins))
+        return pd.DataFrame({"doc_id": out_ids, "rolling_fp": out_fp})
+    if len(batch) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rolling_fp": pd.Series([], dtype="int64")})
+    grams, counts = window_strings(batch["text"], window, min_one=True)
+    h = pd.util.hash_array(np.asarray(grams, dtype=object))
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    mins = np.minimum.reduceat(h, offsets).view(np.int64)
+    return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                         "rolling_fp": mins})
+
+
+def rolling_fingerprints(docs, window: int = 8, batch_size: int = 4096,
+                         parity: bool | None = None):
     return docs.map_batches(
-        lambda b: rolling_fingerprints_batch(b, window),
+        lambda b: rolling_fingerprints_batch(b, window, parity),
         batch_format="pandas", batch_size=batch_size,
     )
 
@@ -209,9 +257,9 @@ def langid(docs, batch_size: int = 4096, concurrency=(1, 2)):
                             batch_size=batch_size, concurrency=concurrency)
 
 
-def fingerprints(docs, batch_size: int = 4096):
-    return docs.map_batches(fingerprint_batch, batch_format="pandas",
-                            batch_size=batch_size)
+def fingerprints(docs, batch_size: int = 4096, parity: bool | None = None):
+    return docs.map_batches(lambda b: fingerprint_batch(b, parity),
+                            batch_format="pandas", batch_size=batch_size)
 
 
 # train/val/test thresholds: exact 0.8 * 2^32 and 0.9 * 2^32 — SPEC

@@ -20,6 +20,11 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from robokop_build_ray.functions.ray_utils import (
+        silence_empty_block_schema_warnings,
+    )
+
+    silence_empty_block_schema_warnings()
     yield
     ray.shutdown()
 

@@ -124,3 +124,65 @@ def test_prefix_filter():
     assert filter_identifiers_by_prefix(
         ["MESH:1", "HP:2", "MESH:3"], "MESH"
     ) == ["MESH:1", "MESH:3"]
+
+
+def test_path_filter_varlen_2hop():
+    """S(2-2)D keeps exactly the triples on 2-hop chem--*--disease paths."""
+    import ray
+    import ray.data as rd
+
+    from robokop_build_ray.pipelines.kg_build import path_filter_varlen
+
+    # graph: C1 -- G1 -- D1 (2-path), C2 -- D2 (direct only), G2 -- D3
+    types = {
+        "C1": ("C1", "chemical_substance", []),
+        "C2": ("C2", "chemical_substance", []),
+        "G1": ("G1", "gene", []), "G2": ("G2", "gene", []),
+        "D1": ("D1", "disease", []), "D2": ("D2", "disease", []),
+        "D3": ("D3", "disease", []),
+    }
+    triples = [
+        {"conv_id": "c", "turn_idx": 1, "subj_id": "C1",
+         "pred_id": "PRED:binds", "obj_id": "G1"},
+        {"conv_id": "c", "turn_idx": 2, "subj_id": "G1",
+         "pred_id": "PRED:causes", "obj_id": "D1"},
+        {"conv_id": "c", "turn_idx": 3, "subj_id": "C2",
+         "pred_id": "PRED:treats", "obj_id": "D2"},
+        {"conv_id": "c", "turn_idx": 4, "subj_id": "G2",
+         "pred_id": "PRED:causes", "obj_id": "D3"},
+    ]
+    ds = rd.from_items(triples)
+    ref = ray.put(types)
+    got = {(r["subj_id"], r["obj_id"])
+           for r in path_filter_varlen(ds, "S(2-2)D", ref).take_all()}
+    # both hops of the C1-G1-D1 path qualify; the direct C2-D2 edge does
+    # NOT (min bound 2 excludes direct hops); G2-D3 is on no chem path
+    assert got == {("C1", "G1"), ("G1", "D1")}
+    # S(1-2)D additionally admits the direct chem-disease edge
+    got12 = {(r["subj_id"], r["obj_id"])
+             for r in path_filter_varlen(ds, "S(1-2)D", ref).take_all()}
+    assert got12 == {("C1", "G1"), ("G1", "D1"), ("C2", "D2")}
+
+
+def test_synonym_expander_gated_types():
+    """M9 dynamic expansion: xref codes fold into equivalent_identifiers
+    for gated node types only; nodes without xrefs are untouched."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from robokop_build_ray.stages.canonicalize import expand_synonyms_stage
+
+    nodes = rd.from_arrow(pa.table({
+        "id": ["MONDO:1", "HGNC:2", "HP:3"],
+        "name": ["d", "g", "p"],
+        "node_type": ["disease", "gene", "phenotypic_feature"],
+        "equivalent_identifiers": [["ALT1:1", "MONDO:1"], ["HGNC:2"],
+                                   ["HP:3"]],
+    }))
+    xref = ray.put({"MONDO:1": ("ICD9:001.1",), "HGNC:2": ("ICD9:999.9",)})
+    got = {r["id"]: r["equivalent_identifiers"]
+           for r in expand_synonyms_stage(nodes, xref).take_all()}
+    assert got["MONDO:1"] == ["ALT1:1", "ICD9:001.1", "MONDO:1"]  # expanded
+    assert got["HGNC:2"] == ["HGNC:2"]  # gene: gated OUT despite xref
+    assert got["HP:3"] == ["HP:3"]      # gated type, no xref -> unchanged

@@ -38,7 +38,8 @@ def test_duplicate_ngrams_planted():
         {"doc_id": 3, "text": "совершенно unrelated text with nothing shared here at all"},
         {"doc_id": 4, "text": "short doc"},
     ])
-    rows = duplicate_ngrams(docs, window=8, n_buckets=4).take_all()
+    rows = duplicate_ngrams(docs, window=8, n_buckets=4,
+                            parity=True).take_all()
     import hashlib
 
     g = hashlib.md5(shared.encode()).hexdigest()
@@ -47,3 +48,16 @@ def test_duplicate_ngrams_planted():
     assert got[g] == (2, 3)
     # every reported gram spans >= 2 docs
     assert all(nd >= 2 for nd, _ in got.values())
+    # default fast mode (vectorized siphash grams): identical count
+    # structure — same number of duplicated spans, same count multiset
+    fast = duplicate_ngrams(docs, window=8, n_buckets=4,
+                            parity=False).take_all()
+    assert sorted((r["n_docs"], r["n_occurrences"]) for r in fast) == \
+        sorted(got.values())
+    import numpy as np
+    import pandas as pd
+
+    gh = int(pd.util.hash_array(
+        np.asarray([shared], dtype=object)).view(np.int64)[0])
+    fast_got = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in fast}
+    assert fast_got[gh] == (2, 3)

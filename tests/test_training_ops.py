@@ -126,10 +126,19 @@ def test_bpe_token_stats():
 def test_rolling_fingerprint_deterministic():
     df = pd.DataFrame({"doc_id": [1, 2],
                        "text": ["alpha beta gamma " * 10, "short text"]})
-    a = ta.rolling_fingerprints_batch(df)
-    b = ta.rolling_fingerprints_batch(df.copy())
+    # parity mode: md5 hex, byte-verifiable by the DuckDB oracle
+    a = ta.rolling_fingerprints_batch(df, parity=True)
+    b = ta.rolling_fingerprints_batch(df.copy(), parity=True)
     assert list(a["rolling_fp"]) == list(b["rolling_fp"])
     assert all(len(fp) == 32 for fp in a["rolling_fp"])  # md5 hex
+    # default fast mode: vectorized siphash, int64, equally deterministic
+    f1 = ta.rolling_fingerprints_batch(df, parity=False)
+    f2 = ta.rolling_fingerprints_batch(df.copy(), parity=False)
+    assert list(f1["rolling_fp"]) == list(f2["rolling_fp"])
+    assert f1["rolling_fp"].dtype == "int64"
+    # equal docs agree, distinct docs differ, in both modes
+    assert a["rolling_fp"][0] != a["rolling_fp"][1]
+    assert f1["rolling_fp"][0] != f1["rolling_fp"][1]
 
 
 def test_simhash_identical_and_near_docs():
@@ -260,13 +269,63 @@ def test_multimodal_thumbnails():
     media = rd.from_arrow(multimodal.synthesize_media(9))
     out = {r["media_id"]: r for r in
            multimodal.thumbnails(media, out_w=5, out_h=4).take_all()}
+    mimes = {r["media_id"]: r["mime"] for r in media.take_all()}
     for mid, r in out.items():
-        if mid % 3 == 0:  # image rows: re-encoded PPM at thumb size
+        if mid % 3 == 0:  # image rows: re-encoded at thumb size (PPM or PNG)
             assert r["resized"]
-            thumb = multimodal.decode_ppm(r["payload"])
-            assert thumb.shape == (4, 5, 3)
+            dec = (multimodal.decode_ppm if mimes[mid] == multimodal.PPM_MIME
+                   else multimodal.decode_png)
+            assert dec(r["payload"]).shape == (4, 5, 3)
         else:  # pass-through untouched
             assert not r["resized"]
+    # both real image codecs appear among the 3 image rows (ids 0, 3, 6)
+    assert {mimes[0], mimes[3]} == {multimodal.PPM_MIME, multimodal.PNG_MIME}
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # every row filter type (None/Sub/Up/Average/Paeth) must reconstruct
+    for f in range(5):
+        got = multimodal.decode_png(multimodal.encode_png(img, [f] * 10))
+        assert (got == img).all(), f"filter {f} round-trip failed"
+    # mixed per-row filters
+    got = multimodal.decode_png(
+        multimodal.encode_png(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]))
+    assert (got == img).all()
+    # corrupt CRC raises (not silently wrong)
+    payload = bytearray(multimodal.encode_png(img))
+    payload[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(payload))
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def make_png(arr, ctype):
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    assert (multimodal.decode_png(make_png(gray, 0)) == gray).all()
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    assert (multimodal.decode_png(make_png(rgba, 6)) == rgba).all()
 
 
 def test_multimodal_strict_raises():

@@ -85,7 +85,16 @@ def main() -> int:
     # tier the queries run on; the real driver always uses sf0.01
     import os
 
-    os.environ.setdefault("GRAFT_SQL_TIER", os.path.basename(sf_dir.rstrip("/")))
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    prior = os.environ.get("GRAFT_SQL_TIER")
+    if prior is not None and prior != tier:
+        # a stale tier in the environment would make corpus-backed oracles
+        # read a DIFFERENT tier than the queries under test — fail loudly
+        raise SystemExit(
+            f"GRAFT_SQL_TIER={prior!r} conflicts with sf_dir tier {tier!r}; "
+            "unset it or pass the matching sf_dir"
+        )
+    os.environ["GRAFT_SQL_TIER"] = tier
 
     import ray
 
@@ -96,6 +105,11 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, ".")
+    from robokop_build_ray.functions.ray_utils import (
+        silence_empty_block_schema_warnings,
+    )
+
+    silence_empty_block_schema_warnings()
     import __ray_entry__ as e
 
     t0 = time.time()
