@@ -118,6 +118,9 @@ def _kg_components(sf_dir: str):
     import pyarrow.compute as pc
 
     gaz = rd.read_parquet(paths["gazetteer"]).select_columns(["curie"])
+    # entity-bounded collect: `comp` has one row per BRIDGED gazetteer
+    # entity (vocabulary scale, not corpus scale) — same class as the
+    # canonical-closure broadcast, safe at 100x
     bridged = pa.array(sorted(r["id"] for r in comp.take_all()))
     singles = gaz.map_batches(
         lambda t: pa.table(
@@ -508,6 +511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
         # collocation mining: top-k bigrams by lift (PMI-monotone)
         "doc_bigram_lift": lambda sf: _vocab().bigram_lift(_docs(sf)),
+        # Gopher-style within-doc repetition metrics (Rae et al. 2021)
+        "doc_repetition": lambda sf: ta.repetition_stats(_docs(sf)),
+        # CCNet-style corpus bigram-LM quality score (Wenzek et al. 2020)
+        "doc_lm_score": lambda sf: _vocab().lm_score(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
@@ -625,6 +632,12 @@ def _vocab():
     from robokop_build_ray.stages import vocab
 
     return vocab
+
+
+def _ta_sql():
+    from robokop_build_ray.stages import text_analysis
+
+    return text_analysis
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -781,6 +794,8 @@ FROM events GROUP BY event_type""",
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
+        "doc_repetition": _ta_sql().sql_repetition(),
+        "doc_lm_score": _vocab().sql_lm_score(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_user_median": rel.sql_events_user_median(),

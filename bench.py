@@ -111,7 +111,8 @@ def run_bench() -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
         ph: dict[str, float] = {}
         t_all = time.time()
-        graph = build_graph(sf_dir, materialize_intermediate=True, timings=ph)
+        graph = build_graph(sf_dir, materialize_intermediate=True,
+                            support_async=True, timings=ph)
         n_tr = graph["canonical"].count()
         t0 = time.time()
         man = materialize_graph(graph, out_dir, timings=ph)

@@ -140,6 +140,9 @@ def main(argv: list[str] | None = None) -> int:
         transcripts_path=args.transcripts,
         materialize_intermediate=True,
         include_support="cooccur" in supports,
+        # overlap the support exchange with the node/edge writes (the
+        # support job in materialize_graph blocks on the future)
+        support_async=args.checkpoint is None,
         path=args.path,
     )
     extra = [s for s in supports if s != "cooccur"]

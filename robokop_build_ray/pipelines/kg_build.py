@@ -105,6 +105,7 @@ def build_graph(
     transcripts_path: str | None = None,
     materialize_intermediate: bool = False,
     include_support: bool = True,
+    support_async: bool = False,
     timings: dict | None = None,
     path: str | None = None,
 ) -> dict[str, Any]:
@@ -172,6 +173,7 @@ def build_graph(
     # the upstream chain), so it is built only when asked for
     n_convs = None
     support = None
+    support_future = None
     if include_support:
         # population size N (`builder/cdw.py:16` total analog): read from the
         # corpus metadata when generation recorded it, else count distinct
@@ -185,10 +187,23 @@ def build_graph(
             n_convs = n_distinct(transcripts, "conv_id")
         import time as _time
 
-        _t0 = _time.time()
-        support = support_stage(canonical, n_convs, max_entities_per_conv)
-        if timings is not None:
-            timings["support_build"] = round(_time.time() - _t0, 3)
+        def _mk_support():
+            _t0 = _time.time()
+            s = support_stage(canonical, n_convs, max_entities_per_conv)
+            if timings is not None:
+                timings["support_build"] = round(_time.time() - _t0, 3)
+            return s
+
+        if support_async:
+            # overlap: the support exchange (the longest phase) executes on
+            # a driver thread CONCURRENTLY with the node/edge sort+write
+            # jobs that materialize_graph launches — Ray Data supports
+            # concurrent dataset executions, so the streaming executor
+            # interleaves both over the same CPU pool and the write phase
+            # hides under the support build instead of following it.
+            support_future = _SUPPORT_POOL.submit(_mk_support)
+        else:
+            support = _mk_support()
 
     return {
         "transcripts": transcripts,
@@ -198,6 +213,7 @@ def build_graph(
         "nodes": nodes,
         "edges": edges,
         "support": support,
+        "support_future": support_future,
         "n_conversations": n_convs,
         "state": state,
     }
@@ -477,6 +493,12 @@ def _ensure_fsspec_http_stub() -> None:
     sys.modules["fsspec.implementations.http"] = mod
 
 
+# dedicated single-thread pool for the async support build (kept at module
+# scope so the worker outlives the build_graph call that submitted to it)
+from concurrent.futures import ThreadPoolExecutor as _TPE
+
+_SUPPORT_POOL = _TPE(max_workers=1, thread_name_prefix="support-build")
+
 SMALL_SORT_MAX_ROWS = 4_000_000
 # output files per table: parquet ENCODE parallelism for the write phase
 # (one 225 MB edge file was a single-task encode — write_edges dominated
@@ -508,20 +530,8 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
     pair key (`CooccurChi2.ipynb` cell 15, O3); nodes by id."""
     from ..state import lineage
 
-    def srt(ds, keys):
-        if not small_sorts:
-            return ds.sort(keys), None
-        # the "aggregate-bounded" assumption is ENFORCED, not assumed: pin
-        # the table (it is about to be written anyway), and fall back to the
-        # distributed sort when it outgrows a single block
-        m = ds.materialize()
-        n = m.count()
-        if n > SMALL_SORT_MAX_ROWS:
-            return m.sort(keys), n
-        return _small_sort(m, keys), n
-
     manifests = {}
-    # jobs stay LAZY here — srt() materializes, and doing that during dict
+    # jobs stay LAZY here — run() materializes, and doing that during dict
     # construction would serialize the three table DAGs that the thread pool
     # exists to overlap
     jobs = {
@@ -530,6 +540,11 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
     }
     if graph.get("support") is not None:
         jobs["support"] = (graph["support"], ["p", "id_a", "id_b"])
+    elif graph.get("support_future") is not None:
+        # async support build (build_graph(support_async=True)): the job
+        # blocks on the future inside its own thread, so node/edge writes
+        # proceed while the support exchange is still executing
+        jobs["support"] = (graph["support_future"], ["p", "id_a", "id_b"])
     for sup_name, ds in graph.get("extra_supports", {}).items():
         jobs[f"support_{sup_name}"] = (ds, ["id_a", "id_b"])
     # the three output pipelines are independent: execute them CONCURRENTLY
@@ -545,10 +560,29 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
 
     def run(item):
         import time as _time
+        from concurrent.futures import Future
 
         name, (ds, keys) = item
         t0 = _time.time()
-        sorted_ds, n = srt(ds, keys)
+        if isinstance(ds, Future):
+            ds = ds.result()  # async support build (overlapped, see above)
+        # phase accounting: `agg_<name>` is the upstream AGGREGATION compute
+        # (executing the table's DAG from canonical); `write_<name>` is the
+        # actual determinism sort + parquet encode + manifest commit
+        if small_sorts:
+            # the "aggregate-bounded" assumption is ENFORCED, not assumed:
+            # pin the table (it is about to be written anyway), and fall
+            # back to the distributed sort when it outgrows a single block
+            mat = ds.materialize()
+            n = mat.count()
+            if timings is not None:
+                timings[f"agg_{name}"] = round(_time.time() - t0, 3)
+            t1 = _time.time()
+            sorted_ds = (mat.sort(keys) if n > SMALL_SORT_MAX_ROWS
+                         else _small_sort(mat, keys))
+        else:
+            sorted_ds, n = ds.sort(keys), None
+            t1 = t0
         # file granularity: WRITE_FANOUT files per table (parallel encode,
         # resumable parts), floored so tiny tables stay one file
         mrpf = (200_000 if n is None
@@ -557,7 +591,7 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
                                  inputs=["canonical"],
                                  min_rows_per_file=mrpf)
         if timings is not None:
-            timings[f"write_{name}"] = round(_time.time() - t0, 3)
+            timings[f"write_{name}"] = round(_time.time() - t1, 3)
         return name, m
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:

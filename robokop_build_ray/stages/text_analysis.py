@@ -325,3 +325,119 @@ def chunk_spans(docs, chunk_tokens: int = 64, batch_size: int = 4096):
     return docs.map_batches(
         lambda b: chunk_spans_batch(b, chunk_tokens),
         batch_format="pandas", batch_size=batch_size)
+
+
+# alnum tokens, shared with stages.vocab (the bigram key is space-joined,
+# tokens are space-free, so the key is unambiguous)
+WORD_RE = r"[a-z0-9]+"
+
+
+def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules,
+    Rae et al. 2021 §A1.1 adapted to token n-grams):
+
+    - ``top_bigram_frac`` — fraction of a doc's bigrams taken by its single
+      most frequent bigram (high = boilerplate / TEMPLATED text),
+    - ``dup_trigram_frac`` — fraction of a doc's trigrams that occur more
+      than once within the doc (high = loops / repeated spans).
+
+    Per-doc only (no shuffle): the whole batch's tokens are exploded ONCE,
+    n-grams formed by adjacent-position masks, and per-(doc, gram) counts
+    come from a single pandas groupby — no per-doc Python loop. Fractions
+    are a single int/int division (bit-identical to the oracle); docs with
+    too few tokens report 0 counts and 0.0 fractions."""
+    pos = np.arange(len(batch))
+    flat = (batch["text"].str.lower().str.findall(WORD_RE)
+            .set_axis(pos).explode().dropna())
+    idx = flat.index.to_numpy(dtype=np.int64)
+    vals = flat.to_numpy(dtype=object)
+
+    def gram_counts(k: int):
+        """per-(doc-position, k-gram) counts as a MultiIndex Series."""
+        if len(vals) < k:
+            return None
+        same = np.ones(len(vals) - (k - 1), dtype=bool)
+        grams = vals[: len(vals) - k + 1].copy()
+        for j in range(1, k):
+            same &= idx[j: len(idx) - (k - 1) + j] == idx[: len(idx) - (k - 1)]
+            grams = grams + " " + vals[j: len(vals) - (k - 1) + j]
+        d = idx[: len(idx) - (k - 1)][same]
+        if len(d) == 0:
+            return None
+        return (pd.DataFrame({"d": d, "g": grams[same]})
+                .groupby(["d", "g"], sort=False).size())
+
+    out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+    zeros = np.zeros(len(batch), dtype=np.int64)
+    bg = gram_counts(2)
+    if bg is None:
+        top_c, n_bg = zeros, zeros
+    else:
+        per = bg.groupby(level=0)
+        top_c = per.max().reindex(pos, fill_value=0).to_numpy(np.int64)
+        n_bg = per.sum().reindex(pos, fill_value=0).to_numpy(np.int64)
+    tg = gram_counts(3)
+    if tg is None:
+        dup_c, n_tg = zeros, zeros
+    else:
+        per3 = tg.groupby(level=0)
+        n_tg = per3.sum().reindex(pos, fill_value=0).to_numpy(np.int64)
+        dup = tg[tg > 1].groupby(level=0).sum()
+        dup_c = dup.reindex(pos, fill_value=0).to_numpy(np.int64)
+    out["n_bigrams"] = n_bg
+    out["top_bigram_c"] = top_c
+    out["top_bigram_frac"] = np.divide(
+        top_c, n_bg, out=np.zeros(len(batch)), where=n_bg > 0)
+    out["n_trigrams"] = n_tg
+    out["dup_trigram_c"] = dup_c
+    out["dup_trigram_frac"] = np.divide(
+        dup_c, n_tg, out=np.zeros(len(batch)), where=n_tg > 0)
+    return out
+
+
+def repetition_stats(docs, batch_size: int = 4096):
+    return docs.map_batches(repetition_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def sql_repetition(table: str = "documents") -> str:
+    """DuckDB oracle for :func:`repetition_stats` (same grams, same
+    single-division fractions; SUM() is cast from HUGEINT to BIGINT)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS tk
+  FROM {table}
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+bstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_c,
+                 CAST(sum(c) AS BIGINT) AS n_bigrams
+          FROM bc GROUP BY doc_id),
+tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+  FROM toks
+),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                 CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                     AS dup_trigram_c
+          FROM tc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(b.n_bigrams, 0) AS n_bigrams,
+       coalesce(b.top_bigram_c, 0) AS top_bigram_c,
+       CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(b.top_bigram_c AS DOUBLE) / b.n_bigrams
+       END AS top_bigram_frac,
+       coalesce(t.n_trigrams, 0) AS n_trigrams,
+       coalesce(t.dup_trigram_c, 0) AS dup_trigram_c,
+       CASE WHEN coalesce(t.n_trigrams, 0) = 0 THEN 0.0
+            ELSE CAST(t.dup_trigram_c AS DOUBLE) / t.n_trigrams
+       END AS dup_trigram_frac
+FROM {table} d
+LEFT JOIN bstat b USING (doc_id)
+LEFT JOIN tstat t USING (doc_id)"""

@@ -33,7 +33,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.bucketing import bucketed_apply, bucketed_attach, bucketed_count
+from ..functions.bucketing import (
+    bucketed_apply,
+    bucketed_attach,
+    bucketed_count,
+    bucketed_sum,
+)
 
 TOKEN_RE = r"[a-z0-9]+"
 
@@ -327,3 +332,137 @@ WITH toks AS (
 SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
 FROM toks GROUP BY term
 HAVING count(*) BETWEEN {min_df} AND {max_df}"""
+
+
+def lm_score(docs, n_buckets: int = 64, quant: int = 1_000_000):
+    """CCNet-style corpus-LM quality score per document: the average
+    next-token conditional probability under a bigram LM fit on the corpus
+    itself (Wenzek et al. 2020 filter by LM score; here MLE bigram instead
+    of KenLM so the value is exactly recomputable by the oracle).
+
+    q(w1 w2) = floor(quant * c(w1 w2) / c(w1-as-prefix)) — EXACT integer
+    arithmetic end to end (no float, no log): the per-doc score is
+    sum_k(count_in_doc * q) over the doc's distinct bigrams, and
+    ``avg_p_ppm`` = score_sum / n_bigrams is the single final division
+    (both operands < 2^53, so the double is exact on both sides).
+
+    Shape at 100 TB — TWO exchanges total. The per-batch partial is the
+    per-(doc, bigram) instance-count table; bucketing it by the bigram's
+    FIRST WORD co-locates, in one bucket, (a) every instance of a bigram
+    (global c_xy = an in-bucket sum), (b) every bigram sharing a prefix
+    (c(w1) = an in-bucket sum), and (c) the instances the q values join
+    back to — so counts, marginals, quantization and the join all happen
+    inside ONE merge call with no broadcast and no second corpus pass.
+    Exchange 2 is the entity-bounded per-doc sum. Known skew: a hot prefix
+    word concentrates its bigram family in one bucket (~the hot word's
+    token share); if that ever dominates, split into the 2-exchange
+    variant (count table bucketed by w1, instance join bucketed by full
+    bigram hash) at the cost of one more AllToAll.
+    ``quant * c_xy`` stays in int64 up to c_xy ~ 9.2e12 — at bigger counts
+    raise to int128 via decimal or drop quant."""
+
+    def inst_partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat = (b["text"].str.lower().str.findall(TOKEN_RE)
+                .set_axis(np.arange(len(b))).explode().dropna())
+        idx = flat.index.to_numpy(dtype=np.int64)
+        vals = flat.to_numpy(dtype=object)
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "bigram": pd.Series([], dtype=object),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "k": pd.Series([], dtype="int64")})
+        if len(vals) < 2:
+            return empty
+        same = idx[1:] == idx[:-1]
+        if not same.any():
+            return empty
+        d = b["doc_id"].to_numpy()[idx[:-1][same]]
+        w1 = vals[:-1][same]
+        grams = w1 + " " + vals[1:][same]
+        cnt = (pd.DataFrame({"w1": w1, "bigram": grams, "doc_id": d})
+               .groupby(["w1", "bigram", "doc_id"], sort=False).size()
+               .rename("k").reset_index())
+        cnt["k"] = cnt["k"].astype("int64")
+        cnt["doc_id"] = cnt["doc_id"].astype("int64")
+        return cnt
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        # global bigram counts: every instance of any bigram in this bucket
+        # lives in this bucket, so the in-bucket sum IS c_xy
+        c_xy = g.groupby("bigram", sort=False)["k"].sum()
+        # prefix marginals likewise (all bigrams sharing w1 are co-located)
+        key_w1 = c_xy.index.str.split(" ").str[0]
+        c_x = c_xy.groupby(key_w1).transform("sum").to_numpy(np.int64)
+        q = pd.Series((quant * c_xy.to_numpy(np.int64)) // c_x,
+                      index=c_xy.index)
+        contrib = g["k"].to_numpy(np.int64) * q.reindex(
+            g["bigram"]).to_numpy(np.int64)
+        per = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                            "s": contrib,
+                            "n": g["k"].to_numpy(np.int64)})
+        return per.groupby("doc_id", sort=False, as_index=False)[
+            ["s", "n"]].sum()
+
+    per_doc_partials = bucketed_apply(
+        docs.select_columns(["doc_id", "text"]), ["w1"], bucket_merge,
+        inst_partial, n_buckets)
+
+    def doc_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", sort=False, as_index=False)[
+            ["s", "n"]].sum()
+
+    per_doc = bucketed_apply(per_doc_partials, ["doc_id"], doc_merge,
+                             None, n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        s = b["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_bigrams": n,
+            "score_sum": s,
+            "avg_p_ppm": np.divide(s, n, out=np.zeros(len(b)),
+                                   where=n > 0),
+        })
+
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([], _pa.int64()),
+        "n_bigrams": _pa.array([], _pa.int64()),
+        "score_sum": _pa.array([], _pa.int64()),
+        "avg_p_ppm": _pa.array([], _pa.float64()),
+    }))
+    # typed empty seed: a degenerate tier with no bigrams still yields the
+    # contract schema (zero-row datasets otherwise lose their columns)
+    return per_doc.map_batches(final, batch_format="pandas").union(seed)
+
+
+def sql_lm_score(quant: int = 1_000_000) -> str:
+    """Oracle for :func:`lm_score` — same integer floor-division quantized
+    conditional probabilities, recomputed relationally."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                                       i -> tk[i] || ' ' || tk[i + 1])) AS g
+  FROM toks
+),
+bc AS (SELECT g, CAST(count(*) AS BIGINT) AS c_xy FROM big GROUP BY g),
+pc AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c_xy) AS BIGINT) AS c_x
+       FROM bc GROUP BY 1),
+q AS (SELECT g, ({quant} * bc.c_xy) // pc.c_x AS q
+      FROM bc JOIN pc ON pc.w1 = split_part(bc.g, ' ', 1))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q.q) AS BIGINT) AS score_sum,
+       CAST(sum(q.q) AS DOUBLE) / count(*) AS avg_p_ppm
+FROM big JOIN q USING (g)
+GROUP BY doc_id"""

@@ -100,3 +100,18 @@ def test_fused_and_checkpoint_paths_agree(ckpt, smoke_corpus):
         )
 
     assert rows(fused["canonical"]) == rows(staged["canonical"])
+
+
+def test_support_async_matches_sync(smoke_corpus):
+    """build_graph(support_async=True) must emit exactly the sync path's
+    support rows (the overlap changes scheduling, never results)."""
+    sync = build_graph("sf0.001", materialize_intermediate=True)
+    asyn = build_graph("sf0.001", materialize_intermediate=True,
+                       support_async=True)
+    assert asyn["support"] is None
+    rows_sync = sorted(
+        tuple(sorted(r.items())) for r in sync["support"].take_all())
+    rows_async = sorted(
+        tuple(sorted(r.items()))
+        for r in asyn["support_future"].result().take_all())
+    assert rows_async == rows_sync

@@ -83,3 +83,43 @@ def test_edit_distance_pairs_planted():
     got = sorted((r["id_a"], r["id_b"])
                  for r in edit_distance_pairs(ds, n_buckets=4).take_all())
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_lm_score_hand_values():
+    """Bigram-LM quality score on a 2-doc corpus, checked by hand:
+    counts ab=2 ba=1 ac=1 bb=1; prefixes a=3 b=2; q = floor(1e6*c/cx)."""
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b a c"},
+        {"doc_id": 1, "text": "a b b"},
+    ])
+    got = {r["doc_id"]: r for r in vocab.lm_score(ds, n_buckets=4).take_all()}
+    assert got[0]["n_bigrams"] == 3
+    assert got[0]["score_sum"] == 666666 + 500000 + 333333
+    assert got[0]["avg_p_ppm"] == got[0]["score_sum"] / 3
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["score_sum"] == 666666 + 500000
+    assert got[1]["avg_p_ppm"] == got[1]["score_sum"] / 2
+
+
+def test_repetition_stats_hand_values():
+    from robokop_build_ray.stages.text_analysis import repetition_batch
+
+    b = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a b a b", "x y z", "solo"],
+    })
+    out = repetition_batch(b).set_index("doc_id")
+    # doc 0: bigrams ab,ba,ab,ba,ab -> top 3/5; trigrams aba,bab,aba,bab
+    # all duplicated -> 4/4
+    assert out.loc[0, "n_bigrams"] == 5
+    assert out.loc[0, "top_bigram_c"] == 3
+    assert out.loc[0, "top_bigram_frac"] == 3 / 5
+    assert out.loc[0, "n_trigrams"] == 4
+    assert out.loc[0, "dup_trigram_c"] == 4
+    assert out.loc[0, "dup_trigram_frac"] == 1.0
+    # doc 1: no repeats
+    assert out.loc[1, "n_bigrams"] == 2
+    assert out.loc[1, "top_bigram_frac"] == 0.5
+    assert out.loc[1, "dup_trigram_c"] == 0
+    # doc 2: single token -> all zeros
+    assert out.loc[2].tolist() == [0, 0, 0.0, 0, 0, 0.0]
