@@ -513,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lift": lambda sf: _vocab().bigram_lift(_docs(sf)),
         # Gopher-style within-doc repetition metrics (Rae et al. 2021)
         "doc_repetition": lambda sf: ta.repetition_stats(_docs(sf)),
+        # GPT-style concat-and-chunk sequence-packing assignment
+        "doc_pack_assignments": lambda sf: ta.pack_assignments(_docs(sf)),
         # CCNet-style corpus bigram-LM quality score (Wenzek et al. 2020)
         "doc_lm_score": lambda sf: _vocab().lm_score(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
@@ -547,6 +549,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": rel.lineitem_profile,
         # Q14 shape: month-filtered fact x part bucketed join, cents-exact
         "q14_promo_revenue": rel.q14_promo_revenue,
+        # Q15 shape: max-revenue supplier over a quarter (ties included)
+        "q15_top_supplier": rel.q15_top_supplier,
+        # Q8 shape: national market share (5-table fact-stream join)
+        "q8_market_share": rel.q8_market_share,
         # Q18 shape: HAVING-filtered fact fold + two bucketed attaches
         "q18_large_orders": rel.q18_large_orders,
         # Q4 shape: distributed SEMI join (EXISTS) via one bucketed exchange
@@ -795,6 +801,7 @@ FROM events GROUP BY event_type""",
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "doc_repetition": _ta_sql().sql_repetition(),
+        "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
@@ -826,6 +833,8 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "customer_order_counts": rel.sql_customer_order_counts(),
         "lineitem_profile": rel.sql_lineitem_profile(),
         "q14_promo_revenue": rel.sql_q14_promo_revenue(),
+        "q15_top_supplier": rel.sql_q15_top_supplier(),
+        "q8_market_share": rel.sql_q8_market_share(),
         "q18_large_orders": rel.sql_q18_large_orders(),
         "q4_order_priority": rel.sql_q4_order_priority(),
         "q12_priority_lines": rel.sql_q12_priority_lines(),

@@ -2673,3 +2673,267 @@ JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey
 ORDER BY revenue_cents DESC, c_custkey
 LIMIT {k}"""
+
+
+Q15_START = (1996, 1)  # quarter start; window = 3 months
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_TYPE = "PROMO"
+Q8_YEARS = (1995, 1996)
+
+
+def q15_top_supplier(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over one ship
+    quarter -> (s_suppkey, s_name, total_rev_cents), ties included.
+
+    The quarter predicate is pushed into the parquet scan; per-supplier
+    revenue is a bucketed int64-cents sum (supplier scales with SF — never
+    a driver dict); the global max folds from the AGGREGATED per-supplier
+    table (a Dataset.max scalar, supplier-bounded); the name attach is a
+    bucketed merge join. The reference for the join discipline is
+    q7_nation_trade (CLAUDE.md Dataset.join ban)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_attach, bucketed_sum
+
+    y, m = Q15_START
+    lo = pa.scalar(datetime(y, m, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(y, m + 3, 1), pa.timestamp("us"))
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "rc": _cents(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())),
+        })
+        return out.groupby("l_suppkey", sort=False, as_index=False)[
+            "rc"].sum()
+
+    rev = bucketed_sum(
+        li.map_batches(derive, batch_format="pandas"),
+        ["l_suppkey"], "rc", n_buckets).materialize()  # supplier-bounded
+    if rev.count() == 0:
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_rev_cents": pa.array([], pa.int64()),
+        }))
+    top = int(rev.max("rc"))
+
+    winners = rev.map_batches(
+        lambda b: b[b["rc"].to_numpy(np.int64) == top],
+        batch_format="pandas")
+    named = bucketed_attach(
+        winners, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_name"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_suppkey", "rc"], payload={"s_name": "s_name"},
+        payload_fill="", left_fill={"rc": np.int64(0)},
+        n_buckets=n_buckets)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "s_suppkey": pa.array(b["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(b["s_name"], pa.string()),
+            "total_rev_cents": pa.array(b["rc"].to_numpy(np.int64),
+                                        pa.int64()),
+        })
+
+    return named.map_batches(final, batch_format="pandas")
+
+
+def sql_q15_top_supplier() -> str:
+    y, m = Q15_START
+    lo, hi = f"{y}-{m:02d}-01", f"{y}-{m + 3:02d}-01"
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS rc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rc AS total_rev_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rc = (SELECT max(rc) FROM rev)"""
+
+
+def q8_market_share(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q8 shape: the target nation's share of a region's market for
+    one part type, per order year -> (o_year, nation_cents, total_cents,
+    mkt_share).
+
+    Five tables meet on the lineitem stream without any driver-scale
+    state: orders (date-pruned at the scan) carries the year; customer and
+    supplier nationkeys ride in via bucketed merge joins (both grow with
+    SF); part-type membership is a bucketed SEMI join (part grows with
+    SF); only the 25-row nation->region map broadcasts. The final fold is
+    enum-bounded (years x in/out flag) and the share is one division of
+    two exact int64 cent sums."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    from ..functions.bucketing import bucketed_attach, bucketed_semi
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    reg = {r["r_regionkey"]: r["r_name"]
+           for r in rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+    region_keys = {r["n_nationkey"] for r in nat
+                   if reg[r["n_regionkey"]] == Q8_REGION}
+    target_keys = {r["n_nationkey"] for r in nat if r["n_name"] == Q8_NATION}
+
+    y0, y1 = Q8_YEARS
+    lo = pa.scalar(datetime(y0, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(y1 + 1, 1, 1), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
+        }), batch_format="pandas")
+
+    orders = bucketed_attach(
+        orders, rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_nationkey"]),
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_year"],
+        payload={"c_nationkey": "c_nat"}, payload_fill=np.int64(0),
+        left_fill={"o_orderkey": np.int64(0), "o_year": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"o_orderkey": "int64", "o_year": "int64",
+                      "c_nat": "int64"},
+    ).map_batches(
+        # 25-key constant filter: keep orders whose customer sits in the
+        # target region
+        lambda b: b.loc[b["c_nat"].isin(region_keys),
+                        ["o_orderkey", "o_year"]],
+        batch_format="pandas")
+
+    def li_derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "rev": _cents(b["l_extendedprice"].to_numpy()
+                          * (1.0 - b["l_discount"].to_numpy())),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pandas")
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filter=pc.field("p_type") == Q8_TYPE,
+    )
+    li = bucketed_semi(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["l_orderkey", "l_suppkey", "rev"],
+        left_fill={"rev": np.int64(0)}, n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                      "rev": "int64"},
+    )
+
+    li = bucketed_attach(
+        li, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_orderkey", "rev"],
+        payload={"s_nationkey": "s_nat"}, payload_fill=np.int64(0),
+        left_fill={"l_orderkey": np.int64(0), "rev": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "rev": "int64",
+                      "s_nat": "int64"},
+    )
+
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rev", "s_nat"],
+        payload={"o_year": "o_year"}, payload_fill=np.int64(0),
+        left_fill={"rev": np.int64(0), "s_nat": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"rev": "int64", "s_nat": "int64", "o_year": "int64"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rc = b["rev"].to_numpy(np.int64)
+        tgt = b["s_nat"].isin(target_keys).to_numpy()
+        out = pd.DataFrame({"o_year": b["o_year"].to_numpy(np.int64),
+                            "nc": np.where(tgt, rc, 0).astype(np.int64),
+                            "tc": rc})
+        return out.groupby("o_year", sort=False, as_index=False)[
+            ["nc", "tc"]].sum()
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby("o_year", sort=False, as_index=False)[
+            ["nc", "tc"]].sum() if len(b) else b)
+        nc = g["nc"].to_numpy(np.int64)
+        tc = g["tc"].to_numpy(np.int64)
+        return pa.table({
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+            "nation_cents": pa.array(nc, pa.int64()),
+            "total_cents": pa.array(tc, pa.int64()),
+            "mkt_share": pa.array(
+                np.divide(nc, tc, out=np.zeros(len(g)), where=tc > 0),
+                pa.float64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "o_year": pa.array([], pa.int64()),
+        "nation_cents": pa.array([], pa.int64()),
+        "total_cents": pa.array([], pa.int64()),
+        "mkt_share": pa.array([], pa.float64()),
+    }))
+    return (joined.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .union(seed))
+
+
+def sql_q8_market_share() -> str:
+    y0, y1 = Q8_YEARS
+    return f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS rc,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{y0}-01-01'
+    AND o_orderdate < TIMESTAMP '{y1 + 1}-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rc ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(rc) AS BIGINT) AS total_cents,
+       CASE WHEN sum(rc) = 0 THEN 0.0
+            ELSE CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}'
+                              THEN rc ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rc) AS DOUBLE)
+       END AS mkt_share
+FROM j GROUP BY o_year"""

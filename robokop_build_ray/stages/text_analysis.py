@@ -441,3 +441,90 @@ SELECT d.doc_id,
 FROM {table} d
 LEFT JOIN bstat b USING (doc_id)
 LEFT JOIN tstat t USING (doc_id)"""
+
+
+# sequence packing: tokens per training sequence + docs per packing shard.
+# SPEC constants shared with the oracle SQL.
+PACK_BUDGET = 256
+PACK_SHARD_DOCS = 1000
+
+
+def pack_batch(g: pd.DataFrame) -> pd.DataFrame:
+    """One packing shard: docs in doc_id order, concatenated then cut
+    every PACK_BUDGET tokens (GPT-style concat-and-chunk packing)."""
+    g = g.sort_values("doc_id", kind="mergesort")
+    n = g["n_tokens"].to_numpy(np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].to_numpy(np.int64),
+        "shard": g["shard"].to_numpy(np.int64),
+        "n_tokens": n,
+        "offset": cum,
+        "pack_first": cum // PACK_BUDGET,
+        "pack_last": np.maximum(cum, cum + n - 1) // PACK_BUDGET,
+    })
+
+
+def pack_assignments(docs, batch_size: int = 4096, n_buckets: int = 64):
+    """LM training-sequence packing assignment per document: concatenate
+    docs in doc_id order within fixed shards of PACK_SHARD_DOCS ids, cut
+    every PACK_BUDGET tokens, report each doc's byte-free (token) offset
+    and first/last pack index -> (doc_id, shard, n_tokens, offset,
+    pack_first, pack_last).
+
+    Scale shape: the sequential dependency of packing is SCOPED to a
+    shard (doc_id // PACK_SHARD_DOCS — fixed-size, deterministic under
+    any resharding), so shards pack embarrassingly parallel through one
+    bucketed exchange; the in-shard pass is a sort + cumsum over
+    <= PACK_SHARD_DOCS rows. A zero-token doc occupies zero span:
+    pack_last = pack_first of its offset."""
+    from ..functions.bucketing import bucketed_apply
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "shard": (b["doc_id"].to_numpy(np.int64)
+                      // PACK_SHARD_DOCS),
+            "n_tokens": b["text"].str.count(TOKEN_RE).to_numpy(np.int64),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "shard": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "offset": pd.Series([], dtype="int64"),
+                "pack_first": pd.Series([], dtype="int64"),
+                "pack_last": pd.Series([], dtype="int64"),
+            })
+        return pd.concat([pack_batch(s) for _, s in
+                          g.groupby("shard", sort=False)],
+                         ignore_index=True)
+
+    return bucketed_apply(
+        docs.select_columns(["doc_id", "text"]), ["shard"], merge,
+        partial, n_buckets)
+
+
+def sql_pack_assignments() -> str:
+    b, s = PACK_BUDGET, PACK_SHARD_DOCS
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id // {s} AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS "offset"
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, "offset",
+       "offset" // {b} AS pack_first,
+       greatest("offset", "offset" + n_tokens - 1) // {b} AS pack_last
+FROM c"""

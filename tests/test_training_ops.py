@@ -436,3 +436,31 @@ def test_contamination_check_planted():
     assert 1 in got and got[1] >= 1   # contaminated doc flagged
     assert 2 not in got               # clean doc passes
     assert 0 not in got and 50 not in got  # eval docs never self-flag
+
+
+def test_pack_assignments_hand_values():
+    """Packing with budget 256: doc token counts 100+100+100 straddle the
+    first boundary at the third doc; a zero-token doc holds zero span."""
+    ds = rd.from_items([
+        {"doc_id": 0, "text": " ".join(["w"] * 100)},
+        {"doc_id": 1, "text": " ".join(["w"] * 100)},
+        {"doc_id": 2, "text": " ".join(["w"] * 100)},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 1000, "text": " ".join(["w"] * 300)},  # next shard
+    ])
+    got = {r["doc_id"]: r
+           for r in ta.pack_assignments(ds, n_buckets=4).take_all()}
+    assert (got[0]["offset"], got[0]["pack_first"], got[0]["pack_last"]) \
+        == (0, 0, 0)
+    assert (got[1]["offset"], got[1]["pack_first"], got[1]["pack_last"]) \
+        == (100, 0, 0)
+    # doc 2 spans tokens 200..299 -> packs 0 and 1
+    assert (got[2]["offset"], got[2]["pack_first"], got[2]["pack_last"]) \
+        == (200, 0, 1)
+    # zero-token doc: zero span at its offset
+    assert (got[3]["offset"], got[3]["pack_first"], got[3]["pack_last"]) \
+        == (300, 1, 1)
+    # new shard restarts offsets; 300 tokens span packs 0 and 1
+    assert got[1000]["shard"] == 1
+    assert (got[1000]["offset"], got[1000]["pack_first"],
+            got[1000]["pack_last"]) == (0, 0, 1)
