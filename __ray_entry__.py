@@ -569,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         # Q6: canonical prune-at-the-read aggregate (basis-point band)
         "q6_forecast_revenue": rel.q6_forecast_revenue,
+        # Q13 shape: LEFT OUTER + two-level aggregate (order-count histogram)
+        "q13_customer_distribution": rel.q13_customer_distribution,
+        # Q21 shape: grouped EXISTS/NOT-EXISTS pair (sole-fault supplier)
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -843,6 +847,8 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q22_idle_customers": rel.sql_q22_idle_customers(),
         "q19_disjunctive_revenue": rel.sql_q19_disjunctive_revenue(),
         "q6_forecast_revenue": rel.sql_q6_forecast_revenue(),
+        "q13_customer_distribution": rel.sql_q13_customer_distribution(),
+        "q21_waiting_supplier": rel.sql_q21_waiting_supplier(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -2937,3 +2937,176 @@ SELECT o_year,
                  / CAST(sum(rc) AS DOUBLE)
        END AS mkt_share
 FROM j GROUP BY o_year"""
+
+
+# ------------------------------------------------------------ Q13 / Q21
+
+Q13_EXCLUDED = "1-URGENT"  # the o_comment NOT LIKE '%special%requests%' analog
+
+
+def q13_customer_distribution(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q13 shape: customer order-count DISTRIBUTION -> (n_orders,
+    custdist), counting only non-excluded orders and including zero-order
+    customers (the LEFT OUTER + two-level aggregate shape; the testdata
+    schema has no o_comment, so the exclusion predicate is the priority
+    enum).
+
+    Level 1 reuses the union-with-zeros LEFT OUTER fold
+    (``customer_order_counts``): order counts union a zero row per customer,
+    one bucketed sum — valid because o_custkey is a foreign key. Level 2 is
+    domain-bounded (distinct order counts ~O(100)) so it folds via per-batch
+    partials + one coalesced merge, no second shuffle."""
+    from ..functions.bucketing import bucketed_count, bucketed_sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != Q13_EXCLUDED,
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    counts = bucketed_count(orders, ["o_custkey"], name="n_orders",
+                            n_buckets=n_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["o_custkey"].astype("int64"),
+            "n_orders": b["n_orders"].astype("int64"),
+        }), batch_format="pandas")
+    zeros = cust.map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "n_orders": np.zeros(len(b), dtype=np.int64),
+        }), batch_format="pandas")
+    per_cust = bucketed_sum(counts.union(zeros), ["c_custkey"], "n_orders",
+                            n_buckets=n_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("n_orders", sort=False).size()
+                .rename("custdist").reset_index())
+
+    return (per_cust.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(
+                lambda b: b.groupby("n_orders", sort=False, as_index=False)
+                ["custdist"].sum().astype({"n_orders": "int64",
+                                           "custdist": "int64"}),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_q13_customer_distribution() -> str:
+    return f"""
+WITH c AS (
+  SELECT c_custkey, count(o.o_custkey) AS n_orders
+  FROM customer LEFT JOIN orders o
+    ON o.o_custkey = c_custkey AND o.o_orderpriority <> '{Q13_EXCLUDED}'
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS custdist FROM c GROUP BY n_orders"""
+
+
+def q21_waiting_supplier(sf_dir: str, k: int = 100, n_buckets: int = 64):
+    """TPC-H Q21 shape: suppliers who SOLELY caused a problem on
+    multi-supplier finalized orders -> top-k (s_name, numwait).
+
+    The testdata schema has no commit/receipt dates, so "late line" =
+    l_returnflag = 'R' (the returned line is the fault signal); order scope
+    is o_orderstatus = 'F' exactly as in Q21. Per supplier s, an order o
+    counts iff: s shipped a late line of o, o has >1 distinct suppliers
+    (EXISTS another supplier), and NO other supplier was late (NOT EXISTS)
+    — the grouped set-cardinality form of Q21's correlated EXISTS pair.
+
+    Plan (zero driver-side key state, three bounded exchanges):
+      1. SEMI join lineitem against F-status orders (``bucketed_semi``,
+         both sides fact-scale).
+      2. ONE orderkey-bucketed exchange: map-side partial dedups to
+         (orderkey, suppkey, any_late) — bounding a hot order's map output
+         — and the in-bucket merge computes per-order n_supp / n_late and
+         emits the sole-fault winners' partial per-supplier counts.
+      3. Supplier-keyed bucketed sum + ``bucketed_attach`` of s_name
+         (supplier grows with SF: never a driver broadcast), then a
+         result-bounded sort/limit."""
+    from ..functions.bucketing import (bucketed_apply, bucketed_attach,
+                                       bucketed_semi, bucketed_sum)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    f_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    scoped = bucketed_semi(
+        li, f_orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey", "l_returnflag"],
+        left_fill={"l_suppkey": 0, "l_returnflag": ""},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                      "l_returnflag": object},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                 "l_suppkey": pd.Series([], dtype="int64"),
+                                 "late": pd.Series([], dtype="int64")})
+        d = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy().astype(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy().astype(np.int64),
+            "late": (b["l_returnflag"] == "R").to_numpy().astype(np.int64),
+        })
+        return d.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                         as_index=False)["late"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "numwait": pd.Series([], dtype="int64")})
+        d = g.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                      as_index=False)["late"].max()
+        per_order = d.groupby("l_orderkey", sort=False)
+        n_supp = per_order["l_suppkey"].transform("size")
+        n_late = per_order["late"].transform("sum")
+        win = d.loc[(d["late"] == 1) & (n_late == 1) & (n_supp > 1)]
+        return (win.groupby("l_suppkey", sort=False).size()
+                .rename("numwait").reset_index())
+
+    waits = bucketed_apply(scoped, ["l_orderkey"], merge, partial,
+                           n_buckets=n_buckets)
+    totals = bucketed_sum(waits, ["l_suppkey"], "numwait", n_buckets=16)
+    named = bucketed_attach(
+        totals, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["numwait"], payload={"s_name": "s_name"},
+        left_fill={"numwait": 0}, payload_fill="", n_buckets=16,
+        empty_dtypes={"numwait": "int64", "s_name": object},
+    )
+    out = named.map_batches(
+        lambda b: pd.DataFrame({
+            "s_name": b["s_name"].astype(str),
+            "numwait": b["numwait"].astype("int64"),
+        }) if len(b) else pd.DataFrame({
+            "s_name": pd.Series([], dtype=object),
+            "numwait": pd.Series([], dtype="int64")}),
+        batch_format="pandas")
+    # result-bounded: one row per at-fault supplier
+    return out.sort(["numwait", "s_name"], descending=[True, False]).limit(k)
+
+
+def sql_q21_waiting_supplier(k: int = 100) -> str:
+    return f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l JOIN o USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
+WHERE l.late = 1 AND o.n_late = 1 AND o.n_supp > 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT {k}"""
