@@ -420,6 +420,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "neighbor_id", "rank"]
         )
 
+    def ann_recall(sf_dir: str):
+        """ANN index QUALITY eval: recall@10 of the IVF index against the
+        brute-force ground truth, per query. Both inputs are k-bounded
+        (n_queries x k rows), so the set intersection is a legitimate
+        driver-side fold — the expensive scans underneath stay
+        distributed."""
+        import pandas as pd
+
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        brute = ann.brute_force_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id"]).take_all()
+        ivf = ann.ivf_topk(emb, qref, k=10, nprobe=2).select_columns(
+            ["query_id", "neighbor_id"]).take_all()
+        bs: dict[int, set] = {}
+        for r in brute:
+            bs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vs: dict[int, set] = {}
+        for r in ivf:
+            vs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows = [{"query_id": qid,
+                 "n_hits": len(bs[qid] & vs.get(qid, set())),
+                 "recall": len(bs[qid] & vs.get(qid, set())) / 10}
+                for qid in sorted(bs)]
+        return pd.DataFrame(rows)
+
     q = {
         # --- KG pipeline (synthesized transcripts; SQL recomputes from the
         # same parquet via read_parquet) --------------------------------
@@ -573,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": rel.q13_customer_distribution,
         # Q21 shape: grouped EXISTS/NOT-EXISTS pair (sole-fault supplier)
         "q21_waiting_supplier": rel.q21_waiting_supplier,
+        # Q9 shape: name-filtered part pricing of the fact stream (profit)
+        "q9_product_profit": rel.q9_product_profit,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -621,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
+        # index-quality eval: IVF recall@10 vs the brute-force ground truth
+        "ann_ivf_recall": ann_recall,
         # iterative algorithm: distributed Lloyd's k-means (quantized
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
@@ -849,6 +879,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q6_forecast_revenue": rel.sql_q6_forecast_revenue(),
         "q13_customer_distribution": rel.sql_q13_customer_distribution(),
         "q21_waiting_supplier": rel.sql_q21_waiting_supplier(),
+        "q9_product_profit": rel.sql_q9_product_profit(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -1008,4 +1039,38 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
+        "ann_ivf_recall": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos,
+         e.label AS label
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+b AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= 10
+),
+v AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s WHERE label IN ({", ".join(map(str, probed))})
+  ) WHERE rank <= 10
+),
+hits AS (
+  SELECT b.query_id, count(*) AS n
+  FROM b JOIN v USING (query_id, neighbor_id) GROUP BY b.query_id
+)
+SELECT d.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n, 0) / 10.0 AS recall
+FROM (SELECT DISTINCT query_id FROM b) d
+LEFT JOIN hits h USING (query_id)""",
     }

@@ -502,8 +502,11 @@ _SUPPORT_POOL = _TPE(max_workers=1, thread_name_prefix="support-build")
 SMALL_SORT_MAX_ROWS = 4_000_000
 # output files per table: parquet ENCODE parallelism for the write phase
 # (one 225 MB edge file was a single-task encode — write_edges dominated
-# BENCH_r02's wall); also the resumable-output layout (north_rule)
-WRITE_FANOUT = 8
+# BENCH_r02's wall); also the resumable-output layout (north_rule).
+# 16 measured best at the bench tier: 8 left write_edges at ~17% of e2e
+# wall (8.9 s of 53.6 s, round 3), 16 halves the per-task encode size
+# while files stay >= 4096 rows (~14 MB each for the list-heavy edges).
+WRITE_FANOUT = 16
 
 
 def _small_sort(ds, keys: list[str], out_blocks: int = WRITE_FANOUT):

@@ -3110,3 +3110,153 @@ FROM l JOIN o USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey
 WHERE l.late = 1 AND o.n_late = 1 AND o.n_supp > 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name LIMIT {k}"""
+
+
+# ------------------------------------------------------------------- Q9
+
+Q9_NAME_TOKEN = "red"  # the p_name LIKE '%green%' analog for this corpus
+
+
+def q9_product_profit(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over parts
+    whose name matches a token -> (nation, o_year, profit_cents).
+
+    The testdata has no partsupp table, so per-unit supply cost is derived
+    from the part itself (60% of retail price, exact integer cents) — the
+    shape is unchanged: a name-filtered part attach prices the fact stream,
+    supplier and orders attach nation/year, and the fold is enum-bounded
+    (25 nations x ~8 years). All money stays int64 cents
+    (profit = rc - cost*qty), so the oracle matches bit-for-bit.
+
+    Scale: part/supplier/orders all grow with SF -> every join is a
+    bucketed exchange on the fact stream; only the 25-row nation name map
+    broadcasts. Same plan family as ``q8_market_share``."""
+    from ..functions.bucketing import bucketed_attach
+
+    nat_name = {r["n_nationkey"]: r["n_name"]
+                for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+
+    def li_derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "rc": _cents(b["l_extendedprice"].to_numpy()
+                         * (1.0 - b["l_discount"].to_numpy())),
+            "qty": np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_derive, batch_format="pandas")
+
+    def part_derive(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["p_name"].str.contains(Q9_NAME_TOKEN, regex=False)
+        kept = b.loc[m]
+        return pd.DataFrame({
+            "p_partkey": kept["p_partkey"].to_numpy(np.int64),
+            "cost": np.floor(kept["p_retailprice"].to_numpy() * 60.0
+                             + 0.5).astype(np.int64),
+        })
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(part_derive, batch_format="pandas")
+
+    # inner-join semantics of the attach double as the name filter
+    li = bucketed_attach(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["l_orderkey", "l_suppkey", "rc", "qty"],
+        payload={"cost": "cost"}, payload_fill=np.int64(0),
+        left_fill={"l_orderkey": np.int64(0), "l_suppkey": np.int64(0),
+                   "rc": np.int64(0), "qty": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                      "rc": "int64", "qty": "int64", "cost": "int64"},
+    )
+
+    li = bucketed_attach(
+        li, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_orderkey", "rc", "qty", "cost"],
+        payload={"s_nationkey": "s_nat"}, payload_fill=np.int64(0),
+        left_fill={"l_orderkey": np.int64(0), "rc": np.int64(0),
+                   "qty": np.int64(0), "cost": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "rc": "int64", "qty": "int64",
+                      "cost": "int64", "s_nat": "int64"},
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
+        }), batch_format="pandas")
+
+    joined = bucketed_attach(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["rc", "qty", "cost", "s_nat"],
+        payload={"o_year": "o_year"}, payload_fill=np.int64(0),
+        left_fill={"rc": np.int64(0), "qty": np.int64(0),
+                   "cost": np.int64(0), "s_nat": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"rc": "int64", "qty": "int64", "cost": "int64",
+                      "s_nat": "int64", "o_year": "int64"},
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "s_nat": b["s_nat"].to_numpy(np.int64),
+            "o_year": b["o_year"].to_numpy(np.int64),
+            "profit_cents": (b["rc"].to_numpy(np.int64)
+                             - b["cost"].to_numpy(np.int64)
+                             * b["qty"].to_numpy(np.int64)),
+        })
+        return out.groupby(["s_nat", "o_year"], sort=False,
+                           as_index=False)["profit_cents"].sum()
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby(["s_nat", "o_year"], sort=False, as_index=False)
+             ["profit_cents"].sum() if len(b) else b)
+        return pa.table({
+            "nation": pa.array([nat_name[int(x)] for x in g["s_nat"]],
+                               pa.string()),
+            "o_year": pa.array(g["o_year"].to_numpy(np.int64), pa.int64()),
+            "profit_cents": pa.array(g["profit_cents"].to_numpy(np.int64),
+                                     pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "nation": pa.array([], pa.string()),
+        "o_year": pa.array([], pa.int64()),
+        "profit_cents": pa.array([], pa.int64()),
+    }))
+    return (joined.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .union(seed))
+
+
+def sql_q9_product_profit() -> str:
+    return f"""
+WITH j AS (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT)
+         - CAST(floor(p_retailprice * 60.0 + 0.5) AS BIGINT)
+           * CAST(floor(l_quantity + 0.5) AS BIGINT) AS profit_cents
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%{Q9_NAME_TOKEN}%'
+)
+SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents
+FROM j GROUP BY nation, o_year"""
