@@ -543,6 +543,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_assignments": lambda sf: ta.pack_assignments(_docs(sf)),
         # CCNet-style corpus bigram-LM quality score (Wenzek et al. 2020)
         "doc_lm_score": lambda sf: _vocab().lm_score(_docs(sf)),
+        # FineWeb/Gopher-style composite filter chain (one fused pass)
+        "doc_filter_pipeline": lambda sf: ta.filter_pipeline(_docs(sf)),
+        # deterministic per-language stratified downsampling (rebalance)
+        "doc_stratified_sample": lambda sf: ta.stratified_sample(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
@@ -837,6 +841,8 @@ FROM events GROUP BY event_type""",
         "doc_repetition": _ta_sql().sql_repetition(),
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
+        "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
+        "doc_stratified_sample": _ta_sql().sql_stratified_sample(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_user_median": rel.sql_events_user_median(),

@@ -528,3 +528,162 @@ SELECT doc_id, shard, n_tokens, "offset",
        "offset" // {b} AS pack_first,
        greatest("offset", "offset" + n_tokens - 1) // {b} AS pack_last
 FROM c"""
+
+
+# ---------------------------------------------------------------------------
+# Composite quality-filter pipeline (FineWeb / Gopher-style gate chain).
+# Every gate is an INTEGER decision rule — no float ever decides a row, so
+# the engine and the DuckDB oracle agree bit-for-bit. Gate order is SPEC
+# (fail_reason reports the FIRST failing gate).
+FILTER_MIN_TOKENS = 5
+FILTER_MAX_TOKENS = 100_000
+FILTER_TOP_BIGRAM_DEN = 5   # top bigram must take <= 1/5 of bigrams
+FILTER_DUP_TRIGRAM_DEN = 3  # duplicated trigrams must be <= 1/3 of trigrams
+FILTER_KEEP_LANG = "en"
+
+
+class FilterPipeline(LangId):
+    """Fused single-pass composite document filter — the gate chain a
+    pretraining corpus runs before tokenization (FineWeb's filter stack /
+    Gopher rules, Rae et al. 2021 §A1.1), composed from this module's
+    vectorized scorers so the corpus is read ONCE and never shuffled:
+
+    1. ``length``     — whitespace-token count in [5, 100000],
+    2. ``stopword``   — at least one English stopword hit (n_stop > 0),
+    3. ``repetition`` — top bigram <= 1/5 of bigrams AND duplicated
+       trigrams <= 1/3 of trigrams (integer cross-multiplication, never
+       the float fractions),
+    4. ``language``   — marker-argmax language-ID == 'en'.
+
+    Output per doc: the four gate booleans, ``kept`` (AND of all), and
+    ``fail_reason`` (first failing gate name, '' when kept). Scale shape:
+    stateless map over batches (regexes compiled once per actor via the
+    LangId base), zero shuffles, output grain == input grain — at 100 TB
+    this is a pure streaming pass whose cost is the regex scans."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        n_tokens = text.str.count(TOKEN_RE).to_numpy(np.int64)
+        n_stop = (text.str.lower().str.count(STOPWORDS_RE)
+                  .to_numpy(np.int64))
+        rep = repetition_batch(batch)
+        pred = LangId.__call__(self, batch)["pred_lang"].to_numpy()
+
+        pass_length = ((n_tokens >= FILTER_MIN_TOKENS)
+                       & (n_tokens <= FILTER_MAX_TOKENS))
+        pass_stop = n_stop > 0
+        pass_rep = ((rep["top_bigram_c"].to_numpy(np.int64)
+                     * FILTER_TOP_BIGRAM_DEN
+                     <= rep["n_bigrams"].to_numpy(np.int64))
+                    & (rep["dup_trigram_c"].to_numpy(np.int64)
+                       * FILTER_DUP_TRIGRAM_DEN
+                       <= rep["n_trigrams"].to_numpy(np.int64)))
+        pass_lang = pred == FILTER_KEEP_LANG
+        kept = pass_length & pass_stop & pass_rep & pass_lang
+        fail_reason = np.where(
+            ~pass_length, "length",
+            np.where(~pass_stop, "stopword",
+                     np.where(~pass_rep, "repetition",
+                              np.where(~pass_lang, "language", ""))))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": n_tokens,
+            "pass_length": pass_length,
+            "pass_stop": pass_stop,
+            "pass_rep": pass_rep,
+            "pass_lang": pass_lang,
+            "kept": kept,
+            "fail_reason": fail_reason,
+        })
+
+
+def filter_pipeline(docs, batch_size: int = 4096, concurrency=(1, 2)):
+    return docs.map_batches(FilterPipeline, batch_format="pandas",
+                            batch_size=batch_size, concurrency=concurrency)
+
+
+def sql_filter_pipeline(langid_sql: str, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`filter_pipeline`: same integer gates over
+    the shared repetition CTE and the caller's language-ID assignment SQL
+    (the one the doc_langid oracle uses, so the two queries can never
+    drift)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+             AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '{STOPWORDS_RE}'))
+              AS BIGINT) AS n_stop
+  FROM {table}
+),
+rep AS ({sql_repetition(table)}),
+lang AS ({langid_sql}),
+gates AS (
+  SELECT t.doc_id, t.n_tokens,
+         (t.n_tokens >= {FILTER_MIN_TOKENS}
+          AND t.n_tokens <= {FILTER_MAX_TOKENS}) AS pass_length,
+         (t.n_stop > 0) AS pass_stop,
+         (r.top_bigram_c * {FILTER_TOP_BIGRAM_DEN} <= r.n_bigrams
+          AND r.dup_trigram_c * {FILTER_DUP_TRIGRAM_DEN} <= r.n_trigrams)
+             AS pass_rep,
+         (l.pred_lang = '{FILTER_KEEP_LANG}') AS pass_lang
+  FROM tok t
+  JOIN rep r USING (doc_id)
+  JOIN lang l USING (doc_id)
+)
+SELECT doc_id, n_tokens, pass_length, pass_stop, pass_rep, pass_lang,
+       (pass_length AND pass_stop AND pass_rep AND pass_lang) AS kept,
+       CASE WHEN NOT pass_length THEN 'length'
+            WHEN NOT pass_stop THEN 'stopword'
+            WHEN NOT pass_rep THEN 'repetition'
+            WHEN NOT pass_lang THEN 'language'
+            ELSE '' END AS fail_reason
+FROM gates"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-language stratified downsampling (corpus rebalancing).
+# Thresholds are SPEC 8-hex-char md5 prefixes: lowercase fixed-width hex
+# compares lexicographically == numerically, so engine and oracle test the
+# same integers. The salt decouples the sample from doc_split's md5(doc_id).
+SAMPLE_SALT = "s:"
+SAMPLE_THRESHOLDS: dict[str, str] = {"en": "40000000"}  # keep ~25% of en
+
+
+def stratified_sample_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Keep rows per :data:`SAMPLE_THRESHOLDS`: languages not listed pass
+    through whole; listed languages keep docs whose salted
+    md5 8-hex prefix is below the language's threshold. Deterministic,
+    shuffle-free and resharding-stable (same property as train_split): at
+    100 TB the rebalance is a pure streaming filter, and any later stage
+    can re-derive membership locally without a stored sample table."""
+    lang = batch["lang"].to_numpy()
+    down = np.isin(lang, list(SAMPLE_THRESHOLDS))
+    keep = np.ones(len(batch), dtype=bool)
+    if down.any():
+        ids = batch["doc_id"].to_numpy()
+        thr = np.array([SAMPLE_THRESHOLDS.get(l, "g") for l in lang])
+        hx = np.fromiter(
+            (hashlib.md5(f"{SAMPLE_SALT}{d}".encode()).hexdigest()[:8]
+             for d in ids[down]),
+            dtype="U8", count=int(down.sum()))
+        keep[down] = hx < thr[down]
+    return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()[keep],
+                         "lang": lang[keep]})
+
+
+def stratified_sample(docs, batch_size: int = 4096):
+    return docs.select_columns(["doc_id", "lang"]).map_batches(
+        stratified_sample_batch, batch_format="pandas",
+        batch_size=batch_size)
+
+
+def sql_stratified_sample(table: str = "documents") -> str:
+    clauses = " OR ".join(
+        f"(lang = '{l}' AND substr(md5('{SAMPLE_SALT}' "
+        f"|| CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}')"
+        for l, thr in SAMPLE_THRESHOLDS.items())
+    langs = ", ".join(f"'{l}'" for l in SAMPLE_THRESHOLDS)
+    return f"""
+SELECT doc_id, lang FROM {table}
+WHERE lang NOT IN ({langs}) OR {clauses}"""

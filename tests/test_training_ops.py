@@ -464,3 +464,54 @@ def test_pack_assignments_hand_values():
     assert got[1000]["shard"] == 1
     assert (got[1000]["offset"], got[1000]["pack_first"],
             got[1000]["pack_last"]) == (0, 0, 1)
+
+
+def test_filter_pipeline_planted_gates():
+    """One doc per failure mode + one clean keeper; fail_reason reports the
+    FIRST failing gate in SPEC order (length, stopword, repetition,
+    language)."""
+    rows = [
+        # kept: enough tokens, has stopwords, varied, English
+        {"doc_id": 1, "text": "the quick brown fox jumps over a lazy dog "
+                              "and runs into the green field today"},
+        # length: under 5 tokens
+        {"doc_id": 2, "text": "too short here"},
+        # stopword: >=5 tokens, zero stopword hits
+        {"doc_id": 3, "text": "zebra quartz viper nimbus krypton flux"},
+        # repetition: one bigram dominates (has 'the' so stop gate passes)
+        {"doc_id": 4, "text": "the buy now buy now buy now buy now buy now "
+                              "buy now buy now buy now"},
+        # language: German markers outnumber English ('the' present once)
+        {"doc_id": 5, "text": "der hund und die katze ist nicht der feind "
+                              "und die maus ist the"},
+    ]
+    out = {r["doc_id"]: r for r in
+           ta.filter_pipeline(rd.from_items(rows)).take_all()}
+    assert out[1]["kept"] and out[1]["fail_reason"] == ""
+    assert not out[2]["kept"] and out[2]["fail_reason"] == "length"
+    assert not out[3]["kept"] and out[3]["fail_reason"] == "stopword"
+    assert not out[4]["kept"] and out[4]["fail_reason"] == "repetition"
+    assert not out[5]["kept"] and out[5]["fail_reason"] == "language"
+    # gate booleans are individually reported, not only folded into kept
+    assert out[4]["pass_length"] and out[4]["pass_stop"]
+    assert not out[4]["pass_rep"]
+
+
+def test_stratified_sample_deterministic_and_scoped():
+    import hashlib
+
+    rows = [{"doc_id": i, "lang": ("en" if i % 2 == 0 else "de"),
+             "text": "x"} for i in range(400)]
+    ds = rd.from_items(rows)
+    kept = {(r["doc_id"], r["lang"])
+            for r in ta.stratified_sample(ds).take_all()}
+    # every non-downsampled language survives whole
+    assert all((i, "de") in kept for i in range(400) if i % 2 == 1)
+    # en keeps exactly the docs below the SPEC salted-md5 threshold
+    for i in range(0, 400, 2):
+        h = hashlib.md5(f"{ta.SAMPLE_SALT}{i}".encode()).hexdigest()[:8]
+        assert ((i, "en") in kept) == (h < ta.SAMPLE_THRESHOLDS["en"])
+    # deterministic across runs (resharding-stability analog)
+    again = {(r["doc_id"], r["lang"])
+             for r in ta.stratified_sample(ds.repartition(7)).take_all()}
+    assert kept == again
