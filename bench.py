@@ -62,11 +62,22 @@ def host_probe() -> dict:
         t0 = _t.time()
         pool.map(_probe_burn, [work] * 8)
         t8 = _t.time() - t0
+    # the 8->32 ceiling: wall of 32 equal units on 32 procs vs 8 units on
+    # 8 procs (perfect machine => equal walls). This is the no-Ray
+    # denominator for the 8-vs-32 scaling criterion itself — any engine
+    # ratio measured in the same window is bounded above by it.
+    with ctx.Pool(32) as pool:
+        pool.map(_probe_burn, [1000] * 32)
+        t0 = _t.time()
+        pool.map(_probe_burn, [work] * 32)
+        t32 = _t.time() - t0
     return {
         "matmul_s": round(matmul_s, 3),
         "mp_1x_s": round(t1, 3),
         "mp_8x_s": round(t8, 3),
+        "mp_32x_s": round(t32, 3),
         "mp_efficiency": round(t1 / t8, 3) if t8 > 0 else None,
+        "mp_ceiling_8_32": round(t8 / t32, 3) if t32 > 0 else None,
     }
 
 
@@ -170,11 +181,18 @@ def run_bench() -> dict:
 
 def run_subprocess(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    out = subprocess.run(
+    r = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
-        env=env, capture_output=True, text=True, check=True,
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+        env=env, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        # a failed window must say WHY (capture_output otherwise swallows
+        # the subprocess traceback and the log records only exit status 1)
+        sys.stderr.write(r.stderr[-4000:])
+        raise RuntimeError(
+            f"bench subprocess (num_cpus={ncpu}) exited {r.returncode}; "
+            f"stderr tail above")
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -199,9 +217,19 @@ def main() -> None:
         thr_lo = r_lo["rows_per_sec"]
         thr_hi = r_hi["rows_per_sec"]
         eff = (thr_hi / thr_lo) / (hi / lo)
+        # machine-normalized: raw efficiency over the window's no-Ray
+        # process-scaling ceiling (mp_ceiling_8_32) — what the ENGINE
+        # loses beyond what the host itself loses at 4x procs
+        ceils = [p.get("mp_ceiling_8_32")
+                 for p in (r_lo.get("host_probe"), r_hi.get("host_probe"))
+                 if p and p.get("mp_ceiling_8_32")]
+        ceil = min(ceils) if ceils else None
         print(json.dumps({
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
+            "machine_ceiling_8_32": ceil,
+            "value_normalized": (round(eff / ceil, 3)
+                                 if ceil and ceil > 0 else None),
             "unit": "ratio",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
@@ -214,6 +242,10 @@ def main() -> None:
             # about the engine (BASELINE §2.6 forensics doctrine)
             "host_probe_lo": r_lo.get("host_probe"),
             "host_probe_hi": r_hi.get("host_probe"),
+            # per-phase walls at both levels: the scaling story is per
+            # phase, not just end-to-end (which phase stops scaling?)
+            "queries_lo": r_lo.get("queries"),
+            "queries_hi": r_hi.get("queries"),
         }))
         return
     print(json.dumps(run_bench()))
