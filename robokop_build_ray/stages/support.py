@@ -107,6 +107,44 @@ def _pairs_group(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
+def _pairs_all(d: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """All within-conversation unordered pairs of a DEDUPED (conv_id,
+    entity) frame, fully vectorized across conversations (no per-conv
+    Python loop — one bucket of ~10^4 conversations is a handful of numpy
+    calls, the repeat+offset pattern of text_analysis.chunk_spans_batch).
+    Per conv: entities sorted ascending, truncated to ``cap``, then every
+    (i < j) pair — identical output multiset to mapping
+    :func:`_pairs_group` over conversations."""
+    if len(d) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    d2 = d.sort_values(["conv_id", "entity"], kind="mergesort")
+    conv = d2["conv_id"].to_numpy()
+    ent = d2["entity"].to_numpy()
+    new = np.empty(len(conv), dtype=bool)
+    new[0] = True
+    new[1:] = conv[1:] != conv[:-1]
+    starts = np.flatnonzero(new)
+    k = np.diff(np.append(starts, len(conv)))
+    # cap: keep each conversation's first `cap` (sorted) entities
+    rank = np.arange(len(conv), dtype=np.int64) - np.repeat(starts, k)
+    keep = rank < cap
+    kc = np.minimum(k, cap)
+    if not keep.all():
+        ent = ent[keep]
+        rank = rank[keep]
+    # element at in-conv rank i of a size-kc group leads (kc-1-i) pairs
+    m = np.repeat(kc, kc) - 1 - rank
+    total = int(m.sum())
+    if total == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                             "id_b": pd.Series([], dtype=object)})
+    a_idx = np.repeat(np.arange(len(ent), dtype=np.int64), m)
+    off = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m) + 1)
+    return pd.DataFrame({"id_a": ent[a_idx], "id_b": ent[a_idx + off]})
+
+
 def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64,
                  counted: bool = False):
     """Within-conversation unordered pairs. Conversations are hash-bucketed
@@ -121,16 +159,11 @@ def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64,
     from ..functions.bucketing import bucketed_apply
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [_pairs_group(sub, cap)
-                for _, sub in g.groupby("conv_id", sort=False)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                  "id_b": pd.Series([], dtype=object)})
+        cat = _pairs_all(g.drop_duplicates(["conv_id", "entity"]), cap)
+        if not len(cat):
             if counted:
-                empty["n"] = pd.Series([], dtype="int64")
-            return empty
-        cat = pd.concat(outs, ignore_index=True)
+                cat["n"] = pd.Series([], dtype="int64")
+            return cat
         if counted:
             cat = (cat.groupby(["id_a", "id_b"], sort=False)
                    .size().rename("n").reset_index())
@@ -288,10 +321,8 @@ def _fused_conv_merge(g: pd.DataFrame, cap: int) -> pd.DataFrame:
     marg = d.groupby("entity", sort=False).size().rename("n").reset_index()
     marg = pd.DataFrame({"id_a": marg["entity"], "id_b": None,
                          "n": marg["n"].astype("int64"), "kind": "m"})
-    outs = [_pairs_group(sub, cap) for _, sub in d.groupby("conv_id", sort=False)]
-    outs = [o for o in outs if len(o)]
-    if outs:
-        cat = pd.concat(outs, ignore_index=True)
+    cat = _pairs_all(d, cap)
+    if len(cat):
         pairs = (cat.groupby(["id_a", "id_b"], sort=False)
                  .size().rename("n").reset_index())
         pairs["kind"] = "p"

@@ -79,3 +79,33 @@ def test_phrase_sim_supporter(smoke_corpus):
         assert r["edge_source"] == "phrase_sim.term_to_term"
         assert 0.0 < r["similarity"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+def test_pairs_all_matches_per_conv_reference():
+    """The vectorized within-conv pair generator (_pairs_all, the support
+    critical path) emits exactly the multiset the per-conversation
+    reference (_pairs_group) does, across random conv sizes and caps."""
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.stages.support import _pairs_all, _pairs_group
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        rows = []
+        for c in range(int(rng.integers(1, 25))):
+            for e in rng.choice(15, size=int(rng.integers(0, 12)),
+                                replace=True):
+                rows.append({"conv_id": f"c{c}", "entity": f"E{e}"})
+        if not rows:
+            continue
+        d = pd.DataFrame(rows).drop_duplicates()
+        cap = int(rng.integers(1, 8))
+        got = sorted(map(tuple, _pairs_all(d, cap).to_numpy()))
+        want = sorted(
+            (a, b)
+            for _, sub in d.groupby("conv_id")
+            for a, b in _pairs_group(sub, cap).to_numpy())
+        assert got == want
+    empty = _pairs_all(pd.DataFrame({"conv_id": [], "entity": []}), 5)
+    assert len(empty) == 0 and list(empty.columns) == ["id_a", "id_b"]
