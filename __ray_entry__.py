@@ -92,6 +92,53 @@ def _kg_nodes_expanded(sf_dir: str):
     return expand_synonyms_stage(_kg(sf_dir, "nodes"), _ray.put(xref))
 
 
+def _kg_nodes_upsert(sf_dir: str):
+    """S5 driver consumer: run-over-run node UPSERT with the reference's
+    neo4j merge semantics (`builder/builder.py:76-96`, asserted by
+    `builder/test/test_graphdb_update.py:33-82`) — create, label union,
+    synonym OVERWRITE (last-writer-wins, id re-included), name overwrite.
+    Run 1 is the full standard node table; run 2 simulates a later
+    rebuild against a REVISED reference (names re-cased, synonym sets
+    re-projected to UMLS codes) scoped to the even-parity conversations,
+    so run 2's synonym sets genuinely SHRINK — a union-not-overwrite bug
+    cannot pass the oracle."""
+    import pyarrow as pa
+
+    from robokop_build_ray.functions.lookup import filter_identifiers_by_prefix
+    from robokop_build_ray.stages.canonicalize import nodes_stage
+    from robokop_build_ray.stages.upsert import merge_node_runs
+
+    run1 = _kg(sf_dir, "nodes")
+    graph = _GRAPH_CACHE[(sf_dir, False)]
+
+    def even_convs(b):
+        return b[b["conv_id"].str[-1].isin(list("02468"))]
+
+    def revise(t: pa.Table) -> pa.Table:
+        eq = t["equivalent_identifiers"].to_pylist()
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "id": t["id"],
+            "name": pc.utf8_upper(t["name"]),
+            "node_type": t["node_type"],
+            "equivalent_identifiers": pa.array(
+                [sorted(filter_identifiers_by_prefix(x, "UMLS")) for x in eq],
+                pa.list_(pa.string())),
+        })
+
+    run2 = nodes_stage(
+        graph["canonical"].map_batches(even_convs, batch_format="pandas"),
+        graph["state"].nodeinfo_ref,
+    ).map_batches(revise, batch_format="pyarrow")
+    # pin both run tables first: node tables are gazetteer-bounded (~10^2
+    # rows at any tier), and unioning two LIVE actor-pool lineages into one
+    # sort stalls Ray 2.49's streaming executor (observed: idle workers,
+    # no progress at sf0.001). merge_node_runs itself still runs
+    # distributed (tag + union + groupby) over the pinned inputs.
+    return merge_node_runs([run1.materialize(), run2.materialize()])
+
+
 def _kg_node_type_histogram(sf_dir: str):
     return _kg(sf_dir, "nodes").groupby("node_type").count().rename_columns(
         {"count()": "n"}
@@ -458,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_type_histogram": _kg_node_type_histogram,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
         "kg_nodes_expanded": _kg_nodes_expanded,
+        # S5: run-over-run node upsert (create/label-union/overwrites)
+        "kg_nodes_upsert": _kg_nodes_upsert,
         # M8/D6: synonym prefix projection (MeSH/ICD9 filter analog)
         "kg_node_umls_projection": _kg_node_umls_projection,
         # D7/O3: notebook's under-expected (anti-correlated) pair filter
@@ -777,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical": entry_sql.sql_canonical(t),
         "kg_nodes": entry_sql.sql_nodes(t),
         "kg_nodes_expanded": entry_sql.sql_nodes_expanded(t),
+        "kg_nodes_upsert": entry_sql.sql_nodes_upsert(t),
         "kg_edges": entry_sql.sql_edges(t),
         "kg_support": entry_sql.sql_support(t),
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),

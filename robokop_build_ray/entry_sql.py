@@ -123,6 +123,65 @@ JOIN eq ON eq.canon = u.id
 JOIN members m ON m.canon = u.id AND m.curie = u.id"""
 
 
+def sql_nodes_upsert(tier: str) -> str:
+    """Independent recomputation of the run-over-run node UPSERT
+    (`stages/upsert.py` merge semantics, `builder/builder.py:76-96`):
+    run 1 = full standard node table; run 2 = even-parity conversations
+    with names upper-cased and synonyms projected to UMLS codes. Merge:
+    run 2 overwrites name and the synonym set (id re-included), types
+    union; run-1-only ids pass through."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+used1 AS (
+  SELECT DISTINCT id FROM (
+    SELECT subj_id AS id FROM canon UNION ALL SELECT obj_id AS id FROM canon
+  )
+),
+used2 AS (
+  SELECT DISTINCT id FROM (
+    SELECT subj_id AS id FROM canon
+    WHERE CAST(substr(conv_id, -1) AS INT) % 2 = 0
+    UNION ALL
+    SELECT obj_id AS id FROM canon
+    WHERE CAST(substr(conv_id, -1) AS INT) % 2 = 0
+  )
+),
+members AS (
+  SELECT c.canon, g.curie, g.name, g.node_type, g.synonyms
+  FROM read_parquet('{p["gazetteer"]}') g JOIN cc c ON c.id = g.curie
+),
+eq AS (
+  SELECT canon,
+         list_sort(list_distinct(flatten(list(list_append(synonyms, curie)))))
+           AS equivalent_identifiers
+  FROM members GROUP BY canon
+),
+run1 AS (
+  SELECT u.id, m.name, m.node_type, eq.equivalent_identifiers
+  FROM used1 u
+  JOIN eq ON eq.canon = u.id
+  JOIN members m ON m.canon = u.id AND m.curie = u.id
+),
+run2 AS (
+  SELECT u.id, upper(m.name) AS name, m.node_type,
+         list_sort(list_filter(eq.equivalent_identifiers,
+                               x -> x LIKE 'UMLS:%'))
+           AS equivalent_identifiers
+  FROM used2 u
+  JOIN eq ON eq.canon = u.id
+  JOIN members m ON m.canon = u.id AND m.curie = u.id
+)
+SELECT r1.id,
+       coalesce(r2.name, r1.name) AS name,
+       CASE WHEN r2.id IS NULL THEN [r1.node_type]
+            ELSE list_sort(list_distinct([r1.node_type, r2.node_type]))
+       END AS node_types,
+       list_sort(list_distinct(list_append(
+           coalesce(r2.equivalent_identifiers, r1.equivalent_identifiers),
+           r1.id))) AS equivalent_identifiers
+FROM run1 r1 LEFT JOIN run2 r2 ON r1.id = r2.id"""
+
+
 def sql_nodes_expanded(tier: str) -> str:
     """kg_nodes + M9 dynamic coded-synonym expansion: the xref table joins
     on the component MEMBERS' primary curies (exactly the ids in the
