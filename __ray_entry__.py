@@ -467,6 +467,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "neighbor_id", "rank"]
         )
 
+    def ann_pq(sf_dir: str):
+        """Product-quantization ADC top-k (the memory-bounded ANN scale
+        path: 8-byte codes instead of raw vectors at scan time)."""
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        return ann.pq_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id", "rank"]
+        )
+
     def ann_recall(sf_dir: str):
         """ANN index QUALITY eval: recall@10 of the IVF index against the
         brute-force ground truth, per query. Both inputs are k-bounded
@@ -702,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
+        # PQ/ADC: codes-only scan, codebook-bounded broadcast state
+        "ann_pq_topk": ann_pq,
         # index-quality eval: IVF recall@10 vs the brute-force ground truth
         "ann_ivf_recall": ann_recall,
         # iterative algorithm: distributed Lloyd's k-means (quantized
@@ -819,6 +830,9 @@ def oracle_sql() -> dict[str, str]:
     probed = _ivf_probe_labels(f"/root/testdata/{_SQL_TIER}")
     kmeans_c = _clustering().kmeans_fit_sequential(f"/root/testdata/{_SQL_TIER}")
     lsh_ids = _lsh_member_ids(f"/root/testdata/{_SQL_TIER}")
+    from robokop_build_ray.stages import ann as _ann
+
+    pq_c = _ann.pq_fit_sequential(f"/root/testdata/{_SQL_TIER}")
     t = _SQL_TIER
     return {
         "kg_extract": entry_sql.sql_extract(t),
@@ -1095,6 +1109,7 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
+        "ann_pq_topk": _ann.sql_pq_topk(pq_c),
         "ann_ivf_recall": f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 5),

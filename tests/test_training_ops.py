@@ -515,3 +515,39 @@ def test_stratified_sample_deterministic_and_scoped():
     again = {(r["doc_id"], r["lang"])
              for r in ta.stratified_sample(ds.repartition(7)).take_all()}
     assert kept == again
+
+
+def test_pq_fit_bit_identical_to_sequential(emb):
+    C_d = ann.pq_fit(emb)
+    C_s = ann.pq_fit_sequential(SF)
+    assert C_d.shape == (ann.PQ_M, ann.PQ_K, 64 // ann.PQ_M)
+    assert np.array_equal(C_d, C_s)  # bit-identical, not allclose
+    # parallelism/batching cannot perturb the quantized partial sums
+    C_r = ann.pq_fit(emb.repartition(7))
+    assert np.array_equal(C_d, C_r)
+
+
+def test_pq_topk_shape_determinism_and_recall(emb):
+    qref = ann.make_query_ref(emb, n_queries=5)
+    C = ann.pq_fit(emb)
+    out = ann.pq_topk(emb, qref, k=10, codebook=C).take_all()
+    assert len(out) == 50
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+        assert all(r["neighbor_id"] != qid for r in rows)
+    again = ann.pq_topk(emb.repartition(5), qref, k=10, codebook=C).take_all()
+    key = lambda rs: sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                            for r in rs)
+    assert key(out) == key(again)
+    # quantized distances must still find most true neighbors
+    brute = ann.brute_force_topk(emb, qref, k=10).take_all()
+    bs, ps = {}, {}
+    for r in brute:
+        bs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in out:
+        ps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(bs[q] & ps[q]) for q in bs) / sum(len(bs[q]) for q in bs)
+    assert recall >= 0.5, recall
