@@ -110,19 +110,21 @@ def grouped_exact_ranks(
                         "n": pd.Series([], dtype="int64")})
                 return pd.concat(outs, ignore_index=True)
 
+        # to_pandas, not take_all: take_all on pandas-format blocks pays
+        # ~1 ms/row (keys x 4097 rows -> tens of seconds per pass)
         hist = bucketed_sum(
             scan().map_batches(HistPartial, batch_format="pandas",
                                concurrency=(1, 4)),
-            ["g", "label", "bucket"], "n").take_all()
+            ["g", "label", "bucket"], "n").to_pandas()
         per_key: dict[tuple[str, str], np.ndarray] = {}
         below_meas: dict[tuple[str, str], int] = {}
-        for row in hist:
-            k = (row["g"], row["label"])
-            if int(row["bucket"]) < 0:
-                below_meas[k] = int(row["n"])
+        for row in hist.itertuples(index=False):
+            k = (row.g, row.label)
+            if int(row.bucket) < 0:
+                below_meas[k] = int(row.n)
                 continue
             per_key.setdefault(k, np.zeros(N_BUCKETS, dtype=np.int64))[
-                int(row["bucket"])] += int(row["n"])
+                int(row.bucket)] += int(row.n)
         for k, s in open_keys.items():
             counts = per_key.get(k)
             below = below_meas.get(k, 0)
@@ -170,18 +172,15 @@ def grouped_exact_ranks(
                 return pd.concat(outs, ignore_index=True)
 
         rows = scan().map_batches(RangeFilter, batch_format="pandas",
-                                  concurrency=(1, 4)).take_all()
-        vals: dict[tuple[str, str], list] = {}
-        below_final: dict[tuple[str, str], int] = {}
-        for r in rows:
-            k = (r["g"], r["label"])
-            if int(r["nbelow"]) > 0:
-                below_final[k] = below_final.get(k, 0) + int(r["nbelow"])
-            else:
-                vals.setdefault(k, []).append(r["value"])
+                                  concurrency=(1, 4)).to_pandas()
+        marker = rows["nbelow"] > 0
+        below_final = (rows.loc[marker].groupby(["g", "label"])["nbelow"]
+                       .sum().to_dict())
+        vals = {k: gg["value"].to_numpy(dtype=np.float64)
+                for k, gg in rows.loc[~marker].groupby(["g", "label"])}
         for k, s in open_keys.items():
-            v = np.sort(np.asarray(vals.get(k, []), dtype=np.float64))
-            s["value"] = float(v[s["r"] - below_final.get(k, 0)])
+            v = np.sort(vals.get(k, np.array([], dtype=np.float64)))
+            s["value"] = float(v[s["r"] - int(below_final.get(k, 0))])
             s["done"] = True
 
     return {k: float(s["value"]) for k, s in state.items()}

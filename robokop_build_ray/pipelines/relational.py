@@ -1447,20 +1447,23 @@ def events_value_median(sf_dir: str, collect_cap: int = _MEDIAN_COLLECT_CAP):
                                          "n": pd.Series([], dtype="int64")})
                 return pd.concat(outs, ignore_index=True)
 
+        # to_pandas, not take_all: take_all on pandas-format blocks pays
+        # ~1 ms/row (groups x 4097 rows -> tens of seconds); block -> frame
+        # conversion is milliseconds. Still driver-bounded.
         hist = bucketed_sum(
             scan().map_batches(HistPartial, batch_format="pandas",
                                concurrency=(1, 4)),
             ["event_type", "bucket"], "n",
-        ).take_all()  # <= groups x 4097 aggregated rows: driver-bounded
+        ).to_pandas()  # <= groups x 4097 aggregated rows: driver-bounded
         per_group: dict[str, np.ndarray] = {}
         below_meas: dict[str, int] = {}
-        for row in hist:
-            if int(row["bucket"]) < 0:
-                below_meas[row["event_type"]] = int(row["n"])
+        for row in hist.itertuples(index=False):
+            if int(row.bucket) < 0:
+                below_meas[row.event_type] = int(row.n)
                 continue
-            per_group.setdefault(row["event_type"],
+            per_group.setdefault(row.event_type,
                                  np.zeros(_MEDIAN_BUCKETS, dtype=np.int64))[
-                int(row["bucket"])] += int(row["n"])
+                int(row.bucket)] += int(row.n)
         for g, s in open_groups.items():
             counts = per_group.get(g)
             below = below_meas.get(g, 0)
@@ -1511,19 +1514,15 @@ def events_value_median(sf_dir: str, collect_cap: int = _MEDIAN_COLLECT_CAP):
                 return pd.concat(outs, ignore_index=True)
 
         rows = scan().map_batches(RangeFilter, batch_format="pandas",
-                                  concurrency=(1, 4)).take_all()
-        vals: dict[str, list] = {}
-        below_final: dict[str, int] = {}
-        for r in rows:
-            if int(r["nbelow"]) > 0:
-                below_final[r["event_type"]] = (
-                    below_final.get(r["event_type"], 0) + int(r["nbelow"])
-                )
-            else:
-                vals.setdefault(r["event_type"], []).append(r["value"])
+                                  concurrency=(1, 4)).to_pandas()
+        marker = rows["nbelow"] > 0
+        below_final = (rows.loc[marker].groupby("event_type")["nbelow"]
+                       .sum().to_dict())
+        vals = {g: gg["value"].to_numpy(dtype=np.float64)
+                for g, gg in rows.loc[~marker].groupby("event_type")}
         for g, s in open_groups.items():
-            v = np.sort(np.asarray(vals.get(g, []), dtype=np.float64))
-            below = below_final.get(g, 0)
+            v = np.sort(vals.get(g, np.array([], dtype=np.float64)))
+            below = int(below_final.get(g, 0))
             i1, i2 = s["r1"] - below, s["r2"] - below
             s["median"] = float((v[i1] + v[i2]) / 2.0)
             s["done"] = True
