@@ -312,6 +312,17 @@ def _kg_support_pubs(sf_dir: str):
     return shared_publications_stage(graph["canonical"])
 
 
+def _kg_support_phrase_sim(sf_dir: str):
+    """T2/T3/A6 driver consumer: the chemotext2-analog phrase-similarity
+    supporter via the plugin registry (broadcast name dict, token-set
+    Jaccard, first-match argmax terms)."""
+    from robokop_build_ray.pipelines.kg_build import build_graph, run_supporters
+
+    graph = build_graph(sf_dir, materialize_intermediate=True,
+                        include_support=False)
+    return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
+
+
 def _kg_edges_full(sf_dir: str):
     """One-edge-table output (reference sink shape): extraction + cooccur
     stats + shared-pubs edges."""
@@ -541,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
         "kg_edges_full": lambda sf: (ensure_corpus(sf), _kg_edges_full(sf))[1],
+        # T2/T3/A6: phrase-similarity supporter (chemotext2 analog)
+        "kg_support_phrase_sim": lambda sf: (ensure_corpus(sf),
+                                             _kg_support_phrase_sim(sf))[1],
         # M1 consumer: Path-DSL drives triple scoping (S(1-2)D = chemical
         # <-> disease adjacency)
         "kg_path_filtered": _kg_path_filtered,
@@ -870,6 +884,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
+        "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),

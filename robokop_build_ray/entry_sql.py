@@ -287,6 +287,78 @@ SELECT id_a, id_b, c1, c2, c,
 FROM scored"""
 
 
+def sql_phrase_sim(tier: str, cap: int = 256) -> str:
+    """Independent recomputation of the phrase-similarity supporter
+    (`builder/chemotext2.py:30-42` semantics, `stages/supporters.py`
+    PhraseSimScorer): candidate pairs (the kg_support pair universe),
+    phrase generation (punct strip, whitespace split, single-word
+    passthrough, length>2 + stoplist filter), max token-set Jaccard with
+    first-match argmax terms. Generated phrases are single words, so the
+    max Jaccard over singleton token sets is exactly 1.0 on any
+    case-insensitive word match and no edge otherwise; term_a = the
+    FIRST a-phrase (generation order) matching any b-phrase, term_b =
+    the first b-phrase matching that term_a — the engine's strict
+    ``s > best`` loop order."""
+    from .functions.text import PHRASE_STOPLIST
+
+    stop = ", ".join(f"'{w}'" for w in sorted(PHRASE_STOPLIST))
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM conv_ent_r a JOIN conv_ent_r b
+    ON a.conv_id = b.conv_id AND a.id < b.id
+),
+names AS (
+  SELECT g.curie AS id, g.name
+  FROM read_parquet('{p["gazetteer"]}') g
+),
+base AS (
+  SELECT id, list_filter(
+           string_split_regex(
+             regexp_replace(name, '[()\\-,;./]', ' ', 'g'), '\\s+'),
+           w -> w <> '') AS ws
+  FROM names
+),
+phr AS (
+  SELECT id,
+         CASE WHEN len(ws) <= 1 THEN ws
+              ELSE list_filter(ws, w -> length(w) > 2
+                                    AND NOT list_contains([{stop}],
+                                                          lower(w)))
+         END AS ps
+  FROM base
+),
+pha AS (
+  SELECT id, ps[i] AS w, i AS ord
+  FROM phr, UNNEST(range(1, len(ps) + 1)) AS t(i)
+),
+matched AS (
+  SELECT p.id_a, p.id_b, a.w AS term_a, b.w AS term_b,
+         row_number() OVER (PARTITION BY p.id_a, p.id_b
+                            ORDER BY a.ord, b.ord) AS rn
+  FROM pairs p
+  JOIN pha a ON a.id = p.id_a
+  JOIN pha b ON b.id = p.id_b AND lower(a.w) = lower(b.w)
+)
+SELECT id_a, id_b, 1.0 AS similarity, term_a, term_b,
+       'phrase_sim.term_to_term' AS edge_source, TRUE AS is_support
+FROM matched WHERE rn = 1"""
+
+
 def sql_path_filtered(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease") -> str:
     """Path-DSL scoping oracle: canonical triples whose endpoint node types
