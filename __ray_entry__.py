@@ -323,6 +323,29 @@ def _kg_support_phrase_sim(sf_dir: str):
     return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
 
 
+def _kg_support_static(sf_dir: str):
+    """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
+    and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
+    reader, `builder/cdw.py:37-62`), broadcast once, scored over the
+    candidate-pair universe with the absent-pair left-outer fallback
+    (`builder/cdw.py:92-100`)."""
+    import ray as _ray
+
+    from robokop_build_ray.pipelines.kg_build import build_graph
+    from robokop_build_ray.sources.count_tables import read_count_tables
+    from robokop_build_ray.stages.support import candidate_pairs
+    from robokop_build_ray.stages.supporters import static_counts_supporter
+
+    aux = entry_sql.ensure_count_tables(tier_of(sf_dir))
+    counts = read_count_tables(aux["marginal_path"], aux["pair_path"],
+                               total=aux["total"])
+    graph = build_graph(sf_dir, materialize_intermediate=True,
+                        include_support=False)
+    pairs = candidate_pairs(graph["canonical"])
+    return static_counts_supporter(pairs, _ray.put(counts)).select_columns(
+        ["id_a", "id_b", "c1", "c2", "c", "expected", "chi2", "suppressed"])
+
+
 def _kg_edges_full(sf_dir: str):
     """One-edge-table output (reference sink shape): extraction + cooccur
     stats + shared-pubs edges."""
@@ -555,6 +578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T2/T3/A6: phrase-similarity supporter (chemotext2 analog)
         "kg_support_phrase_sim": lambda sf: (ensure_corpus(sf),
                                              _kg_support_phrase_sim(sf))[1],
+        # S4/T4/J4: count-table file reader + static-count supporter
+        "kg_support_static": lambda sf: (ensure_corpus(sf),
+                                         _kg_support_static(sf))[1],
         # M1 consumer: Path-DSL drives triple scoping (S(1-2)D = chemical
         # <-> disease adjacency)
         "kg_path_filtered": _kg_path_filtered,
@@ -885,6 +911,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
+        "kg_support_static": entry_sql.sql_support_static(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),

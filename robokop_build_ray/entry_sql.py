@@ -733,6 +733,135 @@ def dedup_aux_paths(tier: str) -> dict[str, str]:
     }
 
 
+def ensure_count_tables(tier: str, cap: int = 256) -> dict:
+    """Write the S4 static count-table fixture for ``tier`` (idempotent):
+    a marginal ``code|count`` file and a symmetric pair ``a|b|count`` file
+    in the reference's AllDxCounts/ICD_Combo shape (`builder/cdw.py:37-62`),
+    derived DETERMINISTICALLY from the even-parity conversations of the
+    tier's corpus (a "historical CDW extract" of the same entity universe).
+    Shared INPUT data — both the engine (via sources.count_tables) and the
+    oracle (via read_csv) consume these files; the derivation is keyed by
+    ``_AUX_VERSION`` like the sketch signature tables."""
+    import json
+    import os
+
+    import duckdb
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    out = {
+        "marginal_path": f"{root}/static_marginals.txt",
+        "pair_path": f"{root}/static_pairs.txt",
+        "meta_path": f"{root}/static_meta.json",
+    }
+    if all(os.path.exists(v) for v in out.values()):
+        with open(out["meta_path"]) as f:
+            out["total"] = json.load(f)["total"]
+        return out
+    os.makedirs(root, exist_ok=True)
+    p = corpus_paths(tier)
+    con = duckdb.connect()
+    base = f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+ce AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  ) WHERE CAST(substr(conv_id, -1) AS INT) % 2 = 0
+),
+cer AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM ce
+  ) WHERE rk <= {cap}
+)"""
+    marg = con.execute(
+        base + "\nSELECT id, count(*) FROM ce GROUP BY id ORDER BY id"
+    ).fetchall()
+    pairs = con.execute(
+        base + """
+SELECT a.id, b.id, count(*)
+FROM cer a JOIN cer b ON a.conv_id = b.conv_id AND a.id < b.id
+GROUP BY a.id, b.id ORDER BY a.id, b.id"""
+    ).fetchall()
+    total = con.execute(f"""
+SELECT count(DISTINCT conv_id) FROM read_parquet('{p["transcripts"]}/*.parquet')
+WHERE CAST(substr(conv_id, -1) AS INT) % 2 = 0""").fetchone()[0]
+    with open(out["marginal_path"], "w") as f:
+        for code, n in marg:
+            f.write(f"{code}|{n}\n")
+    with open(out["pair_path"], "w") as f:
+        for a, b, n in pairs:
+            f.write(f"{a}|{b}|{n}\n")
+    with open(out["meta_path"], "w") as f:
+        json.dump({"total": int(total)}, f)
+    out["total"] = int(total)
+    return out
+
+
+def sql_support_static(tier: str, cap: int = 256) -> str:
+    """Oracle for the static_counts supporter (T4/J4,
+    `builder/cdw.py:92-100`): the kg_support candidate-pair universe scored
+    against the S4 count-table FILES with left-outer fallback — absent
+    marginal/pair counts coalesce to 0, expected = c1*c2/N, chi2 by the
+    shared Yates formula, suppressed below 11."""
+    aux = ensure_count_tables(tier, cap)
+    n_total = aux["total"]
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM conv_ent_r a JOIN conv_ent_r b
+    ON a.conv_id = b.conv_id AND a.id < b.id
+),
+marg AS (
+  SELECT column0 AS code, CAST(column1 AS BIGINT) AS n
+  FROM read_csv('{aux["marginal_path"]}', delim='|', header=false,
+                columns={{'column0': 'VARCHAR', 'column1': 'BIGINT'}})
+),
+pairsrc AS (
+  SELECT column0 AS a, column1 AS b, CAST(column2 AS BIGINT) AS n
+  FROM read_csv('{aux["pair_path"]}', delim='|', header=false,
+                columns={{'column0': 'VARCHAR', 'column1': 'VARCHAR',
+                          'column2': 'BIGINT'}})
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         coalesce(m1.n, 0) AS c1, coalesce(m2.n, 0) AS c2,
+         coalesce(ps.n, 0) AS c
+  FROM pairs p
+  LEFT JOIN marg m1 ON m1.code = p.id_a
+  LEFT JOIN marg m2 ON m2.code = p.id_b
+  LEFT JOIN pairsrc ps ON ps.a = least(p.id_a, p.id_b)
+                      AND ps.b = greatest(p.id_a, p.id_b)
+),
+g AS (
+  SELECT *,
+         greatest(0.0, abs(c * ({n_total} - c1 - c2 + c)
+                           - (c1 - c) * (c2 - c)) - {n_total} / 2.0) AS num,
+         1.0 * c1 * c2 * ({n_total} - c1) * ({n_total} - c2) AS denom
+  FROM scored
+)
+SELECT id_a, id_b, c1, c2, c,
+       1.0 * c1 * c2 / {n_total} AS expected,
+       CASE WHEN denom > 0 THEN {n_total} * num * num / denom
+            ELSE 0.0 END AS chi2,
+       c < 11 AS suppressed
+FROM g"""
+
+
 def _grams(text: str, n: int) -> list[str]:
     toks = text.lower().split()
     if len(toks) < n:
