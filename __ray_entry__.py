@@ -323,6 +323,27 @@ def _kg_support_phrase_sim(sf_dir: str):
     return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
 
 
+def _kg_extract_jsonl(sf_dir: str):
+    """Multi-format source driver consumer: the SAME transcripts re-encoded
+    as JSONL (aux, written once per tier+version), read through the
+    format-agnostic reader (`sources/readers.py` — vectorized Arrow
+    normalize to the transcript schema), then the standard extract stage.
+    The oracle is kg_extract's own SQL over the parquet, so format
+    equivalence is checked end-to-end at the driver."""
+    import os
+
+    from robokop_build_ray.sources.readers import read_transcripts
+    from robokop_build_ray.stages.extract import extract_stage
+
+    paths = ensure_corpus(sf_dir)
+    root = f"/tmp/graft_oracle/{tier_of(sf_dir)}_{entry_sql._AUX_VERSION}"
+    jl = f"{root}/transcripts_jsonl"
+    if not os.path.isdir(jl) or not os.listdir(jl):
+        os.makedirs(root, exist_ok=True)
+        rd.read_parquet(paths["transcripts"]).write_json(jl)
+    return extract_stage(read_transcripts(jl, format="jsonl"))
+
+
 def _kg_support_static(sf_dir: str):
     """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
     and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
@@ -581,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S4/T4/J4: count-table file reader + static-count supporter
         "kg_support_static": lambda sf: (ensure_corpus(sf),
                                          _kg_support_static(sf))[1],
+        # multi-format source: JSONL transcripts -> identical extraction
+        "kg_extract_jsonl": _kg_extract_jsonl,
         # M1 consumer: Path-DSL drives triple scoping (S(1-2)D = chemical
         # <-> disease adjacency)
         "kg_path_filtered": _kg_path_filtered,
@@ -912,6 +935,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
+        "kg_extract_jsonl": entry_sql.sql_extract(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),
