@@ -323,6 +323,51 @@ def _kg_support_phrase_sim(sf_dir: str):
     return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
 
 
+def _kg_name_lookup(sf_dir: str):
+    """M2/M3/M5/D5 driver consumer: typed name -> CURIE dispatch over the
+    gazetteer's written names (`builder/lookup_utils.py:4-77` semantics —
+    comma-inverting normalization, HP-prefix inclusion for phenotypes /
+    exclusion for diseases, all-match union for chemicals; unknown types
+    never enter via the filter). Output exploded to (name, node_type,
+    curie) rows so the compare is order-insensitive; D1's order
+    preservation is pytest-checked."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from robokop_build_ray.functions.lookup import lookup_identifier
+
+    paths = ensure_corpus(sf_dir)
+    lx = _pq.read_table(paths["lexicon"])
+    lex: dict[str, tuple[str, ...]] = {}
+    for s, c in zip(lx["surface_norm"].to_pylist(), lx["curie"].to_pylist()):
+        lex[s] = lex.get(s, ()) + (c,)
+    lex_ref = _ray.put(lex)
+
+    class Lookup:
+        def __init__(self):
+            self.lex = _ray.get(lex_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            names, types, curies = [], [], []
+            for nm, ty in zip(b["name"], b["node_type"]):
+                for c in lookup_identifier(nm, ty, self.lex):
+                    names.append(nm)
+                    types.append(ty)
+                    curies.append(c)
+            return pd.DataFrame({
+                "name": pd.Series(names, dtype=object),
+                "node_type": pd.Series(types, dtype=object),
+                "curie": pd.Series(curies, dtype=object),
+            })
+
+    gaz = rd.read_parquet(paths["gazetteer"], columns=["name", "node_type"])
+    gaz = gaz.filter(
+        expr="node_type in ['phenotypic_feature', 'disease',"
+             " 'chemical_substance']")
+    return gaz.map_batches(Lookup, batch_format="pandas", concurrency=(1, 2))
+
+
 def _kg_extract_jsonl(sf_dir: str):
     """Multi-format source driver consumer: the SAME transcripts re-encoded
     as JSONL (aux, written once per tier+version), read through the
@@ -604,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          _kg_support_static(sf))[1],
         # multi-format source: JSONL transcripts -> identical extraction
         "kg_extract_jsonl": _kg_extract_jsonl,
+        # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
+        "kg_name_lookup": lambda sf: (ensure_corpus(sf),
+                                      _kg_name_lookup(sf))[1],
         # M1 consumer: Path-DSL drives triple scoping (S(1-2)D = chemical
         # <-> disease adjacency)
         "kg_path_filtered": _kg_path_filtered,
@@ -936,6 +984,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
+        "kg_name_lookup": entry_sql.sql_name_lookup(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),

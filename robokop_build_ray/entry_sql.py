@@ -287,6 +287,41 @@ SELECT id_a, id_b, c1, c2, c,
 FROM scored"""
 
 
+def sql_name_lookup(tier: str) -> str:
+    """Oracle for the typed name -> CURIE dispatch (M2/M3/M5/D5):
+    normalization recomputed in SQL (comma inversion at the FIRST ', ',
+    whitespace collapse, lower, trim), joined against the lexicon table,
+    with the per-type HP-prefix rule."""
+    p = corpus_paths(tier)
+    return f"""
+WITH gsel AS (
+  SELECT name, node_type FROM read_parquet('{p["gazetteer"]}')
+  WHERE node_type IN ('phenotypic_feature', 'disease', 'chemical_substance')
+),
+n1 AS (SELECT name, node_type, trim(name) AS s FROM gsel),
+n2 AS (
+  SELECT name, node_type,
+         CASE WHEN position(', ' IN s) > 0
+              THEN substr(s, position(', ' IN s) + 2)
+                   || ' ' || substr(s, 1, position(', ' IN s) - 1)
+              ELSE s END AS s2
+  FROM n1
+),
+norm AS (
+  SELECT name, node_type,
+         trim(regexp_replace(lower(s2), '\\s+', ' ', 'g')) AS sn
+  FROM n2
+)
+SELECT nm.name, nm.node_type, l.curie
+FROM norm nm
+JOIN read_parquet('{p["lexicon"]}') l ON l.surface_norm = nm.sn
+WHERE CASE WHEN nm.node_type = 'phenotypic_feature'
+                THEN l.curie LIKE 'HP:%'
+           WHEN nm.node_type = 'disease'
+                THEN l.curie NOT LIKE 'HP:%'
+           ELSE TRUE END"""
+
+
 def sql_phrase_sim(tier: str, cap: int = 256) -> str:
     """Independent recomputation of the phrase-similarity supporter
     (`builder/chemotext2.py:30-42` semantics, `stages/supporters.py`
