@@ -27,6 +27,85 @@ import ray
 
 N_BUCKETS = 4096
 
+_EMPTY_HIST = {
+    "g": pd.Series([], dtype=object),
+    "label": pd.Series([], dtype=object),
+    "bucket": pd.Series([], dtype="int64"),
+    "n": pd.Series([], dtype="int64"),
+}
+_EMPTY_RANGE = {
+    "g": pd.Series([], dtype=object),
+    "label": pd.Series([], dtype=object),
+    "value": pd.Series([], dtype="float64"),
+    "nbelow": pd.Series([], dtype="int64"),
+}
+
+
+class _HistPartial:
+    """Per-batch histogram partials for every open (group, target) range.
+
+    Module-level (not a closure) so Ray serializes it BY REFERENCE: workers
+    import the package — which installs the empty-block size-warning filter
+    — instead of receiving a by-value pickle that skips package import."""
+
+    def __init__(self, ranges_ref, group_col: str, value_col: str):
+        self.ranges = ray.get(ranges_ref)
+        self.group_col = group_col
+        self.value_col = value_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (g, label), (lo, hi) in self.ranges.items():
+            v = b.loc[b[self.group_col] == g, self.value_col].to_numpy()
+            n_below = int((v < lo).sum())
+            v = v[(v >= lo) & (v <= hi)]
+            buckets, ns = [], []
+            if n_below:
+                buckets.append(-1)
+                ns.append(n_below)
+            if len(v):
+                idx = np.minimum(
+                    ((v - lo) * (N_BUCKETS / (hi - lo))).astype(np.int64),
+                    N_BUCKETS - 1)
+                bc = np.bincount(np.maximum(idx, 0), minlength=N_BUCKETS)
+                nz = np.flatnonzero(bc)
+                buckets.extend(nz.tolist())
+                ns.extend(bc[nz].tolist())
+            if buckets:
+                outs.append(pd.DataFrame(
+                    {"g": g, "label": label, "bucket": buckets, "n": ns}))
+        if not outs:
+            return pd.DataFrame(_EMPTY_HIST)
+        return pd.concat(outs, ignore_index=True)
+
+
+class _RangeFilter:
+    """Final-pass collector: rows inside each still-open range plus a
+    below-range count marker row. Module-level for the same by-reference
+    serialization reason as ``_HistPartial``."""
+
+    def __init__(self, ranges_ref, group_col: str, value_col: str):
+        self.ranges = ray.get(ranges_ref)
+        self.group_col = group_col
+        self.value_col = value_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (g, label), (lo, hi) in self.ranges.items():
+            v = b.loc[b[self.group_col] == g, self.value_col]
+            n_below = int((v < lo).sum())
+            v = v[(v >= lo) & (v <= hi)]
+            if len(v):
+                outs.append(pd.DataFrame(
+                    {"g": g, "label": label, "value": v, "nbelow": 0}))
+            if n_below:
+                outs.append(pd.DataFrame(
+                    {"g": [g], "label": [label], "value": [np.nan],
+                     "nbelow": [n_below]}))
+        if not outs:
+            return pd.DataFrame(_EMPTY_RANGE)
+        return pd.concat(outs, ignore_index=True)
+
 
 def quantile_disc_rank(q: float, n: int) -> int:
     """DuckDB quantile_disc target index (0-based)."""
@@ -74,47 +153,14 @@ def grouped_exact_ranks(
         ranges_ref = ray.put(
             {k: (s["lo"], s["hi"]) for k, s in open_keys.items()})
 
-        class HistPartial:
-            def __init__(self):
-                self.ranges = ray.get(ranges_ref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                outs = []
-                for (g, label), (lo, hi) in self.ranges.items():
-                    v = b.loc[b[group_col] == g, value_col].to_numpy()
-                    n_below = int((v < lo).sum())
-                    v = v[(v >= lo) & (v <= hi)]
-                    buckets, ns = [], []
-                    if n_below:
-                        buckets.append(-1)
-                        ns.append(n_below)
-                    if len(v):
-                        idx = np.minimum(
-                            ((v - lo) * (N_BUCKETS / (hi - lo)))
-                            .astype(np.int64),
-                            N_BUCKETS - 1)
-                        bc = np.bincount(np.maximum(idx, 0),
-                                         minlength=N_BUCKETS)
-                        nz = np.flatnonzero(bc)
-                        buckets.extend(nz.tolist())
-                        ns.extend(bc[nz].tolist())
-                    if buckets:
-                        outs.append(pd.DataFrame(
-                            {"g": g, "label": label, "bucket": buckets,
-                             "n": ns}))
-                if not outs:
-                    return pd.DataFrame({
-                        "g": pd.Series([], dtype=object),
-                        "label": pd.Series([], dtype=object),
-                        "bucket": pd.Series([], dtype="int64"),
-                        "n": pd.Series([], dtype="int64")})
-                return pd.concat(outs, ignore_index=True)
-
         # to_pandas, not take_all: take_all on pandas-format blocks pays
         # ~1 ms/row (keys x 4097 rows -> tens of seconds per pass)
         hist = bucketed_sum(
-            scan().map_batches(HistPartial, batch_format="pandas",
-                               concurrency=(1, 4)),
+            scan().map_batches(
+                _HistPartial, batch_format="pandas", concurrency=(1, 4),
+                fn_constructor_kwargs={"ranges_ref": ranges_ref,
+                                       "group_col": group_col,
+                                       "value_col": value_col}),
             ["g", "label", "bucket"], "n").to_pandas()
         per_key: dict[tuple[str, str], np.ndarray] = {}
         below_meas: dict[tuple[str, str], int] = {}
@@ -145,34 +191,11 @@ def grouped_exact_ranks(
         ranges_ref = ray.put({k: (s["lo"], s["hi"])
                               for k, s in open_keys.items()})
 
-        class RangeFilter:
-            def __init__(self):
-                self.ranges = ray.get(ranges_ref)
-
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                outs = []
-                for (g, label), (lo, hi) in self.ranges.items():
-                    v = b.loc[b[group_col] == g, value_col]
-                    n_below = int((v < lo).sum())
-                    v = v[(v >= lo) & (v <= hi)]
-                    if len(v):
-                        outs.append(pd.DataFrame(
-                            {"g": g, "label": label, "value": v,
-                             "nbelow": 0}))
-                    if n_below:
-                        outs.append(pd.DataFrame(
-                            {"g": [g], "label": [label], "value": [np.nan],
-                             "nbelow": [n_below]}))
-                if not outs:
-                    return pd.DataFrame({
-                        "g": pd.Series([], dtype=object),
-                        "label": pd.Series([], dtype=object),
-                        "value": pd.Series([], dtype="float64"),
-                        "nbelow": pd.Series([], dtype="int64")})
-                return pd.concat(outs, ignore_index=True)
-
-        rows = scan().map_batches(RangeFilter, batch_format="pandas",
-                                  concurrency=(1, 4)).to_pandas()
+        rows = scan().map_batches(
+            _RangeFilter, batch_format="pandas", concurrency=(1, 4),
+            fn_constructor_kwargs={"ranges_ref": ranges_ref,
+                                   "group_col": group_col,
+                                   "value_col": value_col}).to_pandas()
         marker = rows["nbelow"] > 0
         below_final = (rows.loc[marker].groupby(["g", "label"])["nbelow"]
                        .sum().to_dict())

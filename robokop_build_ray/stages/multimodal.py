@@ -6,12 +6,17 @@ created once in ``__init__``; ``batch_size`` stays small so
 payload x batch x concurrency fits worker heaps (SURVEY §4.2 memory note).
 
 Decode story (honest split):
-- UNCOMPRESSED formats are decoded FOR REAL in pure numpy — no codec
-  library needed: P6 PPM images (``decode_ppm``/``encode_ppm``) and
-  RIFF/WAVE PCM16 mono audio (``decode_wav``/``encode_wav``). Features and
+- REAL pure-numpy codecs, no codec library needed: P6 PPM images
+  (``decode_ppm``/``encode_ppm``), RIFF/WAVE mono audio in both PCM16 and
+  G.711 mu-law companding (``decode_wav``/``encode_wav``/
+  ``encode_wav_mulaw``), PNG via zlib inflate (``decode_png``/
+  ``encode_png``: all five row filters, 8-bit gray/RGB/RGBA, CRC checks),
+  and static GIF87a/89a via a from-scratch LZW coder (``decode_gif``/
+  ``encode_gif``: variable-width codes, dictionary overflow resets,
+  interlace de-scramble, local/global color tables). Features and
   thumbnails computed from these are exact, tested values.
-- COMPRESSED formats (png/jpeg/mp4/...) require codec libraries absent
-  from this environment, so their decode is a clearly-marked STUB:
+- The REMAINING compressed formats (jpeg/mp4/...) require codec libraries
+  absent from this environment, so their decode is a clearly-marked STUB:
   ``strict=True`` raises NotImplementedError on first contact, else a
   deterministic fake feature (blake2b of payload) keeps the plumbing
   testable end-to-end. Swapping the stub for a real codec changes ONE
@@ -91,17 +96,61 @@ def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 mono bytes -> (int16 samples, sample_rate)."""
+    """RIFF/WAVE mono bytes -> (int16 samples, sample_rate).
+
+    Handles PCM16 (format 1) and G.711 mu-law (format 7, a REAL 2:1
+    compressed audio codec decoded here without any codec library —
+    codewords are expanded to int16 PCM)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     fmt, ch, rate, bits = struct.unpack("<HHIxxxxxxH", payload[20:36])
-    if (fmt, ch, bits) != (1, 1, 16):
-        raise ValueError("only PCM16 mono supported")
     if payload[36:40] != b"data":
         raise ValueError("non-canonical WAV chunk layout")
     (n_bytes,) = struct.unpack("<I", payload[40:44])
-    return np.frombuffer(payload, dtype=np.int16, count=n_bytes // 2,
-                         offset=44), rate
+    if (fmt, ch, bits) == (1, 1, 16):
+        return np.frombuffer(payload, dtype=np.int16, count=n_bytes // 2,
+                             offset=44), rate
+    if (fmt, ch, bits) == (7, 1, 8):
+        codes = np.frombuffer(payload, dtype=np.uint8, count=n_bytes,
+                              offset=44)
+        return mulaw_expand(codes), rate
+    raise ValueError("only PCM16 or mu-law mono supported")
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law companding: int16 PCM -> uint8 codewords (bias-33
+    segmented-log form; clips magnitude at 32635 per the spec)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 132
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion: uint8 codewords -> int16 PCM."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 132) << exp
+    x = mag - 132
+    return np.where(sign, -x, x).astype(np.int16)
+
+
+def encode_wav_mulaw(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """int16 mono samples -> RIFF/WAVE G.711 mu-law bytes (format 7,
+    1 byte/sample — half the size of PCM16; companding is lossy but
+    value-idempotent: expand(compress(expand(c))) == expand(c))."""
+    assert samples.dtype == np.int16
+    data = mulaw_compress(samples).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 7, 1,
+        rate, rate, 1, 8, b"data", len(data),
+    )
+    return hdr + data
 
 
 PNG_MIME = "image/png"
@@ -232,6 +281,201 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
+GIF_MIME = "image/gif"
+
+
+def _lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over a flat uint8 index stream. Variable code width
+    starting at mcs+1, max 12 bits, LSB-first bit packing; emits CLEAR
+    first and on dictionary overflow, EOI last."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    seq = b""
+    for sym in indices.astype(np.uint8).tobytes():
+        cand = seq + bytes([sym])
+        if cand in table:
+            seq = cand
+            continue
+        out_bits.append((table[seq], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        seq = bytes([sym])
+    if seq:
+        out_bits.append((table[seq], width))
+    out_bits.append((eoi, width))
+    acc = 0
+    nbits = 0
+    by = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW decode to exactly ``n_expected`` uint8 symbols."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK self-reference case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_expected:
+            break
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF LZW decoded {len(out)} pixels, expected {n_expected}")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Static GIF87a from palette indices (h, w) uint8 + palette (n, 3)
+    uint8, n <= 256. Global color table only, non-interlaced."""
+    h, w = indices.shape
+    n = len(palette)
+    if n > 256:
+        raise ValueError("GIF palette is limited to 256 colors")
+    bpp = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    gct_n = 1 << bpp
+    pal = np.zeros((gct_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF87a")
+    packed = 0x80 | ((bpp - 1) << 4) | (bpp - 1)  # GCT flag, color res, size
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(bpp)  # LZW minimum code size
+    comp = _lzw_encode(indices.reshape(-1), bpp)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_indexed(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the first image of a static GIF87a/89a to its native
+    palette form: (indices (h, w) uint8, palette (n, 3) uint8). Handles
+    global/local color tables, interlacing, and skips extensions."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        comp = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF data sub-blocks truncated")
+            ln = payload[pos]
+            if ln == 0:
+                pos += 1
+                break
+            if pos + 1 + ln > len(payload):
+                raise ValueError("GIF data sub-blocks truncated")
+            comp += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(comp), mcs, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: undo the four-pass row order
+            order = np.concatenate([np.arange(0, ih, 8),
+                                    np.arange(4, ih, 8),
+                                    np.arange(2, ih, 4),
+                                    np.arange(1, ih, 2)])
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        return idx, pal
+    raise ValueError("GIF payload has no image block")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Static GIF bytes -> (h, w, 3) uint8 RGB (palette applied)."""
+    idx, pal = decode_gif_indexed(payload)
+    return pal[idx]
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy fancy indexing."""
     h, w = img.shape[:2]
@@ -244,7 +488,8 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def synthesize_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table: REAL payloads for the decodable formats
-    (P6 PPM images, PCM16 WAV audio), seeded opaque bytes for video."""
+    (PPM / PNG / GIF images, PCM16 / mu-law WAV audio), seeded opaque
+    bytes for video (the remaining stub format)."""
     rng = np.random.default_rng(seed)
     kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
     for i in range(n):
@@ -252,15 +497,25 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
         kinds.append(kind)
         if kind == "image":
             w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
-            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # alternate the two REAL image codecs (PPM uncompressed, PNG
-            # zlib-compressed) so both decode paths stay exercised
-            if (i // 3) % 2 == 1:
-                payloads.append(encode_png(img, filters=[i % 5] * h))
-                mimes.append(PNG_MIME)
+            # rotate the three REAL image codecs (PPM uncompressed, PNG
+            # zlib-compressed, GIF LZW-compressed) so every decode path
+            # stays exercised
+            codec = (i // 3) % 3
+            if codec == 2:  # GIF is palette-based: indices + palette
+                n_colors = 8 << (i % 4)  # 8..64
+                pal = rng.integers(0, 256, size=(n_colors, 3),
+                                   dtype=np.uint8)
+                idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+                payloads.append(encode_gif(idx, pal))
+                mimes.append(GIF_MIME)
             else:
-                payloads.append(encode_ppm(img))
-                mimes.append(PPM_MIME)
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                if codec == 1:
+                    payloads.append(encode_png(img, filters=[i % 5] * h))
+                    mimes.append(PNG_MIME)
+                else:
+                    payloads.append(encode_ppm(img))
+                    mimes.append(PPM_MIME)
             ws.append(w); hs.append(h); durs.append(-1)
         elif kind == "audio":
             n_samp = WAV_RATE // 4 + 64 * (i % 5)  # ~250ms+
@@ -269,7 +524,9 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             noise = rng.standard_normal(n_samp) * 0.05
             samples = np.clip((tone + noise) * 16000, -32768,
                               32767).astype(np.int16)
-            payloads.append(encode_wav(samples))
+            # alternate PCM16 and the mu-law compressed WAV encoding
+            enc = encode_wav_mulaw if (i // 3) % 2 == 1 else encode_wav
+            payloads.append(enc(samples))
             mimes.append(WAV_MIME)
             ws.append(-1); hs.append(-1)
             durs.append(int(n_samp * 1000 / WAV_RATE))
@@ -313,8 +570,9 @@ class MediaDecoder:
 
     def _feature(self, mime: str, payload: bytes) -> tuple[np.ndarray, bool]:
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if mime in (PPM_MIME, PNG_MIME):
-            img = decode_ppm(payload) if mime == PPM_MIME else decode_png(payload)
+        if mime in (PPM_MIME, PNG_MIME, GIF_MIME):
+            img = {PPM_MIME: decode_ppm, PNG_MIME: decode_png,
+                   GIF_MIME: decode_gif}[mime](payload)
             if img.ndim == 2:  # grayscale -> 3-channel for uniform features
                 img = np.repeat(img[:, :, None], 3, axis=2)
             img = img[:, :, :3]  # RGBA: stats over color channels
@@ -342,8 +600,8 @@ class MediaDecoder:
             )
         return self._fake_feature(payload), False
 
-    # remaining stub surface: jpeg / mp4 / other compressed formats.
-    # image/png decodes for real above (decode_png, pure zlib+numpy).
+    # remaining stub surface: jpeg / mp4. image/png (pure zlib+numpy),
+    # image/gif (from-scratch LZW) and mu-law WAV decode for real above.
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, decoded = [], []
@@ -366,8 +624,10 @@ class MediaDecoder:
 
 
 class Thumbnailer:
-    """Real image transform stage: decode PPM -> nearest-neighbor resize ->
-    re-encode PPM. Non-PPM rows pass through untouched (flagged)."""
+    """Real image transform stage: decode -> nearest-neighbor resize ->
+    re-encode in the SAME format (PPM, PNG, or GIF; GIF resizes in index
+    space so the original palette survives exactly). Other rows pass
+    through untouched (flagged)."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8):
         self.out_w, self.out_h = out_w, out_h
@@ -389,6 +649,11 @@ class Thumbnailer:
                 else:  # gray/RGBA thumbnails not re-encoded (RGB encoder)
                     out.append(p)
                     resized.append(False)
+            elif mime == GIF_MIME:
+                idx, pal = decode_gif_indexed(p)
+                small = resize_nearest(idx, self.out_w, self.out_h)
+                out.append(encode_gif(small, pal))
+                resized.append(True)
             else:
                 out.append(p)
                 resized.append(False)

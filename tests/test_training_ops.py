@@ -270,16 +270,18 @@ def test_multimodal_thumbnails():
     out = {r["media_id"]: r for r in
            multimodal.thumbnails(media, out_w=5, out_h=4).take_all()}
     mimes = {r["media_id"]: r["mime"] for r in media.take_all()}
+    decoders = {multimodal.PPM_MIME: multimodal.decode_ppm,
+                multimodal.PNG_MIME: multimodal.decode_png,
+                multimodal.GIF_MIME: multimodal.decode_gif}
     for mid, r in out.items():
-        if mid % 3 == 0:  # image rows: re-encoded at thumb size (PPM or PNG)
+        if mid % 3 == 0:  # image rows: re-encoded at thumb size, same codec
             assert r["resized"]
-            dec = (multimodal.decode_ppm if mimes[mid] == multimodal.PPM_MIME
-                   else multimodal.decode_png)
-            assert dec(r["payload"]).shape == (4, 5, 3)
+            assert decoders[mimes[mid]](r["payload"]).shape == (4, 5, 3)
         else:  # pass-through untouched
             assert not r["resized"]
-    # both real image codecs appear among the 3 image rows (ids 0, 3, 6)
-    assert {mimes[0], mimes[3]} == {multimodal.PPM_MIME, multimodal.PNG_MIME}
+    # all three real image codecs appear among the 3 image rows (ids 0, 3, 6)
+    assert [mimes[0], mimes[3], mimes[6]] == [
+        multimodal.PPM_MIME, multimodal.PNG_MIME, multimodal.GIF_MIME]
 
 
 def test_png_roundtrip_all_filters():
@@ -326,6 +328,62 @@ def test_png_gray_and_rgba_decode():
     assert (multimodal.decode_png(make_png(gray, 0)) == gray).all()
     rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
     assert (multimodal.decode_png(make_png(rgba, 6)) == rgba).all()
+
+
+def test_gif_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for (h, w, n) in [(12, 16, 5), (33, 47, 256), (1, 1, 2), (64, 64, 17)]:
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        got = multimodal.decode_gif(multimodal.encode_gif(idx, pal))
+        assert got.shape == (h, w, 3) and (got == pal[idx]).all(), (h, w, n)
+    # structured image: good LZW compressibility + the 12-bit
+    # dictionary-overflow CLEAR/reset path
+    idx = (np.add.outer(np.arange(200), np.arange(300)) % 256).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    payload = multimodal.encode_gif(idx, pal)
+    assert len(payload) < idx.size  # actually compresses
+    assert (multimodal.decode_gif(payload) == pal[idx]).all()
+    # truncated stream raises (not silently wrong)
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(payload[: len(payload) // 2] + b"\x00\x3B")
+
+
+def test_gif_interlace_decode():
+    import numpy as np
+
+    # reorder rows the way an interlaced GIF writer would, flip the
+    # interlace bit, and check the decoder de-scrambles back
+    rng = np.random.default_rng(13)
+    h, w = 17, 9
+    idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    body = bytearray(multimodal.encode_gif(idx[order], pal))
+    desc = 6 + 7 + 3 * 16  # header + logical screen descriptor + GCT(16)
+    assert body[desc] == 0x2C
+    body[desc + 9] |= 0x40  # image-descriptor interlace flag
+    assert (multimodal.decode_gif(bytes(body)) == pal[idx]).all()
+
+
+def test_mulaw_wav_roundtrip():
+    import numpy as np
+
+    x = np.array([0, 1, -1, 33, 1000, -1000, 32635, -32635, 32767, -32768],
+                 dtype=np.int16)
+    payload = multimodal.encode_wav_mulaw(x, 8000)
+    got, rate = multimodal.decode_wav(payload)
+    assert rate == 8000 and len(got) == len(x)
+    # companding is lossy but value-idempotent and error-bounded
+    again, _ = multimodal.decode_wav(multimodal.encode_wav_mulaw(got, 8000))
+    assert (again == got).all()
+    err = np.abs(got.astype(np.int32) - np.clip(x, -32635, 32635))
+    assert err.max() <= 1024  # top-segment step bound
+    # mu-law payload is half the PCM16 size (44-byte headers aside)
+    assert len(payload) - 44 == (len(multimodal.encode_wav(x, 8000)) - 44) // 2
 
 
 def test_multimodal_strict_raises():
