@@ -11,12 +11,14 @@ Decode story (honest split):
   G.711 mu-law companding (``decode_wav``/``encode_wav``/
   ``encode_wav_mulaw``), PNG via zlib inflate (``decode_png``/
   ``encode_png``: all five row filters, 8-bit gray/RGB/RGBA, CRC checks),
-  and static GIF87a/89a via a from-scratch LZW coder (``decode_gif``/
+  static GIF87a/89a via a from-scratch LZW coder (``decode_gif``/
   ``encode_gif``: variable-width codes, dictionary overflow resets,
-  interlace de-scramble, local/global color tables). Features and
-  thumbnails computed from these are exact, tested values.
-- The REMAINING compressed formats (jpeg/mp4/...) require codec libraries
-  absent from this environment, so their decode is a clearly-marked STUB:
+  interlace de-scramble, local/global color tables), and baseline JPEG
+  via a from-scratch DCT + huffman codec (``stages/jpeg.py``: SOF0,
+  4:4:4 and 4:2:0, restart markers). Features and thumbnails computed
+  from these are exact, tested values.
+- The REMAINING compressed format (mp4 video) requires codec libraries
+  absent from this environment, so its decode is a clearly-marked STUB:
   ``strict=True`` raises NotImplementedError on first contact, else a
   deterministic fake feature (blake2b of payload) keeps the plumbing
   testable end-to-end. Swapping the stub for a real codec changes ONE
@@ -30,6 +32,11 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+# baseline JPEG codec (DCT + huffman, pure numpy) lives in its own module
+from .jpeg import decode_jpeg, encode_jpeg
+
+JPEG_MIME = "image/jpeg"
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -497,10 +504,10 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
         kinds.append(kind)
         if kind == "image":
             w, h = 16 + (i % 4) * 8, 12 + (i % 3) * 8
-            # rotate the three REAL image codecs (PPM uncompressed, PNG
-            # zlib-compressed, GIF LZW-compressed) so every decode path
-            # stays exercised
-            codec = (i // 3) % 3
+            # rotate the four REAL image codecs (PPM uncompressed, PNG
+            # zlib-compressed, GIF LZW-compressed, baseline JPEG) so
+            # every decode path stays exercised
+            codec = (i // 3) % 4
             if codec == 2:  # GIF is palette-based: indices + palette
                 n_colors = 8 << (i % 4)  # 8..64
                 pal = rng.integers(0, 256, size=(n_colors, 3),
@@ -513,6 +520,10 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
                 if codec == 1:
                     payloads.append(encode_png(img, filters=[i % 5] * h))
                     mimes.append(PNG_MIME)
+                elif codec == 3:  # JPEG: lossy; features use the decode
+                    payloads.append(encode_jpeg(img, quality=90,
+                                                subsample=i % 2 == 1))
+                    mimes.append(JPEG_MIME)
                 else:
                     payloads.append(encode_ppm(img))
                     mimes.append(PPM_MIME)
@@ -570,9 +581,9 @@ class MediaDecoder:
 
     def _feature(self, mime: str, payload: bytes) -> tuple[np.ndarray, bool]:
         f = np.zeros(FEATURE_DIM, dtype=np.float32)
-        if mime in (PPM_MIME, PNG_MIME, GIF_MIME):
+        if mime in (PPM_MIME, PNG_MIME, GIF_MIME, JPEG_MIME):
             img = {PPM_MIME: decode_ppm, PNG_MIME: decode_png,
-                   GIF_MIME: decode_gif}[mime](payload)
+                   GIF_MIME: decode_gif, JPEG_MIME: decode_jpeg}[mime](payload)
             if img.ndim == 2:  # grayscale -> 3-channel for uniform features
                 img = np.repeat(img[:, :, None], 3, axis=2)
             img = img[:, :, :3]  # RGBA: stats over color channels
@@ -600,8 +611,9 @@ class MediaDecoder:
             )
         return self._fake_feature(payload), False
 
-    # remaining stub surface: jpeg / mp4. image/png (pure zlib+numpy),
-    # image/gif (from-scratch LZW) and mu-law WAV decode for real above.
+    # remaining stub surface: mp4 video only. image/png (pure
+    # zlib+numpy), image/gif (from-scratch LZW), image/jpeg (DCT +
+    # huffman, stages/jpeg.py) and mu-law WAV all decode for real above.
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, decoded = [], []
@@ -653,6 +665,10 @@ class Thumbnailer:
                 idx, pal = decode_gif_indexed(p)
                 small = resize_nearest(idx, self.out_w, self.out_h)
                 out.append(encode_gif(small, pal))
+                resized.append(True)
+            elif mime == JPEG_MIME:
+                thumb = resize_nearest(decode_jpeg(p), self.out_w, self.out_h)
+                out.append(encode_jpeg(thumb, quality=90))
                 resized.append(True)
             else:
                 out.append(p)

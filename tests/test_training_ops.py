@@ -266,22 +266,24 @@ def test_multimodal_real_decode_features():
 
 
 def test_multimodal_thumbnails():
-    media = rd.from_arrow(multimodal.synthesize_media(9))
+    media = rd.from_arrow(multimodal.synthesize_media(12))
     out = {r["media_id"]: r for r in
            multimodal.thumbnails(media, out_w=5, out_h=4).take_all()}
     mimes = {r["media_id"]: r["mime"] for r in media.take_all()}
     decoders = {multimodal.PPM_MIME: multimodal.decode_ppm,
                 multimodal.PNG_MIME: multimodal.decode_png,
-                multimodal.GIF_MIME: multimodal.decode_gif}
+                multimodal.GIF_MIME: multimodal.decode_gif,
+                multimodal.JPEG_MIME: multimodal.decode_jpeg}
     for mid, r in out.items():
         if mid % 3 == 0:  # image rows: re-encoded at thumb size, same codec
             assert r["resized"]
             assert decoders[mimes[mid]](r["payload"]).shape == (4, 5, 3)
         else:  # pass-through untouched
             assert not r["resized"]
-    # all three real image codecs appear among the 3 image rows (ids 0, 3, 6)
-    assert [mimes[0], mimes[3], mimes[6]] == [
-        multimodal.PPM_MIME, multimodal.PNG_MIME, multimodal.GIF_MIME]
+    # all four real image codecs appear among the image rows (ids 0,3,6,9)
+    assert [mimes[0], mimes[3], mimes[6], mimes[9]] == [
+        multimodal.PPM_MIME, multimodal.PNG_MIME, multimodal.GIF_MIME,
+        multimodal.JPEG_MIME]
 
 
 def test_png_roundtrip_all_filters():
@@ -367,6 +369,46 @@ def test_gif_interlace_decode():
     assert body[desc] == 0x2C
     body[desc + 9] |= 0x40  # image-descriptor interlace flag
     assert (multimodal.decode_gif(bytes(body)) == pal[idx]).all()
+
+
+def test_jpeg_roundtrip():
+    import numpy as np
+
+    from robokop_build_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    # hand-computed known-answer: solid gray 200 at quality 50. Y block
+    # is 72 after level shift -> DC coefficient 8*72 = 576; Annex-K
+    # luma QT[0] = 16 and quality-50 scaling is the identity, so the
+    # quantized DC is exactly 36 and decode returns 36*16/8 + 128 = 200;
+    # chroma of gray is exactly 128 -> DC 0. Round trip must be EXACT.
+    solid = np.full((24, 24, 3), 200, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=50)) == 200).all()
+    assert (decode_jpeg(encode_jpeg(solid, quality=50,
+                                    subsample=True)) == 200).all()
+    # block-constant image: DC-only blocks survive near-exactly
+    tiles = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    err = np.abs(decode_jpeg(encode_jpeg(img, quality=95)).astype(int)
+                 - img.astype(int))
+    assert err.max() <= 6
+    # smooth gradient: high PSNR through both sampling layouts
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack([(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256],
+                   axis=-1).astype(np.uint8)
+    for sub, floor in ((False, 35.0), (True, 28.0)):
+        got = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        mse = float(np.mean((got.astype(float) - img.astype(float)) ** 2))
+        psnr = 10 * np.log10(255 ** 2 / mse)
+        assert psnr > floor, (sub, psnr)
+    # odd sizes through the 4:2:0 path (16-padding + crop), determinism,
+    # truncation raises
+    img = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90, subsample=True)
+    assert decode_jpeg(payload).shape == (19, 21, 3)
+    assert payload == encode_jpeg(img, quality=90, subsample=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])
 
 
 def test_mulaw_wav_roundtrip():
