@@ -483,6 +483,77 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return pal[idx]
 
 
+AVI_MIME = "video/x-msvideo"
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 85) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> minimal RIFF/AVI bytes with
+    one Motion-JPEG video stream ('00dc' chunks, each a baseline JPEG
+    from ``stages/jpeg.py``) — a REAL compressed video format decoded
+    without any codec library."""
+    assert frames, "need at least one frame"
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(payloads),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sI2H8I4i", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps,
+                       0, len(payloads), 0, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frame_payloads(payload: bytes) -> list[bytes]:
+    """AVI bytes -> raw per-frame JPEG payloads of the video stream
+    ('00dc'/'00db' chunks inside LIST movi). Raises ValueError on
+    truncation or a non-AVI RIFF."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    frames: list[bytes] = []
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError("AVI chunk truncated")
+        if tag == b"LIST":
+            kind = payload[pos + 8:pos + 12]
+            if kind == b"movi":
+                p = pos + 12
+                stop = pos + 8 + size
+                while p + 8 <= stop:
+                    ctag = payload[p:p + 4]
+                    (csz,) = struct.unpack("<I", payload[p + 4:p + 8])
+                    if p + 8 + csz > stop:
+                        raise ValueError("AVI movi chunk truncated")
+                    if ctag in (b"00dc", b"00db"):
+                        frames.append(payload[p + 8:p + 8 + csz])
+                    p += 8 + csz + (csz % 2)
+        pos += 8 + size + (size % 2)
+    if not frames:
+        raise ValueError("AVI payload has no video frames")
+    return frames
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """AVI/MJPEG bytes -> list of (h, w, 3) uint8 RGB frames."""
+    return [decode_jpeg(p) for p in avi_frame_payloads(payload)]
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy fancy indexing."""
     h, w = img.shape[:2]
@@ -495,8 +566,9 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def synthesize_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table: REAL payloads for the decodable formats
-    (PPM / PNG / GIF images, PCM16 / mu-law WAV audio), seeded opaque
-    bytes for video (the remaining stub format)."""
+    (PPM / PNG / GIF / JPEG images, PCM16 / mu-law WAV audio, MJPEG-AVI
+    video), alternating with seeded opaque mp4 bytes — the one remaining
+    stub format — so the stub path stays exercised too."""
     rng = np.random.default_rng(seed)
     kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
     for i in range(n):
@@ -541,7 +613,21 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             mimes.append(WAV_MIME)
             ws.append(-1); hs.append(-1)
             durs.append(int(n_samp * 1000 / WAV_RATE))
+        elif (i // 3) % 2 == 1:
+            # REAL video: Motion-JPEG AVI, 4 moving-gradient frames
+            yy, xx = np.mgrid[0:24, 0:32]
+            frames = [
+                np.stack([(xx * 5 + t * 16 + i) % 256, (yy * 7) % 256,
+                          ((xx + yy) * 3 + t * 8) % 256],
+                         axis=-1).astype(np.uint8)
+                for t in range(4)
+            ]
+            payloads.append(encode_avi_mjpeg(frames, fps=8))
+            mimes.append(AVI_MIME)
+            ws.append(32); hs.append(24)
+            durs.append(4 * 1000 // 8)
         else:
+            # mp4 stays the honest stub: opaque seeded bytes
             payloads.append(
                 rng.integers(0, 256, size=64 + i % 128,
                              dtype=np.uint8).tobytes())
@@ -602,6 +688,18 @@ class MediaDecoder:
             f[2] = np.sqrt(np.mean(x * x)) if len(x) else 0.0  # RMS
             f[3] = np.abs(x).max() if len(x) else 0.0          # peak
             f[4] = len(samples) * 1000.0 / rate                # ms
+            return f, True
+        if mime == AVI_MIME:  # Motion-JPEG video: real per-frame decode
+            frames = decode_avi_mjpeg(payload)
+            gray = np.stack([fr.astype(np.float32).mean(axis=2)
+                             for fr in frames])
+            f[0] = len(frames)
+            f[1], f[2] = frames[0].shape[1], frames[0].shape[0]
+            f[3] = gray.mean()
+            f[4] = gray.std()
+            # temporal motion proxy: mean abs frame-to-frame delta
+            f[5] = (np.abs(np.diff(gray, axis=0)).mean()
+                    if len(frames) > 1 else 0.0)
             return f, True
         if self.strict:
             raise NotImplementedError(
@@ -684,22 +782,34 @@ class Thumbnailer:
 
 
 class FrameSampler:
-    """Video frame-sampling plumbing (flat-map shape: one row in, N frame
-    rows out). The video codec is STUBBED (deterministic byte slices of the
-    payload stand in for decoded frames); the Ray-side contract — binary in,
-    multiple binary rows out, frame_idx column, small batches — is real."""
+    """Video frame-sampling (flat-map shape: one row in, N frame rows
+    out). AVI/MJPEG rows sample REAL frames — each emitted frame is a
+    standalone decodable JPEG taken evenly from the stream. The mp4 codec
+    is STUBBED (deterministic byte slices stand in for decoded frames);
+    the Ray-side contract — binary in, multiple binary rows out,
+    frame_idx column, small batches — is identical for both."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         media_ids, frame_idxs, frames = [], [], []
-        for mid, kind, payload in zip(
+        for mid, kind, mime, payload in zip(
             batch["media_id"].to_pylist(),
             batch["kind"].to_pylist(),
+            batch["mime"].to_pylist(),
             batch["payload"].to_pylist(),
         ):
             if kind != "video":
+                continue
+            if mime == AVI_MIME:
+                stored = avi_frame_payloads(payload)
+                picks = np.linspace(0, len(stored) - 1,
+                                    self.n_frames).round().astype(int)
+                for k, si in enumerate(picks):
+                    media_ids.append(mid)
+                    frame_idxs.append(k)
+                    frames.append(stored[si])
                 continue
             step = max(1, len(payload) // self.n_frames)
             for k in range(self.n_frames):

@@ -463,6 +463,47 @@ def test_multimodal_frame_sampling():
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
+    # AVI/MJPEG rows ((i//3)%2==1) emit REAL frames: standalone JPEGs
+    avi_ids = {i for i in range(30) if i % 3 == 2 and (i // 3) % 2 == 1}
+    assert avi_ids  # rotation covers the real-video path
+    for r in frames:
+        if r["media_id"] in avi_ids:
+            from robokop_build_ray.stages.jpeg import decode_jpeg
+
+            assert r["frame"][:2] == b"\xFF\xD8"
+            assert decode_jpeg(r["frame"]).shape == (24, 32, 3)
+
+
+def test_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for t in range(6):
+        y, x = np.mgrid[0:24, 0:32]
+        frames.append(np.stack([(x * 5 + t * 16) % 256, (y * 7) % 256,
+                                ((x + y) * 3 + t * 8) % 256],
+                               axis=-1).astype(np.uint8))
+    avi = multimodal.encode_avi_mjpeg(frames, fps=5)
+    got = multimodal.decode_avi_mjpeg(avi)
+    assert len(got) == 6
+    for f, g in zip(frames, got):
+        mse = float(np.mean((g.astype(float) - f.astype(float)) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 28
+    # deterministic bytes; truncation and wrong-RIFF-kind raise
+    assert multimodal.encode_avi_mjpeg(frames, fps=5) == avi
+    with pytest.raises(ValueError):
+        multimodal.avi_frame_payloads(avi[: len(avi) // 2])
+    with pytest.raises(ValueError):
+        multimodal.avi_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
+    # decoder features: real video rows decode with n_frames/w/h + motion
+    media = rd.from_arrow(multimodal.synthesize_media(6))
+    feats = {r["media_id"]: r for r in
+             multimodal.decode_features(media).take_all()}
+    assert feats[5]["decoded"]  # id 5 = AVI row
+    f = feats[5]["feature"]
+    assert (f[0], f[1], f[2]) == (4, 32, 24) and f[5] > 0
+    assert not feats[2]["decoded"]  # id 2 = mp4 stub row
 
 
 def test_near_dup_clusters_composition():
