@@ -389,6 +389,22 @@ def _kg_extract_jsonl(sf_dir: str):
     return extract_stage(read_transcripts(jl, format="jsonl"))
 
 
+def _media_features(sf_dir: str):
+    """Multimodal probe driver consumer: every media payload decoded
+    through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
+    PCM16/mu-law WAV audio, MJPEG-AVI video; mp4 stays the honest stub)
+    in an actor-pool stage, re-deriving geometry/duration from payload
+    BYTES alone. The oracle checks those against the table's
+    width/height/duration_ms metadata — columns the decode path never
+    reads — so a codec that mis-parses dimensions, sample rates, or
+    frame counts cannot pass. (The reference defers media decode to
+    external tooling; here it is a first-class stage.)"""
+    from robokop_build_ray.stages.multimodal import media_probe
+
+    paths = ensure_corpus(sf_dir)
+    return media_probe(rd.read_parquet(paths["media"]))
+
+
 def _kg_support_static(sf_dir: str):
     """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
     and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
@@ -649,6 +665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          _kg_support_static(sf))[1],
         # multi-format source: JSONL transcripts -> identical extraction
         "kg_extract_jsonl": _kg_extract_jsonl,
+        # multimodal decode probe: real codecs re-derive geometry from bytes
+        "media_features": _media_features,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -984,6 +1002,17 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
+        "media_features": f"""
+SELECT media_id, kind,
+  octet_length(payload)::BIGINT AS n_bytes,
+  (mime <> 'video/mp4') AS decoded,
+  (CASE WHEN kind = 'image' OR mime = 'video/x-msvideo'
+        THEN width ELSE -1 END)::BIGINT AS probe_w,
+  (CASE WHEN kind = 'image' OR mime = 'video/x-msvideo'
+        THEN height ELSE -1 END)::BIGINT AS probe_h,
+  (CASE WHEN kind = 'audio' OR mime = 'video/x-msvideo'
+        THEN duration_ms ELSE -1 END)::BIGINT AS probe_dur
+FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "kg_name_lookup": entry_sql.sql_name_lookup(t),
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),

@@ -43,7 +43,11 @@ TIERS: dict[str, int] = {
 N_ENTITIES = 400
 SEED = 42
 
-_FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs")
+# media rows per tier (multimodal probe query; small on purpose — the
+# media family checks codec/stage correctness, not throughput)
+N_MEDIA: dict[str, int] = {"sf0.001": 48, "sf0.01": 120, "sf0.1": 240}
+
+_FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs", "media")
 
 
 def tier_of(sf_dir: str) -> str:
@@ -81,6 +85,8 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
 
     scratch = f"{final_dir}.tmp.{os.getpid()}"
     os.makedirs(scratch, exist_ok=True)
+    from ..stages.multimodal import synthesize_media
+
     ents = build_entities(N_ENTITIES)
     tables: dict[str, pa.Table] = {
         "transcripts": generate_transcripts(TIERS[tier], N_ENTITIES, seed=SEED),
@@ -88,6 +94,7 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "lexicon": lexicon_table(ents),
         "bridges": bridges_table(ents),
         "xrefs": xrefs_table(ents),
+        "media": synthesize_media(N_MEDIA.get(tier, 120), seed=SEED),
     }
     for name, tbl in tables.items():
         if name == "transcripts":

@@ -554,6 +554,28 @@ def decode_avi_mjpeg(payload: bytes) -> list[np.ndarray]:
     return [decode_jpeg(p) for p in avi_frame_payloads(payload)]
 
 
+def avi_usec_per_frame(payload: bytes) -> int:
+    """AVI bytes -> dwMicroSecPerFrame from the avih main header."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if tag == b"LIST" and payload[pos + 8:pos + 12] == b"hdrl":
+            p = pos + 12
+            stop = pos + 8 + size
+            while p + 8 <= stop:
+                ctag = payload[p:p + 4]
+                (csz,) = struct.unpack("<I", payload[p + 4:p + 8])
+                if ctag == b"avih":
+                    return struct.unpack("<I", payload[p + 8:p + 12])[0]
+                p += 8 + csz + (csz % 2)
+        pos += 8 + size + (size % 2)
+    raise ValueError("AVI payload has no avih header")
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy fancy indexing."""
     h, w = img.shape[:2]
@@ -731,6 +753,61 @@ class MediaDecoder:
                 "decoded": pa.array(decoded, pa.bool_()),
             }
         )
+
+
+class MediaProber(MediaDecoder):
+    """Metadata-recovery probe: re-derives geometry/duration from payload
+    BYTES alone (full decode through the real codecs), never reading the
+    table's width/height/duration_ms metadata columns — which is exactly
+    what the SQL oracle checks the output against. A codec that
+    mis-parses dimensions, frame counts, or sample rates cannot pass.
+    Emits -1 for fields a kind doesn't have and for the stub format."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"]
+        kinds = batch["kind"]
+        n_bytes, dec, pw, ph, pdur = [], [], [], [], []
+        for mime, p in zip(batch["mime"].to_pylist(),
+                           batch["payload"].to_pylist()):
+            w = h = dur = -1
+            ok = False
+            if mime in (PPM_MIME, PNG_MIME, GIF_MIME, JPEG_MIME):
+                f, ok = self._feature(mime, p)
+                w, h = int(f[0]), int(f[1])
+            elif mime == WAV_MIME:
+                f, ok = self._feature(mime, p)
+                dur = int(round(float(f[4])))
+            elif mime == AVI_MIME:
+                f, ok = self._feature(mime, p)
+                w, h = int(f[1]), int(f[2])
+                dur = int(f[0]) * avi_usec_per_frame(p) // 1000
+            n_bytes.append(len(p))
+            dec.append(ok)
+            pw.append(w)
+            ph.append(h)
+            pdur.append(dur)
+        return pa.table(
+            {
+                "media_id": ids,
+                "kind": kinds,
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "decoded": pa.array(dec, pa.bool_()),
+                "probe_w": pa.array(pw, pa.int64()),
+                "probe_h": pa.array(ph, pa.int64()),
+                "probe_dur": pa.array(pdur, pa.int64()),
+            }
+        )
+
+
+def media_probe(media, batch_size: int = 32, concurrency=(1, 2)):
+    """Actor-pool probe stage over a media Dataset (see MediaProber)."""
+    return media.map_batches(
+        MediaProber,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 class Thumbnailer:

@@ -428,6 +428,28 @@ def test_mulaw_wav_roundtrip():
     assert len(payload) - 44 == (len(multimodal.encode_wav(x, 8000)) - 44) // 2
 
 
+def test_media_probe_recovers_metadata():
+    # the probe re-derives geometry/duration from payload bytes alone;
+    # every decodable row must agree with the metadata columns it never
+    # reads (the driver oracle's exact check, locally)
+    tbl = multimodal.synthesize_media(24)
+    meta = {r["media_id"]: r for r in tbl.to_pylist()}
+    rows = multimodal.media_probe(rd.from_arrow(tbl)).take_all()
+    assert len(rows) == 24
+    for r in rows:
+        m = meta[r["media_id"]]
+        assert r["n_bytes"] == len(m["payload"])
+        assert r["decoded"] == (m["mime"] != "video/mp4")
+        if m["kind"] == "image" or m["mime"] == multimodal.AVI_MIME:
+            assert (r["probe_w"], r["probe_h"]) == (m["width"], m["height"])
+        else:
+            assert (r["probe_w"], r["probe_h"]) == (-1, -1)
+        if m["kind"] == "audio" or m["mime"] == multimodal.AVI_MIME:
+            assert r["probe_dur"] == m["duration_ms"]
+        else:
+            assert r["probe_dur"] == -1
+
+
 def test_multimodal_strict_raises():
     media = rd.from_arrow(multimodal.synthesize_media(4))
     with pytest.raises(Exception):  # NotImplementedError surfaces as RayTaskError
