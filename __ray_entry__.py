@@ -730,6 +730,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_assignments": lambda sf: ta.pack_assignments(_docs(sf)),
         # CCNet-style corpus bigram-LM quality score (Wenzek et al. 2020)
         "doc_lm_score": lambda sf: _vocab().lm_score(_docs(sf)),
+        # BPE tokenizer TRAINING (Sennrich et al. 2016): one distributed
+        # word-count exchange, vocabulary-bounded driver merge loop;
+        # oracle = independently-structured sequential trainer (Counter +
+        # boundary-regex merges) via a signature parquet
+        "doc_bpe_merges": lambda sf: _vocab().bpe_train(_docs(sf)),
         # FineWeb/Gopher-style composite filter chain (one fused pass)
         "doc_filter_pipeline": lambda sf: ta.filter_pipeline(_docs(sf)),
         # deterministic per-language stratified downsampling (rebalance)
@@ -1049,6 +1054,7 @@ FROM events GROUP BY event_type""",
         "doc_repetition": _ta_sql().sql_repetition(),
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
+        "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),
         "events_hourly_users": rel.sql_events_hourly_users(),

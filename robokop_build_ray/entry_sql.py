@@ -1065,3 +1065,63 @@ reach(id, lbl) AS (
   FROM reach r JOIN mh_pairs p ON r.id = p.id_a OR r.id = p.id_b
 )
 SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id"""
+
+
+def ensure_bpe_aux(tier: str, n_merges: int = 60) -> str:
+    """Sequential BPE-trainer oracle (idempotent): an INDEPENDENTLY
+    structured implementation — Counter word counts, words as
+    space-joined symbol strings, merges applied with the boundary-aware
+    regex substitution of the original Sennrich et al. (2016) reference
+    code — writing the merge table to parquet for the SQL side. Same
+    spec as ``vocab.bpe_train`` (char symbols + '</w>', tie-break count
+    desc then lexicographic pair), different code path end to end."""
+    import os
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/bpe_merges_{n_merges}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    docs = pd.read_parquet(f"/root/testdata/{tier}/documents.parquet",
+                           columns=["text"])
+    counts: Counter[str] = Counter()
+    for text in docs["text"]:
+        counts.update(_re.findall(r"[a-z0-9]+", text.lower()))
+    vocab = {" ".join(list(w) + ["</w>"]): c for w, c in counts.items()}
+    ranks, lefts, rights, ns = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, c in vocab.items():
+            syms = w.split(" ")
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        pair = min(p for p, c in pairs.items() if c == best_n)
+        pat = _re.compile(r"(?<!\S)" + _re.escape(" ".join(pair))
+                          + r"(?!\S)")
+        vocab = {pat.sub("".join(pair), w): c for w, c in vocab.items()}
+        ranks.append(rank)
+        lefts.append(pair[0])
+        rights.append(pair[1])
+        ns.append(best_n)
+    pq.write_table(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "pair_count": pa.array(ns, pa.int64()),
+    }), path)
+    return path
+
+
+def sql_bpe_merges(tier: str, n_merges: int = 60) -> str:
+    path = ensure_bpe_aux(tier, n_merges)
+    return (f'SELECT "rank", "left", "right", pair_count '
+            f"FROM read_parquet('{path}')")

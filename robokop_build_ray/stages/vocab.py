@@ -466,3 +466,92 @@ SELECT doc_id,
        CAST(sum(q.q) AS DOUBLE) / count(*) AS avg_p_ppm
 FROM big JOIN q USING (g)
 GROUP BY doc_id"""
+
+
+# ------------------------------------------------------------ BPE trainer
+
+def _bpe_merge_loop(word_counts: dict[str, int],
+                    n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Greedy BPE merges over a (word -> count) table (Sennrich et al.
+    2016): symbols start as characters plus an end-of-word marker; each
+    round merges the most frequent adjacent pair, count-weighted by word
+    frequency. Deterministic tie-break: highest count, then
+    lexicographically smallest (left, right). Returns
+    [(rank, left, right, pair_count)]."""
+    seqs: dict[str, tuple[str, ...]] = {
+        w: tuple(w) + ("</w>",) for w in word_counts
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, cnt in word_counts.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        left, right = min(p for p, c in pair_counts.items() if c == best_n)
+        merges.append((rank + 1, left, right, best_n))
+        joined = left + right
+        for w, s in seqs.items():
+            if left not in s:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def bpe_train(docs, n_merges: int = 60, max_vocab_words: int = 200_000,
+              n_buckets: int = 64):
+    """Distributed BPE tokenizer training -> (rank, left, right, pair_count).
+
+    Phase 1 — the ONLY corpus-scale pass: the word-frequency table via
+    per-batch ``value_counts`` combiners and one term-bucketed exchange
+    (identical shape to :func:`vocab_topk`). Phase 2 — the greedy merge
+    loop runs driver-side over that table, which is VOCABULARY-bounded,
+    not corpus-bounded: this is how production tokenizer trainers
+    (sentencepiece, HF tokenizers) are built, because merge decisions
+    depend only on (word, count). At web scale the table is capped to the
+    ``max_vocab_words`` most frequent words (count desc, word asc) with a
+    warning — rare-tail words cannot influence early merges materially.
+    """
+    import warnings
+
+    import ray.data as rd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(TOKEN_RE)
+        flat = toks.explode().dropna()
+        return (flat.value_counts().rename("n").rename_axis("term")
+                .reset_index())
+
+    wc = bucketed_sum(
+        docs.select_columns(["text"]).map_batches(
+            partial, batch_format="pandas"),
+        ["term"], "n", n_buckets=n_buckets,
+    ).to_pandas()
+    if len(wc) > max_vocab_words:
+        warnings.warn(
+            f"bpe_train: word table has {len(wc)} entries; capping to the "
+            f"{max_vocab_words} most frequent (merge decisions on the "
+            "rare tail are not affected materially)", stacklevel=2)
+        wc = wc.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").head(max_vocab_words)
+    merges = _bpe_merge_loop(
+        dict(zip(wc["term"], wc["n"].astype(int))), n_merges)
+    tbl = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+    return rd.from_arrow(tbl)

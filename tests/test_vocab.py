@@ -123,3 +123,53 @@ def test_repetition_stats_hand_values():
     assert out.loc[1, "dup_trigram_c"] == 0
     # doc 2: single token -> all zeros
     assert out.loc[2].tolist() == [0, 0, 0.0, 0, 0, 0.0]
+
+
+def test_bpe_merge_loop_sennrich_example():
+    # the classic corpus from Sennrich et al. (2016): 'es' dominates,
+    # then chains to 'est' and 'est</w>'; tie (l,o)=7 beats (e,w)... and
+    # at equal counts the lexicographically smaller pair wins
+    merges = vocab._bpe_merge_loop(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    assert merges[:3] == [(1, "e", "s", 9), (2, "es", "t", 9),
+                          (3, "est", "</w>", 9)]
+    assert merges[3] == (4, "l", "o", 7)
+    assert merges[4] == (5, "lo", "w", 7)
+
+
+def test_bpe_merge_loop_tiebreak_and_exhaustion():
+    # 'ab' and 'cd' both appear once: lexicographic tie-break picks (a,b)
+    merges = vocab._bpe_merge_loop({"ab": 1, "cd": 1}, 100)
+    assert merges[0][1:3] == ("a", "b")
+    # requesting more merges than exist terminates when pairs run out
+    # (every word eventually collapses to a single symbol)
+    assert len(merges) < 100
+    assert merges[-1][3] >= 1
+
+
+def test_bpe_train_distributed_matches_loop(ray_session):
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(
+            ["low low low low low lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest"])]
+    ).repartition(3)
+    got = vocab.bpe_train(docs, n_merges=6).take_all()
+    want = vocab._bpe_merge_loop(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    assert [(r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in got] == want
+
+
+def test_bpe_train_cap_warns(ray_session):
+    import warnings
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"unique{i} shared shared"}
+         for i in range(20)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = vocab.bpe_train(docs, n_merges=3, max_vocab_words=5).take_all()
+    assert any("capping" in str(x.message) for x in w)
+    # 'shared' (count 40) survives the cap and drives the first merges
+    assert got[0]["pair_count"] >= 40
