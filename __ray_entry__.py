@@ -735,6 +735,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle = independently-structured sequential trainer (Counter +
         # boundary-regex merges) via a signature parquet
         "doc_bpe_merges": lambda sf: _vocab().bpe_train(_docs(sf)),
+        # supervised model TRAINING: full-batch logistic regression, one
+        # streaming pass per GD iteration, int64-quantized gradient
+        # partials -> weights bit-identical to the sequential fit; the
+        # oracle scores with the SEQUENTIAL fit's weight literals
+        "doc_lr_quality": lambda sf: _classifier().lr_train_and_score(
+            _docs(sf)),
         # FineWeb/Gopher-style composite filter chain (one fused pass)
         "doc_filter_pipeline": lambda sf: ta.filter_pipeline(_docs(sf)),
         # deterministic per-language stratified downsampling (rebalance)
@@ -864,6 +870,12 @@ def _clustering():
     from robokop_build_ray.stages import clustering
 
     return clustering
+
+
+def _classifier():
+    from robokop_build_ray.stages import classifier
+
+    return classifier
 
 
 def _vocab():
@@ -1055,6 +1067,8 @@ FROM events GROUP BY event_type""",
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
         "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
+        "doc_lr_quality": _classifier().sql_lr_scores(
+            _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),
         "events_hourly_users": rel.sql_events_hourly_users(),

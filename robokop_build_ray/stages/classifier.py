@@ -1,0 +1,151 @@
+"""Distributed supervised model training: a logistic-regression document
+quality/language classifier, trained full-batch on the engine.
+
+The iterative-training pattern proven by ``clustering.kmeans_fit`` applied
+to supervised learning: each GD iteration is ONE streaming pass over the
+document table; per-document gradient contributions are quantized to int64
+(``floor(g * Q)``) inside the batch, so the cross-batch reduction is an
+INTEGER sum — associative and order-free — and the resulting weights are
+bit-identical at any parallelism / partitioning to a sequential fit with
+the same spec (the oracle). Driver state is the 4-float weight vector.
+
+Features (SPEC — the DuckDB oracle recomputes them independently with
+``regexp_extract_all``): bias, ``[a-z0-9]+`` token count / 100, total
+alnum token length / 1000, English-stopword hits / 10. Label:
+``lang == 'en'``. Scoring emits the quantized logit (``floor(z * Q)``)
+and the sign prediction, both exactly reproducible relationally.
+
+At 100 TB: full-batch GD is iters x one-scan; production would subsample
+or switch to minibatch SGD after the first epochs — the exchange shape
+(int64 partial sums, weight broadcast via ``ray.put``) is unchanged.
+
+Note on the driver table: its ``lang`` labels are deliberately
+uncorrelated with the synthetic text, so the driver query verifies
+trainer EXACTNESS (distributed == sequential, bit-for-bit), not model
+accuracy; learning ability is tested on a planted separable corpus in
+tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+Q = 1_000_000_000
+LR = 0.1
+ITERS = 15
+TOKEN_RE = r"[a-z0-9]+"
+STOPWORD_RE = r"\b(?:the|and|of|is|was)\b"
+
+
+def _features(b: pd.DataFrame) -> np.ndarray:
+    """(n, 4) float64 feature matrix — every operation chosen to be
+    exactly reproducible in DuckDB (integer counts, fixed divisors)."""
+    low = b["text"].str.lower()
+    toks = low.str.findall(TOKEN_RE)
+    n_tok = toks.str.len().to_numpy(dtype=np.float64)
+    ex = toks.explode().dropna()
+    alnum = (ex.str.len().groupby(level=0).sum()
+             .reindex(b.index, fill_value=0).to_numpy(dtype=np.float64))
+    s_en = low.str.count(STOPWORD_RE).to_numpy(dtype=np.float64)
+    return np.column_stack([
+        np.ones(len(b)), n_tok / 100.0, alnum / 1000.0, s_en / 10.0,
+    ])
+
+
+def _logits(X: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """w . x with a FIXED left-to-right accumulation order (matches the
+    SQL oracle's ((w0 + a) + b) + c evaluation exactly)."""
+    z = np.full(len(X), w[0])
+    for j in range(1, X.shape[1]):
+        z = z + w[j] * X[:, j]
+    return z
+
+
+def lr_fit(docs, iters: int = ITERS, lr: float = LR) -> np.ndarray:
+    """Full-batch GD; returns the 4-weight vector. Bit-identical to
+    :func:`lr_fit_sequential` at any parallelism (integer-quantized
+    gradient partials)."""
+    w = np.zeros(4, dtype=np.float64)
+    scan = docs.select_columns(["text", "lang"])
+    for _ in range(iters):
+        wref = ray.put(w.copy())
+
+        def partial(b: pd.DataFrame, _wref=wref) -> pd.DataFrame:
+            wv = ray.get(_wref)
+            X = _features(b)
+            y = (b["lang"] == "en").to_numpy(dtype=np.float64)
+            p = 1.0 / (1.0 + np.exp(-_logits(X, wv)))
+            gq = np.floor((p - y)[:, None] * X * Q).astype(np.int64)
+            out = {f"g{j}": [int(gq[:, j].sum())] for j in range(4)}
+            out["n"] = [len(b)]
+            return pd.DataFrame(out)
+
+        sums = scan.map_batches(partial, batch_format="pandas").to_pandas()
+        n = int(sums["n"].sum())
+        g = np.array([int(sums[f"g{j}"].sum()) for j in range(4)],
+                     dtype=np.float64)
+        w = w - lr * (g / Q) / n
+    return w
+
+
+def lr_fit_sequential(sf_dir: str, iters: int = ITERS,
+                      lr: float = LR) -> np.ndarray:
+    """Single-process reference fit from the parquet table directly —
+    same spec, no Ray; the distributed fit must reproduce it exactly."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+    X = _features(docs)
+    y = (docs["lang"] == "en").to_numpy(dtype=np.float64)
+    w = np.zeros(4, dtype=np.float64)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-_logits(X, w)))
+        gq = np.floor((p - y)[:, None] * X * Q).astype(np.int64)
+        w = w - lr * (gq.sum(axis=0) / Q) / len(X)
+    return w
+
+
+def lr_scores(docs, w: np.ndarray):
+    """Score pass: (doc_id, logit_q, pred) with ``logit_q = floor(z*Q)``
+    — both columns exactly recomputable in SQL from the weight literals."""
+    wref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        z = _logits(_features(b), ray.get(wref))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "logit_q": np.floor(z * Q).astype(np.int64),
+            "pred": z > 0,
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas")
+
+
+def lr_train_and_score(docs):
+    """The full query: distributed fit, then a distributed scoring pass."""
+    return lr_scores(docs, lr_fit(docs))
+
+
+def sql_lr_scores(w: np.ndarray) -> str:
+    """Oracle: features recomputed relationally, logits from the
+    SEQUENTIAL fit's weight literals — so it passes only if the
+    distributed fit reproduced the sequential weights bit-for-bit."""
+    w0, w1, w2, w3 = (f"{float(x):.17g}" for x in w)
+    z = (f"(({w0} + {w1} * (n_tok / 100.0)) + {w2} * (alnum / 1000.0))"
+         f" + {w3} * (s_en / 10.0)")
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok,
+    COALESCE(list_aggregate(list_transform(
+      regexp_extract_all(lower(text), '{TOKEN_RE}'),
+      x -> length(x)), 'sum'), 0) AS alnum,
+    len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|was)\b')) AS s_en
+  FROM documents
+)
+SELECT doc_id,
+  CAST(floor(({z}) * {Q}) AS BIGINT) AS logit_q,
+  ({z}) > 0 AS pred
+FROM f"""
