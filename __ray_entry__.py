@@ -836,6 +836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),
+        # per-source mixture weighting (Pile/Dolma-style downsampling):
+        # salted doc_id hash vs a source-rate threshold, zero shuffles
+        "doc_mixture_sample": lambda sf: ta.mixture_sample(_docs(sf)),
         # context-window chunking (sequence-packing precursor, flat-map)
         "doc_chunks": lambda sf: ta.chunk_spans(_docs(sf)),
         # exact-integer z-score outlier screen (data cleaning)
@@ -1225,6 +1228,7 @@ SELECT doc_id, lang,
          THEN 'val'
        ELSE 'test' END AS split
 FROM documents""",
+        "doc_mixture_sample": _ta_sql().sql_mixture_sample(),
         "doc_decontaminate": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents

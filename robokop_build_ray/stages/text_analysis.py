@@ -294,6 +294,57 @@ def train_split(docs, batch_size: int = 4096):
                             batch_size=batch_size)
 
 
+def mixture_rate_permille(source: str) -> int:
+    """SPEC per-source keep rate (Pile/Dolma-style mixture weighting):
+    ``srcN`` keeps ``980 - 35*N`` permille (980 down to 315) — a
+    deterministic stand-in for the per-source weights a real corpus
+    mixture config would supply."""
+    return 980 - 35 * int(source[3:])
+
+
+def _mixture_threshold_hex(rate_permille: int) -> str:
+    """Keep iff the first 8 md5 hex chars of ``{doc_id}:mix`` compare
+    below this threshold — the exact string DuckDB's md5() produces."""
+    return format(rate_permille * 2**32 // 1000, "08x")
+
+
+def mixture_sample_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, source for the KEPT docs. Same scale properties as
+    ``split_batch``: doc_id-keyed md5 (salted ':mix' so mixture and
+    train/val/test decisions are independent), no shuffle, no stored
+    decision table, stable across re-sharding; the keep rate is a pure
+    function of the source column."""
+    import hashlib
+
+    pfx = [hashlib.md5(f"{d}:mix".encode()).hexdigest()[:8]
+           for d in batch["doc_id"]]
+    thr = {s: _mixture_threshold_hex(mixture_rate_permille(s))
+           for s in batch["source"].unique()}
+    keep = np.fromiter(
+        (p < thr[s] for p, s in zip(pfx, batch["source"])),
+        dtype=bool, count=len(batch),
+    )
+    out = batch.loc[keep, ["doc_id", "source"]].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def mixture_sample(docs, batch_size: int = 4096):
+    return docs.map_batches(mixture_sample_batch, batch_format="pandas",
+                            batch_size=batch_size)
+
+
+def sql_mixture_sample(n_sources: int = 20) -> str:
+    cases = " ".join(
+        f"WHEN 'src{i}' THEN '{_mixture_threshold_hex(mixture_rate_permille(f'src{i}'))}'"
+        for i in range(n_sources)
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+      CASE source {cases} END"""
+
+
 def chunk_spans_batch(batch: pd.DataFrame,
                       chunk_tokens: int = 64) -> pd.DataFrame:
     """Context-window chunking -> (doc_id, chunk_idx, n_tokens): each

@@ -714,3 +714,32 @@ def test_pq_topk_shape_determinism_and_recall(emb):
         ps.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(bs[q] & ps[q]) for q in bs) / sum(len(bs[q]) for q in bs)
     assert recall >= 0.5, recall
+
+
+def test_mixture_sample_rates_and_stability():
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.stages import text_analysis as ta
+
+    # large synthetic pool: per-source keep fraction tracks the SPEC rate
+    n = 4000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"src{i % 20}" for i in range(n)],
+    })
+    kept = ta.mixture_sample_batch(df)
+    for s, grp in kept.groupby("source"):
+        want = ta.mixture_rate_permille(s) / 1000
+        got = len(grp) / (n / 20)
+        assert abs(got - want) < 0.12, (s, got, want)
+    # stable across re-sharding: same decisions from any batch split
+    parts = [ta.mixture_sample_batch(p.reset_index(drop=True))
+             for p in np.array_split(df, 7)]
+    again = pd.concat(parts, ignore_index=True)
+    assert sorted(again["doc_id"]) == sorted(kept["doc_id"])
+    # independent of the train/val/test hash (different salt): the kept
+    # set is not simply the 'train' split of any rate
+    splits = ta.split_batch(df.assign(lang="en"))
+    tr = set(splits.loc[splits["split"] == "train", "doc_id"])
+    assert set(kept["doc_id"]) - tr and set(kept["doc_id"]) & tr
