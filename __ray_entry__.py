@@ -839,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source mixture weighting (Pile/Dolma-style downsampling):
         # salted doc_id hash vs a source-rate threshold, zero shuffles
         "doc_mixture_sample": lambda sf: ta.mixture_sample(_docs(sf)),
+        # per-epoch deterministic global shuffle ORDER (no materialized
+        # permutation: fixed-length hex keys, re-derivable anywhere)
+        "doc_epoch_order": lambda sf: ta.epoch_order(_docs(sf)),
         # context-window chunking (sequence-packing precursor, flat-map)
         "doc_chunks": lambda sf: ta.chunk_spans(_docs(sf)),
         # exact-integer z-score outlier screen (data cleaning)
@@ -1229,6 +1232,7 @@ SELECT doc_id, lang,
        ELSE 'test' END AS split
 FROM documents""",
         "doc_mixture_sample": _ta_sql().sql_mixture_sample(),
+        "doc_epoch_order": _ta_sql().sql_epoch_order(),
         "doc_decontaminate": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents

@@ -294,6 +294,44 @@ def train_split(docs, batch_size: int = 4096):
                             batch_size=batch_size)
 
 
+def epoch_order_batch(batch: pd.DataFrame, n_epochs: int = 2) -> pd.DataFrame:
+    """(epoch, doc_id, shuffle_key) for every doc x epoch — a
+    deterministic GLOBAL training-order shuffle without a shuffle: the
+    16-hex-char md5 key (fixed length, so lexicographic order IS numeric
+    order) is a pure function of (doc_id, epoch). Consumers range-
+    partition or sort by the key; no materialized permutation table, any
+    node re-derives any doc's position locally, each epoch's order is
+    independent of every other's. Flat-map grain change (docs ->
+    docs x epochs)."""
+    import hashlib
+
+    n = len(batch)
+    doc_ids = np.tile(batch["doc_id"].to_numpy(), n_epochs)
+    epochs = np.repeat(np.arange(n_epochs, dtype=np.int64), n)
+    keys = [hashlib.md5(f"{d}:epoch{e}".encode()).hexdigest()[:16]
+            for d, e in zip(doc_ids, epochs)]
+    return pd.DataFrame({
+        "epoch": epochs,
+        "doc_id": doc_ids.astype("int64"),
+        "shuffle_key": keys,
+    })
+
+
+def epoch_order(docs, n_epochs: int = 2, batch_size: int = 4096):
+    return docs.select_columns(["doc_id"]).map_batches(
+        lambda b: epoch_order_batch(b, n_epochs),
+        batch_format="pandas", batch_size=batch_size)
+
+
+def sql_epoch_order(n_epochs: int = 2) -> str:
+    return f"""
+SELECT e.epoch, d.doc_id,
+       substr(md5(CAST(d.doc_id AS VARCHAR) || ':epoch' ||
+                  CAST(e.epoch AS VARCHAR)), 1, 16) AS shuffle_key
+FROM documents d CROSS JOIN
+     (SELECT unnest(range({n_epochs})) AS epoch) e"""
+
+
 def mixture_rate_permille(source: str) -> int:
     """SPEC per-source keep rate (Pile/Dolma-style mixture weighting):
     ``srcN`` keeps ``980 - 35*N`` permille (980 down to 315) — a

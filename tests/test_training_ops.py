@@ -743,3 +743,25 @@ def test_mixture_sample_rates_and_stability():
     splits = ta.split_batch(df.assign(lang="en"))
     tr = set(splits.loc[splits["split"] == "train", "doc_id"])
     assert set(kept["doc_id"]) - tr and set(kept["doc_id"]) & tr
+
+
+def test_epoch_order_properties():
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.stages import text_analysis as ta
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    out = ta.epoch_order_batch(df, n_epochs=3)
+    assert len(out) == 1500
+    assert all(len(k) == 16 for k in out["shuffle_key"])
+    # epochs produce genuinely different orders
+    o0 = out[out["epoch"] == 0].sort_values("shuffle_key")["doc_id"].tolist()
+    o1 = out[out["epoch"] == 1].sort_values("shuffle_key")["doc_id"].tolist()
+    assert o0 != o1 and sorted(o0) == sorted(o1)
+    # stable across re-sharding (pure function of doc_id + epoch)
+    parts = pd.concat([ta.epoch_order_batch(p.reset_index(drop=True), 3)
+                       for p in np.array_split(df, 7)], ignore_index=True)
+    a = out.sort_values(["epoch", "doc_id"], ignore_index=True)
+    b = parts.sort_values(["epoch", "doc_id"], ignore_index=True)
+    assert a.equals(b)
