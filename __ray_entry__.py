@@ -389,6 +389,15 @@ def _kg_extract_jsonl(sf_dir: str):
     return extract_stage(read_transcripts(jl, format="jsonl"))
 
 
+def _kg_random_walks(sf_dir: str):
+    """DeepWalk-style deterministic walk corpus over the built KG (the
+    sequence-generation pass feeding skip-gram graph embeddings; graph
+    analytics the reference defers to its neo4j sink)."""
+    from robokop_build_ray.stages.graph_metrics import random_walks
+
+    return random_walks(_kg(sf_dir, "edges"))
+
+
 def _media_features(sf_dir: str):
     """Multimodal probe driver consumer: every media payload decoded
     through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
@@ -653,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
         "kg_weighted_sssp": _kg_weighted_sssp,
+        # DeepWalk-style deterministic walk corpus (md5 position hash)
+        "kg_random_walks": _kg_random_walks,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -1021,6 +1032,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_kcore": entry_sql.sql_kcore(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
+        "kg_random_walks": entry_sql.sql_random_walks(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),

@@ -1125,3 +1125,33 @@ def sql_bpe_merges(tier: str, n_merges: int = 60) -> str:
     path = ensure_bpe_aux(tier, n_merges)
     return (f'SELECT "rank", "left", "right", pair_count '
             f"FROM read_parquet('{path}')")
+
+
+def sql_random_walks(tier: str, n_walks: int = 2, walk_len: int = 3) -> str:
+    """Oracle for graph_metrics.random_walks: steps unrolled, each next
+    node chosen by row_number over the identical md5 position hash."""
+    p = corpus_paths(tier)
+    steps = []
+    prev = "s0"
+    for s in range(1, walk_len + 1):
+        steps.append(f"""s{s} AS (
+  SELECT {prev}.id, {prev}.walk, {s} AS step, adj.nb AS node
+  FROM {prev} JOIN adj ON adj.id = {prev}.node
+  QUALIFY row_number() OVER (
+    PARTITION BY {prev}.id, {prev}.walk
+    ORDER BY md5({prev}.node || '|' || adj.nb || '|' ||
+                 CAST({prev}.walk AS VARCHAR) || '|{s}')) = 1
+)""")
+        prev = f"s{s}"
+    steps_sql = ",\n".join(steps)
+    unions = "\nUNION ALL ".join(
+        f"SELECT id, walk, step, node FROM s{s}"
+        for s in range(walk_len + 1))
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj),
+w AS (SELECT id, unnest(range({n_walks})) AS walk FROM nodes),
+s0 AS (SELECT id, CAST(walk AS BIGINT) AS walk, 0 AS step, id AS node
+       FROM w),
+{steps_sql}
+{unions}"""

@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.bucketing import (
+    bucketed_apply,
     bucketed_attach,
     bucketed_count,
     bucketed_distinct,
@@ -594,3 +595,91 @@ def weighted_sssp(canonical, type_map: dict[str, str], seed_type: str,
             if node not in dist or nd < dist[node]:
                 dist[node] = nd
     return _dist_table(dist)
+
+
+# --------------------------------------------------- deterministic walks
+
+def random_walks(edges, n_walks: int = 2, walk_len: int = 3,
+                 src: str = "subj_id", dst: str = "obj_id",
+                 n_buckets: int = 64):
+    """DeepWalk-style walk corpus over the undirected simple graph:
+    Dataset(id, walk, step, node) — ``n_walks`` walks of ``walk_len``
+    steps from EVERY graph node (the sequence-generation pass feeding
+    skip-gram graph-embedding training).
+
+    Deterministic "randomness": at step s of walk w standing on u, the
+    next node is the neighbor v minimizing ``md5(f"{u}|{v}|{w}|{s}")`` —
+    a pure function of the edge and position, so walks are identical at
+    any parallelism AND exactly recomputable by the DuckDB oracle
+    (row_number over md5). Backtracking is allowed (true uniform walk).
+
+    Scale shape: per step, ONE pass over the adjacency emits candidate
+    rows only for currently-occupied nodes with a PER-BATCH partial
+    argmin (shuffle volume capped at positions x batches, not edges),
+    then one bucketed argmin per (start, walk). Driver state is the
+    position map — node x n_walks bounded, the same gazetteer-universe
+    bound as BFS/components. At 10^9-node scale the accumulated walk
+    table would stream to lineage-committed parquet per step instead of
+    a driver list (BFS's frontier story applies unchanged)."""
+    import hashlib
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    adj = _adjacency(und).materialize()
+    nodes = sorted(degree_map(und))
+
+    # position map: node -> list of (start, walk) standing there
+    cur: dict[str, list[tuple[str, int]]] = {}
+    rows: list[tuple[str, int, int, str]] = []
+    for s in nodes:
+        for w in range(n_walks):
+            cur.setdefault(s, []).append((s, w))
+            rows.append((s, w, 0, s))
+
+    def argmin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "start": pd.Series([], dtype=object),
+                "walk": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype=object),
+                "key": pd.Series([], dtype=object)})
+        return (b.sort_values(["start", "walk", "key"], kind="mergesort")
+                 .drop_duplicates(["start", "walk"]))
+
+    for step in range(1, walk_len + 1):
+        pos_ref = ray.put(cur)
+
+        def cand(batch: pd.DataFrame, _ref=pos_ref,
+                 _step=step) -> pd.DataFrame:
+            pos = ray.get(_ref)
+            m = batch["id"].isin(pos.keys()).to_numpy()
+            starts, walks, nbs, keys = [], [], [], []
+            for u, v in zip(batch["id"].to_numpy()[m],
+                            batch["nb"].to_numpy()[m]):
+                for (s, w) in pos[u]:
+                    starts.append(s)
+                    walks.append(w)
+                    nbs.append(v)
+                    keys.append(hashlib.md5(
+                        f"{u}|{v}|{w}|{_step}".encode()).hexdigest())
+            out = pd.DataFrame({"start": starts, "walk": walks,
+                                "nb": nbs, "key": keys})
+            return argmin_partial(out)
+
+        chosen = bucketed_apply(
+            adj.map_batches(cand, batch_format="pandas"),
+            ["start", "walk"], argmin_partial, n_buckets=n_buckets,
+        ).to_pandas()  # positions-bounded (node x n_walks), not corpus
+
+        cur = {}
+        for s, w, v in zip(chosen["start"], chosen["walk"], chosen["nb"]):
+            cur.setdefault(v, []).append((s, int(w)))
+            rows.append((s, int(w), step, v))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "id": pa.array([r[0] for r in rows], pa.string()),
+        "walk": pa.array([r[1] for r in rows], pa.int64()),
+        "step": pa.array([r[2] for r in rows], pa.int64()),
+        "node": pa.array([r[3] for r in rows], pa.string()),
+    }))

@@ -185,3 +185,34 @@ def test_weighted_sssp_distributed_matches_local():
                                          rounds=3, local_threshold=0,
                                          n_buckets=4).take_all())
     assert local == dist and len(local) > 0  # hybrid paths bit-identical
+
+
+def test_random_walks_match_direct_evaluation(ray_session):
+    """Walks over a small hand graph must equal a direct sequential
+    evaluation of the md5 next-step rule (backtracking allowed)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from robokop_build_ray.stages.graph_metrics import random_walks
+
+    edges = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"), ("B", "D")]
+    ds = rd.from_items(
+        [{"subj_id": a, "obj_id": b} for a, b in edges]).repartition(3)
+    got = {(r["id"], r["walk"], r["step"]): r["node"]
+           for r in random_walks(ds, n_walks=2, walk_len=3).take_all()}
+
+    nbrs: dict[str, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for start in nbrs:
+        for w in range(2):
+            cur = start
+            assert got[(start, w, 0)] == start
+            for step in (1, 2, 3):
+                cur = min(nbrs[cur], key=lambda v: hashlib.md5(
+                    f"{cur}|{v}|{w}|{step}".encode()).hexdigest())
+                assert got[(start, w, step)] == cur, (start, w, step)
+    # different walks from the same start genuinely diverge somewhere
+    assert any(got[(s, 0, 1)] != got[(s, 1, 1)] for s in nbrs)
