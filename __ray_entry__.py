@@ -389,6 +389,29 @@ def _kg_extract_jsonl(sf_dir: str):
     return extract_stage(read_transcripts(jl, format="jsonl"))
 
 
+def _kg_edges_compacted(sf_dir: str):
+    """Output-maintenance driver consumer: the edge table written as
+    deliberately-fragmented parquet, COMPACTED by the lineage small-file
+    coalescer (split/merge repartition, no all-to-all), and read back.
+    Oracle = kg_edges' own SQL, so the round trip (write -> compact ->
+    read) must preserve every row, list payload and dtype exactly."""
+    import os
+
+    from robokop_build_ray.state.lineage import compact_parquet_dir
+
+    root = f"/tmp/graft_compact/{tier_of(sf_dir)}"
+    pre, post = f"{root}/pre", f"{root}/post"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(pre, exist_ok=True)
+    # fragment on purpose: many small files (the 10^5-task failure mode)
+    _kg(sf_dir, "edges").repartition(24).write_parquet(pre)
+    stats = compact_parquet_dir(pre, post, target_rows_per_file=1_000_000)
+    assert stats["files_out"] < stats["files_in"], stats
+    return rd.read_parquet(post)
+
+
 def _kg_random_walks(sf_dir: str):
     """DeepWalk-style deterministic walk corpus over the built KG (the
     sequence-generation pass feeding skip-gram graph embeddings; graph
@@ -635,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical": lambda sf: (ensure_corpus(sf), _kg(sf, "canonical"))[1],
         "kg_nodes": lambda sf: (ensure_corpus(sf), _kg(sf, "nodes"))[1],
         "kg_edges": lambda sf: (ensure_corpus(sf), _kg(sf, "edges"))[1],
+        # output maintenance: fragment -> compact -> read back, bit-equal
+        "kg_edges_compacted": lambda sf: (ensure_corpus(sf),
+                                          _kg_edges_compacted(sf))[1],
         "kg_support": lambda sf: (ensure_corpus(sf), _kg(sf, "support"))[1],
         "kg_node_type_histogram": _kg_node_type_histogram,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
@@ -1005,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes_expanded": entry_sql.sql_nodes_expanded(t),
         "kg_nodes_upsert": entry_sql.sql_nodes_upsert(t),
         "kg_edges": entry_sql.sql_edges(t),
+        "kg_edges_compacted": entry_sql.sql_edges(t),
         "kg_support": entry_sql.sql_support(t),
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
         "kg_node_umls_projection": (

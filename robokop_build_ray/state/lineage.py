@@ -81,3 +81,34 @@ def read_stage(stage_dir: str):
         os.path.join(stage_dir, p["file"]) for p in read_manifest(stage_dir)["partitions"]
     ]
     return rd.read_parquet(files)
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        target_rows_per_file: int = 1_000_000) -> dict:
+    """Storage-maintenance pass: coalesce a directory of (possibly many
+    small) parquet part files into ~``target_rows_per_file``-row files.
+
+    The small-file problem is the standard failure mode of resumable
+    partitioned output at 10^5 tasks (one file per task -> metadata-bound
+    reads); periodic compaction is the standard fix. Content-preserving
+    by construction: a streaming read -> ``repartition(shuffle=False)``
+    (split/merge of adjacent blocks — NO all-to-all exchange) -> write.
+    Returns {files_in, files_out, rows}.
+    """
+    import math
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(in_dir)
+    rows = ds.count()
+    files_in = sum(1 for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    (rd.read_parquet(in_dir)
+       .repartition(n_files, shuffle=False)
+       .write_parquet(out_dir, min_rows_per_file=target_rows_per_file))
+    files_out = sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

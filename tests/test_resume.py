@@ -115,3 +115,28 @@ def test_support_async_matches_sync(smoke_corpus):
         tuple(sorted(r.items()))
         for r in asyn["support_future"].result().take_all())
     assert rows_async == rows_sync
+
+
+def test_compact_parquet_dir_preserves_content(ray_session, tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from robokop_build_ray.state.lineage import compact_parquet_dir
+
+    pre = str(tmp_path / "pre")
+    post = str(tmp_path / "post")
+    df = pd.DataFrame({"k": range(1000), "v": [f"x{i}" for i in range(1000)],
+                       "tags": [[f"t{i % 3}", "z"] for i in range(1000)]})
+    rd.from_pandas(df).repartition(16).write_parquet(pre)
+    n_pre = sum(f.endswith(".parquet") for f in os.listdir(pre))
+    stats = compact_parquet_dir(pre, post, target_rows_per_file=500)
+    assert stats["files_in"] == n_pre and stats["rows"] == 1000
+    assert stats["files_out"] <= 2 < n_pre
+    got = rd.read_parquet(post).to_pandas().sort_values("k",
+                                                        ignore_index=True)
+    want = df.sort_values("k", ignore_index=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    assert [list(t) for t in got["tags"]] == want["tags"].tolist()
