@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="supporter module name (repeatable; default cooccur); "
                         "see stages.supporters.SUPPORTERS")
     b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--address", default="local",
+                   help="'local' (default) starts a local Ray; 'auto' "
+                        "connects to an existing cluster — the `ray job "
+                        "submit` path on a real multi-node deployment")
     b.add_argument("--batch-size", type=int, default=8192)
     b.add_argument("--cap", type=int, default=256,
                    help="max distinct entities per conversation for pair gen")
@@ -102,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--k", type=int, default=None,
                    help="top-k (degree/jaccard) or core k (kcore)")
     a.add_argument("--num-cpus", type=int, default=None)
+    a.add_argument("--address", default="local",
+                   help="'local' or 'auto' (existing cluster)")
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -116,8 +122,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if not ray.is_initialized():
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR", **kw)
+        if getattr(args, "address", "local") != "local":
+            kw.pop("num_cpus", None)  # cluster resources are the cluster's
+        ray.init(address=getattr(args, "address", "local"),
+                 include_dashboard=False, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
