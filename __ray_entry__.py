@@ -840,6 +840,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_supplier": rel.q21_waiting_supplier,
         # Q9 shape: name-filtered part pricing of the fact stream (profit)
         "q9_product_profit": rel.q9_product_profit,
+        # Q2 shape: correlated-min subquery (min-cost region supplier/part)
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        # Q11 shape: HAVING over a global scalar (important-stock share)
+        "q11_important_stock": rel.q11_important_stock,
+        # Q16 shape: distinct-count with anti-joined supplier exclusions
+        "q16_supplier_counts": rel.q16_supplier_counts,
+        # Q20 shape: nested double aggregate + semi chain (excess supply)
+        "q20_excess_suppliers": rel.q20_excess_suppliers,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
@@ -1159,6 +1167,10 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q13_customer_distribution": rel.sql_q13_customer_distribution(),
         "q21_waiting_supplier": rel.sql_q21_waiting_supplier(),
         "q9_product_profit": rel.sql_q9_product_profit(),
+        "q2_min_cost_supplier": rel.sql_q2_min_cost_supplier(),
+        "q11_important_stock": rel.sql_q11_important_stock(),
+        "q16_supplier_counts": rel.sql_q16_supplier_counts(),
+        "q20_excess_suppliers": rel.sql_q20_excess_suppliers(),
         "mktsegments": rel.sql_mktsegments(),
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -178,7 +178,9 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
     pyarrow's acero `Dataset.join` cannot go: empty sides / empty hash
     partitions (acero raises "No match for key field") and binary or
     list-typed payload columns. ``payload`` maps right column -> output
-    column name; the right side's key must be unique per row (dict-like)."""
+    column name; the right side's key must be unique per row (dict-like).
+    ``payload_fill`` is one sentinel for every payload column, or a dict
+    keyed by OUTPUT column name when the payload columns mix types."""
     import pandas as pd
 
     dsts = list(payload.values())
@@ -191,11 +193,15 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
             # null-type and the exchange cannot unify it with the right
             # side's real payload type (these placeholders are dropped
             # before the merge)
-            out[d] = payload_fill
+            out[d] = (payload_fill[d] if isinstance(payload_fill, dict)
+                      else payload_fill)
         out["_side"] = 0
         return out
 
     fills = left_fill or {}
+
+    fillmap = (payload_fill if isinstance(payload_fill, dict)
+               else {d: payload_fill for d in dsts})
 
     def prep_right(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"_k": b[right_on]})
@@ -205,7 +211,15 @@ def bucketed_attach(left, right, left_on: str, right_on: str,
             # Non-key-typed left columns need an explicit left_fill entry.
             out[c] = fills.get(c, b[right_on])
         for src, dst in payload.items():
-            out[dst] = b[src]
+            col = b[src]
+            fv = fillmap.get(dst)
+            # widen the payload to the sentinel's dtype (e.g. an int32
+            # parquet column vs an int64 placeholder) so the union's block
+            # schemas agree — divergent blocks log Ray schema warnings and
+            # are a unification hazard at high task counts
+            if isinstance(fv, np.generic) and col.dtype != fv.dtype:
+                col = col.astype(fv.dtype)
+            out[dst] = col
         out["_side"] = 1
         return out[left_cols + ["_k"] + dsts + ["_side"]]
 

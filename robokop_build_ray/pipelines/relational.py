@@ -3259,3 +3259,491 @@ WITH j AS (
 )
 SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS profit_cents
 FROM j GROUP BY nation, o_year"""
+
+
+# ------------------------------------------------------- Q2 / Q11 / Q16 / Q20
+# The last four TPC-H shapes. The testdata has no partsupp table, so the
+# per-(part, supplier) offer grain is derived from lineitem: min/sum over
+# the fact stream replaces ps_supplycost / ps_availqty (reference parity:
+# the robokop CDW reader also derives pair grain from observation facts,
+# /root/reference/builder/cdw.py). Shapes — correlated-min subquery (Q2),
+# share-of-global-scalar HAVING (Q11), distinct-count with anti-joined
+# exclusions (Q16), nested double-aggregate semi chain (Q20) — are intact.
+
+Q2_TYPE = "STANDARD"
+Q2_MIN_SIZE = 25
+Q2_REGION = "EUROPE"
+
+
+def _region_nations(sf_dir: str, region: str) -> set[int]:
+    """nationkeys of one region — 25/5-row constant tables, driver-bounded
+    by SPEC (TPC-H nation/region never grow with SF)."""
+    reg = {r["r_regionkey"] for r in
+           rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+           if r["r_name"] == region}
+    return {r["n_nationkey"] for r in
+            rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+            if r["n_regionkey"] in reg}
+
+
+def q2_min_cost_supplier(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q2 shape: for each part of one type/size class, the region
+    supplier(s) offering the minimum cost -> (p_partkey, p_name, s_suppkey,
+    s_name, s_acctbal, n_name, min_cost_cents), ties included (no LIMIT —
+    the driver compare is order-free).
+
+    Plan: lineitem collapses to the (part, supplier) offer grain with a
+    bucketed min (cost = min extendedprice cents); supplier nation/name/
+    acctbal attach through one bucketed exchange (supplier scales with SF —
+    never a driver dict); the region filter is a vectorized isin against
+    the 25-nation broadcast; the CORRELATED MIN is one exchange on partkey
+    (groupby-transform-min inside the bucket); the part type/size filter
+    rides the inner-attach semantics. Raw s_acctbal doubles pass through
+    untouched on both sides, so the hash compare is bit-exact."""
+    from ..functions.bucketing import bucketed_apply, bucketed_attach, bucketed_min
+
+    nations = _region_nations(sf_dir, Q2_REGION)
+    nat_name = {r["n_nationkey"]: r["n_name"]
+                for r in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "cost": _cents(b["l_extendedprice"].to_numpy()),
+        }), batch_format="pandas")
+    offers = bucketed_min(li, ["l_partkey", "l_suppkey"], "cost", n_buckets)
+
+    offers = bucketed_attach(
+        offers, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name",
+                                         "s_nationkey", "s_acctbal"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_partkey", "l_suppkey", "cost"],
+        payload={"s_name": "s_name", "s_nationkey": "s_nat",
+                 "s_acctbal": "s_acctbal"},
+        payload_fill={"s_name": "", "s_nat": np.int64(0),
+                      "s_acctbal": np.float64(0.0)},
+        left_fill={"l_partkey": np.int64(0), "l_suppkey": np.int64(0),
+                   "cost": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                      "cost": "int64", "s_name": object, "s_nat": "int64",
+                      "s_acctbal": "float64"},
+    )
+
+    nat_ref = ray.put(nations)
+
+    def in_region(b: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(nat_ref)
+        return b[b["s_nat"].isin(list(ns))]
+
+    regional = offers.map_batches(in_region, batch_format="pandas")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_partkey", sort=False)["cost"].transform("min")
+        return g[g["cost"].to_numpy(np.int64) == m.to_numpy(np.int64)]
+
+    winners = bucketed_apply(regional, ["l_partkey"], keep_min,
+                             n_buckets=n_buckets)
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["p_type"] == Q2_TYPE) & (b["p_size"].to_numpy(np.int64)
+                                        >= Q2_MIN_SIZE)
+        return b.loc[m, ["p_partkey", "p_name"]]
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_size"],
+    ).map_batches(part_filter, batch_format="pandas")
+
+    named = bucketed_attach(
+        winners, part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["l_partkey", "l_suppkey", "cost", "s_name", "s_nat",
+                   "s_acctbal"],
+        payload={"p_name": "p_name"}, payload_fill="",
+        left_fill={"l_partkey": np.int64(0), "l_suppkey": np.int64(0),
+                   "cost": np.int64(0), "s_name": "", "s_nat": np.int64(0),
+                   "s_acctbal": np.float64(0.0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                      "cost": "int64", "s_name": object, "s_nat": "int64",
+                      "s_acctbal": "float64", "p_name": object},
+    )
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "p_partkey": pa.array(b["l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "p_name": pa.array(b["p_name"], pa.string()),
+            "s_suppkey": pa.array(b["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(b["s_name"], pa.string()),
+            "s_acctbal": pa.array(b["s_acctbal"].to_numpy(np.float64),
+                                  pa.float64()),
+            "n_name": pa.array([nat_name[int(x)] for x in b["s_nat"]],
+                               pa.string()),
+            "min_cost_cents": pa.array(b["cost"].to_numpy(np.int64),
+                                       pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+        "s_acctbal": pa.array([], pa.float64()),
+        "n_name": pa.array([], pa.string()),
+        "min_cost_cents": pa.array([], pa.int64()),
+    }))
+    return named.map_batches(final, batch_format="pandas").union(seed)
+
+
+def sql_q2_min_cost_supplier() -> str:
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), rps AS (
+  SELECT ps.*, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+)
+SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, s_acctbal,
+       n_name, cost AS min_cost_cents
+FROM rps JOIN part ON l_partkey = p_partkey
+WHERE p_type = '{Q2_TYPE}' AND p_size >= {Q2_MIN_SIZE}
+  AND cost = (SELECT min(cost) FROM rps r2
+              WHERE r2.l_partkey = rps.l_partkey)"""
+
+
+Q11_REGION = "ASIA"
+Q11_SHARE_DENOM = 1000  # keep parts with value * DENOM > total (exact ints)
+
+
+def q11_important_stock(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q11 shape: parts whose inventory value held by one region's
+    suppliers exceeds a fixed fraction of the region total ->
+    (p_partkey, value_cents).
+
+    Plan: supplier nation rides one bucketed attach onto the fact stream
+    (supplier scales with SF), the region filter is an isin against the
+    25-nation broadcast, per-part value is a bucketed int64-cents sum, and
+    the HAVING-over-global-scalar folds from the AGGREGATED per-part table
+    (Dataset.sum scalar — part-cardinality input, same boundedness as
+    q15's supplier materialize). The share test is exact integer math:
+    value * {Q11_SHARE_DENOM} > total, never a float division."""
+    from ..functions.bucketing import bucketed_attach, bucketed_sum
+
+    nations = _region_nations(sf_dir, Q11_REGION)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "vc": _cents(b["l_extendedprice"].to_numpy()),
+        }), batch_format="pandas")
+
+    li = bucketed_attach(
+        li, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_partkey", "vc"],
+        payload={"s_nationkey": "s_nat"}, payload_fill=np.int64(0),
+        left_fill={"l_partkey": np.int64(0), "vc": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_partkey": "int64", "vc": "int64", "s_nat": "int64"},
+    )
+
+    nat_ref = ray.put(nations)
+
+    def in_region(b: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(nat_ref)
+        return b.loc[b["s_nat"].isin(list(ns)), ["l_partkey", "vc"]]
+
+    regional = li.map_batches(in_region, batch_format="pandas")
+    per_part = bucketed_sum(regional, ["l_partkey"], "vc",
+                            n_buckets).materialize()  # part-bounded
+
+    seed = rd.from_arrow(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "value_cents": pa.array([], pa.int64()),
+    }))
+    if per_part.count() == 0:
+        return seed
+    total = int(per_part.sum("vc"))
+
+    def keep(b: pd.DataFrame) -> pa.Table:
+        v = b["vc"].to_numpy(np.int64)
+        m = v * Q11_SHARE_DENOM > total
+        return pa.table({
+            "p_partkey": pa.array(b.loc[m, "l_partkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "value_cents": pa.array(v[m], pa.int64()),
+        })
+
+    return per_part.map_batches(keep, batch_format="pandas").union(seed)
+
+
+def sql_q11_important_stock() -> str:
+    return f"""
+WITH rli AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'
+)
+SELECT l_partkey AS p_partkey, CAST(sum(vc) AS BIGINT) AS value_cents
+FROM rli GROUP BY l_partkey
+HAVING CAST(sum(vc) AS BIGINT) * {Q11_SHARE_DENOM}
+       > (SELECT CAST(sum(vc) AS BIGINT) FROM rli)"""
+
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE = "PROMO"         # p_type <> analog of NOT LIKE 'MEDIUM%'
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+Q16_ACCTBAL_MIN = 1000.0        # s_comment complaints analog: exclude below
+
+
+def q16_supplier_counts(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    class, excluding one brand/type, a size whitelist, and "complaint"
+    suppliers (acctbal analog) -> (p_brand, p_type, p_size, supplier_cnt).
+
+    Plan: the (part, supplier) offer grain is a bucketed DISTINCT over the
+    fact stream (partial drop_duplicates per batch bounds shuffle volume);
+    complaint suppliers leave via a bucketed ANTI join (supplier scales
+    with SF — never a driver set); part attrs ride the inner attach which
+    doubles as the class filter; the distinct supplier count folds in one
+    more partial-deduped exchange, and the final count is class-bounded
+    (25 brands x 6 types x {len(Q16_SIZES)} sizes) so it coalesces to one
+    block without an AllToAll."""
+    from ..functions.bucketing import (bucketed_attach, bucketed_distinct,
+                                       bucketed_semi)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"],
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+        }), batch_format="pandas")
+    pairs = bucketed_distinct(li, ["l_partkey", "l_suppkey"], n_buckets)
+
+    excluded = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"],
+        filter=(pc.field("s_acctbal") < Q16_ACCTBAL_MIN),
+    )
+    pairs = bucketed_semi(
+        pairs, excluded, left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_partkey", "l_suppkey"], anti=True,
+        left_fill={"l_partkey": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_partkey": "int64", "l_suppkey": "int64"},
+    )
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b["p_brand"] != Q16_EXCL_BRAND)
+             & (b["p_type"] != Q16_EXCL_TYPE)
+             & b["p_size"].isin(list(Q16_SIZES)))
+        return b.loc[m, ["p_partkey", "p_brand", "p_type", "p_size"]]
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(part_filter, batch_format="pandas")
+
+    classed = bucketed_attach(
+        pairs, part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["l_suppkey"],
+        payload={"p_brand": "p_brand", "p_type": "p_type",
+                 "p_size": "p_size"},
+        payload_fill={"p_brand": "", "p_type": "", "p_size": np.int64(0)},
+        left_fill={}, n_buckets=n_buckets,
+        empty_dtypes={"l_suppkey": "int64", "p_brand": object,
+                      "p_type": object, "p_size": "int64"},
+    )
+
+    # distinct (class, supplier) — partial dedup per batch, one exchange
+    dsupp = bucketed_distinct(
+        classed, ["p_brand", "p_type", "p_size", "l_suppkey"], n_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["p_brand", "p_type", "p_size"], sort=False)
+                .size().rename("supplier_cnt").reset_index())
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        g = (b.groupby(["p_brand", "p_type", "p_size"], sort=False,
+                       as_index=False)["supplier_cnt"].sum()
+             if len(b) else b)
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"], pa.string()),
+            "p_type": pa.array(g["p_type"], pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(
+                g["supplier_cnt"].to_numpy(np.int64), pa.int64()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "p_brand": pa.array([], pa.string()),
+        "p_type": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int64()),
+        "supplier_cnt": pa.array([], pa.int64()),
+    }))
+    return (dsupp.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None)
+            .union(seed))
+
+
+def sql_q16_supplier_counts() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < {Q16_ACCTBAL_MIN})
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN ({sizes})
+GROUP BY p_brand, p_type, p_size"""
+
+
+Q20_YEAR = 1997
+Q20_PREFIX = "cold"
+Q20_REGION = "AMERICA"
+
+
+def q20_excess_suppliers(sf_dir: str, n_buckets: int = 64):
+    """TPC-H Q20 shape: suppliers in one region who dominate the supply of
+    some name-prefixed part over one year (pair qty > half the part's
+    total) -> (s_suppkey, s_name).
+
+    Plan: the year predicate pushes into the parquet scan; the part-name
+    semi filter is a bucketed SEMI (part scales with SF); the pair grain
+    is a bucketed int64 sum; the NESTED aggregate (pair vs per-part total)
+    is ONE exchange on partkey — transform-sum inside the bucket, dominance
+    test vectorized (2*pair > total, exact ints); the surviving supplier
+    set is distinct-folded, named via a bucketed attach, and region-
+    filtered against the 25-nation broadcast."""
+    from datetime import datetime
+
+    from ..functions.bucketing import (bucketed_apply, bucketed_attach,
+                                       bucketed_distinct, bucketed_semi,
+                                       bucketed_sum)
+
+    nations = _region_nations(sf_dir, Q20_REGION)
+    lo = pa.scalar(datetime(Q20_YEAR, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(Q20_YEAR + 1, 1, 1), pa.timestamp("us"))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(
+        lambda b: pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+            "qty": np.floor(b["l_quantity"].to_numpy()
+                            + 0.5).astype(np.int64),
+        }), batch_format="pandas")
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["p_name"].str.startswith(Q20_PREFIX), ["p_partkey"]]
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"],
+    ).map_batches(part_filter, batch_format="pandas")
+
+    li = bucketed_semi(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        left_cols=["l_partkey", "l_suppkey", "qty"],
+        left_fill={"l_suppkey": np.int64(0), "qty": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"l_partkey": "int64", "l_suppkey": "int64",
+                      "qty": "int64"},
+    )
+    pairs = bucketed_sum(li, ["l_partkey", "l_suppkey"], "qty", n_buckets)
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        keep = 2 * g["qty"].to_numpy(np.int64) > tot.to_numpy(np.int64)
+        return g.loc[keep, ["l_suppkey"]]
+
+    supps = bucketed_apply(pairs, ["l_partkey"], dominant,
+                           n_buckets=n_buckets)
+    supps = bucketed_distinct(supps, ["l_suppkey"], n_buckets)
+
+    named = bucketed_attach(
+        supps, rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_name",
+                                        "s_nationkey"]),
+        left_on="l_suppkey", right_on="s_suppkey",
+        left_cols=["l_suppkey"],
+        payload={"s_name": "s_name", "s_nationkey": "s_nat"},
+        payload_fill={"s_name": "", "s_nat": np.int64(0)},
+        left_fill={}, n_buckets=n_buckets,
+        empty_dtypes={"l_suppkey": "int64", "s_name": object,
+                      "s_nat": "int64"},
+    )
+
+    nat_ref = ray.put(nations)
+
+    def final(b: pd.DataFrame) -> pa.Table:
+        ns = ray.get(nat_ref)
+        kept = b[b["s_nat"].isin(list(ns))]
+        return pa.table({
+            "s_suppkey": pa.array(kept["l_suppkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "s_name": pa.array(kept["s_name"], pa.string()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "s_name": pa.array([], pa.string()),
+    }))
+    return named.map_batches(final, batch_format="pandas").union(seed)
+
+
+def sql_q20_excess_suppliers() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+    AND l_shipdate <  TIMESTAMP '{Q20_YEAR + 1}-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '{Q20_PREFIX}%')
+), pairs AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS t FROM pairs
+  GROUP BY l_partkey
+), dom AS (
+  SELECT DISTINCT l_suppkey FROM pairs JOIN tot USING (l_partkey)
+  WHERE 2 * qty > t
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN dom ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'"""
