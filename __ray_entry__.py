@@ -421,6 +421,15 @@ def _kg_random_walks(sf_dir: str):
     return random_walks(_kg(sf_dir, "edges"))
 
 
+def _kg_walk_skipgrams(sf_dir: str):
+    """Skip-gram (center, context) pairs within a 2-step window over the
+    deterministic walk corpus — the DeepWalk -> word2vec bridge stage."""
+    from robokop_build_ray.stages.graph_metrics import (random_walks,
+                                                       walk_skipgrams)
+
+    return walk_skipgrams(random_walks(_kg(sf_dir, "edges")), window=2)
+
+
 def _media_features(sf_dir: str):
     """Multimodal probe driver consumer: every media payload decoded
     through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
@@ -690,6 +699,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_weighted_sssp": _kg_weighted_sssp,
         # DeepWalk-style deterministic walk corpus (md5 position hash)
         "kg_random_walks": _kg_random_walks,
+        # skip-gram (center, context) pairs over the walk corpus — the
+        # pair-generation pass feeding word2vec-style embedding training
+        "kg_walk_skipgrams": _kg_walk_skipgrams,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -1068,6 +1080,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),
+        "kg_walk_skipgrams": entry_sql.sql_walk_skipgrams(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),

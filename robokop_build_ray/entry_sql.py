@@ -1155,3 +1155,16 @@ s0 AS (SELECT id, CAST(walk AS BIGINT) AS walk, 0 AS step, id AS node
        FROM w),
 {steps_sql}
 {unions}"""
+
+
+def sql_walk_skipgrams(tier: str, window: int = 2) -> str:
+    """Oracle for graph_metrics.walk_skipgrams: the unrolled walk corpus
+    (sql_random_walks) self-joined within the step window."""
+    return f"""WITH walks AS (
+{sql_random_walks(tier)}
+)
+SELECT a.id, a.walk, a.step AS center_step, b.step AS context_step,
+       a.node AS center, b.node AS context
+FROM walks a JOIN walks b
+  ON a.id = b.id AND a.walk = b.walk
+ AND a.step <> b.step AND abs(a.step - b.step) <= {window}"""

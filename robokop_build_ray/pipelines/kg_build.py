@@ -22,6 +22,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any
 
+import pandas as pd
 import pyarrow.parquet as pq
 import ray
 
@@ -326,34 +327,43 @@ def path_filter_varlen(canonical, path: str, nodeinfo_ref):
         leg_state.append((xs, ys, lo, hi, cnt_x, cnt_y))
     state_ref = _ray.put((types, leg_state))
 
-    class VarLenFilter:
-        def __init__(self):
-            self.types, self.legs = _ray.get(state_ref)
+    return canonical.map_batches(
+        VarLenFilter, batch_format="pandas", concurrency=(1, 2),
+        fn_constructor_kwargs={"state_ref": state_ref})
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ta = b["subj_id"].map(self.types)
-            tb = b["obj_id"].map(self.types)
-            keep = pd.Series(False, index=b.index)
-            for xs, ys, lo, hi, cnt_x, cnt_y in self.legs:
-                in_xa, in_ya = ta.isin(xs), ta.isin(ys)
-                in_xb, in_yb = tb.isin(xs), tb.isin(ys)
-                if lo <= 1:
-                    keep |= (in_xa & in_yb) | (in_ya & in_xb)
-                if hi >= 2:
-                    # outer endpoint on one side, middle on the other: a
-                    # 2-path x-m-y exists iff the middle has ANOTHER
-                    # neighbor of the far type (its own partner excluded
-                    # when its type already falls in that set)
-                    nyb = b["obj_id"].map(cnt_y).fillna(0) - in_ya
-                    nxb = b["obj_id"].map(cnt_x).fillna(0) - in_xa
-                    nya = b["subj_id"].map(cnt_y).fillna(0) - in_yb
-                    nxa = b["subj_id"].map(cnt_x).fillna(0) - in_xb
-                    keep |= (in_xa & (nyb >= 1)) | (in_ya & (nxb >= 1))
-                    keep |= (in_xb & (nya >= 1)) | (in_yb & (nxa >= 1))
-            return b[keep]
 
-    return canonical.map_batches(VarLenFilter, batch_format="pandas",
-                                 concurrency=(1, 2))
+class VarLenFilter:
+    """MODULE-LEVEL actor UDF (CLAUDE.md rule: local classes pickle by
+    value, so workers skip the package import that installs the
+    empty-block size-warning filter and re-ship the class per task);
+    broadcast state arrives via ``fn_constructor_kwargs``."""
+
+    def __init__(self, state_ref):
+        import ray as _ray
+
+        self.types, self.legs = _ray.get(state_ref)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        ta = b["subj_id"].map(self.types)
+        tb = b["obj_id"].map(self.types)
+        keep = pd.Series(False, index=b.index)
+        for xs, ys, lo, hi, cnt_x, cnt_y in self.legs:
+            in_xa, in_ya = ta.isin(xs), ta.isin(ys)
+            in_xb, in_yb = tb.isin(xs), tb.isin(ys)
+            if lo <= 1:
+                keep |= (in_xa & in_yb) | (in_ya & in_xb)
+            if hi >= 2:
+                # outer endpoint on one side, middle on the other: a
+                # 2-path x-m-y exists iff the middle has ANOTHER
+                # neighbor of the far type (its own partner excluded
+                # when its type already falls in that set)
+                nyb = b["obj_id"].map(cnt_y).fillna(0) - in_ya
+                nxb = b["obj_id"].map(cnt_x).fillna(0) - in_xa
+                nya = b["subj_id"].map(cnt_y).fillna(0) - in_yb
+                nxa = b["subj_id"].map(cnt_x).fillna(0) - in_xb
+                keep |= (in_xa & (nyb >= 1)) | (in_ya & (nxb >= 1))
+                keep |= (in_xb & (nya >= 1)) | (in_yb & (nxa >= 1))
+        return b[keep]
 
 
 def combined_edges(graph: dict[str, Any],

@@ -683,3 +683,58 @@ def random_walks(edges, n_walks: int = 2, walk_len: int = 3,
         "step": pa.array([r[2] for r in rows], pa.int64()),
         "node": pa.array([r[3] for r in rows], pa.string()),
     }))
+
+
+def walk_skipgrams(walks, window: int = 2, n_buckets: int = 64):
+    """Skip-gram training pairs over a walk corpus: for every walk
+    sequence, all (center, context) node pairs within ``window`` steps ->
+    Dataset(id, walk, center_step, context_step, center, context) — the
+    pair-generation pass that turns the DeepWalk corpus into word2vec
+    input (Perozzi et al. 2014, public method).
+
+    Scale shape: all rows of one (start, walk) sequence co-locate through
+    ONE bucketed exchange keyed on the sequence id; pairing is the
+    repeat+offset numpy pattern (sort by step once, compare arrays shifted
+    by d for d in 1..window — no per-sequence Python loop), identical to
+    the vectorized support pair generator (``support._pairs_all``).
+    Shuffle volume is the walk corpus itself; output is corpus x
+    ~2*window rows, streamed — never collected."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id", "walk", "center_step", "context_step",
+                "center", "context"]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "id": pd.Series([], dtype=object),
+                "walk": pd.Series([], dtype="int64"),
+                "center_step": pd.Series([], dtype="int64"),
+                "context_step": pd.Series([], dtype="int64"),
+                "center": pd.Series([], dtype=object),
+                "context": pd.Series([], dtype=object)})
+        g = g.sort_values(["id", "walk", "step"], kind="mergesort")
+        ids = g["id"].to_numpy()
+        wk = g["walk"].to_numpy(np.int64)
+        st = g["step"].to_numpy(np.int64)
+        nd = g["node"].to_numpy()
+        outs = []
+        for d in range(1, window + 1):
+            if d >= len(g):
+                break
+            m = ((ids[:-d] == ids[d:]) & (wk[:-d] == wk[d:])
+                 & (st[d:] - st[:-d] == d))
+            # both directions: center before context and after
+            outs.append(pd.DataFrame({
+                "id": ids[:-d][m], "walk": wk[:-d][m],
+                "center_step": st[:-d][m], "context_step": st[d:][m],
+                "center": nd[:-d][m], "context": nd[d:][m]}))
+            outs.append(pd.DataFrame({
+                "id": ids[:-d][m], "walk": wk[:-d][m],
+                "center_step": st[d:][m], "context_step": st[:-d][m],
+                "center": nd[d:][m], "context": nd[:-d][m]}))
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pairs(g.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)[cols]
+
+    return bucketed_apply(walks, ["id", "walk"], pairs,
+                          n_buckets=n_buckets)
