@@ -32,6 +32,56 @@ def _bucket_col(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+class _PrepBatch:
+    """MODULE-LEVEL callable (CLAUDE.md rule): instances of module-level
+    classes unpickle via the package import, which installs the
+    empty-block log filters in every worker — function-local closures
+    pickle by value and skip it (worker-side warning storms)."""
+
+    def __init__(self, keys, n_buckets, partial_fn):
+        self.keys = keys
+        self.n_buckets = n_buckets
+        self.partial_fn = partial_fn
+        self.__name__ = "prep"  # operator display + map_groups contract
+
+    def __call__(self, batch: pd.DataFrame):
+        import pyarrow as pa
+
+        if self.partial_fn is not None:
+            batch = self.partial_fn(batch)
+        batch = batch.copy()
+        if len(batch) == 0:
+            batch["_b"] = pd.Series([], dtype="int64")
+            batch["_s"] = pd.Series([], dtype="int64")
+            return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
+        batch["_b"] = _bucket_col(batch, self.keys, self.n_buckets)
+        batch["_s"] = 0
+        # SENTINEL PADDING: one type-perfect row (copied from the batch) per
+        # bucket id, dropped again in `_RunBucket`. Guarantees every reduce
+        # partition is non-empty — Ray's sort emits ZERO-COLUMN blocks for
+        # empty partitions, which bypass map operators and crash any later
+        # AllToAll concat (acero joins and repartition both choke on them).
+        pad = batch.iloc[[0] * self.n_buckets].copy()
+        pad["_b"] = np.arange(self.n_buckets, dtype=np.int64)
+        pad["_s"] = 1
+        out = pd.concat([batch, pad], ignore_index=True)
+        # emit ARROW blocks: the AllToAll exchange serializes pandas object
+        # columns via pickle, Arrow string columns zero-copy
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+class _RunBucket:
+    """Module-level for the same worker-import reason as ``_PrepBatch``."""
+
+    def __init__(self, bucket_fn):
+        self.bucket_fn = bucket_fn
+        self.__name__ = "run"  # operator display + map_groups contract
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        real = group.loc[group["_s"] == 0]
+        return self.bucket_fn(real.drop(columns=["_b", "_s"]))
+
+
 def bucketed_apply(
     ds,
     keys: list[str],
@@ -43,36 +93,6 @@ def bucketed_apply(
     """Generic bucketed exchange: optional per-batch partial -> one shuffle
     on the key-hash bucket -> ``bucket_fn`` once per bucket (all rows of any
     key land in exactly one bucket)."""
-
-    def prep(batch: pd.DataFrame):
-        import pyarrow as pa
-
-        if partial_fn is not None:
-            batch = partial_fn(batch)
-        batch = batch.copy()
-        if len(batch) == 0:
-            batch["_b"] = pd.Series([], dtype="int64")
-            batch["_s"] = pd.Series([], dtype="int64")
-            return pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
-        batch["_b"] = _bucket_col(batch, keys, n_buckets)
-        batch["_s"] = 0
-        # SENTINEL PADDING: one type-perfect row (copied from the batch) per
-        # bucket id, dropped again in `run`. Guarantees every reduce
-        # partition is non-empty — Ray's sort emits ZERO-COLUMN blocks for
-        # empty partitions, which bypass map operators and crash any later
-        # AllToAll concat (acero joins and repartition both choke on them).
-        pad = batch.iloc[[0] * n_buckets].copy()
-        pad["_b"] = np.arange(n_buckets, dtype=np.int64)
-        pad["_s"] = 1
-        out = pd.concat([batch, pad], ignore_index=True)
-        # emit ARROW blocks: the AllToAll exchange serializes pandas object
-        # columns via pickle, Arrow string columns zero-copy
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
-
-    def run(group: pd.DataFrame) -> pd.DataFrame:
-        real = group.loc[group["_s"] == 0]
-        return bucket_fn(real.drop(columns=["_b", "_s"]))
-
     # COALESCE to n_buckets blocks before the exchange: Ray's sort-based
     # groupby creates one reduce partition PER INPUT BLOCK, so B blocks make
     # B x B shuffle objects with at most n_buckets non-empty — measured
@@ -80,10 +100,11 @@ def bucketed_apply(
     # block split/merge (no row re-keying), cost O(data) once.
     kw = {} if batch_size is None else {"batch_size": batch_size}
     return (
-        ds.map_batches(prep, batch_format="pandas", **kw)
+        ds.map_batches(_PrepBatch(keys, n_buckets, partial_fn),
+                       batch_format="pandas", **kw)
         .repartition(n_buckets)
         .groupby("_b")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(_RunBucket(bucket_fn), batch_format="pandas")
     )
 
 

@@ -27,7 +27,12 @@ def silence_empty_block_schema_warnings() -> None:
 
     class _F(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:
-            return "PandasBlockSchema(names=[], types=[])" not in record.getMessage()
+            msg = record.getMessage()
+            # two spellings of the same sort-emitted empty block: pandas
+            # (zero-column PandasBlockSchema) and Arrow (schema prints as
+            # nothing -> "new schema: ."); real mismatches still warn
+            return ("PandasBlockSchema(names=[], types=[])" not in msg
+                    and ", new schema: . This may lead" not in msg)
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
