@@ -125,3 +125,33 @@ def test_bucketed_apply_sparse_keys_typed_outputs():
     rows = [{"k": "a"}] * 30 + [{"k": "b"}] * 12
     out = bucketed_count(rd.from_items(rows).repartition(6), ["k"]).take_all()
     assert sorted((r["k"], r["c"]) for r in out) == [("a", 30), ("b", 12)]
+
+
+def test_bucketed_attach_mixed_payload_fill_and_widening():
+    """payload_fill as a per-column dict (mixed str/int/float payloads) and
+    dtype widening: an int32 right column must come back int64 when the
+    sentinel is int64 — one block schema across the union."""
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_attach
+
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(8)])
+    right_df = pd.DataFrame({
+        "rk": pd.Series(range(6), dtype="int64"),
+        "name": [f"n{i}" for i in range(6)],
+        "nat": pd.Series(range(6), dtype="int32"),   # narrow on purpose
+        "bal": pd.Series([1.5 * i for i in range(6)], dtype="float64"),
+    })
+    out = bucketed_attach(
+        left, rd.from_pandas(right_df), "k", "rk", ["k", "v"],
+        payload={"name": "name", "nat": "nat", "bal": "bal"},
+        payload_fill={"name": "", "nat": np.int64(0),
+                      "bal": np.float64(0.0)},
+        left_fill={"v": np.int64(0)}, n_buckets=4,
+    ).take_all()
+    got = sorted((r["k"], r["v"], r["name"], r["nat"], r["bal"])
+                 for r in out)
+    want = [(i, i * 10, f"n{i}", i, 1.5 * i) for i in range(6)]
+    assert got == want
+    assert all(isinstance(r["nat"], int) for r in out)  # widened, not i32
