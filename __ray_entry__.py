@@ -430,6 +430,17 @@ def _kg_walk_skipgrams(sf_dir: str):
     return walk_skipgrams(random_walks(_kg(sf_dir, "edges")), window=2)
 
 
+def _kg_skipgram_negatives(sf_dir: str):
+    """k=2 deterministic negatives per skip-gram pair (md5 positional
+    hash mod the sorted node universe) — completes the word2vec-style
+    training-input surface: walks -> pairs -> negatives."""
+    from robokop_build_ray.stages.graph_metrics import (
+        random_walks, walk_skipgram_negatives, walk_skipgrams)
+
+    pairs = walk_skipgrams(random_walks(_kg(sf_dir, "edges")), window=2)
+    return walk_skipgram_negatives(pairs, k=2)
+
+
 def _media_features(sf_dir: str):
     """Multimodal probe driver consumer: every media payload decoded
     through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
@@ -702,6 +713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skip-gram (center, context) pairs over the walk corpus — the
         # pair-generation pass feeding word2vec-style embedding training
         "kg_walk_skipgrams": _kg_walk_skipgrams,
+        # deterministic negative sampling over those pairs (md5 mod-index)
+        "kg_skipgram_negatives": _kg_skipgram_negatives,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -1081,6 +1094,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),
         "kg_walk_skipgrams": entry_sql.sql_walk_skipgrams(t),
+        "kg_skipgram_negatives": entry_sql.sql_skipgram_negatives(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),

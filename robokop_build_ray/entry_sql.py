@@ -1168,3 +1168,30 @@ SELECT a.id, a.walk, a.step AS center_step, b.step AS context_step,
 FROM walks a JOIN walks b
   ON a.id = b.id AND a.walk = b.walk
  AND a.step <> b.step AND abs(a.step - b.step) <= {window}"""
+
+
+def sql_skipgram_negatives(tier: str, window: int = 2, k: int = 2) -> str:
+    """Oracle for graph_metrics.walk_skipgram_negatives: the skip-gram
+    pairs cross-joined with range(k), each negative re-derived by the
+    identical md5 positional hash mod the sorted node universe."""
+    return f"""WITH sg AS (
+{sql_walk_skipgrams(tier, window)}
+),
+uni AS (
+  SELECT id AS cand,
+         row_number() OVER (ORDER BY id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM (SELECT DISTINCT id FROM sg)
+),
+negs AS (
+  SELECT sg.*, CAST(i.i AS BIGINT) AS neg_rank,
+         CAST(('0x' || substr(md5(
+             sg.id || '|' || CAST(sg.walk AS VARCHAR) || '|' ||
+             CAST(sg.center_step AS VARCHAR) || '|' ||
+             CAST(sg.context_step AS VARCHAR) || '|' ||
+             CAST(i.i AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+  FROM sg CROSS JOIN (SELECT unnest(range({k})) AS i) i
+)
+SELECT id, walk, center_step, context_step, center, context,
+       neg_rank, cand AS negative
+FROM negs JOIN uni ON uni.rk = CAST(negs.h % uni.n AS BIGINT)"""

@@ -738,3 +738,63 @@ def walk_skipgrams(walks, window: int = 2, n_buckets: int = 64):
 
     return bucketed_apply(walks, ["id", "walk"], pairs,
                           n_buckets=n_buckets)
+
+
+class _NegSampler:
+    """MODULE-LEVEL actor UDF (CLAUDE.md rule); the node universe arrives
+    via ``fn_constructor_kwargs`` as an object-store ref — read once per
+    actor, never re-shipped per batch."""
+
+    def __init__(self, nodes_ref, k: int):
+        import ray as _ray
+
+        self.nodes = np.asarray(_ray.get(nodes_ref), dtype=object)
+        self.k = k
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        reps = b.loc[b.index.repeat(self.k)].reset_index(drop=True)
+        ranks = np.tile(np.arange(self.k, dtype=np.int64), len(b))
+        # md5 positional hash — the walks' determinism convention
+        # (recomputable bit-for-bit by the DuckDB oracle; same
+        # O(corpus x k) cost class as the parity fingerprint ops)
+        idx = np.fromiter(
+            (int(hashlib.md5(f"{i}|{w}|{cs}|{xs}|{r}".encode())
+                 .hexdigest()[:8], 16)
+             for i, w, cs, xs, r in zip(
+                 reps["id"], reps["walk"], reps["center_step"],
+                 reps["context_step"], ranks)),
+            dtype=np.int64, count=len(reps)) % len(self.nodes)
+        reps["neg_rank"] = ranks
+        reps["negative"] = self.nodes[idx]
+        return reps
+
+
+def walk_skipgram_negatives(pairs, k: int = 2, n_buckets: int = 64):
+    """Negative sampling for skip-gram training (Mikolov et al. 2013,
+    public method): each (center, context) pair gains ``k`` deterministic
+    negatives -> the input columns plus (neg_rank, negative).
+
+    The negative for (pair, i) is the node at index
+    ``md5(id|walk|center_step|context_step|i)[:8] mod N`` in the SORTED
+    node universe — a pure function of the pair, so identical at any
+    parallelism and recomputable by the oracle. Standard word2vec does
+    not exclude accidental positives; neither does this (documented
+    contract, matches the oracle exactly).
+
+    Scale shape: the universe is the pair-bearing walk-start node set —
+    entity-bounded (gazetteer components, the same bound as BFS /
+    components driver state) — broadcast once via ``ray.put``; the pair
+    stream maps through an actor pool with O(corpus x k) hashing and no
+    shuffle at all. The pairs dataset is consumed twice (universe +
+    sampling), so callers pass a materialized/checkpointed pairs input
+    at real scale."""
+    pairs = pairs.materialize()  # entity x window-bounded, read twice
+    ids = bucketed_distinct(
+        pairs.select_columns(["id"]), ["id"], n_buckets).take_all()
+    universe = sorted(r["id"] for r in ids)
+    nodes_ref = ray.put(universe)
+    return pairs.map_batches(
+        _NegSampler, batch_format="pandas", concurrency=(1, 2),
+        fn_constructor_kwargs={"nodes_ref": nodes_ref, "k": k})
