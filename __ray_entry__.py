@@ -240,6 +240,14 @@ def _kg_kcore(sf_dir: str):
     return kcore(_kg(sf_dir, "edges"))
 
 
+def _kg_label_prop(sf_dir: str):
+    """Synchronous label-propagation community detection (fixed SPEC
+    rounds, hybrid local/distributed like kcore/pagerank)."""
+    from robokop_build_ray.stages.graph_metrics import label_propagation
+
+    return label_propagation(_kg(sf_dir, "edges"))
+
+
 def _kg_metapath_2hop(sf_dir: str):
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
     import pandas as pd
@@ -597,6 +605,7 @@ _R02_DRIVER_CHECKED = frozenset({
     "kg_support_underexpected", "kg_turns_ordered", "kg_components",
     "kg_component_sizes", "kg_pagerank", "kg_degree_topk", "kg_triangles",
     "kg_neighbor_jaccard", "kg_metapath_2hop", "kg_kcore",
+    "kg_label_prop",
     "kg_bfs_distances", "kg_weighted_sssp", "kg_support_pubs",
     "kg_edges_full", "kg_path_filtered", "q1_pricing_summary",
     "q3_top_orders", "nation_revenue", "q5_local_supplier_volume",
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_jaccard": _kg_neighbor_jaccard,
         "kg_metapath_2hop": _kg_metapath_2hop,
         "kg_kcore": _kg_kcore,
+        "kg_label_prop": _kg_label_prop,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1090,6 +1100,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_neighbor_jaccard": entry_sql.sql_neighbor_jaccard(t),
         "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
         "kg_kcore": entry_sql.sql_kcore(t),
+        "kg_label_prop": entry_sql.sql_label_prop(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1195,3 +1195,24 @@ negs AS (
 SELECT id, walk, center_step, context_step, center, context,
        neg_rank, cand AS negative
 FROM negs JOIN uni ON uni.rk = CAST(negs.h % uni.n AS BIGINT)"""
+
+
+def sql_label_prop(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.label_propagation: the synchronous rounds
+    unrolled (``rounds`` is the SPEC constant LABELPROP_ROUNDS); per round
+    each node adopts its neighbors' modal label, ties -> min label."""
+    p = corpus_paths(tier)
+    ctes = ["""l0 AS MATERIALIZED (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM adj))"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT a.id, p.label,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY count(*) DESC, p.label) AS rn
+    FROM adj a JOIN l{r - 1} p ON p.id = a.nb
+    GROUP BY a.id, p.label
+  ) WHERE rn = 1)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes)
+            + f"\nSELECT id, label FROM l{rounds}")

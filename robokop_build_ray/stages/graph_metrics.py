@@ -798,3 +798,105 @@ def walk_skipgram_negatives(pairs, k: int = 2, n_buckets: int = 64):
     return pairs.map_batches(
         _NegSampler, batch_format="pandas", concurrency=(1, 2),
         fn_constructor_kwargs={"nodes_ref": nodes_ref, "k": k})
+
+
+LABELPROP_ROUNDS = 3  # SPEC constant — oracle unrolls exactly this many
+
+
+def _local_label_prop(und, rounds: int):
+    """Driver numpy rounds for a pair table under the gate — identical
+    round semantics to the distributed path and the SQL oracle."""
+    import ray.data as rd
+
+    frames = list(und.iter_batches(batch_format="pandas", batch_size=65536))
+    df = (pd.concat(frames, ignore_index=True) if frames
+          else pd.DataFrame({"a": [], "b": []}))
+    empty = pa.table({"id": pa.array([], pa.string()),
+                      "label": pa.array([], pa.string())})
+    if len(df) == 0:
+        return rd.from_arrow(empty)
+    nodes = np.unique(np.concatenate([df["a"].to_numpy(dtype=object),
+                                      df["b"].to_numpy(dtype=object)]))
+    n = len(nodes)
+    ai = np.searchsorted(nodes, df["a"].to_numpy(dtype=object))
+    bi = np.searchsorted(nodes, df["b"].to_numpy(dtype=object))
+    # label as an index into the SORTED node array: index order IS
+    # lexicographic label order, so the min-label tie-break is an int min
+    lab = np.arange(n, dtype=np.int64)
+    centers = np.concatenate([ai, bi]).astype(np.int64)
+    others = np.concatenate([bi, ai]).astype(np.int64)
+    for _ in range(rounds):
+        key = centers * n + lab[others]
+        uk, cnt = np.unique(key, return_counts=True)
+        c, l = uk // n, uk % n
+        # per center: count desc, then label asc — first row after lexsort
+        order = np.lexsort((l, -cnt, c))
+        c_s, l_s = c[order], l[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        nxt = lab.copy()
+        nxt[c_s[first]] = l_s[first]
+        lab = nxt
+    return rd.from_arrow(pa.table({
+        "id": pa.array(nodes, pa.string()),
+        "label": pa.array(nodes[lab], pa.string()),
+    }))
+
+
+def label_propagation(edges, rounds: int = LABELPROP_ROUNDS,
+                      src: str = "subj_id", dst: str = "obj_id",
+                      n_buckets: int = 64, local_threshold: int = 1_000_000):
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, public method) over the undirected simple graph:
+    Dataset(id, label) after exactly ``rounds`` synchronous rounds of
+    "adopt the label most frequent among my neighbors, ties broken by the
+    lexicographically smallest label", starting from label(v) = v.
+
+    ``rounds`` is a SPEC constant like ``KCORE_ROUNDS``: the fully
+    deterministic synchronous variant (no random visit order) is what
+    makes the result oracle-checkable — both engine paths and the SQL
+    unroll the identical rounds, converged or not.
+
+    Hybrid scale shape (same gate as kcore/pagerank/components): under
+    the edge gate one driver numpy pass; above it, each round is one
+    corpus-scale adjacency map attaching the broadcast label dict + one
+    coalesced (id, label) count whose driver collect is bounded by
+    per-node distinct NEIGHBOR labels (<= |adjacency|, shrinking each
+    round as communities coalesce; the label dict itself is
+    entity-bounded, the components/BFS bound)."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    if und.count() <= local_threshold:
+        return _local_label_prop(und, rounds)
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    adj = _adjacency(und).materialize()  # read once per round
+    labels = {i: i for i in degree_map(und)}
+    for _ in range(rounds):
+        ref = ray.put(labels)
+
+        def attach(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            lbl = ray.get(_ref)
+            return pd.DataFrame({"id": b["id"],
+                                 "label": b["nb"].map(lbl)})
+
+        counted = coalesced_count(
+            adj.map_batches(attach, batch_format="pandas"),
+            ["id", "label"], name="c")
+        frames = list(counted.iter_batches(batch_format="pandas",
+                                           batch_size=None))
+        if not frames:
+            break
+        df = (pd.concat(frames, ignore_index=True)
+              .groupby(["id", "label"], sort=False)["c"].sum()
+              .reset_index()
+              .sort_values(["id", "c", "label"],
+                           ascending=[True, False, True], kind="mergesort")
+              .drop_duplicates("id"))
+        labels = dict(zip(df["id"], df["label"]))
+    ids = sorted(labels)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "label": pa.array([labels[i] for i in ids], pa.string()),
+    }))
