@@ -605,7 +605,6 @@ _R02_DRIVER_CHECKED = frozenset({
     "kg_support_underexpected", "kg_turns_ordered", "kg_components",
     "kg_component_sizes", "kg_pagerank", "kg_degree_topk", "kg_triangles",
     "kg_neighbor_jaccard", "kg_metapath_2hop", "kg_kcore",
-    "kg_label_prop",
     "kg_bfs_distances", "kg_weighted_sssp", "kg_support_pubs",
     "kg_edges_full", "kg_path_filtered", "q1_pricing_summary",
     "q3_top_orders", "nation_revenue", "q5_local_supplier_volume",
@@ -762,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": tmp.events_asof_join,
         "events_window_join": tmp.events_window_join,
         "events_user_topk": tmp.events_user_topk,
+        "events_session_table": tmp.events_session_table,
         # deterministic per-key sampling + fixed-enum pivot
         "events_user_sample": rel.events_user_sample,
         "events_type_pivot": rel.events_type_pivot,
@@ -1136,6 +1136,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_asof_join": tmp.sql_events_asof_join(),
         "events_window_join": tmp.sql_events_window_join(),
         "events_user_topk": tmp.sql_events_user_topk(),
+        "events_session_table": tmp.sql_events_session_table(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),
         "part_topk": rel.sql_part_topk(),

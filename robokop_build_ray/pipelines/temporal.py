@@ -283,3 +283,96 @@ SELECT user_id, rk, event_id, value_cents FROM (
                             ORDER BY value_cents DESC, event_id) AS rk
   FROM c
 ) WHERE rk <= {k}"""
+
+
+SESSION_TABLE_GAP_US = 86_400_000_000  # 24 h — session boundary SPEC
+
+
+def events_session_table(sf_dir: str, gap_us: int = SESSION_TABLE_GAP_US,
+                         n_buckets: int = 64):
+    """Sessionization at SESSION grain (the classic gap-based streaming
+    window): each user's events, ordered by (ts, event_id), split into
+    sessions wherever the inter-event gap exceeds ``gap_us``; one output
+    row per session with its span and value sum. Complements
+    ``relational.events_sessions`` (per-USER session counts) with the
+    session table itself — the grain a funnel / engagement pipeline joins
+    against.
+
+    Shape: one pruned scan -> ONE bucketed exchange on user hash -> per
+    bucket a single vectorized pass (sort by (user, ts, event_id), diff,
+    boundary cumsum, groupby-to-session) — no per-user Python loop; the
+    output is session-bounded, never event-scale per group.
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "value_cents": _cents_arr(t["value"]),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "session_idx": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "start_ts_us": pd.Series([], dtype=np.int64),
+                "end_ts_us": pd.Series([], dtype=np.int64),
+                "duration_us": pd.Series([], dtype=np.int64),
+                "value_cents": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess = np.cumsum(new) - 1  # global (bucket-local) session id
+        out = pd.DataFrame({
+            "user_id": uid, "_s": sess, "ts_us": ts,
+            "value_cents": g["value_cents"].to_numpy(),
+        })
+        agg = out.groupby("_s", sort=True).agg(
+            user_id=("user_id", "first"), n_events=("ts_us", "size"),
+            start_ts_us=("ts_us", "min"), end_ts_us=("ts_us", "max"),
+            value_cents=("value_cents", "sum")).reset_index(drop=True)
+        # session_idx = 0-based rank within user (sessions are already in
+        # time order because the sort was (user, ts))
+        agg["session_idx"] = agg.groupby("user_id", sort=False).cumcount()
+        agg["duration_us"] = agg["end_ts_us"] - agg["start_ts_us"]
+        return agg[["user_id", "session_idx", "n_events", "start_ts_us",
+                    "end_ts_us", "duration_us", "value_cents"]]
+
+    return bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], sessions, n_buckets=n_buckets)
+
+
+def sql_events_session_table(gap_us: int = SESSION_TABLE_GAP_US) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+),
+flag AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us}
+                   OR lag(ts_us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_idx
+  FROM flag
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_us) AS start_ts_us, max(ts_us) AS end_ts_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx"""

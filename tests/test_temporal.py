@@ -108,3 +108,20 @@ def test_user_topk_tie_on_cents_prefers_lower_event_id(tmp_path):
     out = (tmp.events_user_topk(str(tmp_path), k=2).to_pandas()
            .sort_values("rk"))
     assert out["event_id"].tolist() == [10, 11]
+
+
+def test_session_table_hand_values(events_dir):
+    # gap 30 s: user 1 -> sessions {10,20,25,26} then {100000};
+    # user 2 -> {5, 9}; user 3 -> {7}
+    out = (tmp.events_session_table(events_dir, gap_us=30 * US,
+                                    n_buckets=4).to_pandas()
+           .sort_values(["user_id", "session_idx"])
+           .reset_index(drop=True))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == [
+        (1, 0, 4, 10 * US, 26 * US, 16 * US, 1349),
+        (1, 1, 1, 100_000 * US, 100_000 * US, 0, 25),
+        (2, 0, 2, 5 * US, 9 * US, 4 * US, 450),
+        (3, 0, 1, 7 * US, 7 * US, 0, 400),
+    ]
+    assert all(str(out[c].dtype) == "int64" for c in out.columns)
