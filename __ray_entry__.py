@@ -248,6 +248,14 @@ def _kg_label_prop(sf_dir: str):
     return label_propagation(_kg(sf_dir, "edges"))
 
 
+def _kg_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient (triangles / C(deg,2)) — composes the
+    triangle and degree tables through one bucketed exchange."""
+    from robokop_build_ray.stages.graph_metrics import clustering_coefficient
+
+    return clustering_coefficient(_kg(sf_dir, "edges"))
+
+
 def _kg_metapath_2hop(sf_dir: str):
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
     import pandas as pd
@@ -713,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_metapath_2hop": _kg_metapath_2hop,
         "kg_kcore": _kg_kcore,
         "kg_label_prop": _kg_label_prop,
+        "kg_clustering_coeff": _kg_clustering_coeff,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1101,6 +1110,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_metapath_2hop": entry_sql.sql_metapath_2hop(t),
         "kg_kcore": entry_sql.sql_kcore(t),
         "kg_label_prop": entry_sql.sql_label_prop(t),
+        "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

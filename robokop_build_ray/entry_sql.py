@@ -1216,3 +1216,30 @@ def sql_label_prop(tier: str, rounds: int = 3) -> str:
     return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
             + ",\n".join(ctes)
             + f"\nSELECT id, label FROM l{rounds}")
+
+
+def sql_clustering_coeff(tier: str) -> str:
+    """Oracle for graph_metrics.clustering_coefficient: triangle counts
+    (a<b<c enumeration) LEFT-joined to distinct-neighbor degree; the
+    coefficient is the identical single float division."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ids AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcnt AS (SELECT id, count(*) AS t FROM ids GROUP BY id)
+SELECT d.id, d.deg, CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN 2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tcnt t ON t.id = d.id"""

@@ -900,3 +900,52 @@ def label_propagation(edges, rounds: int = LABELPROP_ROUNDS,
         "id": pa.array(ids, pa.string()),
         "label": pa.array([labels[i] for i in ids], pa.string()),
     }))
+
+
+def clustering_coefficient(edges, src: str = "subj_id",
+                           dst: str = "obj_id", n_buckets: int = 64):
+    """Local clustering coefficient per node (Watts-Strogatz 1998):
+    Dataset(id, deg, n_triangles, coeff) over the undirected simple
+    graph, coeff = triangles / C(deg, 2) (0.0 when deg < 2).
+
+    Composition, not new machinery: the exact triangle counts
+    (:func:`triangles_per_node`) and the distinct-neighbor degree table
+    union into ONE bucketed exchange keyed by node — the LEFT semantics
+    (every node gets a row; no-triangle nodes get 0) come from summing
+    typed zero-filled sides, not a join. The coefficient is ONE float64
+    division of two exact ints (repo float invariant), bit-identical to
+    the DuckDB oracle."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg = bucketed_count(_adjacency(und), ["id"], name="deg", n_buckets=n_buckets)
+    tri = triangles_per_node(edges, src, dst, n_buckets)
+
+    def tag_deg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["id"],
+                             "deg": b["deg"].astype(np.int64),
+                             "tri": np.zeros(len(b), dtype=np.int64)})
+
+    def tag_tri(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["id"],
+                             "deg": np.zeros(len(b), dtype=np.int64),
+                             "tri": b["n_triangles"].astype(np.int64)})
+
+    u = deg.map_batches(tag_deg, batch_format="pandas").union(
+        tri.map_batches(tag_tri, batch_format="pandas"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "id" not in g.columns:
+            return pd.DataFrame({
+                "id": pd.Series([], dtype=object),
+                "deg": pd.Series([], dtype=np.int64),
+                "n_triangles": pd.Series([], dtype=np.int64),
+                "coeff": pd.Series([], dtype=np.float64)})
+        m = g.groupby("id", sort=False, as_index=False)[["deg", "tri"]].sum()
+        d = m["deg"].to_numpy(np.int64)
+        t = m["tri"].to_numpy(np.int64)
+        denom = d * (d - 1)
+        coeff = np.divide(2.0 * t, denom, out=np.zeros(len(m)),
+                          where=denom > 0)
+        return pd.DataFrame({"id": m["id"], "deg": d, "n_triangles": t,
+                             "coeff": coeff})
+
+    return bucketed_apply(u, ["id"], final, None, n_buckets)
