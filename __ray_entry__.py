@@ -256,6 +256,15 @@ def _kg_clustering_coeff(sf_dir: str):
     return clustering_coefficient(_kg(sf_dir, "edges"))
 
 
+def _kg_harmonic(sf_dir: str):
+    """Sampled harmonic centrality (Eppstein-Wang estimator shape) from
+    the 8 lexicographically-smallest nodes; integer-exact LCM accumulation
+    keeps the float bit-identical to the oracle."""
+    from robokop_build_ray.stages.graph_metrics import harmonic_centrality
+
+    return harmonic_centrality(_kg(sf_dir, "edges"))
+
+
 def _kg_metapath_2hop(sf_dir: str):
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
     import pandas as pd
@@ -722,6 +731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _kg_kcore,
         "kg_label_prop": _kg_label_prop,
         "kg_clustering_coeff": _kg_clustering_coeff,
+        # sampled harmonic centrality (k seed-BFS, integer LCM fold)
+        "kg_harmonic": _kg_harmonic,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1111,6 +1122,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_kcore": entry_sql.sql_kcore(t),
         "kg_label_prop": entry_sql.sql_label_prop(t),
         "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
+        "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

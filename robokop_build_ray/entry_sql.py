@@ -1243,3 +1243,30 @@ SELECT d.id, d.deg, CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
             THEN 2.0 * coalesce(t.t, 0) / (d.deg * (d.deg - 1))
             ELSE 0.0 END AS coeff
 FROM deg d LEFT JOIN tcnt t ON t.id = d.id"""
+
+
+def sql_harmonic_centrality(tier: str, n_seeds: int = 8,
+                            rounds: int = 4) -> str:
+    """Oracle for graph_metrics.harmonic_centrality: per-seed BFS via a
+    recursive CTE from the ``n_seeds`` lexicographically-smallest graph
+    nodes, min(dist) per (seed, node), then the identical integer LCM
+    accumulation — harmonic is ONE division so the float is bit-identical."""
+    import math
+
+    lcm = math.lcm(*range(1, rounds + 1))
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj),
+seeds AS (SELECT id AS s FROM nodes ORDER BY id LIMIT {n_seeds}),
+bfs(s, id, dist) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT b.s, adj.nb, b.dist + 1 FROM bfs b JOIN adj ON adj.id = b.id
+  WHERE b.dist < {rounds}
+),
+d AS (SELECT s, id, min(dist) AS dist FROM bfs GROUP BY s, id),
+h AS (SELECT id, sum({lcm} // dist) AS h12 FROM d WHERE dist > 0 GROUP BY id)
+SELECT n.id, CAST(coalesce(h.h12, 0) AS BIGINT) AS h12,
+       CAST(coalesce(h.h12, 0) AS DOUBLE) / {lcm} AS harmonic
+FROM nodes n LEFT JOIN h ON h.id = n.id"""

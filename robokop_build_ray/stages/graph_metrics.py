@@ -949,3 +949,118 @@ def clustering_coefficient(edges, src: str = "subj_id",
                              "coeff": coeff})
 
     return bucketed_apply(u, ["id"], final, None, n_buckets)
+
+
+# ------------------------------------------------- harmonic centrality (sampled)
+
+HARMONIC_SEEDS = 8
+
+
+def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
+                        rounds: int = BFS_ROUNDS,
+                        src: str = "subj_id", dst: str = "obj_id",
+                        n_buckets: int = 64,
+                        local_threshold: int = 1_000_000):
+    """Sampled harmonic centrality (Eppstein & Wang 2004 estimator shape):
+    Dataset(id, h12, harmonic) over every graph node, where the sample is
+    the ``n_seeds`` lexicographically-smallest node ids (a SPEC constant —
+    deterministic and SQL-expressible, unlike a random sample) and
+
+        h12      = sum over seeds s with 0 < d(s, v) <= rounds of LCM // d
+        harmonic = h12 / LCM        (LCM = lcm(1..rounds), 12 for rounds=4)
+
+    The LCM trick keeps the accumulation INTEGER-exact so the float is ONE
+    division (repo float invariant — bit-identical to the DuckDB oracle
+    regardless of summation order). Centrality analytics the reference
+    defers to its neo4j sink's graph algos (`builder/userquery.py` grain).
+
+    Scale shape: identical doctrine to :func:`bfs_distances` — under the
+    gate one driver numpy pass per seed (seed count is a small spec
+    constant); above it all seeds advance TOGETHER, one broadcast frontier
+    map (node -> seeds, node-bounded x n_seeds) and one vectorized
+    adjacency membership pass per round, so per-round exchange size is
+    bounded by the new (seed, node) frontier, never the corpus-scale edge
+    list."""
+    import math
+
+    lcm = math.lcm(*range(1, rounds + 1))
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    node_deg = degree_map(und)  # node-bounded (gazetteer universe)
+    ids = sorted(node_deg)
+    seeds = ids[:n_seeds]
+
+    # dist[(seed, node)] = hop distance, maintained exactly like
+    # bfs_distances' dist dict but keyed per seed (k x node bound).
+    dist: dict[tuple[str, str], int] = {(s, s): 0 for s in seeds}
+
+    if und.count() <= local_threshold:
+        frames = list(und.iter_batches(batch_format="pandas",
+                                       batch_size=65536))
+        df = (pd.concat(frames, ignore_index=True) if frames
+              else pd.DataFrame({"a": [], "b": []}))
+        a = df["a"].to_numpy(dtype=object)
+        b = df["b"].to_numpy(dtype=object)
+        for s in seeds:
+            frontier = {s}
+            reach = {s: 0}
+            for r in range(1, rounds + 1):
+                if not frontier:
+                    break
+                in_a = np.fromiter((x in frontier for x in a), bool, len(a))
+                in_b = np.fromiter((x in frontier for x in b), bool, len(b))
+                reached = set(b[in_a]) | set(a[in_b])
+                frontier = {x for x in reached if x not in reach}
+                for x in frontier:
+                    reach[x] = r
+            for x, d in reach.items():
+                dist[(s, x)] = d
+    else:
+        # ---- distributed path (pinned by tests with local_threshold=0):
+        # every seed's frontier advances in the SAME adjacency pass.
+        adj = _adjacency(und).materialize()
+        for r in range(1, rounds + 1):
+            fr_map: dict[str, list[str]] = {}
+            for (s, node), d in dist.items():
+                if d == r - 1:
+                    fr_map.setdefault(node, []).append(s)
+            if not fr_map:
+                break
+            fr_ref = ray.put(fr_map)
+
+            def expand(batch: pd.DataFrame, _ref=fr_ref) -> pd.DataFrame:
+                fm = ray.get(_ref)
+                node = batch["id"].to_numpy(dtype=object)
+                nb = batch["nb"].to_numpy(dtype=object)
+                m = np.fromiter((x in fm for x in node), bool, len(node))
+                if not m.any():
+                    return pd.DataFrame({"s": pd.Series([], dtype=object),
+                                         "nb": pd.Series([], dtype=object)})
+                hit_nb = nb[m]
+                slists = [fm[x] for x in node[m]]
+                counts = np.fromiter((len(x) for x in slists), np.int64,
+                                     len(slists))
+                return pd.DataFrame({
+                    "s": np.concatenate([np.asarray(x, dtype=object)
+                                         for x in slists]),
+                    "nb": np.repeat(hit_nb, counts)})
+
+            reached = bucketed_distinct(
+                adj.map_batches(expand, batch_format="pandas"),
+                ["s", "nb"], n_buckets)
+            for row in reached.take_all():  # frontier-bounded, not corpus
+                key = (row["s"], row["nb"])
+                if key not in dist:
+                    dist[key] = r
+
+    h12: dict[str, int] = {}
+    for (s, node), d in dist.items():
+        if d > 0:
+            h12[node] = h12.get(node, 0) + lcm // d
+    vals = np.array([h12.get(i, 0) for i in ids], dtype=np.int64)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "h12": pa.array(vals, pa.int64()),
+        "harmonic": pa.array(vals / float(lcm), pa.float64()),
+    }))

@@ -269,3 +269,42 @@ def test_label_prop_distributed_matches_local():
                       ds, rounds=3, local_threshold=0,
                       n_buckets=4).take_all())
     assert local == dist  # hybrid paths bit-identical
+
+
+def test_harmonic_hand_values():
+    # path a-b-c-d-e; all 5 nodes are seeds (n_seeds=8 > 5) so the sampled
+    # estimator is exact: h12 = sum over other nodes of 12/d (rounds=4)
+    from robokop_build_ray.stages.graph_metrics import harmonic_centrality
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r["id"]: (r["h12"], r["harmonic"])
+           for r in harmonic_centrality(ds, n_buckets=4).take_all()}
+    assert got == {"a": (25, 25 / 12), "b": (34, 34 / 12),
+                   "c": (36, 3.0), "d": (34, 34 / 12), "e": (25, 25 / 12)}
+
+
+def test_harmonic_sampled_seeds():
+    # n_seeds=2 -> only a and b contribute (lexicographically smallest)
+    from robokop_build_ray.stages.graph_metrics import harmonic_centrality
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r["id"]: r["h12"]
+           for r in harmonic_centrality(ds, n_seeds=2,
+                                        n_buckets=4).take_all()}
+    assert got == {"a": 12, "b": 12, "c": 18, "d": 10, "e": 7}
+
+
+def test_harmonic_distributed_matches_local():
+    rng = np.random.default_rng(11)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b]
+    ds = _edges(pairs)
+    from robokop_build_ray.stages.graph_metrics import harmonic_centrality
+
+    local = sorted((r["id"], r["h12"], r["harmonic"])
+                   for r in harmonic_centrality(ds).take_all())
+    dist = sorted((r["id"], r["h12"], r["harmonic"])
+                  for r in harmonic_centrality(ds, local_threshold=0,
+                                               n_buckets=4).take_all())
+    # 39: one of the 40 labels is never drawn as a non-self-loop endpoint
+    assert local == dist and len(local) == 39  # hybrid paths bit-identical
