@@ -927,6 +927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc repeated 8-token windows with doc/occurrence counts
         "doc_duplicate_ngrams": lambda sf: dedup.duplicate_ngrams(
             _docs(sf), parity=True),
+        # RefinedWeb/C4 line-dedup shape over fixed token windows: drop
+        # every cross-doc repeated chunk, reassemble the documents
+        "doc_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
         # composition: LSH pairs -> connected components -> cluster ids
         # (memoized per tier: dedup_keep derives from the same build)
         "dedup_clusters": lambda sf: _clusters(sf, 0.5),
@@ -1305,6 +1308,29 @@ w AS (
 )
 SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2""",
+        "doc_chunk_dedup": r"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(w, i*16 + 1, (i+1)*16), ' ') AS chunk
+  FROM ws, UNNEST(range(0, (len(w) + 15) // 16)) AS u(i)
+  WHERE len(w) > 0
+),
+dup AS (SELECT chunk FROM chunks
+        GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+marked AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk,
+         c.chunk NOT IN (SELECT chunk FROM dup) AS kept
+  FROM chunks c
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                           ORDER BY chunk_idx), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id""",
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b

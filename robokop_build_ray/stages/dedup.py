@@ -782,3 +782,94 @@ def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
 
     return bucketed_apply(docs.map_batches(windows, batch_format="pandas"),
                           ["gram"], merge, None, n_buckets)
+
+
+# ------------------------------------------- chunk-grain cross-doc dedup
+
+CHUNK_DEDUP_TOKENS = 16
+
+
+def _chunk_rows(batch: pd.DataFrame, w: int) -> pd.DataFrame:
+    """Flat-map docs -> (doc_id, chunk_idx, chunk): fixed ``w``-token
+    windows of the whitespace token stream (same segmentation as
+    text_analysis.chunk_spans_batch, here carrying the chunk TEXT). The
+    repeat+offset arithmetic is vectorized; the join-back-to-string is the
+    unavoidable per-chunk string op of a flat-map whose output IS text."""
+    toks = [t.split() for t in batch["text"].astype(str)]
+    k = np.fromiter(((len(t) + w - 1) // w for t in toks), np.int64,
+                    len(toks))
+    total = int(k.sum())
+    if total == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "chunk_idx": pd.Series([], dtype="int64"),
+                             "chunk": pd.Series([], dtype=object)})
+    doc_ids = np.repeat(batch["doc_id"].to_numpy(np.int64), k)
+    starts = np.repeat(np.concatenate([[0], np.cumsum(k)[:-1]]), k)
+    idx = np.arange(total, dtype=np.int64) - starts
+    texts: list[str] = []
+    for t, kk in zip(toks, k):
+        texts.extend(" ".join(t[i * w:(i + 1) * w]) for i in range(kk))
+    return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idx,
+                         "chunk": np.asarray(texts, dtype=object)})
+
+
+def chunk_dedup(docs, chunk_tokens: int = CHUNK_DEDUP_TOKENS,
+                n_buckets: int = 64, batch_size: int = 4096):
+    """Chunk-grain exact dedup ACROSS documents (the RefinedWeb/C4 "remove
+    repeated spans, keep the document" shape — Penedo et al. 2023 line-wise
+    dedup adapted to fixed token windows, since the synthetic docs carry no
+    newlines): every occurrence of a chunk whose text appears in MORE THAN
+    ONE distinct document is dropped, and each document is reassembled from
+    its kept chunks in order.
+
+    Dataset(doc_id, clean_text, n_kept, n_dropped), one row per document
+    with >= 1 token. Exactly TWO bucketed exchanges, both fact-scale-safe:
+
+    1. key = chunk text: per-group distinct-doc count sets a kept flag on
+       every occurrence (no driver-side dup set, no broadcast — the dup
+       universe is corpus-scale at 100 TB);
+    2. key = doc_id: ordered rejoin of kept chunks + kept/dropped counts.
+
+    Within-document repeats survive (distinct-doc count is 1), matching
+    the cross-document semantics of the reference pipelines."""
+    chunks = docs.map_batches(
+        lambda b: _chunk_rows(b, chunk_tokens),
+        batch_format="pandas", batch_size=batch_size)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "chunk" not in g.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "chunk_idx": pd.Series([], dtype="int64"),
+                                 "chunk": pd.Series([], dtype=object),
+                                 "kept": pd.Series([], dtype=bool)})
+        nd = g.groupby("chunk", sort=False)["doc_id"].transform("nunique")
+        out = g.copy()
+        out["kept"] = (nd == 1).to_numpy()
+        return out
+
+    from ..functions.bucketing import bucketed_apply
+
+    marked = bucketed_apply(chunks, ["chunk"], mark, None, n_buckets)
+
+    def rejoin(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "clean_text": pd.Series([], dtype=object),
+                                 "n_kept": pd.Series([], dtype="int64"),
+                                 "n_dropped": pd.Series([], dtype="int64")})
+        g = g.sort_values(["doc_id", "chunk_idx"], kind="stable")
+        kept = g[g["kept"]]
+        clean = kept.groupby("doc_id", sort=False)["chunk"].agg(" ".join)
+        nk = kept.groupby("doc_id", sort=False).size()
+        nall = g.groupby("doc_id", sort=False).size()
+        ids = nall.index.to_numpy(np.int64)
+        nkv = nk.reindex(nall.index, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "clean_text": clean.reindex(nall.index, fill_value="")
+                               .to_numpy(dtype=object),
+            "n_kept": nkv,
+            "n_dropped": nall.to_numpy(np.int64) - nkv,
+        })
+
+    return bucketed_apply(marked, ["doc_id"], rejoin, None, n_buckets)
