@@ -765,3 +765,33 @@ def test_epoch_order_properties():
     a = out.sort_values(["epoch", "doc_id"], ignore_index=True)
     b = parts.sort_values(["epoch", "doc_id"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_chunk_dedup_hand_values():
+    # chunk_tokens=2: doc1 = [A B][C D], doc2 = [A B][E F], doc3 = [E F],
+    # doc4 repeats [G H] twice WITHIN itself (kept — cross-doc only)
+    rows = [
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "a b e f"},
+        {"doc_id": 3, "text": "e f"},
+        {"doc_id": 4, "text": "g h g h"},
+    ]
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in dedup.chunk_dedup(rd.from_items(rows), chunk_tokens=2,
+                                      n_buckets=4).take_all()}
+    assert got == {
+        1: ("c d", 1, 1),       # "a b" appears in docs 1+2 -> dropped
+        2: ("", 0, 2),          # both chunks cross-doc duplicated
+        3: ("", 0, 1),          # "e f" shared with doc 2
+        4: ("g h g h", 2, 0),   # within-doc repeat survives
+    }
+
+
+def test_chunk_dedup_tail_chunk_not_merged():
+    # 3 tokens at chunk_tokens=2 -> chunks "a b" and "c"; the short tail
+    # is its own chunk and dedups independently
+    rows = [{"doc_id": 1, "text": "a b c"}, {"doc_id": 2, "text": "c"}]
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in dedup.chunk_dedup(rd.from_items(rows), chunk_tokens=2,
+                                      n_buckets=4).take_all()}
+    assert got == {1: ("a b", 1, 1), 2: ("", 0, 1)}
