@@ -527,6 +527,69 @@ def events_user_gaps(sf_dir: str, n_buckets: int = 64):
                           ["user_id"], merge, None, n_buckets)
 
 
+def events_trailing_avg(sf_dir: str, frame: int = 3, n_buckets: int = 64):
+    """FRAME-BOUNDED window aggregate (``ROWS 2 PRECEDING AND CURRENT
+    ROW``): per event, the trailing ``frame``-row sum/count/mean of value
+    over (ts, event_id) order within the user partition — the window shape
+    running_total (unbounded frame) and user_gaps (LAG) don't cover.
+
+    One user-bucketed exchange; the per-bucket merge sorts once and
+    computes every frame with pure cumsum arithmetic — trailing sum =
+    cs[i] - cs[i - k] where k = min(within-user row index + 1, frame), all
+    vectorized, no per-user Python calls. trail_avg is ONE IEEE division
+    of exact ints (cents / (100 * k)), bit-identical to the SQL window."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["event_id", "user_id", "ts"]].copy()
+        out["cents"] = np.floor(
+            b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "trail_cents": pd.Series([], dtype="int64"),
+                "trail_n": pd.Series([], dtype="int64"),
+                "trail_avg": pd.Series([], dtype="float64"),
+            })
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = g["cents"].to_numpy(np.int64)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        idx = g.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        k = np.minimum(idx + 1, frame)
+        pos = np.arange(len(g), dtype=np.int64) + 1
+        trail = cs[pos] - cs[pos - k]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ts": g["ts"].to_numpy(),
+            "trail_cents": trail,
+            "trail_n": k,
+            "trail_avg": trail / (100.0 * k),
+        })
+
+    return bucketed_apply(ev, ["user_id"], merge, prep, n_buckets)
+
+
+def sql_events_trailing_avg(frame: int = 3) -> str:
+    return f"""
+SELECT event_id, user_id, ts,
+       CAST(sum(c) OVER w AS BIGINT) AS trail_cents,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       CAST(sum(c) OVER w AS DOUBLE) / (100 * count(*) OVER w) AS trail_avg
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)"""
+
+
 def sql_events_user_gaps() -> str:
     return """
 WITH o AS (
