@@ -565,6 +565,16 @@ def _events_distinct_users(sf_dir: str):
     return grouped_distinct_count(ev, "event_type", "user_id", k=4096)
 
 
+def _events_user_overlap(sf_dir: str):
+    """KMV set algebra: per event-type-pair union/intersection distinct
+    user estimates (exact below sketch capacity, like distinct_users)."""
+    from robokop_build_ray.functions.sketches import grouped_set_overlap
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_set_overlap(ev, "event_type", "user_id", k=4096)
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -792,6 +802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _events_heavy_hitters,
         # KMV distinct sketch (exact below capacity) + ROLLUP grouping sets
         "events_distinct_users": _events_distinct_users,
+        # KMV sketch ALGEBRA: pairwise union / intersection estimates
+        "events_user_overlap": _events_user_overlap,
         "orders_rollup": rel.orders_rollup,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
@@ -1178,6 +1190,23 @@ SELECT user_id, n FROM (
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type""",
+        # exact below sketch capacity, so plain DISTINCT algebra is the
+        # oracle (same contract as events_distinct_users)
+        "events_user_overlap": """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+i AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS ni
+  FROM tu x JOIN tu y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(ca.n + cb.n - coalesce(i.ni, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(i.ni, 0) AS BIGINT) AS n_intersect
+FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),

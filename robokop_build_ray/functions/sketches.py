@@ -176,3 +176,68 @@ def grouped_distinct_count(ds, key: str, col: str, k: int = 1024,
         "n_distinct": pa.array([merged[x].estimate() for x in keys],
                                pa.int64()),
     }))
+
+
+def grouped_set_overlap(ds, key: str, col: str, k: int = 1024,
+                        batch_size: int = 65_536):
+    """KMV set ALGEBRA over the per-key sketches: for every unordered key
+    pair (a < b), the union and intersection distinct-count estimates of
+    their ``col`` value sets — Dataset (type_a, type_b, n_a, n_b, n_union,
+    n_intersect). Union = sketch merge (k smallest of both); intersection
+    = inclusion-exclusion (n_a + n_b - n_union), the standard KMV
+    combinator. While every sketch is under capacity the counts are EXACT
+    (warned otherwise, same contract as :func:`grouped_distinct_count`);
+    ``key`` must be enum-bounded — the pairwise merge is a driver-side
+    fold over #keys^2 sketches, never input rows. The expensive scan
+    (one sketch per batch x key) stays distributed."""
+    import pickle
+    import warnings
+
+    import numpy as np
+    import ray.data as rd
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in b.groupby(key, sort=False):
+            sk = KMinValues(k)
+            sk.add_hashes(pd.util.hash_array(g[col].unique()))
+            rows.append((kv, pickle.dumps(sk)))
+        return pd.DataFrame(rows, columns=[key, "sketch"])
+
+    merged: dict = {}
+    for r in ds.select_columns([key, col]).map_batches(
+        per_batch, batch_size=batch_size, batch_format="pandas"
+    ).iter_rows():
+        sk = pickle.loads(r["sketch"])
+        if r[key] in merged:
+            merged[r[key]].merge(sk)
+        else:
+            merged[r[key]] = sk
+    for kv, sk in merged.items():
+        if not sk.exact:
+            warnings.warn(
+                f"grouped_set_overlap({key!r}, {col!r}): key {kv!r} "
+                f"exceeded sketch capacity {k}; counts are estimates",
+                stacklevel=2,
+            )
+    keys = sorted(merged)
+    ta, tb, na, nb, nu, ni = [], [], [], [], [], []
+    for i, a in enumerate(keys):
+        for b_ in keys[i + 1:]:
+            u = KMinValues(k)
+            u.add_hashes(merged[a].vals)
+            u.add_hashes(merged[b_].vals)
+            ea, eb, eu = (merged[a].estimate(), merged[b_].estimate(),
+                          u.estimate())
+            ta.append(a)
+            tb.append(b_)
+            na.append(ea)
+            nb.append(eb)
+            nu.append(eu)
+            ni.append(ea + eb - eu)
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(ta), "type_b": pa.array(tb),
+        "n_a": pa.array(na, pa.int64()), "n_b": pa.array(nb, pa.int64()),
+        "n_union": pa.array(nu, pa.int64()),
+        "n_intersect": pa.array(ni, pa.int64()),
+    }))

@@ -173,3 +173,19 @@ def test_bpe_train_cap_warns(ray_session):
     assert any("capping" in str(x.message) for x in w)
     # 'shared' (count 40) survives the cap and drives the first merges
     assert got[0]["pair_count"] >= 40
+
+
+def test_grouped_set_overlap_exact_hand_values():
+    from robokop_build_ray.functions.sketches import grouped_set_overlap
+
+    # A users {1,2,3}, B users {2,3,4,5}, C users {9}
+    rows = ([{"t": "A", "u": x} for x in (1, 2, 3)]
+            + [{"t": "B", "u": x} for x in (2, 3, 4, 5, 5)]
+            + [{"t": "C", "u": 9}])
+    got = {(r["type_a"], r["type_b"]):
+           (r["n_a"], r["n_b"], r["n_union"], r["n_intersect"])
+           for r in grouped_set_overlap(rd.from_items(rows), "t", "u",
+                                        k=64).take_all()}
+    assert got == {("A", "B"): (3, 4, 5, 2),
+                   ("A", "C"): (3, 1, 4, 0),
+                   ("B", "C"): (4, 1, 5, 0)}
