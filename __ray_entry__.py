@@ -953,6 +953,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": lambda sf: _clusters(sf, 0.5).map_batches(
             _keep_flags, batch_format="pyarrow"
         ),
+        # quality-aware keep policy: longest doc per cluster survives
+        # (token count attached through a doc-keyed exchange, per-cluster
+        # argmax via one sort — the policy real pipelines ship)
+        "dedup_keep_best": lambda sf: dedup.near_dup_keep_best(
+            _clusters(sf, 0.5), _docs(sf)),
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),
         # per-source mixture weighting (Pile/Dolma-style downsampling):
@@ -1395,6 +1400,14 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_keep": f"""
 SELECT doc_id, cluster, doc_id = cluster AS kept
 FROM ({entry_sql.sql_dedup_clusters(t)})""",
+        "dedup_keep_best": f"""
+WITH c AS ({entry_sql.sql_dedup_clusters(t)}),
+q AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      FROM documents)
+SELECT c.doc_id, c.cluster, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.n_tokens DESC, c.doc_id) = 1 AS kept
+FROM c JOIN q USING (doc_id)""",
         "doc_split": """
 SELECT doc_id, lang,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'

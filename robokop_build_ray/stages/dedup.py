@@ -873,3 +873,51 @@ def chunk_dedup(docs, chunk_tokens: int = CHUNK_DEDUP_TOKENS,
         })
 
     return bucketed_apply(marked, ["doc_id"], rejoin, None, n_buckets)
+
+
+def near_dup_keep_best(clusters, docs, n_buckets: int = 64,
+                       batch_size: int = 4096):
+    """Quality-aware keep policy over the near-dup clusters: instead of
+    min-doc_id (``near_dup_keep_list``), keep the LONGEST document of each
+    cluster — token count is the integer-exact quality proxy (the policy
+    real training pipelines use: survivors should be the most complete
+    copy, not the lowest id). Tie-break: min doc_id among the longest.
+
+    Dataset(doc_id, cluster, n_tokens, kept). Two bucketed exchanges:
+    doc_id key (attach token counts — both sides are corpus-scale, no
+    broadcast) then cluster key (per-group argmax via ONE sort + first-row
+    flag, no per-cluster Python)."""
+    from ..functions.bucketing import bucketed_apply, bucketed_attach
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_tokens": b["text"].str.count(r"\S+").astype("int64"),
+        })
+
+    tok = docs.map_batches(toks, batch_format="pandas",
+                           batch_size=batch_size)
+    enriched = bucketed_attach(
+        clusters, tok, "doc_id", "doc_id",
+        left_cols=["doc_id", "cluster"], payload={"n_tokens": "n_tokens"},
+        payload_fill=np.int64(0), n_buckets=n_buckets,
+        empty_dtypes={"doc_id": "int64", "cluster": "int64",
+                      "n_tokens": "int64"})
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "cluster" not in g.columns:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "kept": pd.Series([], dtype=bool)})
+        g = g.sort_values(["cluster", "n_tokens", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "cluster": g["cluster"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "kept": (~g["cluster"].duplicated()).to_numpy(),
+        })
+
+    return bucketed_apply(enriched, ["cluster"], decide, None, n_buckets)

@@ -90,7 +90,13 @@ def link_stage(triples, lexicon_ref, concurrency: int | None = None,
         # min sized so the pool ramps immediately (slow autoscale ramp is a
         # fixed wall-time cost) while leaving headroom for read/downstream
         # tasks; still starts on a 4-CPU test cluster without deadlocking
-        concurrency = (max(1, (2 * cpus) // 3), max(2, cpus - 2))
+        # min leaves >= 4 CPUs of headroom: a downstream actor pool, the
+        # read task, AND up to a couple of straggler actors from a prior
+        # execution in the same process must all fit, or the executor
+        # deadlocks (observed at 8 CPUs: 5-min pool + 2 orphaned linker
+        # actors + 1 attacher = 8 leases, read task starved forever)
+        concurrency = (max(1, min((2 * cpus) // 3, cpus - 4)),
+                       max(2, cpus - 2))
     if isinstance(concurrency, int):
         concurrency = (1, concurrency)  # autoscaling pool: never deadlocks small clusters
     return triples.map_batches(

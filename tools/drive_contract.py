@@ -8,6 +8,7 @@ Usage: python tools/drive_contract.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import gc
 import sys
 import time
 
@@ -131,6 +132,13 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # drop lingering Dataset/executor references from the PREVIOUS
+            # query first: an un-collected streaming executor keeps its
+            # actor-pool workers alive, and on the 8-CPU contract cluster
+            # a couple of orphaned actors plus the next query's pool can
+            # hold every CPU lease and starve its read tasks (observed
+            # deadlock at query 89 of a full sweep)
+            gc.collect()
             out = fn(sf_dir)
             got = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
             if len(got) == 0 and len(got.columns) == 0 and hasattr(out, "schema"):
