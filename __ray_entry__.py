@@ -536,6 +536,28 @@ def _kg_path_filtered_2hop(sf_dir: str, path: str = "S(2-2)D"):
                               graph["state"].nodeinfo_ref)
 
 
+def _kg_path_anchored(sf_dir: str, path: str = "S(1-2)D"):
+    """Anchored Path-DSL scoping (the reference CLI's --start semantics,
+    `builder/builder.py:574-602`): DSL-typed triples whose endpoints lie
+    within the path's edge budget of the lexicographically-smallest
+    chemical anchor node."""
+    import pandas as pd
+
+    from robokop_build_ray.pipelines.kg_build import (anchored_path_filter,
+                                                      build_graph)
+    from robokop_build_ray.stages.graph_metrics import (degree_map,
+                                                        undirected_pairs)
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    graph = build_graph(sf_dir, include_support=False)
+    nodes = degree_map(undirected_pairs(graph["canonical"]))
+    anchor = min(i for i in nodes if tm.get(i) == "chemical_substance")
+    return anchored_path_filter(graph["canonical"], path, anchor,
+                                graph["state"].nodeinfo_ref)
+
+
 def _kg_support_underexpected(sf_dir: str):
     """Pairs observed LESS than expected (`CooccurChi2.ipynb` cell 13
     ``expected > observed`` filter). Projects through Arrow so the result
@@ -777,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M1 var-length: S(2-2)D keeps triples ON 2-hop chem--*--disease
         # paths (the `-[:translation*2..2]-` analog, executed natively)
         "kg_path_filtered_2hop": _kg_path_filtered_2hop,
+        # --start anchoring: DSL filter x BFS hop gate from a named node
+        "kg_path_anchored": _kg_path_anchored,
         # --- relational coverage (testdata views) ----------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -1171,6 +1195,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),
+        "kg_path_anchored": entry_sql.sql_path_anchored(t),
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),
         "nation_revenue": rel.sql_nation_revenue(),

@@ -80,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
                         "A=anatomy T=phenotype D=disease X=genetic_condition "
                         "W=drug_class ?=any); filters triples to adjacent "
                         "step type pairs")
+    b.add_argument("--start", default=None,
+                   help="anchor entity NAME (reference --start, "
+                        "`builder/builder.py:574-602`): resolved to a "
+                        "CURIE via the lookup dispatch; with --path, "
+                        "triples are kept only within the path's edge "
+                        "budget of the anchor")
+    b.add_argument("--end", default=None,
+                   help="optional second anchor NAME (reference --end); "
+                        "kept triples must be reachable from BOTH anchors")
     b.add_argument("-q", "--question", type=int, choices=[1, 2, 3],
                    default=None,
                    help="canned-question shortcut (1=Disease/GeneticCondition"
@@ -115,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
             p.error("cannot specify both --question and --path")
         if args.question is not None:
             args.path = {1: "DGX", 2: "SGPCATD", 3: "SGPCAT"}[args.question]
+        if args.start is None and args.end is not None:
+            p.error("--end requires --start")
+        if args.start is not None and args.path is None:
+            p.error("--start requires --path or --question (the anchor's "
+                    "hop budget comes from the path)")
     elif args.metric == "metapath2" and not args.gazetteer:
         p.error("--metric metapath2 requires --gazetteer")
 
@@ -152,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
         # support job in materialize_graph blocks on the future)
         support_async=args.checkpoint is None,
         path=args.path,
+        start=args.start,
+        end=args.end,
     )
     extra = [s for s in supports if s != "cooccur"]
     if extra:

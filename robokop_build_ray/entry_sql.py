@@ -1270,3 +1270,34 @@ h AS (SELECT id, sum({lcm} // dist) AS h12 FROM d WHERE dist > 0 GROUP BY id)
 SELECT n.id, CAST(coalesce(h.h12, 0) AS BIGINT) AS h12,
        CAST(coalesce(h.h12, 0) AS DOUBLE) / {lcm} AS harmonic
 FROM nodes n LEFT JOIN h ON h.id = n.id"""
+
+
+def sql_path_anchored(tier: str, type_a: str = "chemical_substance",
+                      type_b: str = "disease", budget: int = 2) -> str:
+    """Oracle for kg_build.anchored_path_filter (--start semantics): the
+    sql_path_filtered type filter intersected with BFS reachability
+    (<= budget hops over the undirected simple graph) from the
+    lexicographically-smallest type_a node present in the graph."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+anchor AS (
+  SELECT min(a.id) AS s FROM (SELECT DISTINCT id FROM adj) a
+  JOIN read_parquet('{p["gazetteer"]}') g ON g.curie = a.id
+  WHERE g.node_type = '{type_a}'
+),
+bfs(id, dist) AS (
+  SELECT s, 0 FROM anchor
+  UNION
+  SELECT adj.nb, b.dist + 1 FROM bfs b JOIN adj ON adj.id = b.id
+  WHERE b.dist < {budget}
+),
+allowed AS (SELECT DISTINCT id FROM bfs)
+SELECT c.conv_id, c.turn_idx, c.subj_id, c.pred_id, c.obj_id
+FROM canon c
+JOIN read_parquet('{p["gazetteer"]}') gs ON gs.curie = c.subj_id
+JOIN read_parquet('{p["gazetteer"]}') go ON go.curie = c.obj_id
+WHERE ((gs.node_type = '{type_a}' AND go.node_type = '{type_b}')
+    OR (gs.node_type = '{type_b}' AND go.node_type = '{type_a}'))
+  AND c.subj_id IN (SELECT id FROM allowed)
+  AND c.obj_id IN (SELECT id FROM allowed)"""

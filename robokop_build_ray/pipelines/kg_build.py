@@ -109,6 +109,8 @@ def build_graph(
     support_async: bool = False,
     timings: dict | None = None,
     path: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
 ) -> dict[str, Any]:
     """Run (or resume) the flagship pipeline; returns named Datasets.
 
@@ -154,7 +156,14 @@ def build_graph(
         canonical = checkpointed(
             "canonical", lambda: canonicalize_stage(linked, state.canon_ref)
         )
-    if path is not None:
+    if path is not None and start is not None:
+        # anchored query (--start/--end, `builder/builder.py:574-602`):
+        # DSL scoping x hop-distance gate from the resolved anchor(s)
+        canonical = anchored_path_filter(
+            canonical, path, _resolve_anchor(start, state),
+            state.nodeinfo_ref,
+            end_curie=None if end is None else _resolve_anchor(end, state))
+    elif path is not None:
         # Path-DSL scoping (M1 -> §2.10 consumer): the parsed Steps drive
         # which triples reach the graph, like the reference's run()
         canonical = path_filter(canonical, path, state.nodeinfo_ref)
@@ -364,6 +373,84 @@ class VarLenFilter:
                 keep |= (in_xa & (nyb >= 1)) | (in_ya & (nxb >= 1))
                 keep |= (in_xb & (nya >= 1)) | (in_yb & (nxa >= 1))
         return b[keep]
+
+
+def _resolve_anchor(name_or_curie: str, state) -> str:
+    """Resolve a CLI anchor to a canonical CURIE (the reference resolves
+    ``--start``/``--end`` names through `builder/lookup_utils.py` before
+    building): a string containing ``:`` is taken as a CURIE verbatim;
+    otherwise the lexicon lookup (first match, D1 order) resolves the
+    name, then the canonical map collapses synonyms. Raises on no match
+    — the reference errors out the build the same way."""
+    import ray as _ray
+
+    from ..functions.lookup import lookup_drug_by_name
+
+    if ":" in name_or_curie:
+        curie = name_or_curie
+    else:
+        hits = lookup_drug_by_name(name_or_curie,
+                                   _ray.get(state.lexicon_ref))
+        if not hits:
+            raise ValueError(f"anchor {name_or_curie!r} resolved to no "
+                             "CURIE in the lexicon")
+        curie = hits[0]
+    return _ray.get(state.canon_ref).get(curie, curie)
+
+
+class AnchorFilter:
+    """MODULE-LEVEL actor UDF (same pickling rule as VarLenFilter): keeps
+    triples whose BOTH endpoints fall in the broadcast anchor-reachable
+    node set."""
+
+    def __init__(self, allow_ref):
+        import ray as _ray
+
+        self.allow = _ray.get(allow_ref)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["subj_id"].isin(self.allow)
+                 & b["obj_id"].isin(self.allow)]
+
+
+def anchored_path_filter(canonical, path: str, start_curie: str,
+                         nodeinfo_ref, end_curie: str | None = None,
+                         n_buckets: int = 64):
+    """ANCHORED Path-DSL scoping — the reference CLI's ``--start``/
+    ``--end`` semantics (`builder/builder.py:574-602` anchors every query
+    at a named entity; `builder/examples.sh`): the DSL type filter
+    (:func:`path_filter`) composes with hop-distance gating, keeping a
+    triple only when both endpoints lie within the path's total edge
+    budget (sum of per-step max bounds) of the start anchor — and of the
+    end anchor too when given, approximating "on a path between them".
+
+    Scale shape: the BFS distance maps are node-bounded (gazetteer
+    universe) driver state exactly like :func:`~..stages.graph_metrics.
+    bfs_distances`; the corpus-scale triple stream is then filtered
+    vectorized against ONE broadcast allow-set — no joins, no extra
+    shuffles beyond the BFS's own bounded exchanges."""
+    import ray as _ray
+
+    from ..functions.pathdsl import tokenize_path
+    from ..stages.graph_metrics import bfs_distances
+
+    steps = tokenize_path(path)
+    if len(steps) < 2:
+        raise ValueError(f"path {path!r} has fewer than two steps")
+    budget = sum(s.max_path_length for s in steps[1:])
+
+    scoped = path_filter(canonical, path, nodeinfo_ref)
+    allow = {r["id"] for r in bfs_distances(
+        canonical, None, "", rounds=budget, seeds={start_curie},
+        n_buckets=n_buckets).take_all()}  # node-bounded
+    if end_curie is not None:
+        allow &= {r["id"] for r in bfs_distances(
+            canonical, None, "", rounds=budget, seeds={end_curie},
+            n_buckets=n_buckets).take_all()}
+    allow_ref = _ray.put(allow)
+    return scoped.map_batches(
+        AnchorFilter, batch_format="pandas", concurrency=(1, 2),
+        fn_constructor_kwargs={"allow_ref": allow_ref})
 
 
 def combined_edges(graph: dict[str, Any],

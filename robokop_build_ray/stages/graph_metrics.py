@@ -428,10 +428,11 @@ def _dist_table(dist: dict[str, int]):
     }))
 
 
-def bfs_distances(edges, type_map: dict[str, str], seed_type: str,
+def bfs_distances(edges, type_map: dict[str, str] | None, seed_type: str,
                   rounds: int = BFS_ROUNDS,
                   src: str = "subj_id", dst: str = "obj_id",
-                  n_buckets: int = 64, local_threshold: int = 1_000_000):
+                  n_buckets: int = 64, local_threshold: int = 1_000_000,
+                  seeds: set[str] | None = None):
     """Multi-source BFS hop distances over the undirected simple graph:
     Dataset(id, dist) for every node within ``rounds`` hops of any node
     whose gazetteer type is ``seed_type`` (graph-reachability analytics the
@@ -451,7 +452,10 @@ def bfs_distances(edges, type_map: dict[str, str], seed_type: str,
     by the new frontier, not the graph."""
     und = undirected_pairs(edges, src, dst, n_buckets).materialize()
     node_deg = degree_map(und)  # node-bounded (gazetteer universe)
-    seeds = {i for i in node_deg if type_map.get(i) == seed_type}
+    if seeds is None:
+        seeds = {i for i in node_deg if type_map.get(i) == seed_type}
+    else:
+        seeds = {s for s in seeds if s in node_deg}
     if und.count() <= local_threshold:
         return _local_bfs(und, seeds, rounds)
 
