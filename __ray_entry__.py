@@ -139,6 +139,29 @@ def _kg_nodes_upsert(sf_dir: str):
     return merge_node_runs([run1.materialize(), run2.materialize()])
 
 
+def _kg_edges_upsert(sf_dir: str):
+    """S6 run-over-run EDGE upsert (`builder/builder.py:16-41`
+    export_edge): delete-and-replace IN WHOLE per (subj, obj,
+    edge_source) — run 2 (a rebuild over the even-parity conversations)
+    fully replaces every key it emits, run-1-only keys persist. A
+    payload-merging bug (publication union, mention summing) cannot pass
+    the oracle because run 2's publication lists genuinely shrink."""
+    from robokop_build_ray.stages.canonicalize import edges_stage
+    from robokop_build_ray.stages.upsert import merge_edge_runs
+
+    run1 = _kg(sf_dir, "edges")
+    graph = _GRAPH_CACHE[(sf_dir, False)]
+
+    def even_convs(b):
+        return b[b["conv_id"].str[-1].isin(list("02468"))]
+
+    run2 = edges_stage(
+        graph["canonical"].map_batches(even_convs, batch_format="pandas"))
+    # entity-pair-bounded tables; pin before union (live actor-pool
+    # lineage union stall — same note as _kg_nodes_upsert)
+    return merge_edge_runs([run1.materialize(), run2.materialize()])
+
+
 def _kg_node_type_histogram(sf_dir: str):
     return _kg(sf_dir, "nodes").groupby("node_type").count().rename_columns(
         {"count()": "n"}
@@ -744,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_expanded": _kg_nodes_expanded,
         # S5: run-over-run node upsert (create/label-union/overwrites)
         "kg_nodes_upsert": _kg_nodes_upsert,
+        # S6 run-over-run edge sink: delete-and-replace per (a, b, source)
+        "kg_edges_upsert": _kg_edges_upsert,
         # M8/D6: synonym prefix projection (MeSH/ICD9 filter analog)
         "kg_node_umls_projection": _kg_node_umls_projection,
         # D7/O3: notebook's under-expected (anti-correlated) pair filter
@@ -1141,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": entry_sql.sql_nodes(t),
         "kg_nodes_expanded": entry_sql.sql_nodes_expanded(t),
         "kg_nodes_upsert": entry_sql.sql_nodes_upsert(t),
+        "kg_edges_upsert": entry_sql.sql_edges_upsert(t),
         "kg_edges": entry_sql.sql_edges(t),
         "kg_edges_compacted": entry_sql.sql_edges(t),
         "kg_support": entry_sql.sql_support(t),

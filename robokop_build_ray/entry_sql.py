@@ -1301,3 +1301,32 @@ WHERE ((gs.node_type = '{type_a}' AND go.node_type = '{type_b}')
     OR (gs.node_type = '{type_b}' AND go.node_type = '{type_a}'))
   AND c.subj_id IN (SELECT id FROM allowed)
   AND c.obj_id IN (SELECT id FROM allowed)"""
+
+
+def sql_edges_upsert(tier: str) -> str:
+    """Oracle for stages.upsert.merge_edge_runs over the standard edge
+    table: run 2 re-aggregates the even-parity conversations and REPLACES
+    every (subj, obj, edge_source) key it emits; run-1-only keys persist
+    (`builder/builder.py:16-41` delete-then-create)."""
+    p = corpus_paths(tier)
+    agg = """SELECT subj_id, pred_id, replace(pred_id, ':', '_') AS standard_label, obj_id,
+       'extractor.triple_pattern' AS edge_source,
+       CAST(0 AS BIGINT) AS ctime,
+       subj_id || ',' || obj_id AS input_identifiers,
+       list_sort(list_distinct(list('CONV:' || conv_id || '#' ||
+                                    CAST(turn_idx AS VARCHAR)))) AS publications,
+       count(*) AS n_mentions,
+       false AS is_support
+FROM {src}
+GROUP BY subj_id, pred_id, obj_id"""
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+canon2 AS (SELECT * FROM canon
+           WHERE CAST(substr(conv_id, -1) AS INT) % 2 = 0),
+r1 AS ({agg.format(src="canon")}),
+r2 AS ({agg.format(src="canon2")})
+SELECT * FROM r2
+UNION ALL
+SELECT r1.* FROM r1
+WHERE NOT EXISTS (SELECT 1 FROM r2
+                  WHERE r2.subj_id = r1.subj_id
+                    AND r2.obj_id = r1.obj_id)"""

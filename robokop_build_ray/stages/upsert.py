@@ -62,3 +62,37 @@ def merge_node_runs(runs):
         )
         tagged = t if tagged is None else tagged.union(t)
     return tagged.groupby("id").map_groups(_merge_group, batch_format="pandas")
+
+
+def merge_edge_runs(runs, n_buckets: int = 64):
+    """Run-over-run EDGE upsert with the reference's neo4j semantics
+    (`builder/builder.py:16-41` ``export_edge``): an edge is keyed by
+    (subj, obj, edge_source) and a later run DELETES the old edge and
+    replaces it IN WHOLE — no payload merging, and every predicate the
+    earlier run emitted for that key vanishes when the later run writes
+    the key at all. Keys only the earlier run emitted persist.
+
+    Distributed shape: tag run ordinal, union, ONE bucketed exchange on
+    the edge key (edge tables are fact-scale: never a driver fold), then
+    a vectorized per-bucket max-run filter."""
+    from ..functions.bucketing import bucketed_apply
+
+    tagged = None
+    for i, ds in enumerate(runs):
+        t = ds.map_batches(
+            lambda b, run=i: b.append_column(
+                "_run", pa.array([run] * len(b), pa.int32())
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = t if tagged is None else tagged.union(t)
+
+    key = ["subj_id", "obj_id", "edge_source"]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "_run" not in g.columns:
+            return g.iloc[0:0] if len(g.columns) else pd.DataFrame()
+        mx = g.groupby(key, sort=False)["_run"].transform("max")
+        return g[g["_run"] == mx.to_numpy()].drop(columns=["_run"])
+
+    return bucketed_apply(tagged, key, merge, None, n_buckets)

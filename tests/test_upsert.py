@@ -50,3 +50,45 @@ def test_name_overwrite_later_nonnull_wins():
     # later null does NOT erase the earlier name
     m2 = _merged([_node(name="Kept", eq=[FAKE])], [_node(name=None, eq=[FAKE])])
     assert m2[FAKE]["name"] == "Kept"
+
+
+def _edge(s, o, pred="PRED:treats", src="extractor.triple_pattern",
+          pubs=("CONV:c1#0",), n=1):
+    return {"subj_id": s, "obj_id": o, "pred_id": pred, "edge_source": src,
+            "publications": list(pubs), "n_mentions": n}
+
+
+def test_edge_upsert_delete_and_replace_in_whole():
+    from robokop_build_ray.stages.upsert import merge_edge_runs
+
+    run1 = [
+        _edge("A", "B", pubs=("CONV:c1#0", "CONV:c2#1"), n=2),
+        _edge("A", "B", pred="PRED:causes"),   # second predicate, same key
+        _edge("A", "C"),                       # key absent from run 2
+    ]
+    # run 2 rewrites (A, B): ONE predicate, smaller publication list —
+    # the old (A, B) edges vanish entirely (no union, no summing)
+    run2 = [_edge("A", "B", pubs=("CONV:c9#3",), n=1)]
+    out = merge_edge_runs([rd.from_items(run1), rd.from_items(run2)],
+                          n_buckets=4).take_all()
+    got = sorted((r["subj_id"], r["obj_id"], r["pred_id"],
+                  tuple(r["publications"]), r["n_mentions"]) for r in out)
+    assert got == [
+        ("A", "B", "PRED:treats", ("CONV:c9#3",), 1),  # replaced in whole
+        ("A", "C", "PRED:treats", ("CONV:c1#0",), 1),  # run-1-only persists
+    ]
+
+
+def test_edge_upsert_distinct_sources_do_not_collide():
+    from robokop_build_ray.stages.upsert import merge_edge_runs
+
+    run1 = [_edge("A", "B", src="extractor.triple_pattern"),
+            _edge("A", "B", src="cooccur", pred="PRED:related_to")]
+    run2 = [_edge("A", "B", src="cooccur", pred="PRED:related_to",
+                  pubs=("CONV:c5#0",))]
+    out = merge_edge_runs([rd.from_items(run1), rd.from_items(run2)],
+                          n_buckets=4).take_all()
+    got = {(r["edge_source"]): tuple(r["publications"]) for r in out}
+    # the extractor-sourced edge survives; only the cooccur one is replaced
+    assert got == {"extractor.triple_pattern": ("CONV:c1#0",),
+                   "cooccur": ("CONV:c5#0",)}
