@@ -902,6 +902,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": rel.events_hourly_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
         "events_value_quartiles": rel.events_value_quartiles,
+        # per-row quantile-bin assignment (feature binning): broadcast
+        # thresholds from the same histogram selection, zero-shuffle map
+        "events_value_ntile": rel.events_value_ntile,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1279,6 +1282,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
+        "events_value_ntile": rel.sql_events_value_ntile(),
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),

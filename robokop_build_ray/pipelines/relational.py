@@ -1627,6 +1627,66 @@ def events_value_quartiles(sf_dir: str):
     }))
 
 
+def events_value_ntile(sf_dir: str):
+    """Per-event QUANTILE-BIN assignment (feature binning, the
+    training-pipeline companion of events_value_quartiles): bucket =
+    1 + (v > q25) + (v > q50) + (v > q75) with the per-type thresholds
+    computed by the same scale-safe iterative histogram selection, then
+    BROADCAST — the fact-grain pass is a zero-shuffle vectorized map.
+    Thresholds are actual data values (quantile_disc), so the float
+    comparisons are well-defined and bit-identical to the oracle."""
+    from ..functions.quantiles import grouped_exact_ranks, quantile_disc_rank
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    counts = {r["event_type"]: int(r["count()"])
+              for r in scan().groupby("event_type").count().take_all()}
+    targets = {
+        g: [(lbl, quantile_disc_rank(q, n))
+            for lbl, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75))]
+        for g, n in counts.items()
+    }
+    got = grouped_exact_ranks(
+        lambda: scan().select_columns(["event_type", "value"]),
+        "event_type", "value", targets)
+    thresholds = {g: (got[(g, "q25")], got[(g, "q50")], got[(g, "q75")])
+                  for g in counts}  # enum-bounded broadcast state
+    import ray as _ray
+
+    ref = _ray.put(thresholds)
+
+    def assign(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        th = _ray.get(_ref)
+        v = b["value"].to_numpy()
+        q = np.array([th[t] for t in b["event_type"]], dtype=np.float64)
+        bucket = (1 + (v > q[:, 0]).astype(np.int64)
+                  + (v > q[:, 1]) + (v > q[:, 2]))
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "value": v,
+                             "bucket": bucket.astype(np.int64)})
+
+    return scan().map_batches(assign, batch_format="pandas")
+
+
+def sql_events_value_ntile() -> str:
+    return """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q25,
+         quantile_disc(value, 0.50) AS q50,
+         quantile_disc(value, 0.75) AS q75
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(1 + CAST(e.value > q.q25 AS INT)
+              + CAST(e.value > q.q50 AS INT)
+              + CAST(e.value > q.q75 AS INT) AS BIGINT) AS bucket
+FROM events e JOIN q USING (event_type)"""
+
+
 def sql_events_value_quartiles() -> str:
     return """
 SELECT event_type,
