@@ -905,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-row quantile-bin assignment (feature binning): broadcast
         # thresholds from the same histogram selection, zero-shuffle map
         "events_value_ntile": rel.events_value_ntile,
+        # robust dispersion: two-stage exact histogram selection (MAD)
+        "events_value_mad": rel.events_value_mad,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1283,6 +1285,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_value_ntile": rel.sql_events_value_ntile(),
+        "events_value_mad": rel.sql_events_value_mad(),
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),

@@ -1671,6 +1671,60 @@ def events_value_ntile(sf_dir: str):
     return scan().map_batches(assign, batch_format="pandas")
 
 
+def events_value_mad(sf_dir: str):
+    """Robust dispersion: per-type MEDIAN ABSOLUTE DEVIATION — the
+    outlier-resistant scale statistic (Hampel 1974) a cleaning pipeline
+    pairs with quantile binning. TWO stages of the same scale-safe exact
+    histogram selection: (1) per-type median (both central ranks, avg of
+    two — DuckDB ``median`` semantics), (2) broadcast the medians and
+    select the median of the |value - median| TRANSFORMED scan — the
+    transform is a zero-shuffle vectorized map re-derived on every
+    selection pass, so no deviation table is ever materialized."""
+    import ray as _ray
+
+    from ..functions.quantiles import grouped_exact_ranks
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    counts = {r["event_type"]: int(r["count()"])
+              for r in scan().groupby("event_type").count().take_all()}
+    targets = {g: [("m1", (n - 1) // 2), ("m2", n // 2)]
+               for g, n in counts.items()}
+
+    got = grouped_exact_ranks(scan, "event_type", "value", targets)
+    med = {g: (got[(g, "m1")] + got[(g, "m2")]) / 2 for g in counts}
+    ref = _ray.put(med)
+
+    def dev(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        m = _ray.get(_ref)
+        c = np.array([m[t] for t in b["event_type"]], dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "value": np.abs(b["value"].to_numpy() - c)})
+
+    got2 = grouped_exact_ranks(
+        lambda: scan().map_batches(dev, batch_format="pandas"),
+        "event_type", "value", targets)
+    groups = sorted(counts)
+    return rd.from_pandas(pd.DataFrame({
+        "event_type": groups,
+        "median_value": [med[g] for g in groups],
+        "mad": [(got2[(g, "m1")] + got2[(g, "m2")]) / 2 for g in groups],
+    }))
+
+
+def sql_events_value_mad() -> str:
+    return """
+WITH m AS (SELECT event_type, median(value) AS med
+           FROM events GROUP BY event_type)
+SELECT e.event_type, m.med AS median_value,
+       median(abs(e.value - m.med)) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type, m.med"""
+
+
 def sql_events_value_ntile() -> str:
     return """
 WITH q AS (
