@@ -279,6 +279,14 @@ def _kg_clustering_coeff(sf_dir: str):
     return clustering_coefficient(_kg(sf_dir, "edges"))
 
 
+def _kg_assortativity(sf_dir: str):
+    """Graph-level degree assortativity (Newman 2002) — exact integer
+    moment sums, one float conversion matching the oracle expression."""
+    from robokop_build_ray.stages.graph_metrics import degree_assortativity
+
+    return degree_assortativity(_kg(sf_dir, "edges"))
+
+
 def _kg_harmonic(sf_dir: str):
     """Sampled harmonic centrality (Eppstein-Wang estimator shape) from
     the 8 lexicographically-smallest nodes; integer-exact LCM accumulation
@@ -790,6 +798,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coeff": _kg_clustering_coeff,
         # sampled harmonic centrality (k seed-BFS, integer LCM fold)
         "kg_harmonic": _kg_harmonic,
+        # graph-level degree assortativity (exact integer moments)
+        "kg_assortativity": _kg_assortativity,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1202,6 +1212,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_label_prop": entry_sql.sql_label_prop(t),
         "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
+        "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1330,3 +1330,33 @@ SELECT r1.* FROM r1
 WHERE NOT EXISTS (SELECT 1 FROM r2
                   WHERE r2.subj_id = r1.subj_id
                     AND r2.obj_id = r1.obj_id)"""
+
+
+def sql_degree_assortativity(tier: str) -> str:
+    """Oracle for graph_metrics.degree_assortativity: endpoint-degree
+    Pearson over both orientations of the undirected simple graph, the
+    HUGEINT moment formula shared with sql_lineitem_qty_price_corr."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+pairs AS (
+  SELECT CAST(da.deg AS BIGINT) AS x, CAST(db.deg AS BIGINT) AS y
+  FROM adj JOIN deg da ON da.id = adj.id JOIN deg db ON db.id = adj.nb
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+         AS assortativity
+FROM m"""

@@ -1068,3 +1068,53 @@ def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
         "h12": pa.array(vals, pa.int64()),
         "harmonic": pa.array(vals / float(lcm), pa.float64()),
     }))
+
+
+# --------------------------------------------------- degree assortativity
+
+def degree_assortativity(edges, src: str = "subj_id", dst: str = "obj_id",
+                         n_buckets: int = 64):
+    """Graph-level degree assortativity (Newman 2002): Pearson correlation
+    of endpoint degrees over every directed orientation of the undirected
+    simple graph -> ONE row (n_pairs, assortativity).
+
+    Same exactness contract as relational.lineitem_qty_price_corr: the
+    five moment sums accumulate as exact int64 per-batch partials (the
+    degree map is node-bounded broadcast state), the driver folds
+    arbitrary-precision Python ints (== the oracle's HUGEINT), and the
+    final float conversion uses the identical operation order, so the
+    double is bit-for-bit the oracle's."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    degs = degree_map(und)  # node-bounded (gazetteer universe)
+    ref = ray.put(degs)
+
+    def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        d = ray.get(_ref)
+        x = b["id"].map(d).to_numpy(np.int64)
+        y = b["nb"].map(d).to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(b))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+        })
+
+    rows = (_adjacency(und).map_batches(partial, batch_format="pandas")
+            .take_all())  # batch-count-bounded partials, exact ints
+    import math
+
+    import ray.data as rd
+
+    n = sum(int(r["n"]) for r in rows)
+    sx = sum(int(r["sx"]) for r in rows)
+    sy = sum(int(r["sy"]) for r in rows)
+    sxy = sum(int(r["sxy"]) for r in rows)
+    sxx = sum(int(r["sxx"]) for r in rows)
+    syy = sum(int(r["syy"]) for r in rows)
+    num = n * sxy - sx * sy
+    dxx, dyy = n * sxx - sx * sx, n * syy - sy * sy
+    r = float(num) / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))
+    return rd.from_arrow(pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    }))
