@@ -951,6 +951,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (kept inside the driver's first-50 window — newest op, no
         # driver row yet; its dedup siblings were judge-rechecked in r02)
         "doc_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
+        # C4's exact policy: globally-FIRST occurrence of a duplicated
+        # chunk survives (argmin inside the chunk-keyed exchange)
+        "doc_chunk_dedup_keepfirst":
+            lambda sf: dedup.chunk_dedup_keepfirst(_docs(sf)),
         "q14_promo_revenue": rel.q14_promo_revenue,
         # Q15 shape: max-revenue supplier over a quarter (ties included)
         "q15_top_supplier": rel.q15_top_supplier,
@@ -1432,6 +1436,28 @@ marked AS (
   SELECT c.doc_id, c.chunk_idx, c.chunk,
          c.chunk NOT IN (SELECT chunk FROM dup) AS kept
   FROM chunks c
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                           ORDER BY chunk_idx), '') AS clean_text,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+FROM marked GROUP BY doc_id""",
+        "doc_chunk_dedup_keepfirst": r"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(w, i*16 + 1, (i+1)*16), ' ') AS chunk
+  FROM ws, UNNEST(range(0, (len(w) + 15) // 16)) AS u(i)
+  WHERE len(w) > 0
+),
+marked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) = 1 AS kept
+  FROM chunks
 )
 SELECT doc_id,
        coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '

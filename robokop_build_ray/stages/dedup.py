@@ -921,3 +921,58 @@ def near_dup_keep_best(clusters, docs, n_buckets: int = 64,
         })
 
     return bucketed_apply(enriched, ["cluster"], decide, None, n_buckets)
+
+
+def chunk_dedup_keepfirst(docs, chunk_tokens: int = CHUNK_DEDUP_TOKENS,
+                          n_buckets: int = 64, batch_size: int = 4096):
+    """C4's EXACT chunk-dedup policy (Raffel et al. 2020 §2.2 "three-
+    sentence span" rule adapted to fixed token windows): of every
+    duplicated chunk, the GLOBALLY FIRST occurrence (min (doc_id,
+    chunk_idx)) survives and all other occurrences are dropped — unlike
+    :func:`chunk_dedup`, which drops cross-doc duplicates entirely.
+    Same two bucketed exchanges; the winner is a per-group vectorized
+    argmin inside the chunk-keyed exchange, never a driver set."""
+    chunks = docs.map_batches(
+        lambda b: _chunk_rows(b, chunk_tokens),
+        batch_format="pandas", batch_size=batch_size)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "chunk" not in g.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "chunk_idx": pd.Series([], dtype="int64"),
+                                 "chunk": pd.Series([], dtype=object),
+                                 "kept": pd.Series([], dtype=bool)})
+        g = g.sort_values(["chunk", "doc_id", "chunk_idx"],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "chunk_idx": g["chunk_idx"].to_numpy(np.int64),
+            "chunk": g["chunk"].to_numpy(dtype=object),
+            "kept": (~g["chunk"].duplicated()).to_numpy(),
+        })
+
+    from ..functions.bucketing import bucketed_apply
+
+    marked = bucketed_apply(chunks, ["chunk"], mark, None, n_buckets)
+
+    def rejoin(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "doc_id" not in g.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "clean_text": pd.Series([], dtype=object),
+                                 "n_kept": pd.Series([], dtype="int64"),
+                                 "n_dropped": pd.Series([], dtype="int64")})
+        g = g.sort_values(["doc_id", "chunk_idx"], kind="stable")
+        kept = g[g["kept"]]
+        clean = kept.groupby("doc_id", sort=False)["chunk"].agg(" ".join)
+        nk = kept.groupby("doc_id", sort=False).size()
+        nall = g.groupby("doc_id", sort=False).size()
+        nkv = nk.reindex(nall.index, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": nall.index.to_numpy(np.int64),
+            "clean_text": clean.reindex(nall.index, fill_value="")
+                               .to_numpy(dtype=object),
+            "n_kept": nkv,
+            "n_dropped": nall.to_numpy(np.int64) - nkv,
+        })
+
+    return bucketed_apply(marked, ["doc_id"], rejoin, None, n_buckets)

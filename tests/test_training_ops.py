@@ -795,3 +795,16 @@ def test_chunk_dedup_tail_chunk_not_merged():
            for r in dedup.chunk_dedup(rd.from_items(rows), chunk_tokens=2,
                                       n_buckets=4).take_all()}
     assert got == {1: ("a b", 1, 1), 2: ("", 0, 1)}
+
+
+def test_chunk_dedup_keepfirst_hand_values():
+    # "a b" duplicated across docs 1, 2: doc 1's occurrence (min doc_id)
+    # survives, doc 2's drops; doc 2's unique tail chunk survives
+    rows = [
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": "a b e f"},
+    ]
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in dedup.chunk_dedup_keepfirst(
+               rd.from_items(rows), chunk_tokens=2, n_buckets=4).take_all()}
+    assert got == {1: ("a b c d", 2, 0), 2: ("e f", 1, 1)}
