@@ -308,3 +308,16 @@ def test_harmonic_distributed_matches_local():
                                                n_buckets=4).take_all())
     # 39: one of the 40 labels is never drawn as a non-self-loop endpoint
     assert local == dist and len(local) == 39  # hybrid paths bit-identical
+
+
+def test_bfs_distances_explicit_seeds():
+    # seeds override skips the type derivation; unknown seed ids are
+    # dropped (anchored-path contract: anchor must be in the graph)
+    from robokop_build_ray.stages.graph_metrics import bfs_distances
+
+    ds = _edges([("a", "b"), ("b", "c"), ("x", "y")])
+    got = {r["id"]: r["dist"]
+           for r in bfs_distances(ds, None, "", rounds=2,
+                                  seeds={"a", "ghost"},
+                                  n_buckets=4).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 2}
