@@ -857,6 +857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_topk": rel.part_topk,
         "orders_status_histogram": rel.orders_status_histogram,
         "customers_without_orders": rel.customers_without_orders,
+        # bloom-join runtime prefilter ahead of the exact semi exchange
+        "customers_with_orders_bloom": rel.customers_with_orders_bloom,
         # mergeable-sketch heavy hitters (exact at this cardinality)
         "events_heavy_hitters": _events_heavy_hitters,
         # KMV distinct sketch (exact below capacity) + ROLLUP grouping sets
@@ -1259,6 +1261,8 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "part_topk": rel.sql_part_topk(),
         "orders_status_histogram": rel.sql_orders_status_histogram(),
         "customers_without_orders": rel.sql_customers_without_orders(),
+        "customers_with_orders_bloom":
+            rel.sql_customers_with_orders_bloom(),
         "events_heavy_hitters": """
 SELECT user_id, n FROM (
   SELECT user_id, count(*) AS n,

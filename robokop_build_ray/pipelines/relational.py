@@ -1263,6 +1263,34 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
 
+def customers_with_orders_bloom(sf_dir: str, n_buckets: int = 64):
+    """SEMI join through the bloom-join prefilter (functions/bloom.py):
+    customers holding >= 1 URGENT order. Output is bit-identical to the
+    exact bucketed_semi (no false negatives); the broadcast bit array
+    drops non-matching customers map-side BEFORE the exchange — the
+    runtime-filter regime between broadcast-set and pure-exchange."""
+    from ..functions.bloom import bloom_semi
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    n_keys = orders.count()  # distinct upper bound; one cheap count scan
+    return bloom_semi(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_custkey", "c_name"], n_items=max(64, n_keys),
+        n_buckets=n_buckets, left_fill={"c_name": ""},
+        empty_dtypes={"c_custkey": "int64", "c_name": object})
+
+
+def sql_customers_with_orders_bloom() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+
+
 def customers_without_orders(sf_dir: str, n_buckets: int = 64):
     """Distributed ANTI JOIN: customers with no URGENT orders. Both sides
     grow with scale factor (the URGENT key set is customer-scale), so the
