@@ -1035,7 +1035,7 @@ def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
                 fm = ray.get(_ref)
                 node = batch["id"].to_numpy(dtype=object)
                 nb = batch["nb"].to_numpy(dtype=object)
-                m = np.fromiter((x in fm for x in node), bool, len(node))
+                m = batch["id"].isin(fm).to_numpy()  # vectorized hash probe
                 if not m.any():
                     return pd.DataFrame({"s": pd.Series([], dtype=object),
                                          "nb": pd.Series([], dtype=object)})
