@@ -168,6 +168,81 @@ def _kg_node_type_histogram(sf_dir: str):
     )
 
 
+def _kg_schema_histogram(sf_dir: str):
+    """KG schema profiling: distinct-edge counts per (subj_type, pred_id,
+    obj_type) — the graph-QA report a KG build ships with. Types come
+    from the node-bounded nodeinfo broadcast; the count is a coalesced
+    type-pair-bounded aggregate, zero corpus-scale collects."""
+    import ray as _ray
+
+    from robokop_build_ray.functions.bucketing import coalesced_count
+
+    edges = _kg(sf_dir, "edges")  # one row per distinct (s, p, o)
+    graph = _GRAPH_CACHE[(sf_dir, False)]
+    info_ref = graph["state"].nodeinfo_ref
+
+    def typed(b, _ref=info_ref):
+        info = _ray.get(_ref)
+        types = {k: v[1] for k, v in info.items()}
+        import pandas as pd
+
+        return pd.DataFrame({"subj_type": b["subj_id"].map(types),
+                             "pred_id": b["pred_id"],
+                             "obj_type": b["obj_id"].map(types)})
+
+    parts = coalesced_count(
+        edges.map_batches(typed, batch_format="pandas"),
+        ["subj_type", "pred_id", "obj_type"], name="n")
+    import pandas as pd
+
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["subj_type", "pred_id", "obj_type"],
+                   as_index=False)["n"].sum())  # type-pair-bounded
+    df["n"] = df["n"].astype("int64")
+    return rd.from_pandas(df)
+
+
+def _kg_edge_spans(sf_dir: str):
+    """Edge provenance time bounds: per distinct (s, p, o) the zero-padded
+    first/last mention key and distinct-conversation breadth — ONE
+    bucketed exchange on the edge key (fact-scale-safe min/max/nunique)."""
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_apply
+
+    _kg(sf_dir, "edges")  # warm the shared build cache
+    canonical = _GRAPH_CACHE[(sf_dir, False)]["canonical"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["conv_id"].astype(str) + "#"
+               + b["turn_idx"].astype(str).str.zfill(6))
+        return pd.DataFrame({"subj_id": b["subj_id"],
+                             "pred_id": b["pred_id"],
+                             "obj_id": b["obj_id"],
+                             "conv_id": b["conv_id"], "pub": key})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "subj_id" not in g.columns:
+            return pd.DataFrame({
+                "subj_id": pd.Series([], dtype=object),
+                "pred_id": pd.Series([], dtype=object),
+                "obj_id": pd.Series([], dtype=object),
+                "first_pub": pd.Series([], dtype=object),
+                "last_pub": pd.Series([], dtype=object),
+                "n_convs": pd.Series([], dtype="int64")})
+        out = g.groupby(["subj_id", "pred_id", "obj_id"],
+                        as_index=False).agg(
+            first_pub=("pub", "min"), last_pub=("pub", "max"),
+            n_convs=("conv_id", "nunique"))
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    return bucketed_apply(canonical, ["subj_id", "pred_id", "obj_id"],
+                          merge, prep)
+
+
 def _kg_turns_ordered(sf_dir: str):
     paths = ensure_corpus(sf_dir)
     return (
@@ -771,6 +846,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                           _kg_edges_compacted(sf))[1],
         "kg_support": lambda sf: (ensure_corpus(sf), _kg(sf, "support"))[1],
         "kg_node_type_histogram": _kg_node_type_histogram,
+        # KG schema profiling: typed-edge distribution
+        "kg_schema_histogram": _kg_schema_histogram,
+        # edge provenance bounds: first/last mention + conv breadth
+        "kg_edge_spans": _kg_edge_spans,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
         "kg_nodes_expanded": _kg_nodes_expanded,
         # S5: run-over-run node upsert (create/label-union/overwrites)
@@ -1192,6 +1271,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges_compacted": entry_sql.sql_edges(t),
         "kg_support": entry_sql.sql_support(t),
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
+        "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
+        "kg_edge_spans": entry_sql.sql_edge_spans(t),
         "kg_node_umls_projection": (
             "SELECT id, list_sort(list_filter(equivalent_identifiers, "
             "x -> x LIKE 'UMLS:%')) AS umls_identifiers FROM ("

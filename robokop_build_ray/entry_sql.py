@@ -1360,3 +1360,32 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
                         - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
          AS assortativity
 FROM m"""
+
+
+def sql_schema_histogram(tier: str) -> str:
+    """Oracle for kg_schema_histogram: distinct-edge counts per
+    (subj_type, pred_id, obj_type) — KG schema profiling."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+e AS (SELECT DISTINCT subj_id, pred_id, obj_id FROM canon)
+SELECT gs.node_type AS subj_type, e.pred_id, go.node_type AS obj_type,
+       count(*) AS n
+FROM e
+JOIN read_parquet('{p["gazetteer"]}') gs ON gs.curie = e.subj_id
+JOIN read_parquet('{p["gazetteer"]}') go ON go.curie = e.obj_id
+GROUP BY 1, 2, 3"""
+
+
+def sql_edge_spans(tier: str) -> str:
+    """Oracle for kg_edge_spans: per distinct (subj, pred, obj) edge the
+    zero-padded first/last mention key and the distinct-conversation
+    support breadth."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]}
+SELECT subj_id, pred_id, obj_id,
+       min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+         AS first_pub,
+       max(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+         AS last_pub,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM canon GROUP BY subj_id, pred_id, obj_id"""
