@@ -1008,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": rel.events_running_total,
         # frame-bounded window aggregate (ROWS 2 PRECEDING trailing mean)
         "events_trailing_avg": rel.events_trailing_avg,
+        # FIRST_VALUE window: first-touch attribution per user
+        "events_first_touch": rel.events_first_touch,
         # ordered LAG window: per-user inter-event gap statistics
         "events_user_gaps": rel.events_user_gaps,
         # TPC-H Q7 shape: bilateral nation trade per ship year
@@ -1404,6 +1406,7 @@ FROM part p1 JOIN part p2 ON p1.p_partkey < p2.p_partkey
 WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_running_total": rel.sql_events_running_total(),
         "events_trailing_avg": rel.sql_events_trailing_avg(),
+        "events_first_touch": rel.sql_events_first_touch(),
         "events_user_gaps": rel.sql_events_user_gaps(),
         "q7_nation_trade": rel.sql_q7_nation_trade(),
         "part_copurchase_topk": rel.sql_part_copurchase_topk(),

@@ -527,6 +527,58 @@ def events_user_gaps(sf_dir: str, n_buckets: int = 64):
                           ["user_id"], merge, None, n_buckets)
 
 
+def events_first_touch(sf_dir: str, n_buckets: int = 64):
+    """FIRST_VALUE window shape (first-touch attribution): each user's
+    FIRST event (by ts, event_id) assigns their acquisition channel;
+    output is the per-channel user count. One user-bucketed exchange;
+    the per-bucket first row per user is a vectorized sort + duplicated
+    mask, the channel rollup is enum-bounded."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "first_type": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g[~g["user_id"].duplicated()]
+        out = (first.groupby("event_type", as_index=False)
+               .size().rename(columns={"event_type": "first_type",
+                                       "size": "n_users"}))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    parts = bucketed_apply(ev, ["user_id"], merge, None, n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        # enum-bounded rollup of the per-bucket partials
+        out = b.groupby("first_type", as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    df = final(pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"first_type": [], "n_users": []}))
+    return rd.from_pandas(df)
+
+
+def sql_events_first_touch() -> str:
+    return """
+WITH f AS (
+  SELECT user_id,
+         first_value(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+  FROM events
+)
+SELECT first_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f GROUP BY first_type"""
+
+
 def events_trailing_avg(sf_dir: str, frame: int = 3, n_buckets: int = 64):
     """FRAME-BOUNDED window aggregate (``ROWS 2 PRECEDING AND CURRENT
     ROW``): per event, the trailing ``frame``-row sum/count/mean of value
