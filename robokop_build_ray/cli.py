@@ -39,6 +39,15 @@ def _analyze(args) -> int:
         res = gm.neighbor_jaccard_topk(edges, k=args.k or 50)
     elif args.metric == "kcore":
         res = gm.kcore(edges, k=args.k or gm.KCORE_K)
+    elif args.metric == "labelprop":
+        res = gm.label_propagation(edges)
+    elif args.metric == "clustering":
+        res = gm.clustering_coefficient(edges)
+    elif args.metric == "harmonic":
+        res = gm.harmonic_centrality(edges, n_seeds=args.k
+                                     or gm.HARMONIC_SEEDS)
+    elif args.metric == "assortativity":
+        res = gm.degree_assortativity(edges)
     else:  # metapath2
         import pandas as pd
 
@@ -104,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(reads <graph>/edges/)")
     a.add_argument("--metric", required=True,
                    choices=["components", "pagerank", "degree", "triangles",
-                            "jaccard", "metapath2", "kcore"])
+                            "jaccard", "metapath2", "kcore", "labelprop",
+                            "clustering", "harmonic", "assortativity"])
     a.add_argument("--out", default=None,
                    help="write result parquet here (else just print counts)")
     a.add_argument("--gazetteer", default=None,
