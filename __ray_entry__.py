@@ -168,6 +168,43 @@ def _kg_node_type_histogram(sf_dir: str):
     )
 
 
+def _kg_unused_entities(sf_dir: str):
+    """Gazetteer coverage QA: entities whose canonical component never
+    appears as a graph endpoint — the 'what did linking miss' report a
+    KG build ships with. Node set is entity-bounded (broadcast); the
+    gazetteer scan is a zero-shuffle vectorized filter."""
+    import pandas as pd
+    import ray as _ray
+
+    from robokop_build_ray.stages.graph_metrics import (degree_map,
+                                                        undirected_pairs)
+
+    _kg(sf_dir, "edges")  # warm the shared build cache
+    graph = _GRAPH_CACHE[(sf_dir, False)]
+    used = set(degree_map(undirected_pairs(graph["canonical"])))
+    canon = _ray.get(graph["state"].canon_ref)
+    paths = ensure_corpus(sf_dir)
+    gaz = rd.read_parquet(paths["gazetteer"])
+    used_ref = _ray.put(used)
+    canon_ref = _ray.put(canon)
+
+    import pyarrow as pa
+
+    def missing(t: pa.Table, _u=used_ref, _c=canon_ref) -> pa.Table:
+        u, c = _ray.get(_u), _ray.get(_c)
+        cur = t["curie"].to_pylist()
+        mask = pa.array([c.get(x, x) not in u for x in cur], pa.bool_())
+        # typed Arrow out: a fully-covered tier yields ZERO rows and a
+        # pandas empty would lose the schema (repo zero-row invariant)
+        return t.select(["curie", "name", "node_type"]).filter(mask)
+
+    seed = rd.from_arrow(pa.table({
+        "curie": pa.array([], pa.string()),
+        "name": pa.array([], pa.string()),
+        "node_type": pa.array([], pa.string())}))
+    return gaz.map_batches(missing, batch_format="pyarrow").union(seed)
+
+
 def _kg_schema_histogram(sf_dir: str):
     """KG schema profiling: distinct-edge counts per (subj_type, pred_id,
     obj_type) — the graph-QA report a KG build ships with. Types come
@@ -848,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_type_histogram": _kg_node_type_histogram,
         # KG schema profiling: typed-edge distribution
         "kg_schema_histogram": _kg_schema_histogram,
+        # coverage QA: gazetteer entities the linking never surfaced
+        "kg_unused_entities": _kg_unused_entities,
         # edge provenance bounds: first/last mention + conv breadth
         "kg_edge_spans": _kg_edge_spans,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
@@ -998,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": rel.events_value_ntile,
         # robust dispersion: two-stage exact histogram selection (MAD)
         "events_value_mad": rel.events_value_mad,
+        # histogram selection over a DERIVED column of a second table
+        "doc_tokens_median_by_lang": rel.doc_tokens_median_by_lang,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1274,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_support": entry_sql.sql_support(t),
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
         "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
+        "kg_unused_entities": entry_sql.sql_unused_entities(t),
         "kg_edge_spans": entry_sql.sql_edge_spans(t),
         "kg_node_umls_projection": (
             "SELECT id, list_sort(list_filter(equivalent_identifiers, "
@@ -1388,6 +1430,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_value_ntile": rel.sql_events_value_ntile(),
         "events_value_mad": rel.sql_events_value_mad(),
+        "doc_tokens_median_by_lang":
+            rel.sql_doc_tokens_median_by_lang(),
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),

@@ -1389,3 +1389,16 @@ SELECT subj_id, pred_id, obj_id,
          AS last_pub,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
 FROM canon GROUP BY subj_id, pred_id, obj_id"""
+
+
+def sql_unused_entities(tier: str) -> str:
+    """Oracle for kg_unused_entities: gazetteer rows whose canonical
+    component is not an endpoint of the undirected simple graph."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj)
+SELECT g.curie, g.name, g.node_type
+FROM read_parquet('{p["gazetteer"]}') g
+JOIN cc ON cc.id = g.curie
+WHERE cc.canon NOT IN (SELECT id FROM nodes)"""

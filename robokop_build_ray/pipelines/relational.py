@@ -527,6 +527,46 @@ def events_user_gaps(sf_dir: str, n_buckets: int = 64):
                           ["user_id"], merge, None, n_buckets)
 
 
+def doc_tokens_median_by_lang(sf_dir: str):
+    """Median token count per language — the iterative histogram
+    selection generalized to a DERIVED integer column of a second table
+    (the corpus-stats report a data pipeline publishes per shard). The
+    token count is re-derived vectorized inside every selection pass, so
+    no token-count table materializes."""
+    from ..functions.quantiles import grouped_exact_ranks
+
+    def scan():
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "text"])
+
+        def toks(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "lang": b["lang"],
+                "n_tokens": b["text"].str.count(r"\S+").astype("int64")})
+
+        return ds.map_batches(toks, batch_format="pandas")
+
+    counts = {r["lang"]: int(r["count()"])
+              for r in scan().groupby("lang").count().take_all()}
+    targets = {g: [("m1", (n - 1) // 2), ("m2", n // 2)]
+               for g, n in counts.items()}
+    got = grouped_exact_ranks(scan, "lang", "n_tokens", targets)
+    langs = sorted(counts)
+    return rd.from_pandas(pd.DataFrame({
+        "lang": langs,
+        "median_tokens": [(got[(g, "m1")] + got[(g, "m2")]) / 2
+                          for g in langs],
+    }))
+
+
+def sql_doc_tokens_median_by_lang() -> str:
+    return r"""
+SELECT lang,
+       median(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+         AS median_tokens
+FROM documents GROUP BY lang"""
+
+
 def events_first_touch(sf_dir: str, n_buckets: int = 64):
     """FIRST_VALUE window shape (first-touch attribution): each user's
     FIRST event (by ts, event_id) assigns their acquisition channel;
