@@ -168,6 +168,52 @@ def _kg_node_type_histogram(sf_dir: str):
     )
 
 
+def _kg_conv_stats(sf_dir: str):
+    """Transcript-grain conversation profile: per conv_id the turn count,
+    per-role turn counts, total characters and the (ts-ordered) span —
+    the source-data QA report the KG build reads first. One bucketed
+    exchange on conv_id with vectorized per-bucket aggregation (hot
+    conversations stay inside one group: same skew bound as support)."""
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_apply
+
+    paths = ensure_corpus(sf_dir)
+    ds = rd.read_parquet(paths["transcripts"],
+                         columns=["conv_id", "role", "text", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": b["conv_id"],
+            "is_user": (b["role"] == "user").astype("int64"),
+            "is_assistant": (b["role"] == "assistant").astype("int64"),
+            "n_chars": b["text"].str.len().astype("int64"),
+            "t": b["ts"].astype("int64"),  # microseconds
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "conv_id" not in g.columns:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_user": pd.Series([], dtype="int64"),
+                "n_assistant": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "span_us": pd.Series([], dtype="int64")})
+        out = g.groupby("conv_id", as_index=False).agg(
+            n_turns=("t", "size"), n_user=("is_user", "sum"),
+            n_assistant=("is_assistant", "sum"),
+            n_chars=("n_chars", "sum"),
+            t_min=("t", "min"), t_max=("t", "max"))
+        out["span_us"] = (out["t_max"] - out["t_min"]).astype("int64")
+        for c in ("n_turns", "n_user", "n_assistant", "n_chars"):
+            out[c] = out[c].astype("int64")
+        return out[["conv_id", "n_turns", "n_user", "n_assistant",
+                    "n_chars", "span_us"]]
+
+    return bucketed_apply(ds, ["conv_id"], merge, prep)
+
+
 def _kg_unused_entities(sf_dir: str):
     """Gazetteer coverage QA: entities whose canonical component never
     appears as a graph endpoint — the 'what did linking miss' report a
@@ -887,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_histogram": _kg_schema_histogram,
         # coverage QA: gazetteer entities the linking never surfaced
         "kg_unused_entities": _kg_unused_entities,
+        # source-data QA: per-conversation turn/role/char/span profile
+        "kg_conv_stats": _kg_conv_stats,
         # edge provenance bounds: first/last mention + conv breadth
         "kg_edge_spans": _kg_edge_spans,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
@@ -1316,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_type_histogram": entry_sql.sql_node_type_histogram(t),
         "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
         "kg_unused_entities": entry_sql.sql_unused_entities(t),
+        "kg_conv_stats": entry_sql.sql_conv_stats(t),
         "kg_edge_spans": entry_sql.sql_edge_spans(t),
         "kg_node_umls_projection": (
             "SELECT id, list_sort(list_filter(equivalent_identifiers, "

@@ -1402,3 +1402,19 @@ SELECT g.curie, g.name, g.node_type
 FROM read_parquet('{p["gazetteer"]}') g
 JOIN cc ON cc.id = g.curie
 WHERE cc.canon NOT IN (SELECT id FROM nodes)"""
+
+
+def sql_conv_stats(tier: str) -> str:
+    """Oracle for kg_conv_stats: per-conversation turn/role/char counts
+    and the microsecond ts span."""
+    p = corpus_paths(tier)
+    return f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+         AS n_assistant,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+FROM read_parquet('{p["transcripts"]}/*.parquet')
+GROUP BY conv_id"""
