@@ -168,6 +168,15 @@ def _kg_node_type_histogram(sf_dir: str):
     )
 
 
+def _kg_support_turnwindow(sf_dir: str):
+    """Turn-window co-occurrence pairs (the sentence-grain omnicorp
+    analog): entities co-mentioned within 2 turns, capped per conv."""
+    from robokop_build_ray.stages.support import turn_window_pairs
+
+    _kg(sf_dir, "edges")  # warm the shared build cache
+    return turn_window_pairs(_GRAPH_CACHE[(sf_dir, False)]["canonical"])
+
+
 def _kg_conv_stats(sf_dir: str):
     """Transcript-grain conversation profile: per conv_id the turn count,
     per-role turn counts, total characters and the (ts-ordered) span —
@@ -935,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unused_entities": _kg_unused_entities,
         # source-data QA: per-conversation turn/role/char/span profile
         "kg_conv_stats": _kg_conv_stats,
+        # omnicorp-at-sentence-grain analog: turn-window co-occurrence
+        "kg_support_turnwindow": _kg_support_turnwindow,
         # edge provenance bounds: first/last mention + conv breadth
         "kg_edge_spans": _kg_edge_spans,
         # M9: dynamic coded-synonym expansion (OXO/ICD9 analog) at node build
@@ -1365,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
         "kg_unused_entities": entry_sql.sql_unused_entities(t),
         "kg_conv_stats": entry_sql.sql_conv_stats(t),
+        "kg_support_turnwindow": entry_sql.sql_turn_window_pairs(t),
         "kg_edge_spans": entry_sql.sql_edge_spans(t),
         "kg_node_umls_projection": (
             "SELECT id, list_sort(list_filter(equivalent_identifiers, "

@@ -1418,3 +1418,33 @@ SELECT conv_id,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
 FROM read_parquet('{p["transcripts"]}/*.parquet')
 GROUP BY conv_id"""
+
+
+def sql_turn_window_pairs(tier: str, window: int = 2,
+                          cap: int = 256) -> str:
+    """Oracle for support.turn_window_pairs: distinct (conv, turn, id)
+    mentions, per-conv lexicographic entity cap, |turn diff| <= window
+    self-join with a.id < b.id, pair counts."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+ment AS (
+  SELECT DISTINCT conv_id, turn_idx, id FROM (
+    SELECT conv_id, turn_idx, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, turn_idx, obj_id FROM canon
+  )
+),
+ranked AS (
+  SELECT conv_id, id,
+         dense_rank() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+  FROM (SELECT DISTINCT conv_id, id FROM ment)
+),
+m2 AS (
+  SELECT m.* FROM ment m
+  JOIN ranked r ON r.conv_id = m.conv_id AND r.id = m.id
+  WHERE r.rk <= {cap}
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_windows
+FROM m2 a JOIN m2 b
+  ON a.conv_id = b.conv_id AND a.id < b.id
+ AND abs(a.turn_idx - b.turn_idx) <= {window}
+GROUP BY 1, 2"""

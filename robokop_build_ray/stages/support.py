@@ -369,3 +369,59 @@ def support_stage(canonical, n_conversations: int,
         batch_size=65_536,
         concurrency=(1, 2),
     )
+
+
+def turn_window_pairs(canonical, window: int = 2,
+                      max_entities_per_conv: int = 256,
+                      n_buckets: int = 64):
+    """TURN-WINDOW co-occurrence — the omnicorp analog at finer grain
+    (`builder/omnicorp.py` counts article-level co-mentions; real
+    omnicorp counts SENTENCE-level; here: entity pairs co-mentioned
+    within ``window`` turns of the same conversation).
+
+    Dataset(id_a, id_b, n_windows): per unordered pair, the number of
+    (turn_a, turn_b) mention combinations with |turn_a - turn_b| <=
+    window. Mentions are distinct (conv, turn, entity); the same
+    lexicographically-first entity cap as support_stage bounds the
+    per-conversation quadratic. ONE conv-keyed bucketed exchange; the
+    per-bucket pairing is a vectorized self-merge + window filter (no
+    per-conversation Python), followed by a pair-keyed count exchange."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucketed_apply, bucketed_count
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat([
+            b[["conv_id", "turn_idx", "subj_id"]].rename(
+                columns={"subj_id": "id"}),
+            b[["conv_id", "turn_idx", "obj_id"]].rename(
+                columns={"obj_id": "id"}),
+        ], ignore_index=True)
+        return out.drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "conv_id" not in g.columns:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        g = g.drop_duplicates(["conv_id", "turn_idx", "id"])
+        # per-conv entity cap (lexicographically-first, like support)
+        ce = g[["conv_id", "id"]].drop_duplicates().sort_values(
+            ["conv_id", "id"], kind="mergesort")
+        ce["rk"] = ce.groupby("conv_id", sort=False).cumcount()
+        keep = ce[ce["rk"] < max_entities_per_conv][["conv_id", "id"]]
+        g = g.merge(keep, on=["conv_id", "id"])
+        m = g.merge(g, on="conv_id", suffixes=("_a", "_b"))
+        m = m[(m["id_a"] < m["id_b"])
+              & ((m["turn_idx_a"] - m["turn_idx_b"]).abs() <= window)]
+        return m[["id_a", "id_b"]]
+
+    paired = bucketed_apply(canonical, ["conv_id"], pairs, prep, n_buckets)
+    counts = bucketed_count(paired, ["id_a", "id_b"], name="n_windows",
+                            n_buckets=n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_windows"] = b["n_windows"].astype("int64")
+        return b
+
+    return counts.map_batches(final, batch_format="pandas")
