@@ -109,3 +109,44 @@ def test_pairs_all_matches_per_conv_reference():
         assert got == want
     empty = _pairs_all(pd.DataFrame({"conv_id": [], "entity": []}), 5)
     assert len(empty) == 0 and list(empty.columns) == ["id_a", "id_b"]
+
+
+def test_turn_window_pairs_hand_values():
+    import ray.data as rd
+
+    from robokop_build_ray.stages.support import turn_window_pairs
+
+    # conv c1: A@0 (subj) with B@0 (obj) -> same-turn pair; A@0 with C@3
+    # is OUTSIDE window 2; B@0 with C@3 outside too; C@3 with D@4 inside.
+    # conv c2: A@0 with B@1 inside -> (A,B) counted again.
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "subj_id": "A",
+         "pred_id": "p", "obj_id": "B"},
+        {"conv_id": "c1", "turn_idx": 3, "subj_id": "C",
+         "pred_id": "p", "obj_id": "C"},
+        {"conv_id": "c1", "turn_idx": 4, "subj_id": "D",
+         "pred_id": "p", "obj_id": "D"},
+        {"conv_id": "c2", "turn_idx": 0, "subj_id": "A",
+         "pred_id": "p", "obj_id": "A"},
+        {"conv_id": "c2", "turn_idx": 1, "subj_id": "B",
+         "pred_id": "p", "obj_id": "B"},
+    ]
+    got = {(r["id_a"], r["id_b"]): r["n_windows"]
+           for r in turn_window_pairs(rd.from_items(rows), window=2,
+                                      n_buckets=4).take_all()}
+    assert got == {("A", "B"): 2, ("C", "D"): 1}
+
+
+def test_turn_window_cap_bounds_pairs():
+    import ray.data as rd
+
+    from robokop_build_ray.stages.support import turn_window_pairs
+
+    # 4 entities same turn; cap=2 keeps lexicographic {A, B} only
+    rows = [{"conv_id": "c", "turn_idx": 0, "subj_id": s,
+             "pred_id": "p", "obj_id": o}
+            for s, o in (("A", "B"), ("C", "D"))]
+    got = {(r["id_a"], r["id_b"]) for r in turn_window_pairs(
+        rd.from_items(rows), window=1, max_entities_per_conv=2,
+        n_buckets=4).take_all()}
+    assert got == {("A", "B")}
