@@ -446,6 +446,14 @@ def _kg_clustering_coeff(sf_dir: str):
     return clustering_coefficient(_kg(sf_dir, "edges"))
 
 
+def _kg_ktruss(sf_dir: str):
+    """Edge-grain k-truss (Cohen 2008): fixed-round peeling of edges in
+    < k-2 triangles, survivors reported with recomputed support."""
+    from robokop_build_ray.stages.graph_metrics import ktruss
+
+    return ktruss(_kg(sf_dir, "edges"))
+
+
 def _kg_assortativity(sf_dir: str):
     """Graph-level degree assortativity (Newman 2002) — exact integer
     moment sums, one float conversion matching the oracle expression."""
@@ -977,6 +985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_harmonic": _kg_harmonic,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
+        # edge-grain cohesion: fixed-round k-truss peeling
+        "kg_ktruss": _kg_ktruss,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1405,6 +1415,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
+        "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1448,3 +1448,35 @@ FROM m2 a JOIN m2 b
   ON a.conv_id = b.conv_id AND a.id < b.id
  AND abs(a.turn_idx - b.turn_idx) <= {window}
 GROUP BY 1, 2"""
+
+
+def sql_ktruss(tier: str, k: int = 4, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.ktruss: ``rounds`` unrolled peels (drop
+    edges with common-neighbor support < k-2 over the current set), then
+    the survivors' support recomputed on the survivor set."""
+    p = corpus_paths(tier)
+    # AS MATERIALIZED: without it DuckDB inlines each CTE reference and
+    # re-derives the whole canon -> und chain per join arm per round
+    # (exponential blowup; the un-hinted form ran > 110 s at sf0.001)
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT a AS id, b AS nb FROM e{r} "
+            f"UNION ALL SELECT b, a FROM e{r})")
+        ctes.append(
+            f"t{r} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS t "
+            f"FROM e{r} e "
+            f"JOIN a{r} n1 ON n1.id = e.a "
+            f"JOIN a{r} n2 ON n2.id = e.b AND n2.nb = n1.nb "
+            f"GROUP BY e.a, e.b)")
+        if r < rounds:
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+                f"LEFT JOIN t{r} t ON t.a = e.a AND t.b = e.b "
+                f"WHERE coalesce(t.t, 0) >= {k - 2})")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes)
+            + f"""
+SELECT e.a, e.b, CAST(coalesce(t.t, 0) AS BIGINT) AS support
+FROM e{rounds} e
+LEFT JOIN t{rounds} t ON t.a = e.a AND t.b = e.b""")

@@ -321,3 +321,41 @@ def test_bfs_distances_explicit_seeds():
                                   seeds={"a", "ghost"},
                                   n_buckets=4).take_all()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_ktruss_hand_values():
+    # K4 on abcd: every edge lies in 2 triangles -> survives k=4.
+    # A lone triangle xyz (support 1 each) and a pendant edge are peeled.
+    from robokop_build_ray.stages.graph_metrics import ktruss
+
+    k4 = list(combinations("abcd", 2))
+    ds = _edges(k4 + [("x", "y"), ("y", "z"), ("x", "z"), ("d", "p")])
+    got = {(r["a"], r["b"]): r["support"]
+           for r in ktruss(ds, k=4, rounds=3, n_buckets=4).take_all()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_ktruss_cascade():
+    # triangle strip: peeling the weakest edge can cascade; with k=4 and
+    # enough rounds a strip of single-support triangles empties entirely
+    from robokop_build_ray.stages.graph_metrics import ktruss
+
+    strip = [("n0", "n1"), ("n1", "n2"), ("n0", "n2"),
+             ("n2", "n3"), ("n1", "n3")]
+    got = ktruss(_edges(strip), k=4, rounds=3, n_buckets=4).take_all()
+    assert got == []  # every edge has support <= 1 after first peel
+
+
+def test_ktruss_distributed_matches_local():
+    rng = np.random.default_rng(13)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 25, size=(160, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import ktruss
+
+    ds = _edges(pairs)
+    local = sorted((r["a"], r["b"], r["support"])
+                   for r in ktruss(ds, k=4, rounds=2).take_all())
+    dist = sorted((r["a"], r["b"], r["support"])
+                  for r in ktruss(ds, k=4, rounds=2, local_threshold=0,
+                                  n_buckets=4).take_all())
+    assert local == dist and len(local) > 0  # hybrid paths bit-identical
