@@ -1108,6 +1108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": rel.events_value_mad,
         # histogram selection over a DERIVED column of a second table
         "doc_tokens_median_by_lang": rel.doc_tokens_median_by_lang,
+        # hour-of-day seasonality (modulo-time grouping, enum-bounded)
+        "events_hour_profile": rel.events_hour_profile,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1504,6 +1506,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_value_mad": rel.sql_events_value_mad(),
         "doc_tokens_median_by_lang":
             rel.sql_doc_tokens_median_by_lang(),
+        "events_hour_profile": rel.sql_events_hour_profile(),
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),

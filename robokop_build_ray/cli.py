@@ -48,6 +48,8 @@ def _analyze(args) -> int:
                                      or gm.HARMONIC_SEEDS)
     elif args.metric == "assortativity":
         res = gm.degree_assortativity(edges)
+    elif args.metric == "ktruss":
+        res = gm.ktruss(edges, k=args.k or gm.KTRUSS_K)
     else:  # metapath2
         import pandas as pd
 
@@ -114,7 +116,8 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--metric", required=True,
                    choices=["components", "pagerank", "degree", "triangles",
                             "jaccard", "metapath2", "kcore", "labelprop",
-                            "clustering", "harmonic", "assortativity"])
+                            "clustering", "harmonic", "assortativity",
+                            "ktruss"])
     a.add_argument("--out", default=None,
                    help="write result parquet here (else just print counts)")
     a.add_argument("--gazetteer", default=None,

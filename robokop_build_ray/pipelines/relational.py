@@ -527,6 +527,46 @@ def events_user_gaps(sf_dir: str, n_buckets: int = 64):
                           ["user_id"], merge, None, n_buckets)
 
 
+def events_hour_profile(sf_dir: str):
+    """Hour-of-day seasonality profile: per (hour 0-23, event_type) the
+    event count and exact cents sum — the diurnal-load report a streaming
+    pipeline publishes. Pure modulo-time grouping: one vectorized
+    hour-extraction map + a coalesced enum-bounded count (24 x types
+    keys), zero wide shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "hour": b["ts"].dt.hour.astype("int64"),
+            "event_type": b["event_type"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "cents": np.floor(
+                b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        })
+        return p.groupby(["hour", "event_type"],
+                         as_index=False)[["n", "cents"]].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["hour", "event_type"], as_index=False)[["n", "cents"]]
+          .sum())  # 24 x enum keys
+    df["n"] = df["n"].astype("int64")
+    df["cents"] = df["cents"].astype("int64")
+    return rd.from_pandas(df)
+
+
+def sql_events_hour_profile() -> str:
+    return """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events GROUP BY 1, 2"""
+
+
 def doc_tokens_median_by_lang(sf_dir: str):
     """Median token count per language — the iterative histogram
     selection generalized to a DERIVED integer column of a second table
