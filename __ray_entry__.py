@@ -177,6 +177,49 @@ def _kg_support_turnwindow(sf_dir: str):
     return turn_window_pairs(_GRAPH_CACHE[(sf_dir, False)]["canonical"])
 
 
+def _kg_conv_latency(sf_dir: str):
+    """Per-conversation first-response latency: microseconds between the
+    first user turn and the first assistant turn at-or-after it (the
+    transcript SLA metric). One conv-keyed bucketed exchange; per-bucket
+    min-scan is vectorized. Conversations with no such pair are dropped
+    (typed Arrow + seed keeps the zero-row case schema-stable)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from robokop_build_ray.functions.bucketing import bucketed_apply
+
+    paths = ensure_corpus(sf_dir)
+    ds = rd.read_parquet(paths["transcripts"],
+                         columns=["conv_id", "role", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["role"].isin(["user", "assistant"])
+        return pd.DataFrame({"conv_id": b["conv_id"][m],
+                             "role": b["role"][m],
+                             "t": b["ts"][m].astype("int64")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "conv_id" not in g.columns:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "latency_us": pd.Series([], dtype="int64")})
+        u = (g[g["role"] == "user"].groupby("conv_id")["t"].min()
+             .rename("t_user"))
+        a = g[g["role"] == "assistant"][["conv_id", "t"]]
+        m = a.merge(u, on="conv_id")
+        m = m[m["t"] >= m["t_user"]]
+        out = m.groupby("conv_id", as_index=False).agg(
+            t_a=("t", "min"), t_u=("t_user", "min"))
+        return pd.DataFrame({
+            "conv_id": out["conv_id"],
+            "latency_us": (out["t_a"] - out["t_u"]).astype("int64")})
+
+    res = bucketed_apply(ds, ["conv_id"], merge, prep)
+    seed = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "latency_us": pa.array([], pa.int64())}))
+    return res.union(seed)
+
+
 def _kg_conv_stats(sf_dir: str):
     """Transcript-grain conversation profile: per conv_id the turn count,
     per-role turn counts, total characters and the (ts-ordered) span —
@@ -952,6 +995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unused_entities": _kg_unused_entities,
         # source-data QA: per-conversation turn/role/char/span profile
         "kg_conv_stats": _kg_conv_stats,
+        # transcript SLA metric: first-response latency per conversation
+        "kg_conv_latency": _kg_conv_latency,
         # omnicorp-at-sentence-grain analog: turn-window co-occurrence
         "kg_support_turnwindow": _kg_support_turnwindow,
         # edge provenance bounds: first/last mention + conv breadth
@@ -1388,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
         "kg_unused_entities": entry_sql.sql_unused_entities(t),
         "kg_conv_stats": entry_sql.sql_conv_stats(t),
+        "kg_conv_latency": entry_sql.sql_conv_latency(t),
         "kg_support_turnwindow": entry_sql.sql_turn_window_pairs(t),
         "kg_edge_spans": entry_sql.sql_edge_spans(t),
         "kg_node_umls_projection": (

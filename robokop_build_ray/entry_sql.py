@@ -1480,3 +1480,19 @@ def sql_ktruss(tier: str, k: int = 4, rounds: int = 3) -> str:
 SELECT e.a, e.b, CAST(coalesce(t.t, 0) AS BIGINT) AS support
 FROM e{rounds} e
 LEFT JOIN t{rounds} t ON t.a = e.a AND t.b = e.b""")
+
+
+def sql_conv_latency(tier: str) -> str:
+    """Oracle for kg_conv_latency: min assistant ts at-or-after the first
+    user ts, per conversation."""
+    p = corpus_paths(tier)
+    return f"""
+WITH t AS (SELECT conv_id, role, epoch_us(ts) AS t
+           FROM read_parquet('{p["transcripts"]}/*.parquet')
+           WHERE role IN ('user', 'assistant')),
+u AS (SELECT conv_id, min(t) AS t_user FROM t
+      WHERE role = 'user' GROUP BY conv_id)
+SELECT t.conv_id, CAST(min(t.t) - u.t_user AS BIGINT) AS latency_us
+FROM t JOIN u USING (conv_id)
+WHERE t.role = 'assistant' AND t.t >= u.t_user
+GROUP BY t.conv_id, u.t_user"""
