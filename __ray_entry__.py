@@ -1155,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_median_by_lang": rel.doc_tokens_median_by_lang,
         # hour-of-day seasonality (modulo-time grouping, enum-bounded)
         "events_hour_profile": rel.events_hour_profile,
+        # CooccurChi2 shape on corpus metadata: lang x source association
+        "doc_lang_source_chi2": lambda sf: ta.lang_source_chi2(_docs(sf)),
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1553,6 +1555,25 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_tokens_median_by_lang":
             rel.sql_doc_tokens_median_by_lang(),
         "events_hour_profile": rel.sql_events_hour_profile(),
+        "doc_lang_source_chi2": """
+WITH j AS (SELECT lang, source, count(*) AS c
+           FROM documents GROUP BY lang, source),
+m1 AS (SELECT lang, sum(c) AS c1 FROM j GROUP BY lang),
+m2 AS (SELECT source, sum(c) AS c2 FROM j GROUP BY source),
+tot AS (SELECT sum(c) AS n FROM j),
+scored AS (
+  SELECT j.lang, j.source, m1.c1, m2.c2, j.c, tot.n,
+         greatest(0.0, abs(j.c * (tot.n - m1.c1 - m2.c2 + j.c)
+                           - (m1.c1 - j.c) * (m2.c2 - j.c))
+                  - tot.n / 2.0) AS g,
+         1.0 * m1.c1 * m2.c2 * (tot.n - m1.c1) * (tot.n - m2.c2) AS denom
+  FROM j JOIN m1 USING (lang) JOIN m2 USING (source) CROSS JOIN tot
+)
+SELECT lang, source, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(c AS BIGINT) AS c,
+       1.0 * c1 * c2 / n AS expected,
+       CASE WHEN denom > 0 THEN n * g * g / denom ELSE 0.0 END AS chi2
+FROM scored""",
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),

@@ -776,3 +776,43 @@ def sql_stratified_sample(table: str = "documents") -> str:
     return f"""
 SELECT doc_id, lang FROM {table}
 WHERE lang NOT IN ({langs}) OR {clauses}"""
+
+
+def lang_source_chi2(docs, batch_size: int = 65_536):
+    """CooccurChi2 generalized to corpus metadata (`CDW/CooccurChi2.ipynb`
+    shape on the documents table): per (lang, source) cell the 2x2 Yates
+    chi-square of language-source association — the mixture-drift report
+    a corpus curator reads before re-weighting sources.
+
+    One streaming pass of per-batch (lang, source) partial counts; the
+    fold, marginals and the vectorized chi2 (`support.chi2_yates_vec`,
+    the SAME op order the oracle mirrors) are enum-bounded driver work."""
+    import numpy as np
+
+    from .support import chi2_yates_vec
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["lang", "source"], sort=False)
+                .size().rename("c").reset_index())
+
+    frames = list(docs.select_columns(["lang", "source"])
+                  .map_batches(partial, batch_format="pandas",
+                               batch_size=batch_size)
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["lang", "source"], as_index=False)["c"].sum())
+    n = int(df["c"].sum())
+    m1 = df.groupby("lang")["c"].sum()
+    m2 = df.groupby("source")["c"].sum()
+    c1 = df["lang"].map(m1).to_numpy(np.int64)
+    c2 = df["source"].map(m2).to_numpy(np.int64)
+    c = df["c"].to_numpy(np.int64)
+    expected, chi2, _p = chi2_yates_vec(c, c1, c2, n)
+    import ray.data as rd
+
+    out = pd.DataFrame({
+        "lang": df["lang"], "source": df["source"],
+        "c1": c1, "c2": c2, "c": c,
+        "expected": expected, "chi2": chi2,
+    }).sort_values(["lang", "source"], kind="mergesort")
+    return rd.from_pandas(out.reset_index(drop=True))
