@@ -1155,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens_median_by_lang": rel.doc_tokens_median_by_lang,
         # hour-of-day seasonality (modulo-time grouping, enum-bounded)
         "events_hour_profile": rel.events_hour_profile,
+        # calendar-window exact distinct: daily active users
+        "events_daily_active": rel.events_daily_active,
         # CooccurChi2 shape on corpus metadata: lang x source association
         "doc_lang_source_chi2": lambda sf: ta.lang_source_chi2(_docs(sf)),
         # high-cardinality grouped exact median (per-key co-location)
@@ -1555,6 +1557,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_tokens_median_by_lang":
             rel.sql_doc_tokens_median_by_lang(),
         "events_hour_profile": rel.sql_events_hour_profile(),
+        "events_daily_active": rel.sql_events_daily_active(),
         "doc_lang_source_chi2": """
 WITH j AS (SELECT lang, source, count(*) AS c
            FROM documents GROUP BY lang, source),

@@ -558,6 +558,42 @@ def events_hour_profile(sf_dir: str):
     return rd.from_pandas(df)
 
 
+def events_daily_active(sf_dir: str, n_buckets: int = 64):
+    """Calendar-window distinct: DAILY ACTIVE USERS — per date the exact
+    distinct user count. Two-phase: (date, user) bucketed distinct (the
+    fact-scale dedup), then an enum-bounded per-date fold. The distinct
+    pass is the scale step; the date universe is calendar-bounded."""
+    from ..functions.bucketing import bucketed_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": b["ts"].dt.strftime("%Y-%m-%d"),
+                             "user_id": b["user_id"]})
+
+    du = bucketed_distinct(ev.map_batches(prep, batch_format="pandas"),
+                           ["d", "user_id"], n_buckets)
+    frames = list(
+        du.map_batches(
+            lambda b: b.groupby("d", sort=False).size()
+                       .rename("dau").reset_index(),
+            batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby("d", as_index=False)["dau"].sum())  # calendar-bounded
+    df["dau"] = df["dau"].astype("int64")
+    return rd.from_pandas(df.sort_values("d", kind="mergesort")
+                          .reset_index(drop=True))
+
+
+def sql_events_daily_active() -> str:
+    return """
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1"""
+
+
 def sql_events_hour_profile() -> str:
     return """
 SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, event_type,
