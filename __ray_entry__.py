@@ -21,6 +21,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import ray.data as rd
 
 from robokop_build_ray import entry_sql
@@ -175,6 +176,48 @@ def _kg_support_turnwindow(sf_dir: str):
 
     _kg(sf_dir, "edges")  # warm the shared build cache
     return turn_window_pairs(_GRAPH_CACHE[(sf_dir, False)]["canonical"])
+
+
+def _dedup_rate_by_source(sf_dir: str):
+    """Curation report: per source the doc count and how many docs the
+    near-dup keep-list would REMOVE — the number a corpus curator reads
+    after a dedup pass. Keep flags (kept = doc is its cluster's min id)
+    bucket-attach to the doc sources; the final fold is enum-bounded."""
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_attach
+
+    clusters = _clusters(sf_dir, 0.5)  # (doc_id, cluster), memoized
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "removed": (b["doc_id"] != b["cluster"]).astype("int64")})
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+    enriched = bucketed_attach(
+        docs, clusters.map_batches(flags, batch_format="pandas"),
+        left_on="doc_id", right_on="doc_id",
+        left_cols=["doc_id", "source"], payload={"removed": "removed"},
+        payload_fill=np.int64(0), left_fill={"source": ""},
+        empty_dtypes={"doc_id": "int64", "source": object,
+                      "removed": "int64"})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.assign(n=np.ones(len(b), dtype=np.int64))
+        return p.groupby("source", as_index=False)[["n", "removed"]].sum()
+
+    frames = list(enriched.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby("source", as_index=False)[["n", "removed"]].sum())
+    df["n"] = df["n"].astype("int64")
+    df["removed"] = df["removed"].astype("int64")
+    # removal rate: ONE division of exact ints (repo float invariant)
+    df["rate"] = df["removed"].to_numpy(np.float64) / df["n"].to_numpy(
+        np.int64)
+    return rd.from_pandas(df.sort_values("source", kind="mergesort")
+                          .reset_index(drop=True))
 
 
 def _kg_conv_latency(sf_dir: str):
@@ -1270,6 +1313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # argmax via one sort — the policy real pipelines ship)
         "dedup_keep_best": lambda sf: dedup.near_dup_keep_best(
             _clusters(sf, 0.5), _docs(sf)),
+        # curation report: per-source doc count + near-dup removal rate
+        # (keep flags bucket-attached to sources; enum-bounded fold)
+        "dedup_rate_by_source": _dedup_rate_by_source,
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),
         # per-source mixture weighting (Pile/Dolma-style downsampling):
@@ -1772,6 +1818,14 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_keep": f"""
 SELECT doc_id, cluster, doc_id = cluster AS kept
 FROM ({entry_sql.sql_dedup_clusters(t)})""",
+        "dedup_rate_by_source": f"""
+WITH c AS ({entry_sql.sql_dedup_clusters(t)}),
+f AS (SELECT d.source, CAST(c.doc_id <> c.cluster AS INT) AS removed
+      FROM documents d JOIN c ON c.doc_id = d.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(removed) AS BIGINT) AS removed,
+       CAST(sum(removed) AS DOUBLE) / count(*) AS rate
+FROM f GROUP BY source""",
         "dedup_keep_best": f"""
 WITH c AS ({entry_sql.sql_dedup_clusters(t)}),
 q AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
