@@ -1175,6 +1175,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle = independently-structured sequential trainer (Counter +
         # boundary-regex merges) via a signature parquet
         "doc_bpe_merges": lambda sf: _vocab().bpe_train(_docs(sf)),
+        # BPE tokenizer APPLICATION (the other half of the loop): encode
+        # the whole corpus with the learned merges through an actor-pool
+        # stage with a per-actor word->encoding cache; oracle = sequential
+        # per-rank regex-substitution encode over the independently
+        # trained merge table (byte-for-byte token-stream md5)
+        "doc_bpe_encode": lambda sf: _vocab().bpe_encode(_docs(sf),
+                                                         parity=True),
         # supervised model TRAINING: full-batch logistic regression, one
         # streaming pass per GD iteration, int64-quantized gradient
         # partials -> weights bit-identical to the sequential fit; the
@@ -1592,6 +1599,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
         "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
+        "doc_bpe_encode": entry_sql.sql_bpe_encode(t),
         "doc_lr_quality": _classifier().sql_lr_scores(
             _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),

@@ -1127,6 +1127,61 @@ def sql_bpe_merges(tier: str, n_merges: int = 60) -> str:
             f"FROM read_parquet('{path}')")
 
 
+def ensure_bpe_encode_aux(tier: str, n_merges: int = 60) -> str:
+    """Sequential BPE-ENCODE oracle (idempotent): tokenizes every document
+    with the merges from :func:`ensure_bpe_aux` (the independently trained
+    sequential merge table) by applying each merge IN RANK ORDER with the
+    Sennrich boundary-aware regex substitution over a word -> symbol-string
+    map — a per-rank pass, deliberately the opposite structure from
+    ``vocab._BpeEncoder``'s lowest-rank-present loop. Writes
+    (doc_id, n_bpe_tokens, tok_hash=md5 of the space-joined token stream)
+    to parquet; passes only if the distributed encoder reproduces the
+    token stream byte-for-byte on every document."""
+    import hashlib
+    import os
+    import re as _re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/bpe_encode_{n_merges}.parquet"
+    if os.path.exists(path):
+        return path
+    merges = pd.read_parquet(ensure_bpe_aux(tier, n_merges))
+    docs = pd.read_parquet(f"/root/testdata/{tier}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tok = _re.compile(r"[a-z0-9]+")
+    token_lists = [tok.findall(t.lower()) for t in docs["text"]]
+    word_map = {w: " ".join(list(w) + ["</w>"])
+                for toks in token_lists for w in toks}
+    for left, right in zip(merges["left"], merges["right"]):
+        pat = _re.compile(r"(?<!\S)" + _re.escape(f"{left} {right}")
+                          + r"(?!\S)")
+        joined = left + right
+        word_map = {w: pat.sub(joined, s) for w, s in word_map.items()}
+    n_syms = {w: s.count(" ") + 1 for w, s in word_map.items()}
+    ids, ns, hs = [], [], []
+    for doc_id, toks in zip(docs["doc_id"], token_lists):
+        stream = " ".join(word_map[w] for w in toks)
+        ids.append(doc_id)
+        ns.append(sum(n_syms[w] for w in toks))
+        hs.append(hashlib.md5(stream.encode()).hexdigest())
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bpe_tokens": pa.array(ns, pa.int64()),
+        "tok_hash": pa.array(hs, pa.string()),
+    }), path)
+    return path
+
+
+def sql_bpe_encode(tier: str, n_merges: int = 60) -> str:
+    path = ensure_bpe_encode_aux(tier, n_merges)
+    return (f"SELECT doc_id, n_bpe_tokens, tok_hash "
+            f"FROM read_parquet('{path}')")
+
+
 def sql_random_walks(tier: str, n_walks: int = 2, walk_len: int = 3) -> str:
     """Oracle for graph_metrics.random_walks: steps unrolled, each next
     node chosen by row_number over the identical md5 position hash."""

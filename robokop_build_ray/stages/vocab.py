@@ -555,3 +555,118 @@ def bpe_train(docs, n_merges: int = 60, max_vocab_words: int = 200_000,
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
     return rd.from_arrow(tbl)
+
+
+# ------------------------------------------------------- BPE tokenization
+
+
+class _BpeEncoder:
+    """Actor-pool BPE encoder (the APPLY half of the tokenizer loop —
+    ``bpe_train`` learns the merges, this stage tokenizes the corpus with
+    them). Merge ranks are built ONCE per actor in ``__init__``
+    (merge-table-bounded, ~n_merges entries); a per-actor word -> encoding
+    cache means each unique word TYPE is encoded once per actor, not once
+    per occurrence — the cost profile production tokenizers rely on
+    (encode work ~ O(unique words x merge depth), stream work ~ O(tokens
+    x dict lookup)).
+
+    Encoding uses the lowest-rank-present loop (the HF-tokenizers shape):
+    repeatedly merge every occurrence of the lowest-ranked pair present.
+    Provably equivalent to applying merges in rank order — a pair
+    containing a rank-r product can only have rank > r — but structured
+    independently from the oracle's per-rank regex-substitution pass
+    (entry_sql.ensure_bpe_encode_aux), which is what makes the parity
+    check meaningful.
+    """
+
+    def __init__(self, merges: list[tuple[int, str, str]],
+                 parity: bool = False):
+        self.ranks = {(l, r): k for k, l, r in merges}
+        self.cache: dict[str, tuple[str, int]] = {}
+        self.parity = parity
+
+    def _encode(self, w: str) -> tuple[str, int]:
+        got = self.cache.get(w)
+        if got is None:
+            syms = list(w) + ["</w>"]
+            ranks = self.ranks
+            while len(syms) > 1:
+                best_rank = None
+                best_pair = None
+                for pair in zip(syms, syms[1:]):
+                    rk = ranks.get(pair)
+                    if rk is not None and (best_rank is None
+                                           or rk < best_rank):
+                        best_rank, best_pair = rk, pair
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                ab = a + b
+                out: list[str] = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            got = (" ".join(syms), len(syms))
+            self.cache[w] = got
+        return got
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
+        enc = self._encode
+        strs: list[str] = []
+        counts = np.zeros(len(batch), dtype=np.int64)
+        for i, words in enumerate(toks):
+            parts = [enc(w) for w in words]
+            strs.append(" ".join(p[0] for p in parts))
+            counts[i] = sum(p[1] for p in parts)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                            "n_bpe_tokens": counts})
+        if self.parity:
+            out["tok_hash"] = [hashlib.md5(s.encode()).hexdigest()
+                               for s in strs]
+        else:
+            out["tok_hash"] = pd.Series(
+                pd.util.hash_array(np.asarray(strs, dtype=object))
+                .view(np.int64), index=out.index)
+        return out
+
+
+def bpe_encode(docs, n_merges: int = 60, max_vocab_words: int = 200_000,
+               n_buckets: int = 64, parity: bool | None = None,
+               batch_size: int = 2048):
+    """Train-then-tokenize: learn ``n_merges`` BPE merges over the corpus
+    (:func:`bpe_train` — one word-count exchange), then encode every
+    document with them through an actor-pool stage. Returns one row per
+    doc: ``doc_id, n_bpe_tokens, tok_hash`` (md5 of the space-joined
+    token stream in parity mode, vectorized siphash otherwise — same
+    convention as ``text_analysis.fingerprint_batch``).
+
+    Scale notes (100 TB): the merge table is n_merges rows (driver-side
+    ``take_all`` is merge-bounded, never corpus-bounded) and ships to each
+    actor once via ``fn_constructor_kwargs``; the encode pass is a single
+    zero-shuffle map over the document stream. Re-expresses the tokenizer
+    loop a training-data pipeline runs after ``bpe_train``; reference
+    analog: builder-side tokenization before counting
+    (/root/reference/builder/chemotext.py-style corpus passes).
+    """
+    from ..stages.text_analysis import resolve_parity
+
+    merges_rows = bpe_train(
+        docs, n_merges, max_vocab_words, n_buckets).take_all()
+    merges = [(int(m["rank"]), m["left"], m["right"]) for m in merges_rows]
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _BpeEncoder,
+        fn_constructor_kwargs={"merges": merges,
+                               "parity": resolve_parity(parity)},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, 4),
+    )

@@ -189,3 +189,54 @@ def test_grouped_set_overlap_exact_hand_values():
     assert got == {("A", "B"): (3, 4, 5, 2),
                    ("A", "C"): (3, 1, 4, 0),
                    ("B", "C"): (4, 1, 5, 0)}
+
+
+def test_bpe_encoder_matches_rank_order_application():
+    # Sennrich example: encoder's lowest-rank-present loop must equal
+    # applying merges in rank order (the oracle's structure).
+    merges_raw = vocab._bpe_merge_loop(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 8)
+    merges = [(m[0], m[1], m[2]) for m in merges_raw]
+    enc = vocab._BpeEncoder(merges, parity=True)
+    for w in ["low", "lower", "newest", "widest", "lowest", "new", "zzz"]:
+        # independent per-rank-order application
+        syms = list(w) + ["</w>"]
+        for _, left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        want = (" ".join(syms), len(syms))
+        assert enc._encode(w) == want
+        assert enc._encode(w) == want  # cached path identical
+
+
+def test_bpe_encode_e2e_counts_and_hash(ray_session):
+    import hashlib
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(
+            ["low low low low low lower lower",
+             "newest newest newest newest newest newest",
+             "widest widest widest", ""])]
+    ).repartition(2)
+    got = {r["doc_id"]: r for r in
+           vocab.bpe_encode(docs, n_merges=6, parity=True).take_all()}
+    assert len(got) == 4
+    # empty doc: zero tokens, md5 of the empty stream
+    assert got[3]["n_bpe_tokens"] == 0
+    assert got[3]["tok_hash"] == hashlib.md5(b"").hexdigest()
+    # sequential re-derivation of doc 0
+    merges = [(m[0], m[1], m[2]) for m in vocab._bpe_merge_loop(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)]
+    enc = vocab._BpeEncoder(merges, parity=True)
+    parts = [enc._encode("low")] * 5 + [enc._encode("lower")] * 2
+    stream = " ".join(p[0] for p in parts)
+    assert got[0]["n_bpe_tokens"] == sum(p[1] for p in parts)
+    assert got[0]["tok_hash"] == hashlib.md5(stream.encode()).hexdigest()
