@@ -557,6 +557,15 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_stress(sf_dir: str):
+    """Sampled hop-bounded stress centrality (Shimbel 1953; Brandes-2001
+    two-pass, integer-exact) from the 8 lexicographically-smallest
+    nodes — shortest paths THROUGH each node within 3 hops."""
+    from robokop_build_ray.stages.graph_metrics import stress_centrality
+
+    return stress_centrality(_kg(sf_dir, "edges"))
+
+
 def _kg_metapath_2hop(sf_dir: str):
     """Typed 2-hop path counts (Path-DSL S(1-2)D two-hop leg)."""
     import pandas as pd
@@ -1071,6 +1080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coeff": _kg_clustering_coeff,
         # sampled harmonic centrality (k seed-BFS, integer LCM fold)
         "kg_harmonic": _kg_harmonic,
+        # interior-node shortest-path counts (stress centrality)
+        "kg_stress": _kg_stress,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1519,6 +1530,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_label_prop": entry_sql.sql_label_prop(t),
         "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
+        "kg_stress": entry_sql.sql_stress_centrality(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

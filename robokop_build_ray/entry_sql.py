@@ -1327,6 +1327,62 @@ SELECT n.id, CAST(coalesce(h.h12, 0) AS BIGINT) AS h12,
 FROM nodes n LEFT JOIN h ON h.id = n.id"""
 
 
+def sql_stress_centrality(tier: str, n_seeds: int = 8,
+                          rounds: int = 3) -> str:
+    """Oracle for graph_metrics.stress_centrality (rounds=3 unrolled):
+    per-seed sigma layers d1..d3 as MATERIALIZED CTEs (each layer sums
+    path counts from the previous one, excluding already-reached nodes),
+    then the backward DAG fold f2/f1 and stress = sigma * f summed over
+    seeds. Integer-exact end to end — no float compares."""
+    assert rounds == 3, "oracle unrolled for rounds=3"
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj),
+seeds AS (SELECT id AS s FROM nodes ORDER BY id LIMIT {n_seeds}),
+d0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma
+                    FROM seeds),
+d1 AS MATERIALIZED (
+  SELECT d0.s, adj.nb AS id, CAST(sum(d0.sigma) AS BIGINT) AS sigma
+  FROM d0 JOIN adj ON adj.id = d0.id
+  WHERE adj.nb <> d0.s
+  GROUP BY d0.s, adj.nb),
+d2 AS MATERIALIZED (
+  SELECT d1.s, adj.nb AS id, CAST(sum(d1.sigma) AS BIGINT) AS sigma
+  FROM d1 JOIN adj ON adj.id = d1.id
+  WHERE NOT EXISTS (SELECT 1 FROM d0 WHERE d0.s = d1.s AND d0.id = adj.nb)
+    AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.s = d1.s AND p.id = adj.nb)
+  GROUP BY d1.s, adj.nb),
+d3 AS MATERIALIZED (
+  SELECT d2.s, adj.nb AS id, CAST(sum(d2.sigma) AS BIGINT) AS sigma
+  FROM d2 JOIN adj ON adj.id = d2.id
+  WHERE NOT EXISTS (SELECT 1 FROM d0 WHERE d0.s = d2.s AND d0.id = adj.nb)
+    AND NOT EXISTS (SELECT 1 FROM d1 WHERE d1.s = d2.s AND d1.id = adj.nb)
+    AND NOT EXISTS (SELECT 1 FROM d2 p WHERE p.s = d2.s AND p.id = adj.nb)
+  GROUP BY d2.s, adj.nb),
+f2 AS MATERIALIZED (
+  SELECT d2.s, d2.id AS v, CAST(count(*) AS BIGINT) AS f
+  FROM d2 JOIN adj ON adj.id = d2.id
+  JOIN d3 ON d3.s = d2.s AND d3.id = adj.nb
+  GROUP BY d2.s, d2.id),
+f1 AS MATERIALIZED (
+  SELECT d1.s, d1.id AS v,
+         CAST(sum(1 + coalesce(f2.f, 0)) AS BIGINT) AS f
+  FROM d1 JOIN adj ON adj.id = d1.id
+  JOIN d2 ON d2.s = d1.s AND d2.id = adj.nb
+  LEFT JOIN f2 ON f2.s = d1.s AND f2.v = adj.nb
+  GROUP BY d1.s, d1.id),
+contrib AS (
+  SELECT d1.s, d1.id, d1.sigma * coalesce(f1.f, 0) AS c
+  FROM d1 LEFT JOIN f1 ON f1.s = d1.s AND f1.v = d1.id
+  UNION ALL
+  SELECT d2.s, d2.id, d2.sigma * coalesce(f2.f, 0) AS c
+  FROM d2 LEFT JOIN f2 ON f2.s = d2.s AND f2.v = d2.id)
+SELECT n.id, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS stress
+FROM nodes n LEFT JOIN contrib c ON c.id = n.id
+GROUP BY n.id"""
+
+
 def sql_path_anchored(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease", budget: int = 2) -> str:
     """Oracle for kg_build.anchored_path_filter (--start semantics): the

@@ -1276,3 +1276,159 @@ def ktruss(edges, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS,
         lambda b: pd.DataFrame({"a": b["a"], "b": b["b"],
                                 "support": b["t"].astype("int64")}),
         batch_format="pandas")
+
+
+# ------------------------------------------------------ stress centrality
+
+STRESS_SEEDS = 8
+STRESS_ROUNDS = 3
+
+
+def stress_centrality(edges, n_seeds: int = STRESS_SEEDS,
+                      rounds: int = STRESS_ROUNDS,
+                      src: str = "subj_id", dst: str = "obj_id",
+                      n_buckets: int = 64,
+                      local_threshold: int = 1_000_000):
+    """Sampled hop-bounded stress centrality (Shimbel 1953): Dataset
+    (id, stress) over every graph node, where stress(v) = the number of
+    shortest paths that pass THROUGH v (v an interior node), summed over
+    source seeds s (the ``n_seeds`` lexicographically-smallest ids — a
+    SPEC constant, deterministic and SQL-expressible) and all targets t
+    with 0 < d(s, t) <= ``rounds``.
+
+    Computed with the two Brandes (2001) passes kept INTEGER-exact — the
+    reason this variant is chosen over sigma-ratio betweenness, whose
+    per-pair divisions cannot meet the repo's bit-identical-float oracle
+    rule: a forward BFS accumulating path counts sigma(s, v), then a
+    backward pass over the shortest-path DAG computing
+    f(v) = sum over DAG successors w of (1 + f(w)) — the number of
+    DAG paths from v to any later target — so stress(v) = sigma * f.
+    Centrality analytics the reference defers to its neo4j sink's graph
+    algos (`builder/userquery.py` grain).
+
+    Scale shape: same doctrine as :func:`harmonic_centrality` — under the
+    gate one vectorized pandas pass per seed; above it all seeds advance
+    TOGETHER (one broadcast frontier map and one adjacency pass per
+    round), per-round exchange bounded by the (seed, DAG-edge) frontier.
+    Both the forward sigma table and the backward fold are
+    (seeds x node)-bounded driver state — the entity-bounded budget the
+    canonicalization broadcast already relies on."""
+    import ray
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    node_deg = degree_map(und)  # entity-bounded
+    ids = sorted(node_deg)
+    seeds = ids[:n_seeds]
+
+    dist: dict[tuple[str, str], int] = {(s, s): 0 for s in seeds}
+    sigma: dict[tuple[str, str], int] = {(s, s): 1 for s in seeds}
+    # DAG edges per (seed, depth of v): dag[r] holds (s, v@r, w@r+1)
+    dag: dict[int, list[tuple[str, str, str]]] = {
+        r: [] for r in range(rounds)}
+
+    if und.count() <= local_threshold:
+        frames = list(und.iter_batches(batch_format="pandas",
+                                       batch_size=65536))
+        df = (pd.concat(frames, ignore_index=True) if frames
+              else pd.DataFrame({"a": [], "b": []}))
+        v_all = np.concatenate([df["a"].to_numpy(dtype=object),
+                                df["b"].to_numpy(dtype=object)])
+        w_all = np.concatenate([df["b"].to_numpy(dtype=object),
+                                df["a"].to_numpy(dtype=object)])
+        for s in seeds:
+            reach = {s: 0}
+            level_sig = {s: 1}
+            for r in range(1, rounds + 1):
+                in_l = np.fromiter((x in level_sig for x in v_all),
+                                   bool, len(v_all))
+                if not in_l.any():
+                    break
+                vs, ws = v_all[in_l], w_all[in_l]
+                new = np.fromiter((w not in reach for w in ws),
+                                  bool, len(ws))
+                vs, ws = vs[new], ws[new]
+                if len(ws) == 0:
+                    break
+                contrib = np.fromiter((level_sig[v] for v in vs),
+                                      np.int64, len(vs))
+                nxt = (pd.Series(contrib).groupby(ws, sort=False).sum()
+                       .to_dict())
+                dag[r - 1].extend(zip([s] * len(vs), vs, ws))
+                for w, c in nxt.items():
+                    reach[w] = r
+                    dist[(s, w)] = r
+                    sigma[(s, w)] = int(c)
+                level_sig = nxt
+    else:
+        # ---- distributed path (pinned by tests with local_threshold=0):
+        # every seed's frontier advances in the SAME adjacency pass.
+        adj = _adjacency(und).materialize()
+        for r in range(1, rounds + 1):
+            fr_map: dict[str, list[tuple[str, int]]] = {}
+            for (s, node), d in dist.items():
+                if d == r - 1:
+                    fr_map.setdefault(node, []).append(
+                        (s, sigma[(s, node)]))
+            if not fr_map:
+                break
+            fr_ref = ray.put(fr_map)
+
+            def expand(batch: pd.DataFrame, _ref=fr_ref) -> pd.DataFrame:
+                fm = ray.get(_ref)
+                node = batch["id"].to_numpy(dtype=object)
+                nb = batch["nb"].to_numpy(dtype=object)
+                m = batch["id"].isin(fm).to_numpy()
+                empty = pd.DataFrame({
+                    "s": pd.Series([], dtype=object),
+                    "v": pd.Series([], dtype=object),
+                    "nb": pd.Series([], dtype=object),
+                    "sig": pd.Series([], dtype="int64")})
+                if not m.any():
+                    return empty
+                hit_v, hit_nb = node[m], nb[m]
+                pairs = [fm[x] for x in hit_v]
+                counts = np.fromiter((len(x) for x in pairs), np.int64,
+                                     len(pairs))
+                return pd.DataFrame({
+                    "s": np.concatenate(
+                        [np.asarray([p[0] for p in x], dtype=object)
+                         for x in pairs]),
+                    "v": np.repeat(hit_v, counts),
+                    "nb": np.repeat(hit_nb, counts),
+                    "sig": np.concatenate(
+                        [np.asarray([p[1] for p in x], dtype=np.int64)
+                         for x in pairs])})
+
+            reached = bucketed_distinct(
+                adj.map_batches(expand, batch_format="pandas"),
+                ["s", "v", "nb", "sig"], n_buckets)
+            # frontier/DAG-bounded collect, not corpus-bounded
+            rows = reached.take_all()
+            for row in rows:
+                key = (row["s"], row["nb"])
+                if key not in dist:
+                    dist[key] = r
+                    sigma[key] = 0
+            for row in rows:
+                key = (row["s"], row["nb"])
+                if dist[key] == r:
+                    sigma[key] += int(row["sig"])
+                    dag[r - 1].append((row["s"], row["v"], row["nb"]))
+
+    # backward pass over the shortest-path DAG: (seeds x node)-bounded
+    f: dict[tuple[str, str], int] = {}
+    for r in range(rounds - 1, 0, -1):
+        for s, v, w in dag[r]:
+            f[(s, v)] = f.get((s, v), 0) + 1 + f.get((s, w), 0)
+    stress: dict[str, int] = {}
+    for (s, v), d in dist.items():
+        if d > 0:
+            c = sigma[(s, v)] * f.get((s, v), 0)
+            if c:
+                stress[v] = stress.get(v, 0) + c
+    vals = np.array([stress.get(i, 0) for i in ids], dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "stress": pa.array(vals, pa.int64()),
+    }))

@@ -359,3 +359,96 @@ def test_ktruss_distributed_matches_local():
                   for r in ktruss(ds, k=4, rounds=2, local_threshold=0,
                                   n_buckets=4).take_all())
     assert local == dist and len(local) > 0  # hybrid paths bit-identical
+
+
+def _brute_stress(pairs, n_seeds=8, rounds=3):
+    """Independent reference: enumerate ALL shortest paths (BFS DAG + DFS)
+    per (seed, target), count interior-node passages."""
+    from collections import deque
+
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    ids = sorted(adj)
+    seeds = ids[:n_seeds]
+    stress = {i: 0 for i in ids}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= rounds:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+
+        def paths(t):
+            if t == s:
+                return [[s]]
+            out = []
+            for u in adj[t]:
+                if dist.get(u, 99) == dist[t] - 1:
+                    out.extend(p + [t] for p in paths(u))
+            return out
+
+        for t, d in dist.items():
+            if 0 < d <= rounds:
+                for p in paths(t):
+                    for v in p[1:-1]:
+                        stress[v] += 1
+    return stress
+
+
+def test_stress_hand_path_graph():
+    from robokop_build_ray.stages.graph_metrics import stress_centrality
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r["id"]: r["stress"]
+           for r in stress_centrality(ds, n_buckets=4).take_all()}
+    # interior passages within 3 hops, all 5 nodes as sources
+    assert got == {"a": 0, "b": 4, "c": 6, "d": 4, "e": 0}
+
+
+def test_stress_hand_diamond_sigma():
+    # diamond a-b-d / a-c-d plus tail d-e: multiple shortest paths, so
+    # sigma > 1 exercises the path-COUNT (not node-count) semantics
+    from robokop_build_ray.stages.graph_metrics import stress_centrality
+
+    ds = _edges([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                 ("d", "e")])
+    got = {r["id"]: r["stress"]
+           for r in stress_centrality(ds, n_buckets=4).take_all()}
+    assert got == {"a": 2, "b": 4, "c": 4, "d": 10, "e": 0}
+    assert got == _brute_stress([("a", "b"), ("a", "c"), ("b", "d"),
+                                 ("c", "d"), ("d", "e")])
+
+
+def test_stress_sampled_seeds():
+    from robokop_build_ray.stages.graph_metrics import stress_centrality
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = {r["id"]: r["stress"]
+           for r in stress_centrality(_edges(pairs), n_seeds=2,
+                                      n_buckets=4).take_all()}
+    assert got == _brute_stress(pairs, n_seeds=2)
+
+
+def test_stress_distributed_matches_local_and_brute():
+    rng = np.random.default_rng(7)
+    pairs = [(f"n{a:02d}", f"n{b:02d}")
+             for a, b in rng.integers(0, 24, size=(60, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import stress_centrality
+
+    ds = _edges(pairs)
+    local = sorted((r["id"], r["stress"])
+                   for r in stress_centrality(ds).take_all())
+    dist = sorted((r["id"], r["stress"])
+                  for r in stress_centrality(ds, local_threshold=0,
+                                             n_buckets=4).take_all())
+    assert local == dist  # hybrid paths bit-identical
+    assert dict(local) == _brute_stress(sorted(set(
+        (min(a, b), max(a, b)) for a, b in pairs)))
