@@ -557,6 +557,17 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_resource_allocation(sf_dir: str):
+    """Top-k Resource Allocation link-prediction pairs (Zhou-Lü-Zhang
+    2009) — per-term integer quantization keeps the score sum order-free
+    and the float ONE division."""
+    from robokop_build_ray.stages.graph_metrics import (
+        resource_allocation_topk,
+    )
+
+    return resource_allocation_topk(_kg(sf_dir, "edges"))
+
+
 def _kg_stress(sf_dir: str):
     """Sampled hop-bounded stress centrality (Shimbel 1953; Brandes-2001
     two-pass, integer-exact) from the 8 lexicographically-smallest
@@ -1082,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_harmonic": _kg_harmonic,
         # interior-node shortest-path counts (stress centrality)
         "kg_stress": _kg_stress,
+        # link prediction: Resource Allocation index top-k
+        "kg_resource_allocation": _kg_resource_allocation,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1531,6 +1544,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_clustering_coeff": entry_sql.sql_clustering_coeff(t),
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
         "kg_stress": entry_sql.sql_stress_centrality(t),
+        "kg_resource_allocation": entry_sql.sql_resource_allocation(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

@@ -620,6 +620,30 @@ SELECT rk, id_a, id_b, common, jaccard FROM (
 ) WHERE rk <= {k}"""
 
 
+def sql_resource_allocation(tier: str, k: int = 50,
+                            quant: int = 1_000_000) -> str:
+    """Top-k Resource Allocation index pairs; each 1/deg term quantized to
+    ``quant // deg`` so the sum is an order-free integer on both sides and
+    the float is ONE division (repo float invariant)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+wed AS (
+  SELECT m1.nb AS id_a, m2.nb AS id_b, {quant} // deg.d AS w
+  FROM adj m1
+  JOIN adj m2 ON m1.id = m2.id AND m1.nb < m2.nb
+  JOIN deg ON deg.id = m1.id
+),
+sc AS (SELECT id_a, id_b, CAST(sum(w) AS BIGINT) AS ra_q
+       FROM wed GROUP BY id_a, id_b)
+SELECT rk, id_a, id_b, ra_q, CAST(ra_q AS DOUBLE) / {quant} AS ra FROM (
+  SELECT row_number() OVER (ORDER BY ra_q DESC, id_a, id_b) AS rk,
+         id_a, id_b, ra_q
+  FROM sc
+) WHERE rk <= {k}"""
+
+
 def sql_kcore(tier: str, k: int = 30, rounds: int = 8) -> str:
     """Fixed-round k-core peeling unrolled per round (mirrors
     graph_metrics.kcore: ``rounds`` is a spec constant, so the oracle

@@ -1432,3 +1432,67 @@ def stress_centrality(edges, n_seeds: int = STRESS_SEEDS,
         "id": pa.array(ids, pa.string()),
         "stress": pa.array(vals, pa.int64()),
     }))
+
+
+# --------------------------------------------- resource-allocation index
+
+RA_QUANT = 1_000_000
+
+
+def resource_allocation_topk(edges, src: str = "subj_id",
+                             dst: str = "obj_id", k: int = 50,
+                             n_buckets: int = 64, quant: int = RA_QUANT):
+    """Top-k entity pairs by the Resource Allocation link-prediction index
+    (Zhou, Lü & Zhang 2009): RA(a, b) = sum over common neighbors z of
+    1/deg(z) — Dataset(rk, id_a, id_b, ra_q, ra). Chosen over Adamic-Adar
+    because 1/ln(deg) would be a multi-term float sum (summation order
+    would break the bit-identical-float oracle rule); RA quantizes each
+    term to ``quant // deg(z)`` so the accumulation is an order-free
+    INTEGER sum (the lm_score trick) and the float is ONE division.
+
+    Scale shape: per-center wedge generation weighted at the source (the
+    weight is a function of the CENTER's own degree, known inside its
+    group — no degree broadcast at all, unlike jaccard's), one bucketed
+    integer sum over pairs, per-block top-k cap before the single-block
+    final sort."""
+    import ray.data as rd  # noqa: F401 (parity with sibling ops)
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+
+    def wedge_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        nbs = np.sort(sub["nb"].to_numpy(dtype=object))
+        if len(nbs) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(nbs), k=1)
+        return pd.DataFrame({"id_a": nbs[i], "id_b": nbs[j],
+                             "w": np.full(len(i), quant // len(nbs),
+                                          dtype=np.int64)})
+
+    from ..functions.bucketing import bucketed_sum
+
+    scored = bucketed_sum(
+        bucketed_group_pairs(_adjacency(und), ["id"], wedge_fn, n_buckets),
+        ["id_a", "id_b"], "w", n_buckets=n_buckets)
+
+    by, asc = ["ra_q", "id_a", "id_b"], [False, True, True]
+
+    def cap(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "ra_q": pd.Series([], dtype="int64")})
+        b = b.rename(columns={"w": "ra_q"})
+        return b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        b["ra"] = b["ra_q"] / float(quant)  # ONE division
+        return b[["rk", "id_a", "id_b", "ra_q", "ra"]]
+
+    return (scored.map_batches(cap, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

@@ -452,3 +452,36 @@ def test_stress_distributed_matches_local_and_brute():
     assert local == dist  # hybrid paths bit-identical
     assert dict(local) == _brute_stress(sorted(set(
         (min(a, b), max(a, b)) for a, b in pairs)))
+
+
+def test_resource_allocation_hand_values():
+    # star center z(deg 3) + triangle a-b: common neighbor structure:
+    #   a-z, b-z, c-z, a-b  => deg z=3, a=2, b=2, c=1
+    # pairs sharing a neighbor: (a,b) via z: w=Q//3; (a,c) via z: Q//3;
+    # (b,c) via z: Q//3; (b,z) via a: Q//2; (a,z) via b: Q//2
+    from robokop_build_ray.stages.graph_metrics import (
+        resource_allocation_topk,
+    )
+
+    ds = _edges([("a", "z"), ("b", "z"), ("c", "z"), ("a", "b")])
+    got = {(r["id_a"], r["id_b"]): (r["ra_q"], r["ra"])
+           for r in resource_allocation_topk(ds, n_buckets=4).take_all()}
+    q = 1_000_000
+    assert got == {
+        ("a", "b"): (q // 3, (q // 3) / q),
+        ("a", "c"): (q // 3, (q // 3) / q),
+        ("b", "c"): (q // 3, (q // 3) / q),
+        ("a", "z"): (q // 2, (q // 2) / q),
+        ("b", "z"): (q // 2, (q // 2) / q),
+    }
+
+
+def test_resource_allocation_topk_rank_determinism():
+    from robokop_build_ray.stages.graph_metrics import (
+        resource_allocation_topk,
+    )
+
+    ds = _edges([("a", "z"), ("b", "z"), ("c", "z"), ("a", "b")])
+    rows = resource_allocation_topk(ds, k=3, n_buckets=4).take_all()
+    assert [(r["rk"], r["id_a"], r["id_b"]) for r in rows] == [
+        (1, "a", "z"), (2, "b", "z"), (3, "a", "b")]
