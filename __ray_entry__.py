@@ -1165,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV sketch ALGEBRA: pairwise union / intersection estimates
         "events_user_overlap": _events_user_overlap,
         "orders_rollup": rel.orders_rollup,
+        # CUBE grouping sets (adds the priority-only marginal)
+        "orders_cube": rel.orders_cube,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -1352,6 +1354,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source mixture weighting (Pile/Dolma-style downsampling):
         # salted doc_id hash vs a source-rate threshold, zero shuffles
         "doc_mixture_sample": lambda sf: ta.mixture_sample(_docs(sf)),
+        # weighted Poisson PPS sample: p_i = min(1, k*w_i/W), decided by
+        # exact integer cross-multiplication (no floats anywhere)
+        "doc_pps_sample": lambda sf: ta.pps_sample(_docs(sf)),
         # per-epoch deterministic global shuffle ORDER (no materialized
         # permutation: fixed-length hex keys, re-derivable anywhere)
         "doc_epoch_order": lambda sf: ta.epoch_order(_docs(sf)),
@@ -1618,6 +1623,7 @@ SELECT ca.event_type AS type_a, cb.event_type AS type_b,
 FROM c ca JOIN c cb ON ca.event_type < cb.event_type
 LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
+        "orders_cube": rel.sql_orders_cube(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
@@ -1877,6 +1883,7 @@ SELECT doc_id, lang,
        ELSE 'test' END AS split
 FROM documents""",
         "doc_mixture_sample": _ta_sql().sql_mixture_sample(),
+        "doc_pps_sample": _ta_sql().sql_pps_sample(),
         "doc_epoch_order": _ta_sql().sql_epoch_order(),
         "doc_decontaminate": r"""
 WITH toks AS (

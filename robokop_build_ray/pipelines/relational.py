@@ -1431,6 +1431,45 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
 
+def orders_cube(sf_dir: str):
+    """CUBE grouping sets: counts at (status, priority), BOTH one-column
+    marginals, and the grand total — the grouping set ROLLUP cannot
+    express is the priority-only marginal. Same scale shape as
+    :func:`orders_rollup`: the base aggregate is enum-key-bounded
+    (per-batch partials -> coalesce -> one merge) and every CUBE level
+    derives from the tiny base result, never from a second fact scan."""
+    from ..functions.bucketing import coalesced_count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_orderpriority"])
+    base = pd.DataFrame(
+        coalesced_count(orders, ["o_orderstatus", "o_orderpriority"],
+                        name="n").take_all()
+    ).groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["n"].sum()
+    sub_s = base.groupby("o_orderstatus", as_index=False)["n"].sum()
+    sub_s["o_orderpriority"] = "ALL"
+    sub_p = base.groupby("o_orderpriority", as_index=False)["n"].sum()
+    sub_p["o_orderstatus"] = "ALL"
+    total = pd.DataFrame({"o_orderstatus": ["ALL"],
+                          "o_orderpriority": ["ALL"],
+                          "n": [base["n"].sum()]})
+    out = pd.concat([base, sub_s, sub_p, total], ignore_index=True)
+    return rd.from_arrow(pa.table({
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+    }))
+
+
+def sql_orders_cube() -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
 def customers_with_orders_bloom(sf_dir: str, n_buckets: int = 64):
     """SEMI join through the bloom-join prefilter (functions/bloom.py):
     customers holding >= 1 URGENT order. Output is bit-identical to the

@@ -383,6 +383,58 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
       CASE source {cases} END"""
 
 
+PPS_TARGET_K = 50
+
+
+def pps_sample(docs, k: int = PPS_TARGET_K, weight_col: str = "n_chars",
+               batch_size: int = 4096):
+    """Poisson probability-proportional-to-size sample (classic PPS /
+    Hájek survey-sampling shape, the weighted counterpart of
+    ``mixture_sample``): doc i is included iff
+
+        md5_32(doc_id:pps) * W  <  k * w_i * 2^32
+
+    i.e. with probability min(1, k * w_i / W) where W = sum of weights —
+    expected sample size ~k, inclusion probability proportional to the
+    doc's weight, heavy docs with k*w >= W always kept. The decision is
+    an EXACT integer cross-multiplication (Python bigints / DuckDB
+    HUGEINT), so there is no float anywhere — the deterministic-sampling
+    family rule (split/mixture/epoch) extended to weighted draws.
+
+    Scale shape: pass 1 is one streaming aggregate for the scalar W;
+    pass 2 is a zero-shuffle filter map (W rides in the closure). The
+    ':pps' salt keeps decisions independent of the split/mix/epoch
+    hashes; re-sharding never changes the sample."""
+    import hashlib
+
+    W = int(docs.select_columns([weight_col]).sum(weight_col))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs_scale = k << 32
+        m = np.fromiter(
+            (int(hashlib.md5(f"{d}:pps".encode()).hexdigest()[:8], 16) * W
+             < rhs_scale * int(w)
+             for d, w in zip(batch["doc_id"], batch[weight_col])),
+            dtype=bool, count=len(batch))
+        out = batch.loc[m, ["doc_id", weight_col]].reset_index(drop=True)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out[weight_col] = out[weight_col].astype("int64")
+        return out
+
+    return docs.select_columns(["doc_id", weight_col]).map_batches(
+        keep, batch_format="pandas", batch_size=batch_size)
+
+
+def sql_pps_sample(k: int = PPS_TARGET_K) -> str:
+    return f"""
+WITH tot AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS w_total
+             FROM documents)
+SELECT doc_id, n_chars FROM documents, tot
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pps'),
+                                1, 8)) AS UBIGINT) AS HUGEINT) * w_total
+      < CAST({k} AS HUGEINT) * n_chars * 4294967296"""
+
+
 def chunk_spans_batch(batch: pd.DataFrame,
                       chunk_tokens: int = 64) -> pd.DataFrame:
     """Context-window chunking -> (doc_id, chunk_idx, n_tokens): each

@@ -808,3 +808,27 @@ def test_chunk_dedup_keepfirst_hand_values():
            for r in dedup.chunk_dedup_keepfirst(
                rd.from_items(rows), chunk_tokens=2, n_buckets=4).take_all()}
     assert got == {1: ("a b c d", 2, 0), 2: ("e f", 1, 1)}
+
+
+def test_pps_sample_exact_decision_rule():
+    import hashlib
+
+    rows = [{"doc_id": i, "n_chars": (i % 7 + 1) * 40} for i in range(200)]
+    # one heavyweight doc: k*w >= W -> always included (p capped at 1)
+    rows.append({"doc_id": 999, "n_chars": 10_000_000})
+    docs = rd.from_items(rows).repartition(4)
+    k = 10
+    got = sorted(r["doc_id"]
+                 for r in ta.pps_sample(docs, k=k).take_all())
+    W = sum(r["n_chars"] for r in rows)
+    want = sorted(
+        r["doc_id"] for r in rows
+        if int(hashlib.md5(f"{r['doc_id']}:pps".encode()).hexdigest()[:8],
+               16) * W < (k << 32) * r["n_chars"])
+    assert got == want
+    assert 999 in got  # capped-probability doc always kept
+    # re-sharding never changes the sample
+    got2 = sorted(r["doc_id"]
+                  for r in ta.pps_sample(docs.repartition(9),
+                                         k=k).take_all())
+    assert got2 == got
