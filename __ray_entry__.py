@@ -1324,6 +1324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.3,
             checkpoint_dir=_ckpt(sf, "ngram_p64"),
         ).select_columns(["id_a", "id_b"]),
+        # containment near-dups (overlap coefficient): rare-shingle
+        # inverted-index blocking, exact set verify, one-division float
+        "dedup_containment": lambda sf: dedup.overlap_coefficient_pairs(
+            _docs(sf), threshold=0.8,
+            checkpoint_dir=_ckpt(sf, "containment"),
+        ),
         # SymSpell deletion-variant blocking, exact levenshtein<=1 verify
         "part_name_editdist": lambda sf: dedup.edit_distance_pairs(
             rd.read_parquet(f"{sf}/part.parquet",
@@ -1854,6 +1860,7 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_minhash_lsh": entry_sql.sql_dedup_minhash_lsh(t),
         "dedup_simhash": entry_sql.sql_dedup_simhash(t),
         "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
+        "dedup_containment": entry_sql.sql_dedup_containment(),
         "dedup_clusters": entry_sql.sql_dedup_clusters(t),
         "dedup_keep": f"""
 SELECT doc_id, cluster, doc_id = cluster AS kept

@@ -1077,6 +1077,35 @@ WHERE len(a.gs) + len(b.gs) > 0
       >= {threshold}"""
 
 
+def sql_dedup_containment(threshold: float = 0.8, n: int = 3) -> str:
+    """Fully independent oracle for overlap_coefficient_pairs: EXACT
+    all-pairs Szymkiewicz-Simpson overlap in SQL (the engine blocks on
+    rare shared shingles; qualifying pairs at the test tiers share rare
+    shingles, so blocking recall is exactly 1 — the
+    sql_dedup_ngram_jaccard precedent). Float is ONE division."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents
+),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {n - 2}),
+                             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+    END) AS gs
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+       1.0 * len(list_intersect(a.gs, b.gs))
+           / least(len(a.gs), len(b.gs)) AS overlap
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(a.gs) > 0 AND len(b.gs) > 0
+  AND 1.0 * len(list_intersect(a.gs, b.gs))
+      / least(len(a.gs), len(b.gs)) >= {threshold}"""
+
+
 def sql_dedup_clusters(tier: str, threshold: float = 0.5,
                        bands: int = 32) -> str:
     """Connected components over the SQL-recomputed minhash pairs; cluster =

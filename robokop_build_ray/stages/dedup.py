@@ -976,3 +976,118 @@ def chunk_dedup_keepfirst(docs, chunk_tokens: int = CHUNK_DEDUP_TOKENS,
         })
 
     return bucketed_apply(marked, ["doc_id"], rejoin, None, n_buckets)
+
+
+# -------------------------------------------------- containment (overlap)
+
+def _rare_shingle_pairs(g: pd.DataFrame, max_df: int) -> pd.DataFrame:
+    """Candidate pairs from one shingle's posting list; hot shingles
+    (df > max_df) are skipped WITH a warning — the blocking recall
+    tradeoff, never silent (repo no-silent-caps rule)."""
+    uniq = np.sort(g["doc_id"].unique())
+    if len(uniq) > max_df:
+        import warnings
+
+        warnings.warn(
+            f"containment blocking: shingle shared by {len(uniq)} docs "
+            f"> max_df {max_df}; posting list skipped (qualifying pairs "
+            "sharing ONLY hot shingles are missed — raise max_df)",
+            stacklevel=2)
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    if len(uniq) < 2:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    ii, jj = np.triu_indices(len(uniq), k=1)
+    return pd.DataFrame({"id_a": uniq[ii], "id_b": uniq[jj]})
+
+
+def overlap_coefficient_pairs(docs, threshold: float = 0.8,
+                              shingle_n: int = 3, max_df: int = 64,
+                              checkpoint_dir: str | None = None):
+    """CONTAINMENT near-dup pairs by the Szymkiewicz-Simpson overlap
+    coefficient |A ∩ B| / min(|A|, |B|) over word n-gram shingle sets —
+    the asymmetric-duplication detector Jaccard misses: a short document
+    quoted wholesale inside a long one has overlap 1.0 but Jaccard
+    |A|/|B| ~ 0 (Broder 1997 distinguishes resemblance vs containment).
+
+    Blocking is a shared-shingle inverted index restricted to rare
+    shingles (posting lists with df <= ``max_df``): any pair with
+    overlap >= threshold shares >= ceil(threshold * |smaller|) shingles,
+    so it is found unless ALL its shared shingles are hotter than
+    ``max_df`` — skipped lists are warned, never silent. Verification is
+    exact over the true shingle-hash sets; the float is ONE division.
+
+    Scale shape: one shingle-grain exchange (posting lists bounded by
+    max_df; the hot tail is dropped map-side after the group forms), one
+    distinct-pair exchange, two bucketed set attaches — no all-pairs
+    stage anywhere; ``checkpoint_dir`` spills the shingle table via
+    lineage instead of pinning it (see :func:`_checkpointed`)."""
+    from ..functions.bucketing import (
+        bucketed_attach,
+        bucketed_distinct,
+        bucketed_group_pairs,
+    )
+
+    shingles = _checkpointed(
+        docs.map_batches(
+            lambda b: pa.table({
+                "doc_id": pa.array(b["doc_id"], pa.int64()),
+                "sh": pa.array(
+                    [shingle_hashes(t, shingle_n).tobytes()
+                     for t in b["text"]], pa.binary()),
+            }),
+            batch_format="pandas",
+        ),
+        None if checkpoint_dir is None else f"{checkpoint_dir}/shingles",
+        inputs=["documents"])
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        arrs = [np.frombuffer(x, dtype=np.uint64) for x in b["sh"]]
+        lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+        if lens.sum() == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "h": np.concatenate(arrs).view(np.int64),
+            "doc_id": np.repeat(b["doc_id"].to_numpy(np.int64), lens)})
+
+    cand = bucketed_distinct(
+        bucketed_group_pairs(
+            shingles().map_batches(postings, batch_format="pandas"),
+            ["h"], lambda g: _rare_shingle_pairs(g, max_df)),
+        ["id_a", "id_b"],
+    )
+    joined = bucketed_attach(
+        cand, shingles(), "id_a", "doc_id", ["id_a", "id_b"], {"sh": "sh_a"},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sh_a": object},
+    )
+    joined = bucketed_attach(
+        joined, shingles(), "id_b", "doc_id", ["id_a", "id_b", "sh_a"],
+        {"sh": "sh_b"}, left_fill={"sh_a": b""},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sh_a": object,
+                      "sh_b": object},
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c, out_o = [], [], [], []
+        for ia, ib, sa, sb in zip(batch["id_a"], batch["id_b"],
+                                  batch["sh_a"], batch["sh_b"]):
+            A = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            B = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            ov = inter / min(len(A), len(B))
+            if ov >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_c.append(inter)
+                out_o.append(ov)
+        return pd.DataFrame(
+            {"id_a": pd.Series(out_a, dtype="int64"),
+             "id_b": pd.Series(out_b, dtype="int64"),
+             "n_common": pd.Series(out_c, dtype="int64"),
+             "overlap": pd.Series(out_o, dtype="float64")})
+
+    return joined.map_batches(verify, batch_format="pandas")

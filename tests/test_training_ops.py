@@ -832,3 +832,40 @@ def test_pps_sample_exact_decision_rule():
                   for r in ta.pps_sample(docs.repartition(9),
                                          k=k).take_all())
     assert got2 == got
+
+
+def test_overlap_containment_catches_quote_jaccard_misses():
+    # short doc quoted wholesale inside a long one: overlap = 1.0 while
+    # Jaccard stays far below any dedup threshold (Broder containment)
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = rd.from_items([
+        {"doc_id": 1, "text": quote},
+        {"doc_id": 2, "text": filler + " " + quote + " " + filler},
+        {"doc_id": 3, "text": "totally different content here only"},
+    ])
+    got = dedup.overlap_coefficient_pairs(docs, threshold=0.9).take_all()
+    assert [(r["id_a"], r["id_b"], r["overlap"]) for r in got] == [
+        (1, 2, 1.0)]
+    # the SAME pair is invisible to jaccard at its own 0.3 threshold
+    j = dedup.ngram_jaccard_pairs(docs, threshold=0.3).take_all()
+    assert all((r["id_a"], r["id_b"]) != (1, 2) for r in j)
+
+
+def test_overlap_hot_shingle_cap_warns():
+    import warnings
+
+    shared = "same same same common trigram here"
+    docs = rd.from_items(
+        [{"doc_id": i, "text": shared} for i in range(10)])
+    got = dedup.overlap_coefficient_pairs(docs, threshold=0.9,
+                                          max_df=4).take_all()
+    assert got == []  # every posting list hot -> all pairs skipped
+    # the skip is warned, not silent (group fn runs in workers, so the
+    # warning is asserted on the function directly)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup._rare_shingle_pairs(
+            pd.DataFrame({"doc_id": range(10)}), max_df=4)
+    assert len(out) == 0
+    assert any("max_df" in str(x.message) for x in w)
