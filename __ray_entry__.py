@@ -557,6 +557,15 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_hits(sf_dir: str):
+    """HITS hubs/authorities (Kleinberg 1999) over the directed edge
+    list — quantized-integer L1-rescale spec, bit-identical across
+    engine paths and the unrolled SQL oracle."""
+    from robokop_build_ray.stages.pagerank import hits
+
+    return hits(_kg(sf_dir, "edges"))
+
+
 def _kg_resource_allocation(sf_dir: str):
     """Top-k Resource Allocation link-prediction pairs (Zhou-Lü-Zhang
     2009) — per-term integer quantization keeps the score sum order-free
@@ -1095,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stress": _kg_stress,
         # link prediction: Resource Allocation index top-k
         "kg_resource_allocation": _kg_resource_allocation,
+        # directed hubs/authorities (HITS, quantized-integer)
+        "kg_hits": _kg_hits,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1556,6 +1567,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
         "kg_stress": entry_sql.sql_stress_centrality(t),
         "kg_resource_allocation": entry_sql.sql_resource_allocation(t),
+        "kg_hits": entry_sql.sql_hits(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

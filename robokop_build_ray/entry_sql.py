@@ -548,6 +548,42 @@ it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
             + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
 
 
+def sql_hits(tier: str, iters: int = 2) -> str:
+    """Quantized-integer HITS unrolled per half-sweep (mirrors
+    stages/pagerank.hits: L1 rescale ``v // greatest(1, sum(v)//SCALE)``,
+    fixed iters, integer `//` everywhere — bit-identical to both engine
+    paths). raw CTEs are MATERIALIZED (each is referenced by its rescale
+    CTE twice: FROM + the sum subquery)."""
+    p = corpus_paths(tier)
+    s = 1_000_000_000_000
+    ctes = [f"""e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM canon),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+meta AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT id, {s} // (SELECT n FROM meta) AS v FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i}raw AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.v) AS v
+  FROM e JOIN h{i-1} h ON e.src = h.id GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT id, v // greatest(1, (SELECT sum(v) FROM a{i}raw) // {s}) AS v
+  FROM a{i}raw),
+h{i}raw AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.v) AS v
+  FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT id, v // greatest(1, (SELECT sum(v) FROM h{i}raw) // {s}) AS v
+  FROM h{i}raw)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n" + ",\n".join(ctes)
+            + f"""
+SELECT nd.id, CAST(coalesce(h.v, 0) AS BIGINT) AS hub_units,
+       CAST(coalesce(a.v, 0) AS BIGINT) AS auth_units
+FROM nodes nd
+LEFT JOIN h{iters} h ON h.id = nd.id
+LEFT JOIN a{iters} a ON a.id = nd.id""")
+
+
 def sql_degree_topk(tier: str, k: int = 20) -> str:
     """Undirected distinct-neighbor degree, global top-k with rank.
     Degree over distinct (subj, obj) pairs from the canonical closure ==

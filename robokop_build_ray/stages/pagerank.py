@@ -149,3 +149,150 @@ def pagerank(edges, src: str = "subj_id", dst: str = "obj_id",
         lambda b: pd.DataFrame({"id": b["id"],
                                 "rank_units": b["r"].astype("int64")}),
         batch_format="pandas")
+
+
+# ------------------------------------------------------------------- HITS
+
+HITS_ITERS = 2
+
+
+def _local_hits(e, iters: int):
+    """Driver numpy sweeps under the gate — identical integer math to the
+    distributed path and the SQL oracle."""
+    import ray.data as rd
+
+    frames = list(e.iter_batches(batch_format="pandas", batch_size=65536))
+    df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        {"src": [], "dst": []})
+    nodes = np.unique(np.concatenate([df["src"].to_numpy(dtype=object),
+                                      df["dst"].to_numpy(dtype=object)]))
+    n = len(nodes)
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "id": pa.array([], pa.string()),
+            "hub_units": pa.array([], pa.int64()),
+            "auth_units": pa.array([], pa.int64())}))
+    si = np.searchsorted(nodes, df["src"].to_numpy(dtype=object))
+    di = np.searchsorted(nodes, df["dst"].to_numpy(dtype=object))
+    h = np.full(n, SCALE // n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        araw = np.zeros(n, dtype=np.int64)
+        np.add.at(araw, di, h[si])
+        a = araw // max(1, int(araw.sum()) // SCALE)
+        hraw = np.zeros(n, dtype=np.int64)
+        np.add.at(hraw, si, a[di])
+        h = hraw // max(1, int(hraw.sum()) // SCALE)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(nodes, pa.string()),
+        "hub_units": pa.array(h, pa.int64()),
+        "auth_units": pa.array(a, pa.int64()),
+    }))
+
+
+def hits(edges, src: str = "subj_id", dst: str = "obj_id",
+         iters: int = HITS_ITERS, n_buckets: int = 64,
+         local_threshold: int = 1_000_000):
+    """HITS hubs/authorities (Kleinberg 1999) over the DIRECTED distinct
+    edge list -> Dataset(id, hub_units, auth_units), int64 fixed-point.
+
+    Determinism contract (same as :func:`pagerank`): all arithmetic is
+    associative integer adds and floor divisions. The classic L2
+    normalization is replaced by an L1 rescale to ~``SCALE`` units —
+    ``x // max(1, sum(x) // SCALE)`` — a pure-integer spec both engine
+    paths and the DuckDB oracle reproduce bit-for-bit (rank ORDER is what
+    HITS is used for; the norm choice does not change it). Fixed
+    ``iters`` sweeps; nodes with no in-edges hold authority 0, no
+    out-edges hub 0.
+
+    Scale shape: hybrid like pagerank — under the gate one driver numpy
+    pass; beyond it each sweep is two attach+fold exchange pairs
+    (edge-scale messages, node-bounded state) plus one streaming scalar
+    aggregate per half-sweep for the rescale divisor. Raw sums are
+    bounded by n * SCALE — int64-safe to ~9e6 nodes at SCALE 1e12; at
+    larger node universes drop SCALE a decade per 10x nodes (spec
+    constant, oracle moves with it)."""
+    import ray.data as rd  # noqa: F401
+
+    def to_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].combine_chunks().cast(pa.string()),
+            "dst": t[dst].combine_chunks().cast(pa.string()),
+        })
+
+    e = bucketed_distinct(edges.map_batches(to_sd, batch_format="pyarrow"),
+                          ["src", "dst"], n_buckets).materialize()
+    if e.count() <= local_threshold:
+        return _local_hits(e, iters)
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.unique(np.concatenate(
+            [b["src"].to_numpy(dtype=object),
+             b["dst"].to_numpy(dtype=object)]))})
+
+    nodes = bucketed_distinct(
+        e.map_batches(node_partial, batch_format="pandas"), ["id"],
+        n_buckets).materialize()
+    n = nodes.count()
+    h0 = SCALE // max(1, n)
+
+    state_h = nodes.map_batches(
+        lambda b: pd.DataFrame({"id": b["id"],
+                                "v": np.full(len(b), h0, dtype=np.int64)}),
+        batch_format="pandas").materialize()
+    state_a = None
+
+    def _half_sweep(state, edge_key, emit_key):
+        """attach state to edges by ``edge_key``, fold sums by the other
+        endpoint, rescale to ~SCALE units. Returns the new state."""
+        attached = bucketed_attach(
+            e, state, left_on=edge_key, right_on="id",
+            left_cols=[emit_key], payload={"v": "v"},
+            n_buckets=n_buckets, payload_fill=np.int64(0))
+        msgs = attached.map_batches(
+            lambda b, k=emit_key: pd.DataFrame(
+                {"id": b[k], "v": b["v"].astype("int64")}),
+            batch_format="pandas")
+        raw = bucketed_sum(msgs, ["id"], "v", n_buckets).materialize()
+        total = raw.sum("v") or 0
+        div = max(1, int(total) // SCALE)
+        return raw.map_batches(
+            lambda b, d=div: pd.DataFrame(
+                {"id": b["id"],
+                 "v": b["v"].to_numpy(np.int64) // d}),
+            batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        state_a = _half_sweep(state_h, "src", "dst")
+        state_h = _half_sweep(state_a, "dst", "src")
+
+    # zeros-union fold (the pagerank pattern): bucketed_attach is an
+    # INNER join, so attaching states to nodes would drop hub-0/auth-0
+    # nodes (no out-/in-edges) from the output entirely
+    zeros = nodes.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"],
+            "hub_units": np.zeros(len(b), dtype=np.int64),
+            "auth_units": np.zeros(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+    h_rows = state_h.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"],
+            "hub_units": b["v"].astype("int64"),
+            "auth_units": np.zeros(len(b), dtype=np.int64)}),
+        batch_format="pandas")
+    a_rows = state_a.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"],
+            "hub_units": np.zeros(len(b), dtype=np.int64),
+            "auth_units": b["v"].astype("int64")}),
+        batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("id", sort=False).agg(
+            hub_units=("hub_units", "sum"),
+            auth_units=("auth_units", "sum")).reset_index()
+
+    return bucketed_apply(zeros.union(h_rows).union(a_rows), ["id"],
+                          fold, None, n_buckets)

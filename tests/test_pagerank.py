@@ -55,3 +55,36 @@ def test_pagerank_mass_conserved_without_dangling():
     got = [r["rank_units"] for r in pagerank(edges, iters=4).take_all()]
     assert len(set(got)) == 1
     assert abs(sum(got) - SCALE) < 100  # integer floor losses only
+
+
+def test_hits_hand_values_one_iter():
+    from robokop_build_ray.stages.pagerank import hits
+
+    got = {r["id"]: (r["hub_units"], r["auth_units"])
+           for r in hits(_star_edges(), iters=1).take_all()}
+    h0 = SCALE // 4
+    # a-pass raw: hub <- h0*3, a <- h0; sum = 4*h0 = SCALE -> div 1
+    a_hub, a_a = 3 * h0, h0
+    # h-pass raw: a,b,c <- a_hub; hub <- a_a; sum = 9*h0+h0 = 2.5e12
+    s_h = 3 * a_hub + a_a
+    div_h = max(1, s_h // SCALE)
+    assert got["hub"] == (a_a // div_h, a_hub)
+    assert got["a"] == (a_hub // div_h, a_a)
+    assert got["b"] == (a_hub // div_h, 0)  # no in-edges: authority 0
+    assert got["c"] == (a_hub // div_h, 0)
+
+
+def test_hits_distributed_matches_local():
+    rng = np.random.default_rng(5)
+    edges = rd.from_items([
+        {"subj_id": f"n{a}", "obj_id": f"n{b}"}
+        for a, b in rng.integers(0, 30, size=(150, 2)) if a != b
+    ]).repartition(5)
+    from robokop_build_ray.stages.pagerank import hits
+
+    local = sorted((r["id"], r["hub_units"], r["auth_units"])
+                   for r in hits(edges).take_all())
+    dist = sorted((r["id"], r["hub_units"], r["auth_units"])
+                  for r in hits(edges, local_threshold=0,
+                                n_buckets=4).take_all())
+    assert local == dist  # hybrid paths bit-identical
