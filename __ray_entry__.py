@@ -557,6 +557,15 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from the 4
+    lexicographically-smallest nodes — 'entities related to THIS seed
+    set'; unreachable nodes hold rank 0 exactly."""
+    from robokop_build_ray.stages.pagerank import personalized_pagerank
+
+    return personalized_pagerank(_kg(sf_dir, "edges"))
+
+
 def _kg_hits(sf_dir: str):
     """HITS hubs/authorities (Kleinberg 1999) over the directed edge
     list — quantized-integer L1-rescale spec, bit-identical across
@@ -1106,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_resource_allocation": _kg_resource_allocation,
         # directed hubs/authorities (HITS, quantized-integer)
         "kg_hits": _kg_hits,
+        # random-walk-with-restart relevance to a seed set
+        "kg_ppr": _kg_ppr,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1568,6 +1579,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_stress": entry_sql.sql_stress_centrality(t),
         "kg_resource_allocation": entry_sql.sql_resource_allocation(t),
         "kg_hits": entry_sql.sql_hits(t),
+        "kg_ppr": entry_sql.sql_personalized_pagerank(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

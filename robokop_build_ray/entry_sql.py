@@ -548,6 +548,39 @@ it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
             + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
 
 
+def sql_personalized_pagerank(tier: str, n_seeds: int = 4,
+                              iters: int = 3) -> str:
+    """Quantized-integer personalized PageRank unrolled per iteration:
+    sql_pagerank with the teleport/base mass restricted to the n_seeds
+    lexicographically-smallest nodes (the engine's SPEC seed rule)."""
+    p = corpus_paths(tier)
+    s, bt = 1_000_000_000_000, 150_000_000_000
+    ctes = [f"""e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst FROM canon),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+seeds AS MATERIALIZED (SELECT id FROM nodes ORDER BY id LIMIT {n_seeds}),
+meta AS (SELECT count(*) AS k FROM seeds),
+it0 AS (
+  SELECT nd.id,
+         CASE WHEN nd.id IN (SELECT id FROM seeds)
+              THEN {s} // (SELECT k FROM meta) ELSE 0 END AS r
+  FROM nodes nd)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""it{i} AS (
+  SELECT nd.id,
+         CASE WHEN nd.id IN (SELECT id FROM seeds)
+              THEN {bt} // (SELECT k FROM meta) ELSE 0 END
+           + (85 * coalesce(sm.inb, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r // d.deg) AS inb
+    FROM e JOIN it{i-1} p ON e.src = p.id JOIN deg d ON d.id = e.src
+    GROUP BY e.dst) sm ON nd.id = sm.id)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n" + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
+
+
 def sql_hits(tier: str, iters: int = 2) -> str:
     """Quantized-integer HITS unrolled per half-sweep (mirrors
     stages/pagerank.hits: L1 rescale ``v // greatest(1, sum(v)//SCALE)``,

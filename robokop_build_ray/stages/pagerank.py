@@ -296,3 +296,134 @@ def hits(edges, src: str = "subj_id", dst: str = "obj_id",
 
     return bucketed_apply(zeros.union(h_rows).union(a_rows), ["id"],
                           fold, None, n_buckets)
+
+
+# -------------------------------------------------- personalized pagerank
+
+PPR_SEEDS = 4
+PPR_ITERS = 3
+
+
+def personalized_pagerank(edges, src: str = "subj_id",
+                          dst: str = "obj_id", n_seeds: int = PPR_SEEDS,
+                          iters: int = PPR_ITERS, n_buckets: int = 64,
+                          local_threshold: int = 1_000_000):
+    """Personalized PageRank (Page et al. 1999 §6; the random-walk-with-
+    restart used for 'related entities to THIS seed set' ranking):
+    identical integer fixed-point spec to :func:`pagerank` except the
+    (1-d) teleport mass lands ONLY on the ``n_seeds``
+    lexicographically-smallest nodes (the SPEC sample rule shared with
+    harmonic/stress), and rank is seeded there too — nodes unreachable
+    from the seed set hold rank 0 exactly. Same hybrid scale shape as
+    pagerank; the distributed path reuses its attach+fold sweeps via a
+    per-node base-mass column instead of the global scalar."""
+    import ray.data as rd
+
+    def to_sd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src].combine_chunks().cast(pa.string()),
+            "dst": t[dst].combine_chunks().cast(pa.string()),
+        })
+
+    e = bucketed_distinct(edges.map_batches(to_sd, batch_format="pyarrow"),
+                          ["src", "dst"], n_buckets).materialize()
+
+    frames_gate = e.count() <= local_threshold
+    if frames_gate:
+        frames = list(e.iter_batches(batch_format="pandas",
+                                     batch_size=65536))
+        df = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"src": [], "dst": []})
+        nodes = np.unique(np.concatenate(
+            [df["src"].to_numpy(dtype=object),
+             df["dst"].to_numpy(dtype=object)]))
+        n = len(nodes)
+        if n == 0:
+            return rd.from_arrow(pa.table({
+                "id": pa.array([], pa.string()),
+                "rank_units": pa.array([], pa.int64())}))
+        k = min(n_seeds, n)
+        si = np.searchsorted(nodes, df["src"].to_numpy(dtype=object))
+        di = np.searchsorted(nodes, df["dst"].to_numpy(dtype=object))
+        deg = np.bincount(si, minlength=n).astype(np.int64)
+        is_seed = np.zeros(n, dtype=bool)
+        is_seed[:k] = True  # nodes sorted -> first k are the seed set
+        r = np.where(is_seed, SCALE // k, 0).astype(np.int64)
+        base = np.where(is_seed, BASE_TOTAL // k, 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+            inb = np.zeros(n, dtype=np.int64)
+            np.add.at(inb, di, contrib[si])
+            r = base + (DAMP_NUM * inb) // DAMP_DEN
+        return rd.from_arrow(pa.table({
+            "id": pa.array(nodes, pa.string()),
+            "rank_units": pa.array(r, pa.int64()),
+        }))
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("src", sort=False).size().rename("deg").reset_index()
+        s = s.rename(columns={"src": "id"})
+        d = pd.DataFrame({"id": b["dst"].unique()})
+        d["deg"] = 0
+        return pd.concat([s, d], ignore_index=True)
+
+    deg = bucketed_sum(
+        e.map_batches(deg_partial, batch_format="pandas"), ["id"], "deg",
+        n_buckets).materialize()
+    # seed ids: k smallest — k is a tiny spec constant, so a driver sort
+    # of the per-bucket minima is node-bounded and cheap
+    ids_min = sorted(r["id"] for r in deg.select_columns(["id"]).take_all())
+    k = min(n_seeds, len(ids_min))
+    seeds = set(ids_min[:k])
+    r0, base_seed = SCALE // max(1, k), BASE_TOTAL // max(1, k)
+
+    def seed_state(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["id"].isin(seeds).to_numpy()
+        out = b.copy()
+        out["r"] = np.where(m, np.int64(r0), np.int64(0))
+        out["base"] = np.where(m, np.int64(base_seed), np.int64(0))
+        return out[["id", "r", "deg", "base"]]
+
+    state = deg.map_batches(seed_state, batch_format="pandas")
+    zeros = deg.map_batches(
+        lambda b: pd.DataFrame({
+            "id": b["id"],
+            "inb": np.zeros(len(b), dtype=np.int64),
+            "deg": b["deg"].astype("int64"),
+            "base": np.where(b["id"].isin(seeds).to_numpy(),
+                             np.int64(base_seed), np.int64(0)),
+        }), batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        attached = bucketed_attach(
+            e, state, left_on="src", right_on="id",
+            left_cols=["dst"], payload={"r": "r", "deg": "deg"},
+            n_buckets=n_buckets, payload_fill=np.int64(0))
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["deg"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "id": b["dst"],
+                "inb": b["r"].to_numpy(np.int64) // np.maximum(d, 1),
+                "deg": np.zeros(len(b), dtype=np.int64),
+                "base": np.zeros(len(b), dtype=np.int64),
+            })
+
+        msgs = attached.map_batches(contrib, batch_format="pandas")
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("id", sort=False).agg(
+                inb=("inb", "sum"), deg=("deg", "max"),
+                base=("base", "max")).reset_index()
+            agg["r"] = agg["base"].to_numpy(np.int64) + (
+                DAMP_NUM * agg["inb"].to_numpy(np.int64)) // DAMP_DEN
+            return agg[["id", "r", "deg", "base"]]
+
+        state = bucketed_apply(msgs.union(zeros), ["id"], fold, None,
+                               n_buckets).materialize()
+
+    return state.map_batches(
+        lambda b: pd.DataFrame({"id": b["id"],
+                                "rank_units": b["r"].astype("int64")}),
+        batch_format="pandas")

@@ -88,3 +88,41 @@ def test_hits_distributed_matches_local():
                   for r in hits(edges, local_threshold=0,
                                 n_buckets=4).take_all())
     assert local == dist  # hybrid paths bit-identical
+
+
+def test_ppr_hand_values_and_zero_rank_unreachable():
+    from robokop_build_ray.stages.pagerank import personalized_pagerank
+
+    # seed set (2 smallest) = {a, b}; z is upstream of the seeds only:
+    # z -> a, so z gets NO mass (teleport restricted to seeds)
+    edges = rd.from_items([
+        {"subj_id": "a", "obj_id": "c"},
+        {"subj_id": "b", "obj_id": "c"},
+        {"subj_id": "z", "obj_id": "a"},
+    ])
+    got = {r["id"]: r["rank_units"]
+           for r in personalized_pagerank(edges, n_seeds=2,
+                                          iters=1).take_all()}
+    r0 = SCALE // 2
+    base = (SCALE * 15 // 100) // 2
+    # c <- r0 from a and r0 from b; a <- 0 from z (z rank 0)
+    assert got["c"] == (85 * 2 * r0) // 100  # non-seed: no base mass
+    assert got["a"] == base  # seed, no inbound mass from rank-0 z
+    assert got["b"] == base
+    assert got["z"] == 0  # unreachable from the seed set: exactly 0
+
+
+def test_ppr_distributed_matches_local():
+    rng = np.random.default_rng(13)
+    edges = rd.from_items([
+        {"subj_id": f"n{a}", "obj_id": f"n{b}"}
+        for a, b in rng.integers(0, 30, size=(150, 2)) if a != b
+    ]).repartition(5)
+    from robokop_build_ray.stages.pagerank import personalized_pagerank
+
+    local = sorted((r["id"], r["rank_units"])
+                   for r in personalized_pagerank(edges).take_all())
+    dist = sorted((r["id"], r["rank_units"])
+                  for r in personalized_pagerank(
+                      edges, local_threshold=0, n_buckets=4).take_all())
+    assert local == dist  # hybrid paths bit-identical
