@@ -1394,6 +1394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": rel.events_value_outliers,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
+        # cume_dist() without a global sort (cumulative histogram state)
+        "events_value_cume_dist": rel.events_value_cume_dist,
         # benchmark decontamination: broadcast eval-gram set, zero shuffles
         "doc_decontaminate": lambda sf: dedup.contamination_check(_docs(sf)),
         # --- embeddings -------------------------------------------------
@@ -1697,6 +1699,7 @@ FROM scored""",
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
+        "events_value_cume_dist": rel.sql_events_value_cume_dist(),
         "doc_chunks": r"""
 WITH t AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents

@@ -2608,6 +2608,76 @@ SELECT event_id, event_type, vc,
 FROM v"""
 
 
+def events_value_cume_dist(sf_dir: str, n_buckets: int = 64):
+    """Fact-grain ``cume_dist()`` window WITHOUT a global sort ->
+    (event_id, event_type, vc, cume): fraction of the type's events with
+    value <= this one. Same doctrine as :func:`events_value_dense_rank`
+    but the broadcast state is the (type, vc) HISTOGRAM with cumulative
+    counts (still value-domain-bounded, never fact-scale): one bounded
+    bucketed exchange builds it, each scan batch resolves its cumulative
+    count with a vectorized ``searchsorted`` and the float is ONE
+    division count/n — bit-identical to the window function."""
+    from ..functions.bucketing import bucketed_count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "vc": _cents(b["value"].to_numpy())})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    hist = bucketed_count(cents.select_columns(["event_type", "vc"]),
+                          ["event_type", "vc"], name="cnt",
+                          n_buckets=n_buckets)
+    per_type: dict[str, list[tuple[int, int]]] = {}
+    for r in hist.take_all():  # value-domain-bounded, never fact-scale
+        per_type.setdefault(r["event_type"], []).append(
+            (int(r["vc"]), int(r["cnt"])))
+    state = {}
+    for t, pairs in per_type.items():
+        pairs.sort()
+        sv = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs]).astype(np.int64)
+        state[t] = (sv, cum, int(cum[-1]))
+    state_ref = ray.put(state)
+
+    class Cume:
+        """Histogram deserialized ONCE per actor, not per batch."""
+
+        def __init__(self):
+            self.state = ray.get(state_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            cume = np.zeros(len(b), dtype=np.float64)
+            vc = b["vc"].to_numpy()
+            et = b["event_type"].to_numpy()
+            for t, (sv, cum, n) in self.state.items():
+                m = et == t
+                if m.any():
+                    pos = np.searchsorted(sv, vc[m], side="right")
+                    cume[m] = cum[pos - 1] / n  # ONE division
+            out = b.copy()
+            out["cume"] = cume
+            return out[["event_id", "event_type", "vc", "cume"]]
+
+    return cents.map_batches(Cume, batch_format="pandas",
+                             concurrency=(1, 4))
+
+
+def sql_events_value_cume_dist() -> str:
+    return """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, event_type, vc,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY vc) AS cume
+FROM v"""
+
+
 Q6_YEAR = 1997
 Q6_DISC_LO_BP, Q6_DISC_HI_BP = 500, 700  # discount band in basis points
 Q6_QTY = 24
