@@ -909,6 +909,16 @@ def _events_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=10, capacity=4096)
 
 
+def _events_cm_topk(sf_dir: str):
+    """Count-Min sketch estimates for the top-10 users vs exact counts
+    (Cormode-Muthukrishnan 2005; salted-md5 rows so DuckDB rebuilds the
+    identical sketch table)."""
+    from robokop_build_ray.functions.sketches import cm_sketch_estimates
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cm_sketch_estimates(ev, "user_id", k=10)
+
+
 def _events_distinct_users(sf_dir: str):
     from robokop_build_ray.functions.sketches import grouped_distinct_count
 
@@ -1184,6 +1194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _events_heavy_hitters,
         # KMV distinct sketch (exact below capacity) + ROLLUP grouping sets
         "events_distinct_users": _events_distinct_users,
+        # Count-Min sketch frequency estimates vs exact truth (error is a
+        # checked OUTPUT: est >= n always, == when collision-free)
+        "events_cm_topk": _events_cm_topk,
         # KMV sketch ALGEBRA: pairwise union / intersection estimates
         "events_user_overlap": _events_user_overlap,
         "orders_rollup": rel.orders_rollup,
@@ -1444,6 +1457,12 @@ def _ta_sql():
     return text_analysis
 
 
+def _sketches():
+    from robokop_build_ray.functions import sketches
+
+    return sketches
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 # language-ID assignment, shared by the doc_langid and confusion oracles
@@ -1637,6 +1656,7 @@ SELECT user_id, n FROM (
         "events_distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type""",
+        "events_cm_topk": _sketches().sql_cm_sketch(),
         # exact below sketch capacity, so plain DISTINCT algebra is the
         # oracle (same contract as events_distinct_users)
         "events_user_overlap": """

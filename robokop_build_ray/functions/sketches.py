@@ -12,6 +12,7 @@ high-cardinality ones.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -241,3 +242,113 @@ def grouped_set_overlap(ds, key: str, col: str, k: int = 1024,
         "n_union": pa.array(nu, pa.int64()),
         "n_intersect": pa.array(ni, pa.int64()),
     }))
+
+
+# ------------------------------------------------------- count-min sketch
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _cm_bucket(key, j: int, width: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{key}:cm{j}".encode()).hexdigest()[:8],
+               16) % width
+
+
+def cm_sketch_estimates(ds, col: str, k: int = 10,
+                        depth: int = CM_DEPTH, width: int = CM_WIDTH,
+                        n_buckets: int = 16):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation vs exact truth -> Dataset(key, n, est) for the ``k``
+    most frequent values of ``col`` (count desc, key asc). ``est`` is
+    the sketch's min-over-rows read — always >= the true count, equal
+    when the key's buckets are collision-free; surfacing BOTH makes the
+    estimation error a checked output instead of a silent property (the
+    KMV/heavy-hitter precedent).
+
+    Determinism: row hashes are salted md5 (``key:cm{j}``) — process-
+    stable and recomputable by DuckDB, so the sketch table itself is
+    oracle-checkable. Scale shape: per-batch partial sketches are
+    (depth x width)-bounded rows regardless of batch size; the merge is
+    one sum exchange over a depth*width key space (mergeability IS the
+    point of CM at 100 TB — sketches from any shard partition add);
+    driver state is the merged (depth x width) table + the k-bounded
+    top-key list."""
+    import hashlib
+
+    import pandas as pd
+
+    from .bucketing import bucketed_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[col].astype(str)
+        js, bs = [], []
+        for j in range(depth):
+            pre = keys + f":cm{j}"
+            js.append(np.full(len(b), j, dtype=np.int64))
+            bs.append(np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % width
+                 for s in pre), np.int64, len(b)))
+        df = pd.DataFrame({"j": np.concatenate(js),
+                           "b": np.concatenate(bs)})
+        out = df.groupby(["j", "b"], sort=False).size().rename(
+            "c").reset_index()
+        return out
+
+    sketch = {}  # (depth x width)-bounded
+    for r in bucketed_sum(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pandas"),
+            ["j", "b"], "c", n_buckets=n_buckets).take_all():
+        sketch[(int(r["j"]), int(r["b"]))] = int(r["c"])
+
+    from .bucketing import bucketed_count
+
+    exact = bucketed_count(ds.select_columns([col]), [col], name="n",
+                           n_buckets=n_buckets)
+
+    def cap(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", col], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    import ray.data as rd
+
+    top = pd.DataFrame(
+        exact.map_batches(cap, batch_format="pandas").take_all())
+    top = top.sort_values(["n", col], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    est = [min(sketch.get((j, _cm_bucket(key, j, width)), 0)
+               for j in range(depth))
+           for key in top[col].astype(str)]
+    import pyarrow as pa
+
+    return rd.from_arrow(pa.table({
+        "key": pa.array(top[col].astype("int64"), pa.int64()),
+        "n": pa.array(top["n"].astype("int64"), pa.int64()),
+        "est": pa.array(np.asarray(est, dtype=np.int64), pa.int64()),
+    }))
+
+
+def sql_cm_sketch(col: str = "user_id", k: int = 10,
+                  depth: int = CM_DEPTH, width: int = CM_WIDTH) -> str:
+    """Oracle for cm_sketch_estimates: DuckDB rebuilds the identical
+    salted-md5 sketch table and reads the same min-over-rows estimate."""
+    hx = (f"CAST(('0x' || substr(md5(CAST({{v}} AS VARCHAR) || ':cm' || "
+          f"CAST({{j}} AS VARCHAR)), 1, 8)) AS UBIGINT) % {width}")
+    return f"""
+WITH h AS (SELECT {col}, count(*) AS n FROM events GROUP BY {col}),
+top AS (SELECT {col}, n FROM h ORDER BY n DESC, {col} LIMIT {k}),
+bkt AS MATERIALIZED (
+  SELECT r.j, {hx.format(v=f'events.{col}', j='r.j')} AS b,
+         count(*) AS c
+  FROM events JOIN range({depth}) r(j) ON TRUE
+  GROUP BY 1, 2)
+SELECT t.{col} AS key, CAST(t.n AS BIGINT) AS n,
+       CAST(min(bk.c) AS BIGINT) AS est
+FROM top t
+JOIN range({depth}) r(j) ON TRUE
+JOIN bkt bk ON bk.j = r.j
+  AND bk.b = {hx.format(v=f't.{col}', j='r.j')}
+GROUP BY t.{col}, t.n"""

@@ -869,3 +869,32 @@ def test_overlap_hot_shingle_cap_warns():
             pd.DataFrame({"doc_id": range(10)}), max_df=4)
     assert len(out) == 0
     assert any("max_df" in str(x.message) for x in w)
+
+
+def test_cm_sketch_overestimates_under_collisions():
+    from robokop_build_ray.functions.sketches import cm_sketch_estimates
+
+    # 40 keys into width=4 buckets: collisions guaranteed -> est >= n,
+    # with strict overestimate somewhere; merging across shards must not
+    # change the sketch (re-partition invariance)
+    rows = [{"k": i} for i in range(40) for _ in range(i % 5 + 1)]
+    ds = rd.from_items(rows).repartition(6)
+    got = {r["key"]: (r["n"], r["est"])
+           for r in cm_sketch_estimates(ds, "k", k=10, width=4).take_all()}
+    assert all(est >= n for n, est in got.values())
+    assert any(est > n for n, est in got.values())
+    got2 = {r["key"]: (r["n"], r["est"])
+            for r in cm_sketch_estimates(ds.repartition(2), "k", k=10,
+                                         width=4).take_all()}
+    assert got2 == got
+
+
+def test_cm_sketch_exact_when_collision_free():
+    from robokop_build_ray.functions.sketches import cm_sketch_estimates
+
+    rows = [{"k": i} for i in range(5) for _ in range(i + 1)]
+    got = cm_sketch_estimates(rd.from_items(rows), "k", k=5).take_all()
+    # 5 keys, width 256: collision-free -> every estimate exact;
+    # ordering count desc then key asc
+    assert [(r["key"], r["n"], r["est"]) for r in got] == [
+        (4, 5, 5), (3, 4, 4), (2, 3, 3), (1, 2, 2), (0, 1, 1)]
