@@ -557,6 +557,14 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_local_bridges(sf_dir: str):
+    """Local bridges (Easley-Kleinberg weak ties): edges whose endpoints
+    share no common neighbor — wedge cycle + one anti exchange."""
+    from robokop_build_ray.stages.graph_metrics import local_bridges
+
+    return local_bridges(_kg(sf_dir, "edges"))
+
+
 def _kg_ppr(sf_dir: str):
     """Personalized PageRank (random walk with restart) from the 4
     lexicographically-smallest nodes — 'entities related to THIS seed
@@ -1127,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _kg_hits,
         # random-walk-with-restart relevance to a seed set
         "kg_ppr": _kg_ppr,
+        # weak-tie edges: zero triangle support
+        "kg_local_bridges": _kg_local_bridges,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1601,6 +1611,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_resource_allocation": entry_sql.sql_resource_allocation(t),
         "kg_hits": entry_sql.sql_hits(t),
         "kg_ppr": entry_sql.sql_personalized_pagerank(t),
+        "kg_local_bridges": entry_sql.sql_local_bridges(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

@@ -689,6 +689,18 @@ SELECT rk, id_a, id_b, common, jaccard FROM (
 ) WHERE rk <= {k}"""
 
 
+def sql_local_bridges(tier: str) -> str:
+    """Oracle for graph_metrics.local_bridges: undirected edges with no
+    common neighbor (triangle support 0)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES}
+SELECT u.a AS id_a, u.b AS id_b FROM und u
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj x JOIN adj y ON x.nb = y.nb
+  WHERE x.id = u.a AND y.id = u.b)"""
+
+
 def sql_resource_allocation(tier: str, k: int = 50,
                             quant: int = 1_000_000) -> str:
     """Top-k Resource Allocation index pairs; each 1/deg term quantized to

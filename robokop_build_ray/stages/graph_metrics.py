@@ -1496,3 +1496,36 @@ def resource_allocation_topk(edges, src: str = "subj_id",
     return (scored.map_batches(cap, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+# ----------------------------------------------------------- local bridges
+
+def local_bridges(edges, src: str = "subj_id", dst: str = "obj_id",
+                  n_buckets: int = 64):
+    """Local bridges (Easley & Kleinberg 2010 §3.2): undirected edges
+    whose endpoints share NO common neighbor — triangle support 0, the
+    weak-tie edges whose removal lengthens every a-b path. Dataset
+    (id_a, id_b).
+
+    Computed as the undirected edge set ANTI-semi the >=1-support edge
+    keys from :func:`_edge_support`'s wedge cycle — one wedge exchange +
+    one anti exchange, no per-edge neighbor-set intersection anywhere."""
+    from ..functions.bucketing import bucketed_semi
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    sup = _edge_support(und, n_buckets)
+
+    def tri_keys(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["t"].to_numpy(np.int64) >= 1
+        return pd.DataFrame({"ek": (b["a"][m] + _SEP + b["b"][m])})
+
+    def und_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": b["a"], "id_b": b["b"],
+                             "ek": b["a"] + _SEP + b["b"]})
+
+    return bucketed_semi(
+        und.map_batches(und_keys, batch_format="pandas"),
+        sup.map_batches(tri_keys, batch_format="pandas"),
+        left_on="ek", right_on="ek", left_cols=["id_a", "id_b"],
+        n_buckets=n_buckets, anti=True,
+        empty_dtypes={"id_a": object, "id_b": object})

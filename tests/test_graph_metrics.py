@@ -485,3 +485,18 @@ def test_resource_allocation_topk_rank_determinism():
     rows = resource_allocation_topk(ds, k=3, n_buckets=4).take_all()
     assert [(r["rk"], r["id_a"], r["id_b"]) for r in rows] == [
         (1, "a", "z"), (2, "b", "z"), (3, "a", "b")]
+
+
+def test_local_bridges_hand_values():
+    from robokop_build_ray.stages.graph_metrics import local_bridges
+
+    # triangle a-b-c plus pendant edge c-d: only c-d is a local bridge
+    ds = _edges([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in local_bridges(ds, n_buckets=4).take_all())
+    assert got == [("c", "d")]
+    # pure path graph: every edge is a local bridge
+    ds2 = _edges([("a", "b"), ("b", "c"), ("c", "d")])
+    got2 = sorted((r["id_a"], r["id_b"])
+                  for r in local_bridges(ds2, n_buckets=4).take_all())
+    assert got2 == [("a", "b"), ("b", "c"), ("c", "d")]
