@@ -1192,6 +1192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_join": tmp.events_window_join,
         "events_user_topk": tmp.events_user_topk,
         "events_session_table": tmp.events_session_table,
+        # per-user integer EWMA (order-serial recurrence, bucket-parallel)
+        "events_user_ewma": tmp.events_user_ewma,
         # deterministic per-key sampling + fixed-enum pivot
         "events_user_sample": rel.events_user_sample,
         "events_type_pivot": rel.events_type_pivot,
@@ -1651,6 +1653,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_window_join": tmp.sql_events_window_join(),
         "events_user_topk": tmp.sql_events_user_topk(),
         "events_session_table": tmp.sql_events_session_table(),
+        "events_user_ewma": tmp.sql_events_user_ewma(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),
         "part_topk": rel.sql_part_topk(),

@@ -376,3 +376,86 @@ SELECT user_id, session_idx, count(*) AS n_events,
        max(ts_us) - min(ts_us) AS duration_us,
        CAST(sum(value_cents) AS BIGINT) AS value_cents
 FROM sess GROUP BY user_id, session_idx"""
+
+
+# ------------------------------------------------------------ integer EWMA
+
+EWMA_NUM, EWMA_DEN = 1, 4  # s_i = (1*v_i + 3*s_{i-1}) // 4
+
+
+def events_user_ewma(sf_dir: str, n_buckets: int = 64):
+    """Per-user exponentially-weighted moving average of event values ->
+    (event_id, user_id, vc, ewma_c): s_1 = v_1,
+    s_i = (EWMA_NUM*v_i + (EWMA_DEN-EWMA_NUM)*s_{i-1}) // EWMA_DEN over
+    the user's events ordered by (ts, event_id). The smoothing state is
+    INTEGER cents with one floor division per step — bit-identical at any
+    parallelism, and re-derivable by the oracle's recursive CTE (the
+    float-alpha EWMA would accumulate rounding that depends on summation
+    shape, which the repo's float rule forbids).
+
+    Shape: one pruned scan -> ONE bucketed exchange on user hash -> per
+    bucket a sort + ONE sequential pass. The recurrence's floor division
+    makes it inherently order-serial (no exact prefix-scan
+    decomposition), so the per-bucket pass is an explicit loop over the
+    bucket's rows resetting at user boundaries — O(rows) driver-free
+    work; the parallelism unit is the user hash bucket, which is the
+    best any engine can do for a per-key recurrence."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "vc": _cents_arr(t["value"]),
+        })
+
+    def ewma(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "vc": pd.Series([], dtype=np.int64),
+                "ewma_c": pd.Series([], dtype=np.int64),
+            })
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        vc = g["vc"].to_numpy(np.int64)
+        out = np.empty(len(g), dtype=np.int64)
+        prev_u, s = None, 0
+        rest = EWMA_DEN - EWMA_NUM
+        for i in range(len(g)):
+            u = uid[i]
+            s = (vc[i] if u != prev_u
+                 else (EWMA_NUM * vc[i] + rest * s) // EWMA_DEN)
+            out[i] = s
+            prev_u = u
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid.astype(np.int64),
+            "vc": vc, "ewma_c": out})
+
+    return bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], ewma, n_buckets=n_buckets)
+
+
+def sql_events_user_ewma() -> str:
+    rest = EWMA_DEN - EWMA_NUM
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec(user_id, rn, event_id, vc, ewma) AS (
+  SELECT user_id, rn, event_id, vc, vc FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, v.event_id, v.vc,
+         ({EWMA_NUM} * v.vc + {rest} * r.ewma) // {EWMA_DEN}
+  FROM rec r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+)
+SELECT event_id, user_id, vc, ewma AS ewma_c FROM rec"""

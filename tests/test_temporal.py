@@ -125,3 +125,23 @@ def test_session_table_hand_values(events_dir):
         (3, 0, 1, 7 * US, 7 * US, 0, 400),
     ]
     assert all(str(out[c].dtype) == "int64" for c in out.columns)
+
+
+def test_events_user_ewma_recurrence(tmp_path):
+    import pyarrow.parquet as pq
+
+    ts = pd.Timestamp("2026-01-01")
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 9],
+        "ts": [ts, ts + pd.Timedelta(seconds=1),
+               ts + pd.Timedelta(seconds=2), ts],
+        "value": [1.00, 2.00, 10.00, 5.00],
+    })
+    pq.write_table(pa.Table.from_pandas(rows), f"{tmp_path}/events.parquet")
+    from robokop_build_ray.pipelines.temporal import events_user_ewma
+
+    got = {r["event_id"]: r["ewma_c"]
+           for r in events_user_ewma(str(tmp_path), n_buckets=4).take_all()}
+    # user 7: s1=100; s2=(200+3*100)//4=125; s3=(1000+3*125)//4=343
+    assert got == {1: 100, 2: 125, 3: 343, 4: 500}
