@@ -917,6 +917,16 @@ def _events_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=10, capacity=4096)
 
 
+def _events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate vs exact (Flajolet et al. 2007;
+    integer-shift estimator + precomputed linear-counting spec table, so
+    DuckDB rebuilds the identical registers and estimate)."""
+    from robokop_build_ray.functions.sketches import hll_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_distinct(ev, "user_id")
+
+
 def _events_cm_topk(sf_dir: str):
     """Count-Min sketch estimates for the top-10 users vs exact counts
     (Cormode-Muthukrishnan 2005; salted-md5 rows so DuckDB rebuilds the
@@ -1209,6 +1219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min sketch frequency estimates vs exact truth (error is a
         # checked OUTPUT: est >= n always, == when collision-free)
         "events_cm_topk": _events_cm_topk,
+        # HyperLogLog distinct estimate vs exact (register-merge = MAX)
+        "events_hll_users": _events_hll_users,
         # KMV sketch ALGEBRA: pairwise union / intersection estimates
         "events_user_overlap": _events_user_overlap,
         "orders_rollup": rel.orders_rollup,
@@ -1671,6 +1683,7 @@ SELECT user_id, n FROM (
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type""",
         "events_cm_topk": _sketches().sql_cm_sketch(),
+        "events_hll_users": _sketches().sql_hll_distinct(),
         # exact below sketch capacity, so plain DISTINCT algebra is the
         # oracle (same contract as events_distinct_users)
         "events_user_overlap": """

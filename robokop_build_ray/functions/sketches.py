@@ -352,3 +352,124 @@ JOIN range({depth}) r(j) ON TRUE
 JOIN bkt bk ON bk.j = r.j
   AND bk.b = {hx.format(v=f't.{col}', j='r.j')}
 GROUP BY t.{col}, t.n"""
+
+
+# -------------------------------------------------------------- hyperloglog
+
+HLL_M = 64          # registers (b = 6 bucket bits)
+HLL_WBITS = 58      # rank field width: 64 - 6
+# alpha_64 = 0.7213 / (1 + 1.079/64) quantized to a rational SPEC constant
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 70934, 100000
+_HLL_K = 62         # Z scaled by 2^62 so every term is a BIGINT shift
+
+
+# linear-counting spec table: HLL_LC_TABLE[V-1] = round(m * ln(m / V))
+# for V zero registers of m=64 — precomputed integers shared verbatim with
+# the SQL oracle (no runtime transcendental on either side)
+import math as _math
+
+HLL_LC_TABLE = tuple(round(HLL_M * _math.log(HLL_M / v))
+                     for v in range(1, HLL_M + 1))
+
+
+def _hll_h64(key) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{key}:hll".encode()).hexdigest()[:16], 16)
+
+
+def hll_distinct(ds, col: str, n_buckets: int = 16):
+    """HyperLogLog distinct-count estimate vs exact truth (Flajolet et
+    al. 2007) -> Dataset(m, est, n_exact) — one row. Register j
+    (= h64 % m) holds the max rank (leading-zero count + 1) of the
+    remaining 58 hash bits; the raw estimator alpha*m^2/Z is computed
+    with Z scaled to the EXACT integer sum(2^(62 - M_j)), so ``est`` is
+    one integer floor division — no float anywhere, and DuckDB rebuilds
+    the identical registers from the same salted md5. The small-range
+    linear-counting correction is deliberately omitted (its log is
+    float-order-dependent); the exact count sits beside the estimate so
+    the error is a CHECKED output (the CM-sketch convention).
+
+    Scale shape: per-batch partial registers are m-bounded rows; the
+    merge is one max exchange over m keys — HLL registers merge by MAX,
+    which is what makes the sketch shippable from any shard at 100 TB.
+    """
+    import pandas as pd
+
+    from .bucketing import bucketed_distinct, bucketed_min
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        regs: dict[int, int] = {}
+        for key in b[col]:
+            h = _hll_h64(key)
+            j = h % HLL_M
+            w = h >> 6
+            rank = (HLL_WBITS + 1 if w == 0
+                    else HLL_WBITS - w.bit_length() + 1)
+            if rank > regs.get(j, 0):
+                regs[j] = rank
+        return pd.DataFrame({
+            "j": np.fromiter(regs.keys(), np.int64, len(regs)),
+            # negated: bucketed_min is the available mergeable fold
+            "neg_rank": np.fromiter((-v for v in regs.values()), np.int64,
+                                    len(regs))})
+
+    merged = bucketed_min(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pandas"),
+        ["j"], "neg_rank", n_buckets=min(n_buckets, 8))
+    regs = {int(r["j"]): -int(r["neg_rank"]) for r in merged.take_all()}
+    z_scaled = sum(1 << (_HLL_K - regs.get(j, 0)) for j in range(HLL_M))
+    est = (HLL_ALPHA_NUM * HLL_M * HLL_M << _HLL_K) // (
+        HLL_ALPHA_DEN * z_scaled)
+    # small-range (linear counting, Flajolet et al. 2007 4.3): when zero
+    # registers exist and the raw estimate is under 5m/2, the standard
+    # correction m*ln(m/V) applies — read from the precomputed INTEGER
+    # spec table so no transcendental runs in either engine
+    v_zero = HLL_M - len(regs)
+    if v_zero > 0 and est <= 5 * HLL_M // 2:
+        est = HLL_LC_TABLE[v_zero - 1]
+
+    n_exact = bucketed_distinct(ds.select_columns([col]), [col],
+                                min(n_buckets, 8)).count()
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "m": pa.array([HLL_M], pa.int64()),
+        "est": pa.array([est], pa.int64()),
+        "n_exact": pa.array([n_exact], pa.int64()),
+    }))
+
+
+def sql_hll_distinct(col: str = "user_id") -> str:
+    """Oracle for hll_distinct: DuckDB rebuilds the identical registers
+    (same salted 64-bit md5, bucket = h % m, rank via length(bin(w)))
+    and the same integer-shift estimator."""
+    one62 = "CAST((1::BIGINT << 62) AS HUGEINT)"
+    return f"""
+WITH u AS (SELECT DISTINCT {col} FROM events),
+h AS (SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR) || ':hll'),
+                                  1, 16)) AS UBIGINT) AS h64 FROM u),
+r AS (SELECT CAST(h64 % {HLL_M} AS BIGINT) AS j,
+             CAST(h64 // {HLL_M} AS UBIGINT) AS w FROM h),
+mx AS (SELECT j, max(CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+                          ELSE {HLL_WBITS} - length(bin(w)) + 1 END) AS mx
+       FROM r GROUP BY j),
+regs AS (SELECT g.j, coalesce(mx.mx, 0) AS mx
+         FROM range({HLL_M}) g(j) LEFT JOIN mx ON mx.j = g.j),
+z AS (SELECT CAST(sum(CAST(1::BIGINT << ({_HLL_K} - mx) AS HUGEINT))
+                  AS HUGEINT) AS zs,
+             CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM regs),
+raw AS (SELECT v,
+               CAST(({HLL_ALPHA_NUM}::HUGEINT * {HLL_M} * {HLL_M}
+                     * {one62})
+                    // ({HLL_ALPHA_DEN}::HUGEINT * zs) AS BIGINT) AS est
+        FROM z)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CASE WHEN v > 0 AND est <= {5 * HLL_M // 2}
+            THEN list_extract({list(HLL_LC_TABLE)}, CAST(v AS INT))
+            ELSE est END AS est,
+       (SELECT count(*) FROM u) AS n_exact
+FROM raw"""

@@ -898,3 +898,46 @@ def test_cm_sketch_exact_when_collision_free():
     # ordering count desc then key asc
     assert [(r["key"], r["n"], r["est"]) for r in got] == [
         (4, 5, 5), (3, 4, 4), (2, 3, 3), (1, 2, 2), (0, 1, 1)]
+
+
+def test_hll_exact_registers_and_merge_invariance():
+    from robokop_build_ray.functions.sketches import (
+        HLL_LC_TABLE,
+        HLL_M,
+        HLL_WBITS,
+        _hll_h64,
+        hll_distinct,
+    )
+
+    rows = [{"k": i} for i in range(200) for _ in range(2)]  # dup rows
+    ds = rd.from_items(rows).repartition(7)
+    got = hll_distinct(ds, "k").take_all()[0]
+    assert got["n_exact"] == 200
+    # independent register re-derivation
+    regs = {}
+    for i in range(200):
+        h = _hll_h64(i)
+        j, w = h % HLL_M, h >> 6
+        rank = HLL_WBITS + 1 if w == 0 else HLL_WBITS - w.bit_length() + 1
+        regs[j] = max(regs.get(j, 0), rank)
+    z = sum(1 << (62 - regs.get(j, 0)) for j in range(HLL_M))
+    est = (70934 * HLL_M * HLL_M << 62) // (100000 * z)
+    v = HLL_M - len(regs)
+    if v > 0 and est <= 5 * HLL_M // 2:
+        est = HLL_LC_TABLE[v - 1]
+    assert got["est"] == est
+    # estimate within the ~3 sigma HLL band (1.04/sqrt(64) ~ 13%)
+    assert abs(got["est"] - 200) <= 0.4 * 200
+    # merging shards never changes registers
+    got2 = hll_distinct(ds.repartition(2), "k").take_all()[0]
+    assert got2 == got
+
+
+def test_hll_small_range_linear_counting():
+    from robokop_build_ray.functions.sketches import hll_distinct
+
+    ds = rd.from_items([{"k": i} for i in range(10)])
+    got = hll_distinct(ds, "k").take_all()[0]
+    assert got["n_exact"] == 10
+    # LC regime: estimate close to truth, not the raw ~alpha*m bias
+    assert abs(got["est"] - 10) <= 5
