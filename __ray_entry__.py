@@ -1204,6 +1204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_table": tmp.events_session_table,
         # per-user integer EWMA (order-serial recurrence, bucket-parallel)
         "events_user_ewma": tmp.events_user_ewma,
+        # first-order Markov transitions over user event-type sequences
+        "events_type_transitions": tmp.events_type_transitions,
         # deterministic per-key sampling + fixed-enum pivot
         "events_user_sample": rel.events_user_sample,
         "events_type_pivot": rel.events_type_pivot,
@@ -1226,6 +1228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": rel.orders_rollup,
         # CUBE grouping sets (adds the priority-only marginal)
         "orders_cube": rel.orders_cube,
+        # TPC-H refresh stream: keyed ANTI delete + re-keyed insert batch
+        "orders_refresh": rel.orders_refresh,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -1666,6 +1670,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_user_topk": tmp.sql_events_user_topk(),
         "events_session_table": tmp.sql_events_session_table(),
         "events_user_ewma": tmp.sql_events_user_ewma(),
+        "events_type_transitions": tmp.sql_events_type_transitions(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),
         "part_topk": rel.sql_part_topk(),
@@ -1703,6 +1708,7 @@ FROM c ca JOIN c cb ON ca.event_type < cb.event_type
 LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
         "orders_cube": rel.sql_orders_cube(),
+        "orders_refresh": rel.sql_orders_refresh(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),

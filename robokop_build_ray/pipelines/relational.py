@@ -1470,6 +1470,74 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 
+REFRESH_DEL_MOD = 97
+REFRESH_INS_MOD = 89
+REFRESH_KEY_OFFSET = 10_000_000  # above any tested tier's max orderkey
+
+
+def orders_refresh(sf_dir: str, n_buckets: int = 64):
+    """TPC-H refresh-stream shape (spec 2.27: RF2 deletes + RF1 inserts)
+    as one incremental-maintenance pass over the orders table ->
+    post-refresh (o_orderkey, o_orderstatus, total_cents). The delete set
+    (keys ``% REFRESH_DEL_MOD == 0``) is materialized as a KEY TABLE and
+    applied with a true keyed ANTI exchange (``bucketed_semi`` — the
+    operator a real refresh stream needs, since its keys arrive as data,
+    not as a predicate); the insert batch re-keys ``% REFRESH_INS_MOD``
+    orders above ``REFRESH_KEY_OFFSET`` with status 'N' and unions in —
+    zero shuffles beyond the anti exchange. The relational sibling of the
+    KG side's ``merge_edge_runs`` delete-then-create upsert
+    (`builder/builder.py:16-41`)."""
+    from ..functions.bucketing import bucketed_semi
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_orderstatus": b["o_orderstatus"],
+            "total_cents": _cents(b["o_totalprice"].to_numpy()),
+        })
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    ).map_batches(prep, batch_format="pandas")
+
+    del_keys = base.map_batches(
+        lambda b: pd.DataFrame(
+            {"k": b.loc[b["o_orderkey"] % REFRESH_DEL_MOD == 0,
+                        "o_orderkey"].astype("int64")}),
+        batch_format="pandas")
+    kept = bucketed_semi(
+        base, del_keys, left_on="o_orderkey", right_on="k",
+        left_cols=["o_orderkey", "o_orderstatus", "total_cents"],
+        n_buckets=n_buckets, anti=True,
+        left_fill={"o_orderstatus": ""},  # string col: key-typed filler
+        empty_dtypes={"o_orderkey": "int64", "o_orderstatus": object,
+                      "total_cents": "int64"})
+    inserts = base.map_batches(
+        lambda b: (lambda m: pd.DataFrame({
+            "o_orderkey": (b.loc[m, "o_orderkey"].astype("int64")
+                           + REFRESH_KEY_OFFSET),
+            "o_orderstatus": "N",
+            "total_cents": b.loc[m, "total_cents"].astype("int64"),
+        }))(b["o_orderkey"] % REFRESH_INS_MOD == 0),
+        batch_format="pandas")
+    return kept.union(inserts)
+
+
+def sql_orders_refresh() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, total_cents FROM base
+WHERE o_orderkey % {REFRESH_DEL_MOD} <> 0
+UNION ALL
+SELECT o_orderkey + {REFRESH_KEY_OFFSET}, 'N', total_cents FROM base
+WHERE o_orderkey % {REFRESH_INS_MOD} = 0"""
+
+
 def customers_with_orders_bloom(sf_dir: str, n_buckets: int = 64):
     """SEMI join through the bloom-join prefilter (functions/bloom.py):
     customers holding >= 1 URGENT order. Output is bit-identical to the

@@ -459,3 +459,86 @@ rec(user_id, rn, event_id, vc, ewma) AS (
   FROM rec r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
 )
 SELECT event_id, user_id, vc, ewma AS ewma_c FROM rec"""
+
+
+# --------------------------------------------------- event-type transitions
+
+def events_type_transitions(sf_dir: str, n_buckets: int = 64):
+    """First-order Markov transition counts over each user's event-type
+    sequence -> (from_type, to_type, n, p): how often type A is
+    immediately followed by type B within a user's timeline (ordered by
+    ts, event_id) — the behavioral-sequence profile a funnel or
+    next-event model trains on. ``p`` = n / row-count of from_type's
+    outgoing transitions, ONE division of exact ints.
+
+    Shape: one pruned scan -> ONE bucketed exchange on user hash -> per
+    bucket a vectorized sort + shift pass emitting adjacent-pair PARTIAL
+    counts (enum x enum bounded) -> enum-bounded driver fold. No per-user
+    loop; the exchange carries events once, the fold carries type pairs
+    only."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        frm = et[:-1][same[1:]]
+        to = et[1:][same[1:]]
+        out = pd.DataFrame({"from_type": frm, "to_type": to})
+        return (out.groupby(["from_type", "to_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id"], pairs, n_buckets=n_buckets)
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame({"from_type": [], "to_type": [], "n": []}))
+    agg = (agg.groupby(["from_type", "to_type"], as_index=False)["n"]
+           .sum())  # enum x enum bounded driver fold
+    tot = agg.groupby("from_type")["n"].transform("sum")
+    agg["p"] = agg["n"].astype("int64") / tot.astype("int64")
+    agg = agg.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "from_type": pa.array(agg["from_type"], pa.string()),
+        "to_type": pa.array(agg["to_type"], pa.string()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        "p": pa.array(agg["p"], pa.float64()),
+    }))
+
+
+def sql_events_type_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+FROM c"""

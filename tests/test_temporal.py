@@ -145,3 +145,22 @@ def test_events_user_ewma_recurrence(tmp_path):
            for r in events_user_ewma(str(tmp_path), n_buckets=4).take_all()}
     # user 7: s1=100; s2=(200+3*100)//4=125; s3=(1000+3*125)//4=343
     assert got == {1: 100, 2: 125, 3: 343, 4: 500}
+
+
+def test_events_type_transitions_hand(tmp_path):
+    ts = pd.Timestamp("2026-01-01")
+    rows = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [7, 7, 7, 9, 9],
+        "ts": [ts + pd.Timedelta(seconds=i) for i in range(5)],
+        "event_type": ["view", "click", "view", "view", "click"],
+    })
+    pq.write_table(pa.Table.from_pandas(rows), f"{tmp_path}/events.parquet")
+    from robokop_build_ray.pipelines.temporal import events_type_transitions
+
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in events_type_transitions(str(tmp_path),
+                                            n_buckets=4).take_all()}
+    # user 7: view->click, click->view; user 9: view->click
+    assert got == {("view", "click"): (2, 1.0),
+                   ("click", "view"): (1, 1.0)}
