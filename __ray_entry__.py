@@ -1050,6 +1050,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "neighbor_id", "rank"]
         )
 
+    def ann_filtered(sf_dir: str):
+        """Filtered ANN: exact top-k cosine over the label-predicate
+        slice (label % 2 == 0), predicate applied map-side before any
+        scoring work — the filtered-search shape where post-filtering a
+        global top-k would return fewer than k in-filter neighbors."""
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        filtered = emb.map_batches(
+            lambda b: b[b["label"] % 2 == 0], batch_format="pandas")
+        return ann.brute_force_topk(filtered, qref, k=10).select_columns(
+            ["query_id", "neighbor_id", "rank"])
+
     def ann_pq(sf_dir: str):
         """Product-quantization ADC top-k (the memory-bounded ANN scale
         path: 8-byte codes instead of raw vectors at scan time)."""
@@ -1444,6 +1456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings(sf), threshold=0.4
         ),
         "ann_topk": ann_topk,
+        # FILTERED vector search: metadata predicate pruned map-side
+        # BEFORE scoring (the production "search within lang/label slice"
+        # shape) — post-filtering a plain top-k would under-fill k
+        "ann_filtered_topk": ann_filtered,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
         # PQ/ADC: codes-only scan, codebook-bounded broadcast state
@@ -1928,6 +1944,22 @@ s AS (
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                 CAST(q.qe AS DOUBLE[])) AS cos
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 10""",
+        "ann_filtered_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid AND e.label % 2 = 0
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
