@@ -263,6 +263,45 @@ def _kg_conv_latency(sf_dir: str):
     return res.union(seed)
 
 
+def _kg_tool_usage(sf_dir: str):
+    """Tool-call usage profile over the transcripts (the `tool` column of
+    tool-role turns): per tool its call count, distinct conversations and
+    share of all tool calls — the agent-behavior QA grain next to
+    kg_conv_stats. Pruned 2-column read; call counts via coalesced
+    partials and conversation counts via one (tool, conv) distinct
+    exchange; the fold is tool-enum-bounded. Share is ONE division."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from robokop_build_ray.functions.bucketing import (
+        bucketed_distinct,
+        coalesced_count,
+    )
+
+    paths = ensure_corpus(sf_dir)
+    ds = rd.read_parquet(paths["transcripts"], columns=["conv_id", "tool"])
+    tc = ds.map_batches(
+        lambda b: b.loc[b["tool"] != "", ["tool", "conv_id"]],
+        batch_format="pandas")
+    calls: dict[str, int] = {}
+    for r in coalesced_count(tc.select_columns(["tool"]), ["tool"],
+                             name="n").take_all():  # enum-bounded
+        calls[r["tool"]] = calls.get(r["tool"], 0) + int(r["n"])
+    convs: dict[str, int] = {}
+    dist = bucketed_distinct(tc, ["tool", "conv_id"], 16)
+    for r in coalesced_count(dist.select_columns(["tool"]), ["tool"],
+                             name="n").take_all():
+        convs[r["tool"]] = convs.get(r["tool"], 0) + int(r["n"])
+    total = sum(calls.values())
+    tools = sorted(calls)
+    return rd.from_arrow(pa.table({
+        "tool": pa.array(tools, pa.string()),
+        "n_calls": pa.array([calls[x] for x in tools], pa.int64()),
+        "n_convs": pa.array([convs.get(x, 0) for x in tools], pa.int64()),
+        "share": pa.array([calls[x] / total for x in tools], pa.float64()),
+    }))
+
+
 def _kg_conv_stats(sf_dir: str):
     """Transcript-grain conversation profile: per conv_id the turn count,
     per-role turn counts, total characters and the (ts-ordered) span —
@@ -1116,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unused_entities": _kg_unused_entities,
         # source-data QA: per-conversation turn/role/char/span profile
         "kg_conv_stats": _kg_conv_stats,
+        # agent-behavior QA: tool-call usage profile (the `tool` column)
+        "kg_tool_usage": _kg_tool_usage,
         # transcript SLA metric: first-response latency per conversation
         "kg_conv_latency": _kg_conv_latency,
         # omnicorp-at-sentence-grain analog: turn-window co-occurrence
@@ -1612,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_histogram": entry_sql.sql_schema_histogram(t),
         "kg_unused_entities": entry_sql.sql_unused_entities(t),
         "kg_conv_stats": entry_sql.sql_conv_stats(t),
+        "kg_tool_usage": entry_sql.sql_tool_usage(t),
         "kg_conv_latency": entry_sql.sql_conv_latency(t),
         "kg_support_turnwindow": entry_sql.sql_turn_window_pairs(t),
         "kg_edge_spans": entry_sql.sql_edge_spans(t),

@@ -1741,3 +1741,20 @@ SELECT t.conv_id, CAST(min(t.t) - u.t_user AS BIGINT) AS latency_us
 FROM t JOIN u USING (conv_id)
 WHERE t.role = 'assistant' AND t.t >= u.t_user
 GROUP BY t.conv_id, u.t_user"""
+
+
+def sql_tool_usage(tier: str) -> str:
+    """Oracle for the tool-call usage profile: per non-empty tool name
+    its call count, distinct conversations and share of all tool calls
+    (ONE division of exact ints)."""
+    p = corpus_paths(tier)
+    return f"""
+WITH tc AS (
+  SELECT tool, conv_id FROM read_parquet('{p["transcripts"]}/*.parquet')
+  WHERE tool <> ''
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tc) AS share
+FROM tc GROUP BY tool"""
