@@ -1283,6 +1283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": rel.orders_cube,
         # TPC-H refresh stream: keyed ANTI delete + re-keyed insert batch
         "orders_refresh": rel.orders_refresh,
+        # value-concentration (Gini over per-user totals, integer moments)
+        "events_value_gini": rel.events_value_gini,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -1767,6 +1769,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
         "orders_cube": rel.sql_orders_cube(),
         "orders_refresh": rel.sql_orders_refresh(),
+        "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),

@@ -1470,6 +1470,64 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 
+def events_value_gini(sf_dir: str, n_buckets: int = 64):
+    """Gini concentration of per-user event value -> one row
+    (n_users, total_cents, gini): how unequally total spend distributes
+    across users, the marketing/abuse 'whale concentration' metric. For
+    user totals sorted ascending v_1 <= ... <= v_n,
+    G = (2*sum(i*v_i) - (n+1)*sum(v)) / (n*sum(v)); tie order is
+    irrelevant because permuting equal values leaves sum(i*v_i)
+    unchanged. Both moments are EXACT integers, the float is ONE
+    division (repo rule).
+
+    Shape: per-user totals via one bucketed sum (user-bounded result),
+    rank moments folded driver-side over the user-bounded table — the
+    same budget class as degree_map; the fact table is never sorted."""
+    from ..functions.bucketing import bucketed_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                             "vc": _cents(b["value"].to_numpy())})
+
+    totals = bucketed_sum(ev.map_batches(prep, batch_format="pandas"),
+                          ["user_id"], "vc", n_buckets=n_buckets)
+    df = pd.DataFrame(totals.take_all())  # user-bounded, never fact-scale
+    if len(df) == 0:
+        return rd.from_arrow(pa.table({
+            "n_users": pa.array([0], pa.int64()),
+            "total_cents": pa.array([0], pa.int64()),
+            "gini": pa.array([0.0], pa.float64())}))
+    v = np.sort(df["vc"].to_numpy(np.int64))
+    n = len(v)
+    s0 = int(v.sum())
+    s1 = int((np.arange(1, n + 1, dtype=np.int64) * v).sum())
+    gini = (2 * s1 - (n + 1) * s0) / (n * s0)  # ONE division
+    return rd.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "total_cents": pa.array([s0], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    }))
+
+
+def sql_events_value_gini() -> str:
+    return """
+WITH t AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS vc
+  FROM events GROUP BY user_id
+),
+r AS (SELECT vc, row_number() OVER (ORDER BY vc) AS i FROM t),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(vc) AS BIGINT) AS s0,
+             CAST(sum(i * vc) AS BIGINT) AS s1 FROM r)
+SELECT n AS n_users, s0 AS total_cents,
+       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / (n * s0) AS gini
+FROM m"""
+
+
 REFRESH_DEL_MOD = 97
 REFRESH_INS_MOD = 89
 REFRESH_KEY_OFFSET = 10_000_000  # above any tested tier's max orderkey
