@@ -50,6 +50,21 @@ def _analyze(args) -> int:
         res = gm.degree_assortativity(edges)
     elif args.metric == "ktruss":
         res = gm.ktruss(edges, k=args.k or gm.KTRUSS_K)
+    elif args.metric == "stress":
+        res = gm.stress_centrality(edges, n_seeds=args.k
+                                   or gm.STRESS_SEEDS)
+    elif args.metric == "ra":
+        res = gm.resource_allocation_topk(edges, k=args.k or 50)
+    elif args.metric == "bridges":
+        res = gm.local_bridges(edges)
+    elif args.metric == "hits":
+        from .stages.pagerank import hits
+
+        res = hits(edges)
+    elif args.metric == "ppr":
+        from .stages.pagerank import PPR_SEEDS, personalized_pagerank
+
+        res = personalized_pagerank(edges, n_seeds=args.k or PPR_SEEDS)
     else:  # metapath2
         import pandas as pd
 
@@ -117,7 +132,8 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["components", "pagerank", "degree", "triangles",
                             "jaccard", "metapath2", "kcore", "labelprop",
                             "clustering", "harmonic", "assortativity",
-                            "ktruss"])
+                            "ktruss", "stress", "ra", "bridges", "hits",
+                            "ppr"])
     a.add_argument("--out", default=None,
                    help="write result parquet here (else just print counts)")
     a.add_argument("--gazetteer", default=None,
