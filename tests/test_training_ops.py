@@ -941,3 +941,17 @@ def test_hll_small_range_linear_counting():
     assert got["n_exact"] == 10
     # LC regime: estimate close to truth, not the raw ~alpha*m bias
     assert abs(got["est"] - 10) <= 5
+
+
+def test_rolling_fp_numeric_fast_path_properties():
+    # shard stability: a doc's fast-path fingerprint is independent of
+    # batch composition; short and empty docs are well-defined
+    texts = ["alpha beta gamma " * 10, "short text", "",
+             " ".join(f"t{i}" for i in range(30))]
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": texts})
+    full = ta.rolling_fingerprints_batch(df, parity=False)
+    for i in range(4):
+        solo = ta.rolling_fingerprints_batch(df.iloc[[i]], parity=False)
+        assert solo["rolling_fp"].iloc[0] == full["rolling_fp"].iloc[i]
+    assert full["rolling_fp"].dtype == "int64"
+    assert len(set(full["rolling_fp"])) == 4  # distinct docs differ
