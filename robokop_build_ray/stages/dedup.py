@@ -559,13 +559,12 @@ def contamination_check(docs, eval_mod: int = 50, window: int = 8,
     are hash-function-independent."""
     import ray
 
-    from .text_analysis import window_strings
+    from .text_analysis import window_hashes_numeric
 
     def batch_hashes(texts):
-        grams, counts = window_strings(texts, window, min_one=False)
-        if not grams:
-            return np.array([], dtype=np.uint64), counts
-        return pd.util.hash_array(np.asarray(grams, dtype=object)), counts
+        # numeric rolling windows: no window strings (4x on the winnowing
+        # microbench; output exposes counts only, so hash choice is free)
+        return window_hashes_numeric(texts, window)
 
     def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
         sub = b[b["doc_id"] % eval_mod == 0]
@@ -731,7 +730,7 @@ def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
     ``parity`` switches to md5 hex so DuckDB's ``md5()`` verifies the gram
     VALUES byte-for-byte (see ``text_analysis.resolve_parity``)."""
     from ..functions.bucketing import bucketed_apply
-    from .text_analysis import resolve_parity, window_strings
+    from .text_analysis import resolve_parity, window_hashes_numeric
 
     use_md5 = resolve_parity(parity)
 
@@ -759,15 +758,14 @@ def duplicate_ngrams(docs, window: int = 8, min_docs: int = 2,
                 "doc_id": pd.Series(dids, dtype="int64"),
                 "n": pd.Series(occs, dtype="int64"),
             })
-        gs, counts = window_strings(batch["text"], window, min_one=False)
-        if not gs:
+        hs_u, counts = window_hashes_numeric(batch["text"], window)
+        if len(hs_u) == 0:
             return pd.DataFrame({
                 "gram": pd.Series([], dtype="int64"),
                 "doc_id": pd.Series([], dtype="int64"),
                 "n": pd.Series([], dtype="int64")})
-        hs = pd.util.hash_array(np.asarray(gs, dtype=object)).view(np.int64)
         df = pd.DataFrame({
-            "gram": hs,
+            "gram": hs_u.view(np.int64),
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
         })
         return (df.groupby(["gram", "doc_id"], sort=False).size()

@@ -152,6 +152,39 @@ def window_strings(texts, window: int, min_one: bool = True):
 _ROLL_BASE = 1099511628211
 
 
+def window_hashes_numeric(texts, window: int):
+    """ALL token-window hashes for a batch, numerically: hash each token
+    once (one vectorized siphash call), window hash = polynomial
+    combination over token hashes (uint64 wrap) — no window strings.
+    ``min_one=False`` semantics of :func:`window_strings`: docs shorter
+    than ``window`` emit zero windows. Returns (uint64 flat hash array in
+    doc order, int64 per-doc window counts). Values are consistent ACROSS
+    docs (same token sequence -> same hash), which is what gram-grain
+    exchanges key on; only the md5 parity tier is oracle-visible."""
+    tok_lists = [t.lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64,
+                       len(tok_lists))
+    counts = np.maximum(lens - window + 1, 0)
+    flat = [w for t in tok_lists for w in t]
+    if not flat or counts.sum() == 0:
+        return np.array([], dtype=np.uint64), counts
+    th = pd.util.hash_array(np.asarray(flat, dtype=object))
+    pows = np.array([pow(_ROLL_BASE, j, 1 << 64) for j in range(window)],
+                    dtype=np.uint64)
+    L = len(th) - window + 1
+    acc = np.zeros(L, dtype=np.uint64)
+    for j in range(window):
+        acc += th[j:j + L] * pows[j]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    m = counts > 0
+    reps = counts[m]
+    base = np.repeat(starts[m], reps)
+    intra = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps)
+    return acc[base + intra], counts
+
+
 def rolling_fingerprints_batch(batch: pd.DataFrame, window: int = 8,
                                parity: bool | None = None) -> pd.DataFrame:
     """Winnowing-style document fingerprint: min hash over token windows.
