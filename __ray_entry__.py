@@ -596,6 +596,14 @@ def _kg_harmonic(sf_dir: str):
     return harmonic_centrality(_kg(sf_dir, "edges"))
 
 
+def _kg_distance_profile(sf_dir: str):
+    """Sampled hop-distance histogram (ANF / effective-diameter grain,
+    Palmer et al. 2002) from the 8 lexicographically-smallest seeds."""
+    from robokop_build_ray.stages.graph_metrics import distance_profile
+
+    return distance_profile(_kg(sf_dir, "edges"))
+
+
 def _kg_local_bridges(sf_dir: str):
     """Local bridges (Easley-Kleinberg weak ties): edges whose endpoints
     share no common neighbor — wedge cycle + one anti exchange."""
@@ -1200,6 +1208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _kg_ppr,
         # weak-tie edges: zero triangle support
         "kg_local_bridges": _kg_local_bridges,
+        # sampled hop-plot / effective-diameter profile
+        "kg_distance_profile": _kg_distance_profile,
         # graph-level degree assortativity (exact integer moments)
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
@@ -1690,6 +1700,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_hits": entry_sql.sql_hits(t),
         "kg_ppr": entry_sql.sql_personalized_pagerank(t),
         "kg_local_bridges": entry_sql.sql_local_bridges(t),
+        "kg_distance_profile": entry_sql.sql_distance_profile(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),

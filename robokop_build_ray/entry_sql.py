@@ -1517,6 +1517,30 @@ FROM nodes n LEFT JOIN contrib c ON c.id = n.id
 GROUP BY n.id"""
 
 
+def sql_distance_profile(tier: str, n_seeds: int = 8,
+                         rounds: int = 4) -> str:
+    """Oracle for graph_metrics.distance_profile: recursive-CTE BFS from
+    the sampled seeds, min dist per (seed, node), counts per hop; hops
+    with zero pairs still emit a row (range LEFT JOIN)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj),
+seeds AS (SELECT id AS s FROM nodes ORDER BY id LIMIT {n_seeds}),
+bfs(s, id, dist) AS (
+  SELECT s, s, 0 FROM seeds
+  UNION
+  SELECT b.s, adj.nb, b.dist + 1 FROM bfs b JOIN adj ON adj.id = b.id
+  WHERE b.dist < {rounds}
+),
+d AS (SELECT s, id, min(dist) AS dist FROM bfs GROUP BY s, id),
+c AS (SELECT dist, count(*) AS n FROM d WHERE dist > 0 GROUP BY dist)
+SELECT r.dist, CAST(coalesce(c.n, 0) AS BIGINT) AS n_pairs
+FROM (SELECT CAST(x AS BIGINT) AS dist
+      FROM range(1, {rounds + 1}) t(x)) r
+LEFT JOIN c ON c.dist = r.dist"""
+
+
 def sql_path_anchored(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease", budget: int = 2) -> str:
     """Oracle for kg_build.anchored_path_filter (--start semantics): the

@@ -960,41 +960,12 @@ def clustering_coefficient(edges, src: str = "subj_id",
 HARMONIC_SEEDS = 8
 
 
-def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
-                        rounds: int = BFS_ROUNDS,
-                        src: str = "subj_id", dst: str = "obj_id",
-                        n_buckets: int = 64,
-                        local_threshold: int = 1_000_000):
-    """Sampled harmonic centrality (Eppstein & Wang 2004 estimator shape):
-    Dataset(id, h12, harmonic) over every graph node, where the sample is
-    the ``n_seeds`` lexicographically-smallest node ids (a SPEC constant —
-    deterministic and SQL-expressible, unlike a random sample) and
-
-        h12      = sum over seeds s with 0 < d(s, v) <= rounds of LCM // d
-        harmonic = h12 / LCM        (LCM = lcm(1..rounds), 12 for rounds=4)
-
-    The LCM trick keeps the accumulation INTEGER-exact so the float is ONE
-    division (repo float invariant — bit-identical to the DuckDB oracle
-    regardless of summation order). Centrality analytics the reference
-    defers to its neo4j sink's graph algos (`builder/userquery.py` grain).
-
-    Scale shape: identical doctrine to :func:`bfs_distances` — under the
-    gate one driver numpy pass per seed (seed count is a small spec
-    constant); above it all seeds advance TOGETHER, one broadcast frontier
-    map (node -> seeds, node-bounded x n_seeds) and one vectorized
-    adjacency membership pass per round, so per-round exchange size is
-    bounded by the new (seed, node) frontier, never the corpus-scale edge
-    list."""
-    import math
-
-    lcm = math.lcm(*range(1, rounds + 1))
-    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
-    node_deg = degree_map(und)  # node-bounded (gazetteer universe)
-    ids = sorted(node_deg)
-    seeds = ids[:n_seeds]
-
-    # dist[(seed, node)] = hop distance, maintained exactly like
-    # bfs_distances' dist dict but keyed per seed (k x node bound).
+def _multi_seed_dists(und, seeds, rounds, n_buckets,
+                     local_threshold):
+    """dist[(seed, node)] = hop distance for every seed at once —
+    harmonic/stress/distance-profile share this frontier loop. Under the
+    gate one numpy pass per seed; above it all seeds advance TOGETHER in
+    one broadcast-frontier adjacency pass per round (k x node bound)."""
     dist: dict[tuple[str, str], int] = {(s, s): 0 for s in seeds}
 
     if und.count() <= local_threshold:
@@ -1055,6 +1026,44 @@ def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
                 key = (row["s"], row["nb"])
                 if key not in dist:
                     dist[key] = r
+
+    return dist
+
+
+def harmonic_centrality(edges, n_seeds: int = HARMONIC_SEEDS,
+                        rounds: int = BFS_ROUNDS,
+                        src: str = "subj_id", dst: str = "obj_id",
+                        n_buckets: int = 64,
+                        local_threshold: int = 1_000_000):
+    """Sampled harmonic centrality (Eppstein & Wang 2004 estimator shape):
+    Dataset(id, h12, harmonic) over every graph node, where the sample is
+    the ``n_seeds`` lexicographically-smallest node ids (a SPEC constant —
+    deterministic and SQL-expressible, unlike a random sample) and
+
+        h12      = sum over seeds s with 0 < d(s, v) <= rounds of LCM // d
+        harmonic = h12 / LCM        (LCM = lcm(1..rounds), 12 for rounds=4)
+
+    The LCM trick keeps the accumulation INTEGER-exact so the float is ONE
+    division (repo float invariant — bit-identical to the DuckDB oracle
+    regardless of summation order). Centrality analytics the reference
+    defers to its neo4j sink's graph algos (`builder/userquery.py` grain).
+
+    Scale shape: identical doctrine to :func:`bfs_distances` — under the
+    gate one driver numpy pass per seed (seed count is a small spec
+    constant); above it all seeds advance TOGETHER, one broadcast frontier
+    map (node -> seeds, node-bounded x n_seeds) and one vectorized
+    adjacency membership pass per round, so per-round exchange size is
+    bounded by the new (seed, node) frontier, never the corpus-scale edge
+    list."""
+    import math
+
+    lcm = math.lcm(*range(1, rounds + 1))
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    node_deg = degree_map(und)  # node-bounded (gazetteer universe)
+    ids = sorted(node_deg)
+    seeds = ids[:n_seeds]
+    dist = _multi_seed_dists(und, seeds, rounds, n_buckets,
+                             local_threshold)
 
     h12: dict[str, int] = {}
     for (s, node), d in dist.items():
@@ -1529,3 +1538,36 @@ def local_bridges(edges, src: str = "subj_id", dst: str = "obj_id",
         left_on="ek", right_on="ek", left_cols=["id_a", "id_b"],
         n_buckets=n_buckets, anti=True,
         empty_dtypes={"id_a": object, "id_b": object})
+
+
+# ------------------------------------------------ distance profile
+
+def distance_profile(edges, n_seeds: int = HARMONIC_SEEDS,
+                     rounds: int = BFS_ROUNDS,
+                     src: str = "subj_id", dst: str = "obj_id",
+                     n_buckets: int = 64,
+                     local_threshold: int = 1_000_000):
+    """Sampled graph distance profile (the ANF / effective-diameter
+    estimator grain, Palmer et al. 2002): Dataset(dist, n_pairs) —
+    how many (seed, node) pairs sit at each hop distance 1..rounds from
+    the ``n_seeds`` lexicographically-smallest seeds. The cumulative
+    curve is the sampled hop plot; its 90th percentile is the effective
+    diameter. Shares :func:`_multi_seed_dists` (and its hybrid
+    local/distributed scale shape) with harmonic/stress; output is
+    rounds-bounded."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    ids = sorted(degree_map(und))
+    seeds = ids[:n_seeds]
+    dist = _multi_seed_dists(und, seeds, rounds, n_buckets,
+                             local_threshold)
+    counts = {r: 0 for r in range(1, rounds + 1)}
+    for (_s, _v), d in dist.items():
+        if d > 0:
+            counts[d] += 1
+    return rd.from_arrow(pa.table({
+        "dist": pa.array(sorted(counts), pa.int64()),
+        "n_pairs": pa.array([counts[r] for r in sorted(counts)],
+                            pa.int64()),
+    }))

@@ -500,3 +500,18 @@ def test_local_bridges_hand_values():
     got2 = sorted((r["id_a"], r["id_b"])
                   for r in local_bridges(ds2, n_buckets=4).take_all())
     assert got2 == [("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_distance_profile_hand_and_distributed():
+    from robokop_build_ray.stages.graph_metrics import distance_profile
+
+    # path a-b-c-d-e, all 5 as seeds: pairs at d=1: 8 (4 edges x 2 dirs),
+    # d=2: 6, d=3: 4, d=4: 2
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r["dist"]: r["n_pairs"]
+           for r in distance_profile(ds, n_buckets=4).take_all()}
+    assert got == {1: 8, 2: 6, 3: 4, 4: 2}
+    dist = {r["dist"]: r["n_pairs"]
+            for r in distance_profile(ds, local_threshold=0,
+                                      n_buckets=4).take_all()}
+    assert dist == got  # hybrid paths bit-identical
