@@ -55,9 +55,12 @@ def test_duplicate_ngrams_planted():
     assert sorted((r["n_docs"], r["n_occurrences"]) for r in fast) == \
         sorted(got.values())
     import numpy as np
-    import pandas as pd
 
-    gh = int(pd.util.hash_array(
-        np.asarray([shared], dtype=object)).view(np.int64)[0])
+    from robokop_build_ray.stages.text_analysis import window_hashes_numeric
+
+    # fast grams are the numeric polynomial window hashes (int64 view)
+    hs, counts = window_hashes_numeric([shared], 8)
+    assert list(counts) == [1]
+    gh = int(hs.view(np.int64)[0])
     fast_got = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in fast}
     assert fast_got[gh] == (2, 3)
