@@ -854,9 +854,9 @@ def _kg_skipgram_negatives(sf_dir: str):
 def _media_features(sf_dir: str):
     """Multimodal probe driver consumer: every media payload decoded
     through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
-    PCM16/mu-law WAV audio, MJPEG-AVI video; mp4 stays the honest stub)
-    in an actor-pool stage, re-deriving geometry/duration from payload
-    BYTES alone. The oracle checks those against the table's
+    PCM16/mu-law WAV audio, MJPEG video in both AVI and ISO-BMFF mp4
+    containers) in an actor-pool stage, re-deriving geometry/duration
+    from payload BYTES alone. The oracle checks those against the table's
     width/height/duration_ms metadata — columns the decode path never
     reads — so a codec that mis-parses dimensions, sample rates, or
     frame counts cannot pass. (The reference defers media decode to
@@ -1715,12 +1715,12 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "media_features": f"""
 SELECT media_id, kind,
   octet_length(payload)::BIGINT AS n_bytes,
-  (mime <> 'video/mp4') AS decoded,
-  (CASE WHEN kind = 'image' OR mime = 'video/x-msvideo'
+  TRUE AS decoded,
+  (CASE WHEN kind IN ('image', 'video')
         THEN width ELSE -1 END)::BIGINT AS probe_w,
-  (CASE WHEN kind = 'image' OR mime = 'video/x-msvideo'
+  (CASE WHEN kind IN ('image', 'video')
         THEN height ELSE -1 END)::BIGINT AS probe_h,
-  (CASE WHEN kind = 'audio' OR mime = 'video/x-msvideo'
+  (CASE WHEN kind IN ('audio', 'video')
         THEN duration_ms ELSE -1 END)::BIGINT AS probe_dur
 FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "kg_name_lookup": entry_sql.sql_name_lookup(t),

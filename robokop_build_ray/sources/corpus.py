@@ -47,6 +47,11 @@ SEED = 42
 # media family checks codec/stage correctness, not throughput)
 N_MEDIA: dict[str, int] = {"sf0.001": 48, "sf0.01": 120, "sf0.1": 240}
 
+# bump whenever generator/codec OUTPUT BYTES change (tier caches carry
+# the rev in _META.json and regenerate on mismatch). rev 2: mp4 rows
+# became real ISO-BMFF payloads (round-3 codec).
+CORPUS_REV = 2
+
 _FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs", "media")
 
 
@@ -75,10 +80,11 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         import json as _json
 
         with open(meta_path) as f:
-            cached_turns = _json.load(f).get("n_turns")
-        if cached_turns == TIERS[tier]:
+            cached = _json.load(f)
+        if (cached.get("n_turns") == TIERS[tier]
+                and cached.get("rev", 1) == CORPUS_REV):
             return paths
-        # tier size changed (e.g. bench tier resize): regenerate
+        # tier size or generator rev changed: regenerate
     import shutil
 
     shutil.rmtree(final_dir, ignore_errors=True)  # stale cache (no metadata)
@@ -123,6 +129,7 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "n_conversations": pc.count_distinct(tr["conv_id"]).as_py(),
         "tier": tier,
         "seed": SEED,
+        "rev": CORPUS_REV,
     }
     with open(os.path.join(scratch, "_META.json"), "w") as f:
         json.dump(meta, f)

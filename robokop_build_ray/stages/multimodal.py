@@ -17,12 +17,15 @@ Decode story (honest split):
   via a from-scratch DCT + huffman codec (``stages/jpeg.py``: SOF0,
   4:4:4 and 4:2:0, restart markers). Features and thumbnails computed
   from these are exact, tested values.
-- The REMAINING compressed format (mp4 video) requires codec libraries
-  absent from this environment, so its decode is a clearly-marked STUB:
-  ``strict=True`` raises NotImplementedError on first contact, else a
-  deterministic fake feature (blake2b of payload) keeps the plumbing
-  testable end-to-end. Swapping the stub for a real codec changes ONE
-  method, not the pipeline shape.
+- Video decodes for real in BOTH containers: RIFF/AVI Motion-JPEG
+  (``decode_avi_mjpeg``) and ISO-BMFF mp4 (``decode_mp4_mjpeg``: box
+  walker, mvhd/tkhd headers, full stsc/stco/stsz sample-table
+  resolution, each sample a standalone baseline JPEG).
+- Formats this module has NO codec for (e.g. ``video/webm``) hit a
+  clearly-marked STUB: ``strict=True`` raises NotImplementedError on
+  first contact, else a deterministic fake feature (blake2b of payload)
+  keeps the plumbing testable end-to-end. Swapping a stub for a real
+  codec changes ONE method, not the pipeline shape.
 """
 
 from __future__ import annotations
@@ -576,6 +579,196 @@ def avi_usec_per_frame(payload: bytes) -> int:
     raise ValueError("AVI payload has no avih header")
 
 
+MP4_MIME = "video/mp4"
+_MP4_TIMESCALE = 1000  # movie/media timescale: 1 unit = 1 ms
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _mp4_full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0,
+                          0, 0, 0x40000000)
+
+
+def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 85, samples_per_chunk: int = 0) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> minimal ISO-BMFF mp4 bytes
+    (ftyp + mdat + moov) with one video track whose samples are baseline
+    JPEGs (QuickTime-style ``jpeg`` sample entry) — a REAL mp4 container
+    written from the public ISO/IEC 14496-12 box layout, no library.
+    ``samples_per_chunk`` > 0 splits mdat into multiple chunks so the
+    decoder's stsc/stco resolution path is exercisable."""
+    assert frames, "need at least one frame"
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    sizes = [len(p) for p in payloads]
+    n = len(payloads)
+    delta = _MP4_TIMESCALE // fps
+    duration = n * delta
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                    + b"isom" + b"mp42")
+    mdat = _mp4_box(b"mdat", b"".join(payloads))
+    base = len(ftyp) + 8  # file offset of the first sample
+
+    spc = samples_per_chunk if samples_per_chunk > 0 else n
+    # chunk layout: runs of spc samples (last chunk may be short);
+    # samples are contiguous in mdat, so offsets are running sums
+    chunk_sizes = [min(spc, n - i) for i in range(0, n, spc)]
+    chunk_offsets, si, pos = [], 0, base
+    for c in chunk_sizes:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[si:si + c])
+        si += c
+    stsc_entries = [(1, spc, 1)]
+    if chunk_sizes[-1] != spc and len(chunk_sizes) > 1:
+        stsc_entries.append((len(chunk_sizes), chunk_sizes[-1], 1))
+
+    mvhd = _mp4_full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">i", 0x10000) + struct.pack(">h", 0x100)
+        + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _mp4_full(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0) + _MP4_MATRIX
+        + struct.pack(">II", w << 16, h << 16))
+    mdhd = _mp4_full(b"mdhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, _MP4_TIMESCALE, duration)
+        + struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    hdlr = _mp4_full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                     + b"\x00" * 12 + b"VideoHandler\x00")
+    entry = _mp4_box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 16 + struct.pack(">HH", w, h)
+                     + struct.pack(">II", 0x00480000, 0x00480000)
+                     + struct.pack(">I", 0) + struct.pack(">H", 1)
+                     + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", *e)
+                                for e in stsc_entries))
+    stsz = _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + struct.pack(f">{n}I", *sizes))
+    stco = _mp4_full(b"stco", 0, 0,
+                     struct.pack(f">I{len(chunk_offsets)}I",
+                                 len(chunk_offsets), *chunk_offsets))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(b"dinf", _mp4_full(
+        b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")))
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_children(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos:pos + 4])
+        tag = buf[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError("mp4 box truncated")
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, path: list[bytes], start: int,
+              end: int) -> tuple[int, int]:
+    """Body range of the first box at the nested container ``path``."""
+    for tag, b0, b1 in _mp4_children(buf, start, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _mp4_find(buf, path[1:], b0, b1)
+    raise ValueError(f"mp4 box {path[0].decode()!r} not found")
+
+
+def _mp4_stbl(payload: bytes) -> dict[bytes, bytes]:
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (mp4) payload")
+    moov = _mp4_find(payload, [b"moov"], 0, len(payload))
+    s0, s1 = _mp4_find(payload, [b"trak", b"mdia", b"minf", b"stbl"], *moov)
+    return {tag: payload[b0:b1]
+            for tag, b0, b1 in _mp4_children(payload, s0, s1)}
+
+
+def mp4_frame_payloads(payload: bytes) -> list[bytes]:
+    """mp4 bytes -> raw per-sample payloads of the video track, resolved
+    through the full stsz/stsc/stco sample table (variable-size samples,
+    multi-sample chunks). Raises ValueError on truncation or a non-BMFF
+    payload."""
+    stbl = _mp4_stbl(payload)
+    for need in (b"stsz", b"stsc", b"stco"):
+        if need not in stbl:
+            raise ValueError(f"mp4 stbl missing {need.decode()!r}")
+    sz = stbl[b"stsz"]
+    fixed, n = struct.unpack(">II", sz[4:12])
+    sizes = ([fixed] * n if fixed
+             else list(struct.unpack(f">{n}I", sz[12:12 + 4 * n])))
+    co = stbl[b"stco"]
+    (nch,) = struct.unpack(">I", co[4:8])
+    chunk_offsets = struct.unpack(f">{nch}I", co[8:8 + 4 * nch])
+    sc = stbl[b"stsc"]
+    (ne,) = struct.unpack(">I", sc[4:8])
+    entries = [struct.unpack(">III", sc[8 + 12 * k:20 + 12 * k])
+               for k in range(ne)]
+    per_chunk: list[int] = []
+    for k, (first, spc, _desc) in enumerate(entries):
+        last = entries[k + 1][0] - 1 if k + 1 < ne else nch
+        per_chunk.extend([spc] * (last - first + 1))
+    out: list[bytes] = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(per_chunk[ci]):
+            if si >= n:
+                break
+            if pos + sizes[si] > len(payload):
+                raise ValueError("mp4 sample out of range (truncated?)")
+            out.append(payload[pos:pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError("mp4 sample table inconsistent")
+    return out
+
+
+def decode_mp4_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """mp4/MJPEG bytes -> list of (h, w, 3) uint8 RGB frames."""
+    return [decode_jpeg(p) for p in mp4_frame_payloads(payload)]
+
+
+def mp4_duration_ms(payload: bytes) -> int:
+    """Movie duration in ms from the mvhd header (v0 and v1 layouts)."""
+    moov = _mp4_find(payload, [b"moov"], 0, len(payload))
+    b0, b1 = _mp4_find(payload, [b"mvhd"], *moov)
+    body = payload[b0:b1]
+    if body[0] == 1:  # v1: 64-bit creation/modification/duration
+        timescale, = struct.unpack(">I", body[20:24])
+        duration, = struct.unpack(">Q", body[24:32])
+    else:
+        timescale, duration = struct.unpack(">II", body[12:20])
+    return int(duration) * 1000 // int(timescale)
+
+
+def mp4_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the tkhd header's 16.16 fixed-point fields."""
+    moov = _mp4_find(payload, [b"moov"], 0, len(payload))
+    b0, b1 = _mp4_find(payload, [b"trak", b"tkhd"], *moov)
+    body = payload[b0:b1]
+    off = 88 if body[0] == 1 else 76
+    w, h = struct.unpack(">II", body[off:off + 8])
+    return w >> 16, h >> 16
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy fancy indexing."""
     h, w = img.shape[:2]
@@ -587,10 +780,10 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # ------------------------------------------------------ synthetic media
 
 def synthesize_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic media table: REAL payloads for the decodable formats
-    (PPM / PNG / GIF / JPEG images, PCM16 / mu-law WAV audio, MJPEG-AVI
-    video), alternating with seeded opaque mp4 bytes — the one remaining
-    stub format — so the stub path stays exercised too."""
+    """Deterministic media table: REAL payloads for every format — PPM /
+    PNG / GIF / JPEG images, PCM16 / mu-law WAV audio, and MJPEG video
+    alternating between the RIFF/AVI and ISO-BMFF mp4 containers. Every
+    row decodes for real; metadata columns carry the true geometry."""
     rng = np.random.default_rng(seed)
     kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
     for i in range(n):
@@ -649,12 +842,22 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             ws.append(32); hs.append(24)
             durs.append(4 * 1000 // 8)
         else:
-            # mp4 stays the honest stub: opaque seeded bytes
-            payloads.append(
-                rng.integers(0, 256, size=64 + i % 128,
-                             dtype=np.uint8).tobytes())
-            mimes.append("video/mp4")
-            ws.append(-1); hs.append(-1); durs.append(1000 + i)
+            # REAL mp4: ISO-BMFF container, MJPEG samples, 3-5 frames;
+            # multi-sample chunking exercises the stsc/stco resolution
+            yy, xx = np.mgrid[0:24, 0:32]
+            n_fr = 3 + (i % 3)
+            frames = [
+                np.stack([(xx * 7 + t * 24 + i) % 256, (yy * 5 + i) % 256,
+                          ((xx + 2 * yy) * 3 + t * 8) % 256],
+                         axis=-1).astype(np.uint8)
+                for t in range(n_fr)
+            ]
+            fps = (4, 5, 8)[i % 3]
+            payloads.append(encode_mp4_mjpeg(frames, fps=fps,
+                                             samples_per_chunk=2))
+            mimes.append(MP4_MIME)
+            ws.append(32); hs.append(24)
+            durs.append(n_fr * (1000 // fps))
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -674,11 +877,12 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
 class MediaDecoder:
     """Actor-pool decode/feature stage.
 
-    PPM images and PCM WAV audio decode for real (pure numpy); compressed
-    formats hit the stub path: ``strict=True`` raises NotImplementedError,
-    else a deterministic blake2b fake keeps plumbing testable. Output adds
-    ``decoded`` so downstream stages can tell exact features from stub
-    features."""
+    Every synthesized format decodes for real (pure numpy codecs: PPM /
+    PNG / GIF / JPEG, PCM16 / mu-law WAV, MJPEG in AVI and mp4). Mimes
+    with no codec hit the stub path: ``strict=True`` raises
+    NotImplementedError, else a deterministic blake2b fake keeps
+    plumbing testable. Output adds ``decoded`` so downstream stages can
+    tell exact features from stub features."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -711,8 +915,10 @@ class MediaDecoder:
             f[3] = np.abs(x).max() if len(x) else 0.0          # peak
             f[4] = len(samples) * 1000.0 / rate                # ms
             return f, True
-        if mime == AVI_MIME:  # Motion-JPEG video: real per-frame decode
-            frames = decode_avi_mjpeg(payload)
+        if mime in (AVI_MIME, MP4_MIME):  # MJPEG video: real decode in
+            # both containers (RIFF/AVI chunks, ISO-BMFF sample table)
+            frames = (decode_avi_mjpeg(payload) if mime == AVI_MIME
+                      else decode_mp4_mjpeg(payload))
             gray = np.stack([fr.astype(np.float32).mean(axis=2)
                              for fr in frames])
             f[0] = len(frames)
@@ -731,9 +937,10 @@ class MediaDecoder:
             )
         return self._fake_feature(payload), False
 
-    # remaining stub surface: mp4 video only. image/png (pure
-    # zlib+numpy), image/gif (from-scratch LZW), image/jpeg (DCT +
-    # huffman, stages/jpeg.py) and mu-law WAV all decode for real above.
+    # stub surface: only mimes with no codec above (e.g. video/webm).
+    # PPM, PNG (pure zlib+numpy), GIF (from-scratch LZW), JPEG (DCT +
+    # huffman, stages/jpeg.py), PCM16/mu-law WAV, MJPEG in AVI and mp4
+    # containers all decode for real.
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, decoded = [], []
@@ -761,7 +968,8 @@ class MediaProber(MediaDecoder):
     table's width/height/duration_ms metadata columns — which is exactly
     what the SQL oracle checks the output against. A codec that
     mis-parses dimensions, frame counts, or sample rates cannot pass.
-    Emits -1 for fields a kind doesn't have and for the stub format."""
+    Emits -1 for fields a kind doesn't have (image duration, audio
+    geometry) and for formats with no codec."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"]
@@ -781,6 +989,10 @@ class MediaProber(MediaDecoder):
                 f, ok = self._feature(mime, p)
                 w, h = int(f[1]), int(f[2])
                 dur = int(f[0]) * avi_usec_per_frame(p) // 1000
+            elif mime == MP4_MIME:
+                f, ok = self._feature(mime, p)  # full sample decode
+                w, h = mp4_dimensions(p)        # tkhd, header-only
+                dur = mp4_duration_ms(p)        # mvhd, header-only
             n_bytes.append(len(p))
             dec.append(ok)
             pw.append(w)
@@ -860,11 +1072,11 @@ class Thumbnailer:
 
 class FrameSampler:
     """Video frame-sampling (flat-map shape: one row in, N frame rows
-    out). AVI/MJPEG rows sample REAL frames — each emitted frame is a
-    standalone decodable JPEG taken evenly from the stream. The mp4 codec
-    is STUBBED (deterministic byte slices stand in for decoded frames);
-    the Ray-side contract — binary in, multiple binary rows out,
-    frame_idx column, small batches — is identical for both."""
+    out). AVI and mp4 MJPEG rows sample REAL frames — each emitted frame
+    is a standalone decodable JPEG taken evenly from the stream. Unknown
+    video formats fall back to deterministic byte slices so the Ray-side
+    contract — binary in, multiple binary rows out, frame_idx column,
+    small batches — holds for any payload."""
 
     def __init__(self, n_frames: int = 4):
         self.n_frames = n_frames
@@ -879,8 +1091,9 @@ class FrameSampler:
         ):
             if kind != "video":
                 continue
-            if mime == AVI_MIME:
-                stored = avi_frame_payloads(payload)
+            if mime in (AVI_MIME, MP4_MIME):
+                stored = (avi_frame_payloads(payload) if mime == AVI_MIME
+                          else mp4_frame_payloads(payload))
                 picks = np.linspace(0, len(stored) - 1,
                                     self.n_frames).round().astype(int)
                 for k, si in enumerate(picks):

@@ -250,9 +250,9 @@ def test_multimodal_real_decode_features():
     media = rd.from_arrow(multimodal.synthesize_media(6))
     feats = {r["media_id"]: r for r in
              multimodal.decode_features(media).take_all()}
-    # image and audio rows decode for real; video rows are stub features
+    # every row decodes for real (id 2 = mp4 video)
     assert feats[0]["decoded"] and feats[1]["decoded"]
-    assert not feats[2]["decoded"]
+    assert feats[2]["decoded"]
     # image feature = (w, h, mean RGB, ...) — check against direct decode
     tbl = multimodal.synthesize_media(6)
     img = multimodal.decode_ppm(tbl["payload"][0].as_py())
@@ -439,21 +439,39 @@ def test_media_probe_recovers_metadata():
     for r in rows:
         m = meta[r["media_id"]]
         assert r["n_bytes"] == len(m["payload"])
-        assert r["decoded"] == (m["mime"] != "video/mp4")
-        if m["kind"] == "image" or m["mime"] == multimodal.AVI_MIME:
+        assert r["decoded"]  # every format decodes for real now
+        if m["kind"] in ("image", "video"):
             assert (r["probe_w"], r["probe_h"]) == (m["width"], m["height"])
         else:
             assert (r["probe_w"], r["probe_h"]) == (-1, -1)
-        if m["kind"] == "audio" or m["mime"] == multimodal.AVI_MIME:
+        if m["kind"] in ("audio", "video"):
             assert r["probe_dur"] == m["duration_ms"]
         else:
             assert r["probe_dur"] == -1
 
 
 def test_multimodal_strict_raises():
-    media = rd.from_arrow(multimodal.synthesize_media(4))
+    # a format with no codec in this module hits the strict guard
+    import pyarrow as pa
+
+    unknown = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "payload": pa.array([b"\x1a\x45\xdf\xa3 webm-ish"], pa.binary()),
+            "mime": pa.array(["video/webm"], pa.string()),
+            "width": pa.array([-1], pa.int32()),
+            "height": pa.array([-1], pa.int32()),
+            "duration_ms": pa.array([-1], pa.int32()),
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception):  # NotImplementedError surfaces as RayTaskError
-        multimodal.decode_features(media, strict=True).take_all()
+        multimodal.decode_features(rd.from_arrow(unknown),
+                                   strict=True).take_all()
+    # non-strict: deterministic fake feature, flagged undecoded
+    rows = multimodal.decode_features(rd.from_arrow(unknown)).take_all()
+    assert len(rows) == 1 and not rows[0]["decoded"]
 
 
 def test_connected_components_chain_and_clique():
@@ -485,15 +503,13 @@ def test_multimodal_frame_sampling():
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
     assert all(sorted(v) == [0, 1, 2, 3] for v in per.values())
-    # AVI/MJPEG rows ((i//3)%2==1) emit REAL frames: standalone JPEGs
-    avi_ids = {i for i in range(30) if i % 3 == 2 and (i // 3) % 2 == 1}
-    assert avi_ids  # rotation covers the real-video path
-    for r in frames:
-        if r["media_id"] in avi_ids:
-            from robokop_build_ray.stages.jpeg import decode_jpeg
+    # EVERY video row (AVI and mp4 alike) emits REAL frames: each a
+    # standalone decodable baseline JPEG of the synthesized geometry
+    from robokop_build_ray.stages.jpeg import decode_jpeg
 
-            assert r["frame"][:2] == b"\xFF\xD8"
-            assert decode_jpeg(r["frame"]).shape == (24, 32, 3)
+    for r in frames:
+        assert r["frame"][:2] == b"\xFF\xD8"
+        assert decode_jpeg(r["frame"]).shape == (24, 32, 3)
 
 
 def test_avi_mjpeg_roundtrip():
@@ -525,7 +541,47 @@ def test_avi_mjpeg_roundtrip():
     assert feats[5]["decoded"]  # id 5 = AVI row
     f = feats[5]["feature"]
     assert (f[0], f[1], f[2]) == (4, 32, 24) and f[5] > 0
-    assert not feats[2]["decoded"]  # id 2 = mp4 stub row
+    # id 2 = mp4 row: real decode through the ISO-BMFF sample table
+    assert feats[2]["decoded"]
+    f2 = feats[2]["feature"]
+    assert (f2[0], f2[1], f2[2]) == (3 + 2 % 3, 32, 24) and f2[5] > 0
+
+
+def test_mp4_mjpeg_roundtrip():
+    import numpy as np
+
+    frames = []
+    for t in range(5):
+        y, x = np.mgrid[0:20, 0:28]
+        frames.append(np.stack([(x * 9 + t * 31) % 256, (y * 11) % 256,
+                                ((x + y) * 5 + t * 13) % 256],
+                               axis=-1).astype(np.uint8))
+    # single-chunk and multi-chunk stsc/stco layouts must decode alike
+    for spc in (0, 2, 3):
+        mp4 = multimodal.encode_mp4_mjpeg(frames, fps=5,
+                                          samples_per_chunk=spc)
+        got = multimodal.decode_mp4_mjpeg(mp4)
+        assert len(got) == 5
+        for f, g in zip(frames, got):
+            mse = float(np.mean((g.astype(float) - f.astype(float)) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 28
+        # header-only probes: mvhd duration (timescale 1000), tkhd dims
+        assert multimodal.mp4_duration_ms(mp4) == 5 * (1000 // 5)
+        assert multimodal.mp4_dimensions(mp4) == (28, 20)
+    # deterministic bytes; truncation and non-BMFF payloads raise
+    assert multimodal.encode_mp4_mjpeg(frames, fps=5) == \
+        multimodal.encode_mp4_mjpeg(frames, fps=5)
+    with pytest.raises(ValueError):
+        multimodal.mp4_frame_payloads(mp4[: len(mp4) // 3])
+    with pytest.raises(ValueError):
+        multimodal.mp4_frame_payloads(b"RIFF\x04\x00\x00\x00AVI ")
+    # mid-file sample-byte corruption: the JPEG layer (not the container)
+    # rejects it — find a sample offset and flip its SOI marker
+    sample0 = multimodal.mp4_frame_payloads(mp4)[0]
+    pos = mp4.index(sample0)
+    bad = mp4[:pos] + b"\x00\x00" + mp4[pos + 2:]
+    with pytest.raises(Exception):
+        multimodal.decode_mp4_mjpeg(bad)
 
 
 def test_near_dup_clusters_composition():
