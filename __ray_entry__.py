@@ -579,6 +579,15 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_mis(sf_dir: str):
+    """Deterministic Luby-style maximal independent set: fixed-round
+    md5-priority local-minimum selection over the undirected simple
+    graph (nodes selected, with the round they joined)."""
+    from robokop_build_ray.stages.graph_metrics import maximal_independent_set
+
+    return maximal_independent_set(_kg(sf_dir, "edges"))
+
+
 def _kg_assortativity(sf_dir: str):
     """Graph-level degree assortativity (Newman 2002) — exact integer
     moment sums, one float conversion matching the oracle expression."""
@@ -1214,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
         "kg_ktruss": _kg_ktruss,
+        "kg_mis": _kg_mis,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1703,6 +1713,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_distance_profile": entry_sql.sql_distance_profile(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
+        "kg_mis": entry_sql.sql_mis(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1751,6 +1751,36 @@ FROM e{rounds} e
 LEFT JOIN t{rounds} t ON t.a = e.a AND t.b = e.b""")
 
 
+def sql_mis(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.maximal_independent_set: ``rounds``
+    unrolled Luby peels — per round the active nodes whose md5(id)
+    priority (id tie-break) is strictly smallest among active neighbors
+    join, then winners and their neighbors deactivate."""
+    p = corpus_paths(tier)
+    ctes = ["act0 AS MATERIALIZED (SELECT DISTINCT id FROM adj)",
+            "pr AS MATERIALIZED (SELECT id, md5(id) AS h "
+            "FROM (SELECT DISTINCT id FROM adj))"]
+    for r in range(rounds):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT x.id FROM act{r} x "
+            f"JOIN pr px ON px.id = x.id WHERE NOT EXISTS ("
+            f"SELECT 1 FROM adj j "
+            f"JOIN act{r} y ON y.id = j.nb "
+            f"JOIN pr py ON py.id = j.nb "
+            f"WHERE j.id = x.id AND (py.h < px.h "
+            f"OR (py.h = px.h AND j.nb < x.id))))")
+        ctes.append(
+            f"act{r + 1} AS MATERIALIZED (SELECT a.id FROM act{r} a "
+            f"WHERE a.id NOT IN (SELECT id FROM w{r}) "
+            f"AND NOT EXISTS (SELECT 1 FROM adj j "
+            f"JOIN w{r} w ON w.id = j.nb WHERE j.id = a.id))")
+    sel = "\nUNION ALL ".join(
+        f"SELECT id, CAST({r} AS BIGINT) AS mis_round FROM w{r}"
+        for r in range(rounds))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes) + "\n" + sel)
+
+
 def sql_conv_latency(tier: str) -> str:
     """Oracle for kg_conv_latency: min assistant ts at-or-after the first
     user ts, per conversation."""

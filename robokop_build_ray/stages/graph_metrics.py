@@ -43,6 +43,7 @@ from ..functions.bucketing import (
     bucketed_count,
     bucketed_distinct,
     bucketed_group_pairs,
+    bucketed_min,
     coalesced_count,
 )
 
@@ -1571,3 +1572,146 @@ def distance_profile(edges, n_seeds: int = HARMONIC_SEEDS,
         "n_pairs": pa.array([counts[r] for r in sorted(counts)],
                             pa.int64()),
     }))
+
+
+# ------------------------------------------- maximal independent set
+
+MIS_ROUNDS = 3
+
+
+def _mis_key(h: str, i: str) -> str:
+    # fixed-width md5 hex prefix -> lexicographic compare on the
+    # concatenation equals (h, id) tuple compare; '|' only breaks ties
+    return h + "|" + i
+
+
+def _mis_priorities(ids) -> dict[str, str]:
+    import hashlib
+
+    return {i: hashlib.md5(i.encode("utf-8")).hexdigest() for i in ids}
+
+
+def maximal_independent_set(edges, rounds: int = MIS_ROUNDS,
+                            src: str = "subj_id", dst: str = "obj_id",
+                            n_buckets: int = 64,
+                            local_threshold: int = 1_000_000):
+    """Fixed-round deterministic Luby-style maximal independent set
+    (Luby 1986 with hash priorities instead of coin flips):
+    Dataset(id, mis_round) — per round, every still-active node whose
+    priority key md5(id) is strictly smallest in its active closed
+    neighborhood joins the set, then it and its neighbors deactivate.
+    ``rounds`` is a SPEC constant unrolled identically in the SQL
+    oracle (like KCORE_ROUNDS), so the result is bit-identical whether
+    or not the peeling has converged; undecided nodes after ``rounds``
+    are simply absent. Priorities are md5 hex (DuckDB ``md5()`` parity)
+    with an id tie-break; independence is structural — two active
+    neighbors can never both hold the local minimum.
+
+    Independent-set grain the reference defers to its neo4j sink's
+    graph algos (`builder/userquery.py`). Hybrid scale shape (gate as
+    kcore): under the gate one driver pandas/dict loop; above it each
+    round is one broadcast-filtered min-key exchange over the adjacency
+    (entity-bounded winner map on the driver) plus one winner-blocked
+    neighbor pass — the corpus-scale edge list never leaves the
+    cluster, driver state is node-bounded (the canonicalization
+    broadcast's budget)."""
+    import ray.data as rd
+
+    empty = pa.table({"id": pa.array([], pa.string()),
+                      "mis_round": pa.array([], pa.int64())})
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    if und.count() <= local_threshold:
+        frames = list(und.iter_batches(batch_format="pandas",
+                                       batch_size=65536))
+        if not frames:
+            return rd.from_arrow(empty)
+        df = pd.concat(frames, ignore_index=True)
+        adj: dict[str, set] = {}
+        for a, b in zip(df["a"].to_numpy(dtype=object),
+                        df["b"].to_numpy(dtype=object)):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        pr = _mis_priorities(adj)
+        key = {i: _mis_key(h, i) for i, h in pr.items()}
+        active = set(adj)
+        out_id: list[str] = []
+        out_round: list[int] = []
+        for r in range(rounds):
+            winners = {x for x in active
+                       if all(key[x] < key[y]
+                              for y in adj[x] if y in active)}
+            for w in sorted(winners):
+                out_id.append(w)
+                out_round.append(r)
+            blocked = set()
+            for w in winners:
+                blocked |= adj[w]
+            active -= winners | blocked
+        return rd.from_arrow(pa.table({
+            "id": pa.array(out_id, pa.string()),
+            "mis_round": pa.array(out_round, pa.int64())}))
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    ids = sorted(degree_map(und))  # entity-bounded
+    pr = _mis_priorities(ids)
+    key = {i: _mis_key(h, i) for i, h in pr.items()}
+    adj_ds = _adjacency(und).materialize()
+    active = set(ids)
+    selected: dict[str, int] = {}
+    for r in range(rounds):
+        act_ref = ray.put(active)
+        key_ref = ray.put(key)
+
+        def min_nb(t: pa.Table, _a=act_ref, _k=key_ref) -> pd.DataFrame:
+            act = ray.get(_a)
+            km = ray.get(_k)
+            i = t["id"].to_pylist()
+            n = t["nb"].to_pylist()
+            rows_i, rows_k = [], []
+            for x, y in zip(i, n):
+                if x in act and y in act:
+                    rows_i.append(x)
+                    rows_k.append(km[y])
+            return pd.DataFrame({"id": pd.Series(rows_i, dtype=object),
+                                 "k": pd.Series(rows_k, dtype=object)})
+
+        mins = bucketed_min(
+            adj_ds.map_batches(min_nb, batch_format="pyarrow"),
+            ["id"], "k", n_buckets=min(n_buckets, 16))
+        # node-bounded driver fold (degree_map's budget)
+        mmap: dict[str, str] = {}
+        for b in mins.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            for x, kk in zip(b["id"], b["k"]):
+                if x not in mmap or kk < mmap[x]:
+                    mmap[x] = kk
+        winners = {x for x in active
+                   if x not in mmap or key[x] < mmap[x]}
+        win_ref = ray.put(winners)
+
+        def blocked_fn(t: pa.Table, _a=act_ref,
+                       _w=win_ref) -> pd.DataFrame:
+            act = ray.get(_a)
+            win = ray.get(_w)
+            i = t["id"].to_pylist()
+            n = t["nb"].to_pylist()
+            hit = {x for x, y in zip(i, n)
+                   if y in win and x in act and x not in win}
+            return pd.DataFrame({"id": pd.Series(sorted(hit),
+                                                 dtype=object)})
+
+        blocked = set()
+        for b in adj_ds.map_batches(
+                blocked_fn, batch_format="pyarrow").iter_batches(
+                batch_format="pandas", batch_size=None):
+            blocked.update(b["id"].tolist())
+        for w in winners:
+            selected[w] = r
+        active -= winners | blocked
+    if not selected:
+        return rd.from_arrow(empty)
+    out = sorted(selected)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(out, pa.string()),
+        "mis_round": pa.array([selected[i] for i in out], pa.int64())}))

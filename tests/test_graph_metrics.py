@@ -515,3 +515,47 @@ def test_distance_profile_hand_and_distributed():
             for r in distance_profile(ds, local_threshold=0,
                                       n_buckets=4).take_all()}
     assert dist == got  # hybrid paths bit-identical
+
+
+def test_mis_properties_and_hand_structure():
+    # path a-b-c-d-e plus isolated-pair x-y: winners must be independent,
+    # every unselected decided node must neighbor a winner
+    from robokop_build_ray.stages.graph_metrics import (
+        maximal_independent_set)
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = maximal_independent_set(_edges(pairs), rounds=3,
+                                   n_buckets=4).take_all()
+    sel = {r["id"]: r["mis_round"] for r in rows}
+    # independence: no two selected nodes adjacent
+    for s in sel:
+        assert not (adj[s] & sel.keys())
+    # exactly one of x / y wins, in round 0 (local minimum immediately)
+    assert len({"x", "y"} & sel.keys()) == 1
+    assert all(r >= 0 for r in sel.values())
+    # maximality over decided nodes: any node NOT selected and not
+    # active after 3 rounds must neighbor a winner — with 3 rounds on a
+    # 5-path everything is decided
+    for n in adj:
+        if n not in sel:
+            assert adj[n] & sel.keys(), n
+
+
+def test_mis_distributed_matches_local():
+    rng = np.random.default_rng(29)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import (
+        maximal_independent_set)
+
+    ds = _edges(pairs)
+    local = sorted((r["id"], r["mis_round"])
+                   for r in maximal_independent_set(ds).take_all())
+    dist = sorted((r["id"], r["mis_round"])
+                  for r in maximal_independent_set(
+                      ds, local_threshold=0, n_buckets=4).take_all())
+    assert local == dist and len(local) > 0
