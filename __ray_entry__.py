@@ -1428,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": rel.q10_returned_items,
         # Q17 shape: per-key aggregate joined back onto its own fact stream
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "part_skyline": rel.part_skyline,
         # Q22 shape: scalar subquery + distributed ANTI join + enum rollup
         "q22_idle_customers": rel.q22_idle_customers,
         # Q19 shape: OR-of-ANDs compound predicate after a fact join
@@ -1869,6 +1870,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "q12_priority_lines": rel.sql_q12_priority_lines(),
         "q10_returned_items": rel.sql_q10_returned_items(),
         "q17_small_qty_revenue": rel.sql_q17_small_qty_revenue(),
+        "part_skyline": rel.sql_part_skyline(),
         "q22_idle_customers": rel.sql_q22_idle_customers(),
         "q19_disjunctive_revenue": rel.sql_q19_disjunctive_revenue(),
         "q6_forecast_revenue": rel.sql_q6_forecast_revenue(),

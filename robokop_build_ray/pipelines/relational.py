@@ -4355,3 +4355,71 @@ FROM supplier JOIN dom ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = '{Q20_REGION}'"""
+
+
+def _pareto2d_block(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D pareto front of one block: price_cents ASC better,
+    p_size DESC better. Sort-based: a row survives iff its size equals
+    its price-group max AND that max strictly beats the running max over
+    all cheaper prices (ties on BOTH axes survive together — neither
+    dominates)."""
+    cols = ["p_partkey", "price_cents", "p_size"]
+    if len(b) == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "price_cents": pd.Series([], dtype="int64"),
+                             "p_size": pd.Series([], dtype="int64")})
+    g = (b.groupby("price_cents", sort=True)["p_size"].max()
+         .rename("gmax").reset_index())
+    prior = g["gmax"].cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    g = g[g["gmax"].to_numpy() > prior.to_numpy()]
+    m = b.merge(g, on="price_cents")
+    m = m[m["p_size"].to_numpy() == m["gmax"].to_numpy()]
+    return m[cols].astype({"p_partkey": "int64", "price_cents": "int64",
+                           "p_size": "int64"})
+
+
+def part_skyline(sf_dir: str):
+    """Pareto skyline over parts (Borzsony et al. 2001 'The Skyline
+    Operator'): parts not dominated on (cheaper retail price, larger
+    size) -> (p_partkey, price_cents, p_size), equal-on-both-axes ties
+    all kept. Price compares in integer cents so no float ever decides
+    a row.
+
+    Distributed shape: the skyline-of-skylines identity — each block
+    reduces to its local pareto front (vectorized sort-based pass),
+    fronts union into ONE block (skyline cardinality is O(log n) in
+    expectation for independent 2-D axes — single-block-fold budget, the
+    LangIdConfusion class), and the same pass runs once more on the
+    union. No shuffle at all: dominance is global, but the local front
+    is a complete filter (any globally dominated row is dominated inside
+    its own block or by a surviving front row)."""
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy().astype(np.int64),
+            "price_cents": _cents(b["p_retailprice"].to_numpy()),
+            "p_size": b["p_size"].to_numpy().astype(np.int64),
+        })
+
+    local = part.map_batches(derive, batch_format="pandas").map_batches(
+        _pareto2d_block, batch_format="pandas")
+    return local.repartition(1).map_batches(_pareto2d_block,
+                                            batch_format="pandas")
+
+
+def sql_part_skyline() -> str:
+    return """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p.p_partkey, p.price_cents, p.p_size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))"""

@@ -105,3 +105,34 @@ def test_shingle_jaccard_bounds(texts):
         assert 0.0 <= j <= 1.0
         if texts[0] == texts[1]:
             assert j == 1.0 or not A
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 20)),
+                min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_pareto2d_block_matches_bruteforce(pts):
+    import pandas as pd
+
+    from robokop_build_ray.pipelines.relational import _pareto2d_block
+
+    df = pd.DataFrame({
+        "p_partkey": np.arange(len(pts), dtype=np.int64),
+        "price_cents": np.array([p for p, _ in pts], dtype=np.int64),
+        "p_size": np.array([s for _, s in pts], dtype=np.int64),
+    })
+    got = set(_pareto2d_block(df)["p_partkey"].tolist())
+    want = set()
+    for i, (pi, si) in enumerate(pts):
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, (pj, sj) in enumerate(pts) if j != i)
+        if not dominated:
+            want.add(i)
+    assert got == want
+    # skyline-of-skylines identity: front of two half-blocks re-folded
+    # equals the one-pass front
+    half = len(df) // 2
+    refold = _pareto2d_block(pd.concat(
+        [_pareto2d_block(df.iloc[:half]), _pareto2d_block(df.iloc[half:])],
+        ignore_index=True))
+    assert set(refold["p_partkey"].tolist()) == want
