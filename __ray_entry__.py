@@ -1534,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
         "embedding_kmeans": _clustering().embedding_kmeans,
+        "embedding_gram": _clustering().embedding_gram,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
     # rotate: never-driver-checked queries first (see _R02_DRIVER_CHECKED)
@@ -2120,6 +2121,7 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM s
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
+        "embedding_gram": _clustering().sql_embedding_gram(),
         "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
         "ann_pq_topk": _ann.sql_pq_topk(pq_c),
         "ann_ivf_recall": f"""

@@ -216,3 +216,45 @@ FROM a x JOIN a y
  AND x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= {threshold}"""
+
+
+def embedding_gram(sf_dir: str):
+    """Exact integer Gram matrix of the embedding table (upper triangle):
+    Dataset(i, j, gram) with gram = sum over rows of q_i * q_j, where q is
+    the vector quantized floor(x * QUANT + 0.5) — the covariance /
+    PCA-input primitive (X^T X) computed the way a 100 TB pipeline must:
+    per-batch int64 BLAS-style matmul partials (dim x dim), folded in ONE
+    dim^2-bounded block (no shuffle; 64-dim -> 2080 rows). Quantized
+    integers make the fold order-independent (the kmeans QUANT contract),
+    and DuckDB re-derives the identical sums from the raw floats."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = _matrix(b["embedding"])
+        Q = np.floor(M * QUANT + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        iu, ju = np.triu_indices(G.shape[0])
+        return pd.DataFrame({"i": iu.astype(np.int64),
+                             "j": ju.astype(np.int64),
+                             "gram": G[iu, ju]})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["i", "j"], sort=True, as_index=False)["gram"].sum()
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    return (emb.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+
+
+def sql_embedding_gram() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}.0 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+)
+SELECT a.i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i"""

@@ -61,3 +61,25 @@ def test_semantic_dedup_finds_planted_near_dup(tmp_path):
     pairs = cl.semantic_dedup_pairs(str(tmp_path), threshold=0.95,
                                     k=4, iters=3).to_pandas()
     assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_embedding_gram_order_independent(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(scale=0.2, size=(40, 5)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["x"] * 40, pa.string()),
+    }), tmp_path / "embeddings.parquet")
+    from robokop_build_ray.stages.clustering import QUANT, embedding_gram
+
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in embedding_gram(str(tmp_path)).take_all()}
+    Q = np.floor(M.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    want = {(i, j): int(G[i, j]) for i in range(5) for j in range(5)
+            if j >= i}
+    assert got == want
