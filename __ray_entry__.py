@@ -1260,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_filtered_2hop": _kg_path_filtered_2hop,
         # --start anchoring: DSL filter x BFS hop gate from a named node
         "kg_path_anchored": _kg_path_anchored,
+        "part_skyline": rel.part_skyline,
+        "embedding_gram": _clustering().embedding_gram,
         # --- relational coverage (testdata views) ----------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -1428,7 +1430,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": rel.q10_returned_items,
         # Q17 shape: per-key aggregate joined back onto its own fact stream
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "part_skyline": rel.part_skyline,
         # Q22 shape: scalar subquery + distributed ANTI join + enum rollup
         "q22_idle_customers": rel.q22_idle_customers,
         # Q19 shape: OR-of-ANDs compound predicate after a fact join
@@ -1534,7 +1535,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
         "embedding_kmeans": _clustering().embedding_kmeans,
-        "embedding_gram": _clustering().embedding_gram,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
     # rotate: never-driver-checked queries first (see _R02_DRIVER_CHECKED)
