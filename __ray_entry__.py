@@ -1262,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_anchored": _kg_path_anchored,
         "part_skyline": rel.part_skyline,
         "embedding_gram": _clustering().embedding_gram,
+        "embedding_rp": _clustering().embedding_rp,
         # --- relational coverage (testdata views) ----------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
@@ -2122,6 +2123,7 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "embedding_gram": _clustering().sql_embedding_gram(),
+        "embedding_rp": _clustering().sql_embedding_rp(),
         "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
         "ann_pq_topk": _ann.sql_pq_topk(pq_c),
         "ann_ivf_recall": f"""

@@ -258,3 +258,62 @@ WITH q AS (
 SELECT a.i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gram
 FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i"""
+
+
+RP_DIM = 8
+
+
+def _rp_signs(in_dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic +-1 projection matrix: sign((3 * i + 7 * j) % 2) —
+    a fixed arithmetic pattern both engine and oracle re-derive (no RNG,
+    no shipped literal). Entry (i out-dim row, j in-dim col) is +1 when
+    (i * 31 + j * 17) % 3 != 0 else -1 — coprime strides give balanced
+    +-1 mix across rows."""
+    i = np.arange(out_dim, dtype=np.int64)[:, None]
+    j = np.arange(in_dim, dtype=np.int64)[None, :]
+    return np.where((i * 31 + j * 17) % 3 != 0, 1, -1).astype(np.int64)
+
+
+def embedding_rp(sf_dir: str, out_dim: int = RP_DIM):
+    """Deterministic signed random projection (Achlioptas 2003 /
+    Johnson-Lindenstrauss grain): Dataset(vec_id, k, proj) — each vector
+    quantized to int64 (the QUANT contract) then multiplied by a fixed
+    +-1 matrix derived from an arithmetic pattern, so the reduced
+    representation is EXACT integers: order-independent, bit-identical
+    at any parallelism, and re-derivable by the SQL oracle from the raw
+    floats. This is the dimension-reduction front-end an ANN / LSH
+    pipeline runs before bucketing; per batch it is one int64 matmul —
+    embarrassingly parallel, no shuffle."""
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        M = _matrix(b["embedding"])
+        S = _rp_signs(M.shape[1], out_dim)
+        Q = np.floor(M * QUANT + 0.5).astype(np.int64)
+        P = Q @ S.T  # (n, out_dim) exact ints
+        n = len(b)
+        return pd.DataFrame({
+            "vec_id": np.repeat(b["vec_id"].to_numpy().astype(np.int64),
+                                out_dim),
+            "k": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "proj": P.reshape(-1),
+        })
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return emb.map_batches(project, batch_format="pandas")
+
+
+def sql_embedding_rp(out_dim: int = RP_DIM) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}.0 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+k AS (SELECT unnest(range({out_dim})) AS k)
+SELECT q.vec_id, k.k,
+       CAST(sum(q.v * (CASE WHEN (k.k * 31 + q.j * 17) % 3 <> 0
+                            THEN 1 ELSE -1 END)) AS BIGINT) AS proj
+FROM q CROSS JOIN k
+GROUP BY q.vec_id, k.k"""

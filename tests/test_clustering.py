@@ -83,3 +83,27 @@ def test_embedding_gram_order_independent(ray_session, tmp_path):
     want = {(i, j): int(G[i, j]) for i in range(5) for j in range(5)
             if j >= i}
     assert got == want
+
+
+def test_embedding_rp_exact_and_balanced(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    M = rng.normal(scale=0.2, size=(30, 6)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["x"] * 30, pa.string()),
+    }), tmp_path / "embeddings.parquet")
+    from robokop_build_ray.stages.clustering import (
+        QUANT, _rp_signs, embedding_rp)
+
+    got = {(r["vec_id"], r["k"]): r["proj"]
+           for r in embedding_rp(str(tmp_path), out_dim=4).take_all()}
+    S = _rp_signs(6, 4)
+    assert set(np.unique(S)) == {-1, 1}  # both signs present
+    Q = np.floor(M.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+    P = Q @ S.T
+    want = {(v, k): int(P[v, k]) for v in range(30) for k in range(4)}
+    assert got == want
