@@ -579,6 +579,14 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_community_stats(sf_dir: str):
+    """Per-community exact integer modularity components of the
+    label-prop partition (node count, degree sum, intra edges)."""
+    from robokop_build_ray.stages.graph_metrics import community_stats
+
+    return community_stats(_kg(sf_dir, "edges"))
+
+
 def _kg_mis(sf_dir: str):
     """Deterministic Luby-style maximal independent set: fixed-round
     md5-priority local-minimum selection over the undirected simple
@@ -1224,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edge-grain cohesion: fixed-round k-truss peeling
         "kg_ktruss": _kg_ktruss,
         "kg_mis": _kg_mis,
+        "kg_community_stats": _kg_community_stats,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1280,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_table": tmp.events_session_table,
         # per-user integer EWMA (order-serial recurrence, bucket-parallel)
         "events_user_ewma": tmp.events_user_ewma,
+        "events_user_streaks": rel.events_user_streaks,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
         # deterministic per-key sampling + fixed-enum pivot
@@ -1717,6 +1727,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_mis": entry_sql.sql_mis(t),
+        "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),
@@ -1755,6 +1766,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_user_topk": tmp.sql_events_user_topk(),
         "events_session_table": tmp.sql_events_session_table(),
         "events_user_ewma": tmp.sql_events_user_ewma(),
+        "events_user_streaks": rel.sql_events_user_streaks(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),

@@ -1407,6 +1407,41 @@ def sql_label_prop(tier: str, rounds: int = 3) -> str:
             + f"\nSELECT id, label FROM l{rounds}")
 
 
+def sql_community_stats(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.community_stats: the label-prop unroll
+    (sql_label_prop's rounds) followed by exact integer per-community
+    node count, distinct-neighbor degree sum and intra-community edge
+    count."""
+    p = corpus_paths(tier)
+    ctes = ["""l0 AS MATERIALIZED (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM adj))"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT a.id, p.label,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY count(*) DESC, p.label) AS rn
+    FROM adj a JOIN l{r - 1} p ON p.id = a.nb
+    GROUP BY a.id, p.label
+  ) WHERE rn = 1)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes)
+            + f""",
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+nn AS (SELECT l.label, count(*) AS n_nodes,
+              sum(deg.deg) AS degree_sum
+       FROM l{rounds} l JOIN deg USING (id) GROUP BY l.label),
+ie AS (SELECT la.label, count(*) AS intra_edges
+       FROM und e
+       JOIN l{rounds} la ON la.id = e.a
+       JOIN l{rounds} lb ON lb.id = e.b AND lb.label = la.label
+       GROUP BY la.label)
+SELECT nn.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(nn.degree_sum AS BIGINT) AS degree_sum,
+       CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges
+FROM nn LEFT JOIN ie USING (label)""")
+
+
 def sql_clustering_coeff(tier: str) -> str:
     """Oracle for graph_metrics.clustering_coefficient: triangle counts
     (a<b<c enumeration) LEFT-joined to distinct-neighbor degree; the

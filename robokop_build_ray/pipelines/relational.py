@@ -4423,3 +4423,73 @@ WHERE NOT EXISTS (
   SELECT 1 FROM p q
   WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
     AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))"""
+
+
+def events_user_streaks(sf_dir: str, n_buckets: int = 64):
+    """Gaps-and-islands: per-user active-day streaks ->
+    (user_id, n_active_days, max_streak) where a streak is a maximal run
+    of CONSECUTIVE calendar days with >= 1 event. The island key is the
+    classic ``day - rank`` trick, vectorized over the whole bucket
+    (one sort + cumcount — no per-user Python). Map side pre-distincts
+    (user, day) per batch so the exchange carries at most one row per
+    user-day; bucket-local distinct completes exactness (all rows of a
+    user land in one bucket)."""
+    from ..functions.bucketing import bucketed_apply
+
+    _US_PER_DAY = 86_400_000_000
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_pandas().astype("int64"),
+            "day": (t["ts"].cast(pa.int64()).to_pandas() // _US_PER_DAY)
+            .astype("int64"),
+        })
+        return df.drop_duplicates()
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n_active_days": pd.Series([], dtype="int64"),
+        "max_streak": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_empty)
+        g = g.drop_duplicates().sort_values(["user_id", "day"],
+                                            kind="mergesort")
+        r = g.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        island = g["day"].to_numpy(np.int64) - r
+        runs = (pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                              "island": island})
+                .groupby(["user_id", "island"], sort=False)
+                .size().rename("len").reset_index())
+        out = runs.groupby("user_id", sort=False).agg(
+            n_active_days=("len", "sum"),
+            max_streak=("len", "max")).reset_index()
+        return out.astype({"user_id": "int64", "n_active_days": "int64",
+                           "max_streak": "int64"})
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_streaks() -> str:
+    return """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+s AS (SELECT user_id, island, count(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id"""

@@ -1715,3 +1715,69 @@ def maximal_independent_set(edges, rounds: int = MIS_ROUNDS,
     return rd.from_arrow(pa.table({
         "id": pa.array(out, pa.string()),
         "mis_round": pa.array([selected[i] for i in out], pa.int64())}))
+
+
+# ------------------------------------------- community modularity stats
+
+def community_stats(edges, rounds: int = LABELPROP_ROUNDS,
+                    src: str = "subj_id", dst: str = "obj_id",
+                    n_buckets: int = 64,
+                    local_threshold: int = 1_000_000):
+    """Exact integer modularity components of the label-propagation
+    partition (Newman 2006 grain): Dataset(label, n_nodes, degree_sum,
+    intra_edges) per community after exactly LABELPROP_ROUNDS synchronous
+    rounds. Modularity Q = sum_c [ intra/m - (degree_sum/2m)^2 ] is one
+    reader-side float; the exported columns are the exact integers, so
+    the repo's bit-identical oracle rule holds with no float at all.
+
+    Scale shape: the partition itself comes from
+    :func:`label_propagation` (hybrid local/distributed); its label map
+    and the distinct-neighbor degree map are entity-bounded driver dicts
+    (the canonicalization-broadcast budget), so n_nodes / degree_sum fold
+    on the driver; intra_edges is ONE broadcast-label pass over the
+    undirected pair list with per-batch label-bounded partials — no
+    shuffle beyond the und distinct."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    labels = {r["id"]: r["label"]
+              for r in label_propagation(
+                  edges, rounds, src, dst, n_buckets,
+                  local_threshold).take_all()}  # entity-bounded
+    deg = degree_map(und)
+
+    n_nodes: dict[str, int] = {}
+    degree_sum: dict[str, int] = {}
+    for i, lbl in labels.items():
+        n_nodes[lbl] = n_nodes.get(lbl, 0) + 1
+        degree_sum[lbl] = degree_sum.get(lbl, 0) + int(deg.get(i, 0))
+
+    lbl_ref = ray.put(labels)
+
+    def intra_partial(b: pd.DataFrame, _ref=lbl_ref) -> pd.DataFrame:
+        lbl = ray.get(_ref)
+        la = b["a"].map(lbl)
+        lb = b["b"].map(lbl)
+        same = (la == lb).to_numpy()
+        if not same.any():
+            return pd.DataFrame({"label": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = la[same].value_counts()
+        return pd.DataFrame({"label": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(np.int64)})
+
+    intra: dict[str, int] = {}
+    for b in und.map_batches(intra_partial,
+                             batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None):
+        for lbl, n in zip(b["label"], b["n"]):
+            intra[lbl] = intra.get(lbl, 0) + int(n)
+
+    out = sorted(n_nodes)
+    return rd.from_arrow(pa.table({
+        "label": pa.array(out, pa.string()),
+        "n_nodes": pa.array([n_nodes[x] for x in out], pa.int64()),
+        "degree_sum": pa.array([degree_sum[x] for x in out], pa.int64()),
+        "intra_edges": pa.array([intra.get(x, 0) for x in out],
+                                pa.int64()),
+    }))

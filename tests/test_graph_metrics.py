@@ -559,3 +559,32 @@ def test_mis_distributed_matches_local():
                   for r in maximal_independent_set(
                       ds, local_threshold=0, n_buckets=4).take_all())
     assert local == dist and len(local) > 0
+
+
+def test_community_stats_matches_direct_recompute():
+    from robokop_build_ray.stages.graph_metrics import (
+        community_stats, label_propagation)
+
+    rng = np.random.default_rng(41)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 30, size=(90, 2)) if a != b]
+    ds = _edges(pairs)
+    lbl = {r["id"]: r["label"]
+           for r in label_propagation(ds, n_buckets=4).take_all()}
+    und = {tuple(sorted(p)) for p in pairs}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, l in lbl.items():
+        w = want.setdefault(l, [0, 0, 0])
+        w[0] += 1
+        w[1] += len(adj[n])
+    for a, b in und:
+        if lbl[a] == lbl[b]:
+            want[lbl[a]][2] += 1
+    got = {r["label"]: [r["n_nodes"], r["degree_sum"], r["intra_edges"]]
+           for r in community_stats(ds, n_buckets=4).take_all()}
+    assert got == want
+    assert sum(v[1] for v in got.values()) == 2 * len(und)
