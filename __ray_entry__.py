@@ -1290,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user integer EWMA (order-serial recurrence, bucket-parallel)
         "events_user_ewma": tmp.events_user_ewma,
         "events_user_streaks": rel.events_user_streaks,
+        "supplier_abc": rel.supplier_abc,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
         # deterministic per-key sampling + fixed-enum pivot
@@ -1767,6 +1768,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_session_table": tmp.sql_events_session_table(),
         "events_user_ewma": tmp.sql_events_user_ewma(),
         "events_user_streaks": rel.sql_events_user_streaks(),
+        "supplier_abc": rel.sql_supplier_abc(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),

@@ -207,3 +207,170 @@ def grouped_exact_ranks(
             s["done"] = True
 
     return {k: float(s["value"]) for k, s in state.items()}
+
+
+# -------------------------------------------- weighted prefix cuts (ABC)
+
+_EMPTY_WHIST = {
+    "bucket": pd.Series([], dtype="int64"),
+    "w": pd.Series([], dtype="int64"),
+    "n": pd.Series([], dtype="int64"),
+}
+
+
+class _WeightedHistPartial:
+    """Per-batch weighted histogram over one open integer value range,
+    DESCENDING order semantics: bucket -1 accumulates the weight of
+    values ABOVE the range (already decided in), in-range values bin by
+    integer width. Module-level for by-reference serialization (see
+    _HistPartial)."""
+
+    def __init__(self, lo: int, hi: int, width: int,
+                 value_col: str, weight_col: str):
+        self.lo, self.hi, self.width = lo, hi, width
+        self.value_col, self.weight_col = value_col, weight_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        v = b[self.value_col].to_numpy(np.int64)
+        w = b[self.weight_col].to_numpy(np.int64)
+        above = v > self.hi
+        m = (v >= self.lo) & (v <= self.hi)
+        rows_b, rows_w, rows_n = [], [], []
+        if above.any():
+            rows_b.append(-1)
+            rows_w.append(int(w[above].sum()))
+            rows_n.append(int(above.sum()))
+        if m.any():
+            idx = (v[m] - self.lo) // self.width
+            wi = np.zeros(int(idx.max()) + 1, dtype=np.int64)
+            np.add.at(wi, idx, w[m])
+            ns = np.bincount(idx)
+            nz = np.flatnonzero(ns)
+            rows_b.extend(nz.tolist())
+            rows_w.extend(wi[nz].tolist())
+            rows_n.extend(ns[nz].tolist())
+        if not rows_b:
+            return pd.DataFrame(_EMPTY_WHIST)
+        return pd.DataFrame({"bucket": rows_b, "w": rows_w, "n": rows_n})
+
+
+class _TieCollect:
+    """Collect rows at exactly one value (the crossing tie group)."""
+
+    def __init__(self, value: int, value_col: str, cols: list):
+        self.value, self.value_col, self.cols = value, value_col, cols
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b[self.value_col].to_numpy(np.int64) == self.value,
+                     self.cols]
+
+
+def weighted_prefix_cut(ds, value_col: str, weight_col: str, tie_col: str,
+                        num: int, den: int, total: int,
+                        tie_cap: int = 1_000_000,
+                        local_threshold: int = 1_000_000):
+    """Exact distributed quota cut in (value DESC, tie ASC) order: the
+    LAST key of the maximal prefix whose cumulative weight ``cum``
+    satisfies ``cum * den <= num * total`` — the ABC-segmentation /
+    quota-threshold primitive, computed WITHOUT a global sort and
+    without value-domain driver state.
+
+    Same doctrine as :func:`grouped_exact_ranks`: each pass streams the
+    table once, builds a driver-bounded weighted histogram of the open
+    integer range, and narrows ~4096x until the crossing value is
+    pinned; the final pass collects ONLY that value's tie group
+    (``tie_cap``-gated) and walks it in tie order with exact int
+    arithmetic. Returns ``(cut_value, cut_tie)`` — a row is inside the
+    quota iff value > cut_value OR (value == cut_value AND
+    tie <= cut_tie) — or ``None`` when even the first key overflows the
+    quota. All comparisons are exact int64 (weights must be int64)."""
+    if total <= 0:
+        return None
+    if ds.count() <= local_threshold:
+        # hybrid gate (kcore/ktruss doctrine): under it one driver walk
+        # in the oracle's exact shape; above it the iterative histogram
+        # path below (pinned by tests with local_threshold=0)
+        rows = []
+        for b in ds.iter_batches(batch_format="pandas", batch_size=None):
+            rows.extend(zip(b[value_col].astype("int64").tolist(),
+                            b[tie_col].tolist(),
+                            b[weight_col].astype("int64").tolist()))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        cum = 0
+        cut = None
+        for v, t, w in rows:
+            if (cum + w) * den > num * total:
+                return cut if cut is not None else (v + 1, None)
+            cum += w
+            cut = (v, t)
+        return cut
+    lo, hi = None, None
+    for b in ds.map_batches(
+            lambda t: pd.DataFrame({
+                "lo": [t[value_col].min()], "hi": [t[value_col].max()]}),
+            batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None):
+        bl = int(b["lo"].min())
+        bh = int(b["hi"].max())
+        lo = bl if lo is None else min(lo, bl)
+        hi = bh if hi is None else max(hi, bh)
+    if lo is None:
+        return None
+    w_above = 0  # exact weight of values strictly above current range
+    while hi > lo:
+        width = max(1, (hi - lo) // N_BUCKETS + 1)
+        agg: dict[int, int] = {}
+        for b in ds.map_batches(
+                _WeightedHistPartial,
+                fn_constructor_kwargs=dict(
+                    lo=lo, hi=hi, width=width,
+                    value_col=value_col, weight_col=weight_col),
+                batch_format="pandas",
+                concurrency=(1, 8)).iter_batches(
+                batch_format="pandas", batch_size=None):
+            for k, w in zip(b["bucket"], b["w"]):
+                agg[int(k)] = agg.get(int(k), 0) + int(w)
+        cum = w_above + agg.get(-1, 0)
+        target_hit = None
+        for k in sorted((k for k in agg if k >= 0), reverse=True):
+            nxt = cum + agg[k]
+            if nxt * den > num * total:
+                target_hit = k
+                break
+            cum = nxt
+        if target_hit is None:
+            # unreachable for num < den with positive weights (the full
+            # prefix always overflows); defensively pin the minimum value
+            hi = lo
+            w_above = cum - agg.get(0, 0)
+            break
+        w_above = cum
+        lo, hi = lo + target_hit * width, min(hi,
+                                              lo + (target_hit + 1)
+                                              * width - 1)
+    # crossing value pinned at lo == hi (or quota swallowed the range)
+    v_star = lo
+    ties = []
+    for b in ds.map_batches(
+            _TieCollect,
+            fn_constructor_kwargs=dict(value=v_star, value_col=value_col,
+                                       cols=[tie_col, weight_col]),
+            batch_format="pandas",
+            concurrency=(1, 8)).iter_batches(
+            batch_format="pandas", batch_size=None):
+        ties.extend(zip(b[tie_col].tolist(),
+                        b[weight_col].astype("int64").tolist()))
+    if len(ties) > tie_cap:
+        raise ValueError(f"tie group at {v_star} exceeds cap: {len(ties)}")
+    ties.sort()
+    cum = w_above
+    cut_tie = None
+    for t, w in ties:
+        if (cum + w) * den > num * total:
+            break
+        cum += w
+        cut_tie = t
+    if cut_tie is None:
+        # not even the first tie fits: the cut ends strictly above v_star
+        return (v_star + 1, None)
+    return (v_star, cut_tie)

@@ -4493,3 +4493,99 @@ s AS (SELECT user_id, island, count(*) AS len FROM r GROUP BY 1, 2)
 SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
        CAST(max(len) AS BIGINT) AS max_streak
 FROM s GROUP BY user_id"""
+
+
+def supplier_abc(sf_dir: str, n_buckets: int = 64):
+    """ABC / Pareto revenue segmentation of suppliers -> (l_suppkey,
+    revenue_cents, abc_class): class A = suppliers inside the first 80%
+    of total discounted revenue in (revenue DESC, suppkey ASC) order
+    (cumulative INCLUDING self, exact ints: cum*5 <= 4*total), B inside
+    95% (cum*20 <= 19*total), C the tail.
+
+    Scale shape: supplier revenue folds in one key-bucketed exchange;
+    the two quota boundaries come from
+    :func:`~robokop_build_ray.functions.quantiles.weighted_prefix_cut`
+    (iterative weighted histogram selection — O(log) streams over the
+    supplier-grain table, driver state histogram-bounded), then ONE
+    broadcast-scalar class-assignment map. No global sort, no
+    supplier-scale driver dict (the round-2 verdict's broadcast ban)."""
+    from ..functions.bucketing import bucketed_apply
+    from ..functions.quantiles import weighted_prefix_cut
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rc = _cents(b["l_extendedprice"].to_numpy()
+                    * (1.0 - b["l_discount"].to_numpy()))
+        out = pd.DataFrame({"l_suppkey": b["l_suppkey"], "rc": rc})
+        return out.groupby("l_suppkey", sort=False, as_index=False).sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_suppkey", sort=False, as_index=False)["rc"].sum()
+        return pd.DataFrame({
+            "l_suppkey": out["l_suppkey"].astype("int64"),
+            "revenue_cents": out["rc"].astype("int64")})
+
+    sup = bucketed_apply(li, ["l_suppkey"], merge, partial,
+                         n_buckets).materialize()
+
+    total = 0
+    for b in sup.map_batches(
+            lambda g: pd.DataFrame({"t": [g["revenue_cents"].sum()]}),
+            batch_format="pandas").iter_batches(batch_format="pandas",
+                                                batch_size=None):
+        total += int(b["t"].sum())
+
+    cuts = {}
+    for name, (num, den) in (("a", (4, 5)), ("b", (19, 20))):
+        cuts[name] = weighted_prefix_cut(
+            sup, "revenue_cents", "revenue_cents", "l_suppkey",
+            num, den, total)
+
+    cuts_ref = ray.put(cuts)
+
+    def classify(b: pd.DataFrame, _ref=cuts_ref) -> pd.DataFrame:
+        c = ray.get(_ref)
+        rv = b["revenue_cents"].to_numpy(np.int64)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+
+        def inside(cut):
+            if cut is None:
+                return np.zeros(len(b), dtype=bool)
+            v, t = cut
+            m = rv > v
+            if t is not None:
+                m |= (rv == v) & (sk <= t)
+            return m
+
+        cls = np.where(inside(c["a"]), "A",
+                       np.where(inside(c["b"]), "B", "C"))
+        out = b.copy()
+        out["abc_class"] = cls
+        return out[["l_suppkey", "revenue_cents", "abc_class"]]
+
+    return sup.map_batches(classify, batch_format="pandas")
+
+
+def sql_supplier_abc() -> str:
+    return """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY l_suppkey
+),
+c AS (
+  SELECT l_suppkey, revenue_cents,
+         sum(revenue_cents)
+           OVER (ORDER BY revenue_cents DESC, l_suppkey) AS cum,
+         sum(revenue_cents) OVER () AS tot
+  FROM r
+)
+SELECT l_suppkey, revenue_cents,
+       CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+            WHEN cum * 20 <= tot * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c"""

@@ -53,3 +53,36 @@ def test_grouped_exact_ranks_duplicate_heavy_group():
         lambda: ds, "grp", "value",
         {"x": [("q50", quantile_disc_rank(0.5, len(df)))]}, collect_cap=5)
     assert got[("x", "q50")] == 3.5
+
+
+def test_weighted_prefix_cut_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from robokop_build_ray.functions.quantiles import weighted_prefix_cut
+
+    rng = np.random.default_rng(17)
+    n = 200
+    vals = rng.integers(1, 40, size=n).astype(np.int64) * 7  # many ties
+    ties = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals, "k": ties})).repartition(6)
+    total = int(vals.sum())
+    order = sorted(zip(vals, ties), key=lambda x: (-x[0], x[1]))
+    for num, den in ((4, 5), (19, 20), (1, 2), (1, 100)):
+        cut = weighted_prefix_cut(ds, "v", "v", "k", num, den, total)
+        cut_dist = weighted_prefix_cut(ds, "v", "v", "k", num, den, total,
+                                       local_threshold=0)
+        assert cut == cut_dist, (num, den, cut, cut_dist)
+        cum = 0
+        want = set()
+        for v, k in order:
+            if (cum + v) * den > num * total:
+                break
+            cum += v
+            want.add((v, k))
+        if cut is None:
+            assert not want
+            continue
+        cv, ct = cut
+        got = {(v, k) for v, k in order
+               if v > cv or (ct is not None and v == cv and k <= ct)}
+        assert got == want, (num, den, cut)
