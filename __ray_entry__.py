@@ -579,6 +579,13 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_degree_histogram(sf_dir: str):
+    """Degree distribution (power-law tail report) of the simple graph."""
+    from robokop_build_ray.stages.graph_metrics import degree_histogram
+
+    return degree_histogram(_kg(sf_dir, "edges"))
+
+
 def _kg_community_stats(sf_dir: str):
     """Per-community exact integer modularity components of the
     label-prop partition (node count, degree sum, intra edges)."""
@@ -1233,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": _kg_ktruss,
         "kg_mis": _kg_mis,
         "kg_community_stats": _kg_community_stats,
+        "kg_degree_histogram": _kg_degree_histogram,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1729,6 +1737,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_mis": entry_sql.sql_mis(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
+        "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1407,6 +1407,16 @@ def sql_label_prop(tier: str, rounds: int = 3) -> str:
             + f"\nSELECT id, label FROM l{rounds}")
 
 
+def sql_degree_histogram(tier: str) -> str:
+    """Oracle for graph_metrics.degree_histogram."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id)
+SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY deg"""
+
+
 def sql_community_stats(tier: str, rounds: int = 3) -> str:
     """Oracle for graph_metrics.community_stats: the label-prop unroll
     (sql_label_prop's rounds) followed by exact integer per-community

@@ -1781,3 +1781,28 @@ def community_stats(edges, rounds: int = LABELPROP_ROUNDS,
         "intra_edges": pa.array([intra.get(x, 0) for x in out],
                                 pa.int64()),
     }))
+
+
+def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
+                     n_buckets: int = 64):
+    """Degree distribution of the undirected simple graph:
+    Dataset(deg, n_nodes) — the power-law tail report. One exact
+    bucketed per-node count, then per-batch value_counts partials folded
+    in a single degree-domain-bounded block (max-degree keys, never
+    node-scale)."""
+    und = undirected_pairs(edges, src, dst, n_buckets)
+    deg = bucketed_count(_adjacency(und), ["id"], name="deg",
+                         n_buckets=n_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["deg"].value_counts()
+        return pd.DataFrame({"deg": vc.index.to_numpy(np.int64),
+                             "n_nodes": vc.to_numpy(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("deg", sort=True, as_index=False)["n_nodes"].sum()
+        return out.astype({"deg": "int64", "n_nodes": "int64"})
+
+    return (deg.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
