@@ -579,6 +579,14 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_support_triples(sf_dir: str):
+    """Frequent entity triples by conversation co-mention (Apriori
+    level-3 market-basket above the pair-support stage)."""
+    from robokop_build_ray.stages.support import support_triples_stage
+
+    return support_triples_stage(_kg(sf_dir, "canonical"))
+
+
 def _kg_degree_histogram(sf_dir: str):
     """Degree distribution (power-law tail report) of the simple graph."""
     from robokop_build_ray.stages.graph_metrics import degree_histogram
@@ -1241,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mis": _kg_mis,
         "kg_community_stats": _kg_community_stats,
         "kg_degree_histogram": _kg_degree_histogram,
+        "kg_support_triples": _kg_support_triples,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1738,6 +1747,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_mis": entry_sql.sql_mis(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
+        "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

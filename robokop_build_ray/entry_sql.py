@@ -287,6 +287,34 @@ SELECT id_a, id_b, c1, c2, c,
 FROM scored"""
 
 
+def sql_support_triples(tier: str, cap: int = 64,
+                        min_sup: int = 2) -> str:
+    """Oracle for support.support_triples_stage: capped per-conv entity
+    sets, every ascending triple, conversation counts >= min_sup."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+)
+SELECT a.id AS id_a, b.id AS id_b, c.id AS id_c,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM conv_ent_r a
+JOIN conv_ent_r b ON b.conv_id = a.conv_id AND b.id > a.id
+JOIN conv_ent_r c ON c.conv_id = a.conv_id AND c.id > b.id
+GROUP BY a.id, b.id, c.id
+HAVING count(*) >= {min_sup}"""
+
+
 def sql_name_lookup(tier: str) -> str:
     """Oracle for the typed name -> CURIE dispatch (M2/M3/M5/D5):
     normalization recomputed in SQL (comma inversion at the FIRST ', ',

@@ -425,3 +425,75 @@ def turn_window_pairs(canonical, window: int = 2,
         return b
 
     return counts.map_batches(final, batch_format="pandas")
+
+
+TRIPLE_CAP = 64  # SPEC: per-conv entity cap for triple generation
+TRIPLE_MIN_SUP = 2  # SPEC: minimum conversations per reported triple
+
+
+def support_triples_stage(canonical, cap: int = TRIPLE_CAP,
+                          min_sup: int = TRIPLE_MIN_SUP,
+                          n_buckets: int = 64):
+    """Frequent entity TRIPLES by conversation co-mention (the Apriori
+    level-3 / market-basket grain above :func:`candidate_pairs`):
+    Dataset(id_a < id_b < id_c, n_convs) for triples co-mentioned in
+    >= ``min_sup`` conversations, each conversation contributing its
+    lexicographically-first ``cap`` distinct entities (a SPEC cap like
+    max_entities_per_conv, mirrored exactly by the oracle).
+
+    Scale shape: conv-bucketed generation (one vectorized two-merge
+    expansion per bucket, O(cap^3) bounded per conversation) emits
+    per-bucket PRE-COUNTED partials; one triple-keyed exchange folds
+    counts and applies the min-support filter map-side of the output —
+    the same two-exchange shape as the counted pair stage."""
+    from ..functions.bucketing import bucketed_apply
+
+    conv_ent = conv_entity_stage(canonical)
+
+    _empty = {
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "id_c": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype="int64"),
+    }
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["conv_id", "entity"])
+             .sort_values(["conv_id", "entity"], kind="mergesort"))
+        rank = d.groupby("conv_id", sort=False).cumcount()
+        d = d[rank.to_numpy() < cap][["conv_id", "entity"]]
+        if len(d) < 3:
+            return pd.DataFrame(_empty)
+        p = d.merge(d, on="conv_id")
+        p = p[p["entity_x"].to_numpy() < p["entity_y"].to_numpy()]
+        if len(p) == 0:
+            return pd.DataFrame(_empty)
+        t = p.merge(d, on="conv_id")
+        t = t[t["entity"].to_numpy() > t["entity_y"].to_numpy()]
+        if len(t) == 0:
+            return pd.DataFrame(_empty)
+        out = (t.groupby(["entity_x", "entity_y", "entity"], sort=False)
+               .size().rename("n").reset_index())
+        out.columns = ["id_a", "id_b", "id_c", "n"]
+        return out.astype({"n": "int64"})
+
+    counted = bucketed_apply(conv_ent, ["conv_id"], gen, None, n_buckets)
+
+    _empty_out = {
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "id_c": pd.Series([], dtype=object),
+        "n_convs": pd.Series([], dtype="int64"),
+    }
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_empty_out)
+        out = (g.groupby(["id_a", "id_b", "id_c"], sort=False,
+                         as_index=False)["n"].sum())
+        out = out[out["n"].to_numpy() >= min_sup]
+        out = out.rename(columns={"n": "n_convs"})
+        return out.astype({"n_convs": "int64"})
+
+    return bucketed_apply(counted, ["id_a", "id_b", "id_c"], fold, None,
+                          n_buckets)
