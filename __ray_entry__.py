@@ -1308,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ewma": tmp.events_user_ewma,
         "events_user_streaks": rel.events_user_streaks,
         "supplier_abc": rel.supplier_abc,
+        "part_year_over_year": rel.part_year_over_year,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
         # deterministic per-key sampling + fixed-enum pivot
@@ -1788,6 +1789,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_user_ewma": tmp.sql_events_user_ewma(),
         "events_user_streaks": rel.sql_events_user_streaks(),
         "supplier_abc": rel.sql_supplier_abc(),
+        "part_year_over_year": rel.sql_part_year_over_year(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),

@@ -324,3 +324,49 @@ def bucketed_group_pairs(ds, group_keys: list[str],
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_apply(ds, group_keys, merge, None, n_buckets)
+
+
+def bucketed_outer_unique(left, right, on: str,
+                          left_vals: list[str], right_vals: list[str],
+                          fills: dict, n_buckets: int = 64):
+    """FULL OUTER merge of two UNIQUE-keyed datasets (the
+    aggregate-reconciliation shape: both sides are keyed aggregates, so
+    every key appears at most once per side) through ONE bucketed
+    exchange — the join class acero's Dataset.join cannot provide here
+    (same empty-partition failure mode as the attach/semi bans).
+    ``fills`` maps every value column to its typed absent-side sentinel;
+    output dtypes are restored from the sentinels after the outer merge
+    (pandas widens int64 to float when a side is missing)."""
+    import pandas as pd
+
+    def prep_l(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[on, *left_vals]].copy()
+        for c in right_vals:
+            out[c] = fills[c]
+        out["_side"] = 0
+        return out[[on, *left_vals, *right_vals, "_side"]]
+
+    def prep_r(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[on, *right_vals]].copy()
+        for c in left_vals:
+            out[c] = fills[c]
+        out["_side"] = 1
+        return out[[on, *left_vals, *right_vals, "_side"]]
+
+    u = left.map_batches(prep_l, batch_format="pandas").union(
+        right.map_batches(prep_r, batch_format="pandas"))
+
+    dtypes = {c: np.asarray([v]).dtype for c, v in fills.items()}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "_side" not in g.columns:
+            return _typed_empty([on, *left_vals, *right_vals],
+                                {on: object, **dtypes})
+        l = g.loc[g["_side"] == 0, [on, *left_vals]]
+        r = g.loc[g["_side"] == 1, [on, *right_vals]]
+        m = l.merge(r, on=on, how="outer")
+        for c in (*left_vals, *right_vals):
+            m[c] = m[c].fillna(fills[c]).astype(dtypes[c])
+        return m[[on, *left_vals, *right_vals]]
+
+    return bucketed_apply(u, [on], merge, None, n_buckets)

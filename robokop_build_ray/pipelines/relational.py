@@ -4589,3 +4589,72 @@ SELECT l_suppkey, revenue_cents,
             WHEN cum * 20 <= tot * 19 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM c"""
+
+
+YOY_YEAR_A = 1995  # SPEC: reconciliation years
+YOY_YEAR_B = 1996
+
+
+def part_year_over_year(sf_dir: str, n_buckets: int = 64):
+    """FULL OUTER reconciliation of two derived aggregates: per-part
+    shipped quantity in YOY_YEAR_A vs YOY_YEAR_B -> (l_partkey,
+    qty_a, qty_b) with zero fills on the absent side — parts shipped in
+    only one of the years survive with the other column 0 (the join
+    class the attach/semi family can't express).
+
+    Scale shape: each year folds in its own key-bucketed exchange off a
+    date-pruned scan; the reconciliation is ONE
+    `bucketing.bucketed_outer_unique` exchange over the two part-grain
+    aggregates (unique keys by construction)."""
+    from ..functions.bucketing import bucketed_apply, bucketed_outer_unique
+
+    def year_qty(year: int, out_col: str):
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_quantity",
+                                      "l_shipdate"])
+        lo = np.datetime64(f"{year}-01-01")
+        hi = np.datetime64(f"{year + 1}-01-01")
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["l_shipdate"].to_numpy()
+            m = (d >= lo) & (d < hi)
+            out = pd.DataFrame({
+                "l_partkey": b["l_partkey"].to_numpy(np.int64)[m],
+                out_col: b["l_quantity"].to_numpy(np.int64)[m]})
+            return out.groupby("l_partkey", sort=False,
+                               as_index=False).sum()
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("l_partkey", sort=False,
+                            as_index=False)[out_col].sum()
+            return out.astype({"l_partkey": "int64", out_col: "int64"})
+
+        return bucketed_apply(li, ["l_partkey"], merge, partial, n_buckets)
+
+    return bucketed_outer_unique(
+        year_qty(YOY_YEAR_A, "qty_a"), year_qty(YOY_YEAR_B, "qty_b"),
+        on="l_partkey", left_vals=["qty_a"], right_vals=["qty_b"],
+        fills={"qty_a": np.int64(0), "qty_b": np.int64(0)},
+        n_buckets=n_buckets)
+
+
+def sql_part_year_over_year() -> str:
+    return f"""
+WITH a AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_a
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{YOY_YEAR_A}-01-01'
+    AND l_shipdate <  TIMESTAMP '{YOY_YEAR_A + 1}-01-01'
+  GROUP BY l_partkey
+),
+b AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_b
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{YOY_YEAR_B}-01-01'
+    AND l_shipdate <  TIMESTAMP '{YOY_YEAR_B + 1}-01-01'
+  GROUP BY l_partkey
+)
+SELECT CAST(coalesce(a.l_partkey, b.l_partkey) AS BIGINT) AS l_partkey,
+       CAST(coalesce(a.qty_a, 0) AS BIGINT) AS qty_a,
+       CAST(coalesce(b.qty_b, 0) AS BIGINT) AS qty_b
+FROM a FULL OUTER JOIN b ON b.l_partkey = a.l_partkey"""

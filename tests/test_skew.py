@@ -155,3 +155,38 @@ def test_bucketed_attach_mixed_payload_fill_and_widening():
     want = [(i, i * 10, f"n{i}", i, 1.5 * i) for i in range(6)]
     assert got == want
     assert all(isinstance(r["nat"], int) for r in out)  # widened, not i32
+
+
+def test_bucketed_outer_unique_edges(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from robokop_build_ray.functions.bucketing import bucketed_outer_unique
+
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": ["a", "b", "c"], "x": np.array([1, 2, 3], dtype=np.int64)}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"k": ["b", "c", "d"], "y": np.array([20, 30, 40],
+                                             dtype=np.int64)}))
+    got = {row["k"]: (row["x"], row["y"])
+           for row in bucketed_outer_unique(
+               l, r, "k", ["x"], ["y"],
+               {"x": np.int64(0), "y": np.int64(0)},
+               n_buckets=4).take_all()}
+    assert got == {"a": (1, 0), "b": (2, 20), "c": (3, 30), "d": (0, 40)}
+    # zero-overlap sides
+    r2 = rd.from_pandas(pd.DataFrame(
+        {"k": ["z"], "y": np.array([9], dtype=np.int64)}))
+    got2 = {row["k"]: (row["x"], row["y"])
+            for row in bucketed_outer_unique(
+                l, r2, "k", ["x"], ["y"],
+                {"x": np.int64(0), "y": np.int64(0)},
+                n_buckets=4).take_all()}
+    assert got2 == {"a": (1, 0), "b": (2, 0), "c": (3, 0), "z": (0, 9)}
+    # dtypes stay int64 despite the outer-merge NaN widening
+    tbl = bucketed_outer_unique(
+        l, r, "k", ["x"], ["y"],
+        {"x": np.int64(0), "y": np.int64(0)}, n_buckets=4).take_batch(
+        batch_format="pandas")
+    assert str(tbl["x"].dtype) == "int64" and str(tbl["y"].dtype) == "int64"
