@@ -899,6 +899,17 @@ def _media_features(sf_dir: str):
     return media_probe(rd.read_parquet(paths["media"]))
 
 
+def _media_audio_stats(sf_dir: str):
+    """Audio decode-and-recompute probe: exact int64 energy and lag-1
+    autocorrelation of every WAV payload, re-derived from BYTES through
+    the real PCM16/mu-law decoders; the oracle compares against the
+    generator's ground-truth columns the stage never reads."""
+    from robokop_build_ray.stages.multimodal import media_audio_stats
+
+    paths = ensure_corpus(sf_dir)
+    return media_audio_stats(rd.read_parquet(paths["media"]))
+
+
 def _kg_support_static(sf_dir: str):
     """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
     and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_jsonl": _kg_extract_jsonl,
         # multimodal decode probe: real codecs re-derive geometry from bytes
         "media_features": _media_features,
+        "media_audio_stats": _media_audio_stats,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -1758,6 +1770,11 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
+        "media_audio_stats": f"""
+SELECT media_id, CAST(energy AS BIGINT) AS energy,
+       CAST(ac_lag1 AS BIGINT) AS ac_lag1
+FROM read_parquet('{corpus_paths(t)["media"]}')
+WHERE mime = 'audio/wav'""",
         "media_features": f"""
 SELECT media_id, kind,
   octet_length(payload)::BIGINT AS n_bytes,

@@ -49,8 +49,9 @@ N_MEDIA: dict[str, int] = {"sf0.001": 48, "sf0.01": 120, "sf0.1": 240}
 
 # bump whenever generator/codec OUTPUT BYTES change (tier caches carry
 # the rev in _META.json and regenerate on mismatch). rev 2: mp4 rows
-# became real ISO-BMFF payloads (round-3 codec).
-CORPUS_REV = 2
+# became real ISO-BMFF payloads (round-3 codec). rev 3: media gained
+# exact decoded-audio energy/ac_lag1 ground-truth columns.
+CORPUS_REV = 3
 
 _FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs", "media")
 

@@ -50,6 +50,11 @@ MEDIA_SCHEMA = pa.schema(
         ("width", pa.int32()),        # -1 when unknown / not applicable
         ("height", pa.int32()),
         ("duration_ms", pa.int32()),
+        # exact int64 signal stats of the DECODED audio samples (0 for
+        # non-audio rows): generator-side ground truth for the
+        # decode-and-recompute probe (media_audio_autocorr)
+        ("energy", pa.int64()),
+        ("ac_lag1", pa.int64()),
     ]
 )
 
@@ -786,6 +791,7 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
     row decodes for real; metadata columns carry the true geometry."""
     rng = np.random.default_rng(seed)
     kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+    energies, ac1s = [], []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         kinds.append(kind)
@@ -815,6 +821,7 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
                     payloads.append(encode_ppm(img))
                     mimes.append(PPM_MIME)
             ws.append(w); hs.append(h); durs.append(-1)
+            energies.append(0); ac1s.append(0)
         elif kind == "audio":
             n_samp = WAV_RATE // 4 + 64 * (i % 5)  # ~250ms+
             t = np.arange(n_samp, dtype=np.float64)
@@ -828,6 +835,12 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             mimes.append(WAV_MIME)
             ws.append(-1); hs.append(-1)
             durs.append(int(n_samp * 1000 / WAV_RATE))
+            # ground truth in the DECODED domain: mu-law is lossy, so
+            # stats come from the companded round-trip the decoder sees
+            dec = (mulaw_expand(mulaw_compress(samples))
+                   if (i // 3) % 2 == 1 else samples).astype(np.int64)
+            energies.append(int((dec * dec).sum()))
+            ac1s.append(int((dec[:-1] * dec[1:]).sum()))
         elif (i // 3) % 2 == 1:
             # REAL video: Motion-JPEG AVI, 4 moving-gradient frames
             yy, xx = np.mgrid[0:24, 0:32]
@@ -841,6 +854,7 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             mimes.append(AVI_MIME)
             ws.append(32); hs.append(24)
             durs.append(4 * 1000 // 8)
+            energies.append(0); ac1s.append(0)
         else:
             # REAL mp4: ISO-BMFF container, MJPEG samples, 3-5 frames;
             # multi-sample chunking exercises the stsc/stco resolution
@@ -858,6 +872,7 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             mimes.append(MP4_MIME)
             ws.append(32); hs.append(24)
             durs.append(n_fr * (1000 // fps))
+            energies.append(0); ac1s.append(0)
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -867,6 +882,8 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "duration_ms": pa.array(durs, pa.int32()),
+            "energy": pa.array(energies, pa.int64()),
+            "ac_lag1": pa.array(ac1s, pa.int64()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -1149,4 +1166,41 @@ def thumbnails(media, out_w: int = 8, out_h: int = 8, batch_size: int = 32,
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+    )
+
+
+class AudioStatsProber:
+    """Audio signal-stats probe: decodes each WAV payload (PCM16 or
+    mu-law) from BYTES alone and recomputes exact int64 energy and lag-1
+    autocorrelation — compared by the oracle against the generator's
+    ground-truth columns, which this stage never reads. A decoder that
+    mis-expands a mu-law codeword or drops a sample cannot pass."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, en, ac = [], [], []
+        for mid, mime, p in zip(batch["media_id"].to_pylist(),
+                                batch["mime"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            if mime != WAV_MIME:
+                continue
+            samples, _rate = decode_wav(p)
+            x = samples.astype(np.int64)
+            ids.append(mid)
+            en.append(int((x * x).sum()))
+            ac.append(int((x[:-1] * x[1:]).sum()))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "energy": pa.array(en, pa.int64()),
+            "ac_lag1": pa.array(ac, pa.int64()),
+        })
+
+
+def media_audio_stats(media, batch_size: int = 32):
+    """Audio rows -> exact decoded-signal stats via an actor-pool probe
+    (small batches: payload x batch x concurrency must fit worker heaps)."""
+    return media.map_batches(
+        AudioStatsProber,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
     )

@@ -1011,3 +1011,24 @@ def test_rolling_fp_numeric_fast_path_properties():
         assert solo["rolling_fp"].iloc[0] == full["rolling_fp"].iloc[i]
     assert full["rolling_fp"].dtype == "int64"
     assert len(set(full["rolling_fp"])) == 4  # distinct docs differ
+
+
+def test_audio_stats_probe_roundtrip(ray_session):
+    import ray.data as rd
+
+    from robokop_build_ray.stages.multimodal import (
+        WAV_MIME, media_audio_stats, synthesize_media)
+
+    tbl = synthesize_media(36, seed=7)
+    want = {m: (e, a)
+            for m, mime, e, a in zip(tbl["media_id"].to_pylist(),
+                                     tbl["mime"].to_pylist(),
+                                     tbl["energy"].to_pylist(),
+                                     tbl["ac_lag1"].to_pylist())
+            if mime == WAV_MIME}
+    assert want and all(e > 0 for e, _ in want.values())
+    got = {r["media_id"]: (r["energy"], r["ac_lag1"])
+           for r in media_audio_stats(rd.from_arrow(tbl)).take_all()}
+    # decode-from-bytes recomputation matches generator ground truth for
+    # BOTH encodings (PCM16 exact; mu-law through the companded domain)
+    assert got == want
