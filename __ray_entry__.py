@@ -1319,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user integer EWMA (order-serial recurrence, bucket-parallel)
         "events_user_ewma": tmp.events_user_ewma,
         "events_user_streaks": rel.events_user_streaks,
+        "events_user_rfm": rel.events_user_rfm,
         "supplier_abc": rel.supplier_abc,
         "part_year_over_year": rel.part_year_over_year,
         # first-order Markov transitions over user event-type sequences
@@ -1805,6 +1806,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_session_table": tmp.sql_events_session_table(),
         "events_user_ewma": tmp.sql_events_user_ewma(),
         "events_user_streaks": rel.sql_events_user_streaks(),
+        "events_user_rfm": rel.sql_events_user_rfm(),
         "supplier_abc": rel.sql_supplier_abc(),
         "part_year_over_year": rel.sql_part_year_over_year(),
         "events_type_transitions": tmp.sql_events_type_transitions(),

@@ -4658,3 +4658,97 @@ SELECT CAST(coalesce(a.l_partkey, b.l_partkey) AS BIGINT) AS l_partkey,
        CAST(coalesce(a.qty_a, 0) AS BIGINT) AS qty_a,
        CAST(coalesce(b.qty_b, 0) AS BIGINT) AS qty_b
 FROM a FULL OUTER JOIN b ON b.l_partkey = a.l_partkey"""
+
+
+def events_user_rfm(sf_dir: str, n_buckets: int = 64):
+    """RFM segmentation (direct-marketing classic): per user the exact
+    recency / frequency / monetary stats plus a binary class per axis —
+    class 1 = inside the top half of users in (stat DESC, user_id ASC)
+    order, exact-int rule ``2 * rank <= n_users`` (no ntile float, no
+    odd-n ambiguity) -> (user_id, last_ts_us, n_events, cents, r_class,
+    f_class, m_class).
+
+    Scale shape: one user-bucketed stats exchange; each axis boundary is
+    a `quantiles.weighted_prefix_cut` with UNIT weights (a pure rank
+    cut — same O(log) histogram streams, no user-scale broadcast), then
+    one broadcast-scalar classification map."""
+    from ..functions.bucketing import bucketed_apply
+    from ..functions.quantiles import weighted_prefix_cut
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t": b["ts"].to_numpy("datetime64[us]").view(np.int64),
+            "cents": _cents(b["value"].to_numpy()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", sort=False).agg(
+            last_ts_us=("t", "max"), n_events=("t", "size"),
+            cents=("cents", "sum")).reset_index()
+        out["one"] = np.int64(1)
+        return out.astype({c: "int64" for c in out.columns})
+
+    stats = bucketed_apply(ev.map_batches(prep, batch_format="pandas"),
+                           ["user_id"], merge, None,
+                           n_buckets).materialize()
+
+    n_users = 0
+    for b in stats.map_batches(
+            lambda g: pd.DataFrame({"n": [len(g)]}),
+            batch_format="pandas").iter_batches(batch_format="pandas",
+                                                batch_size=None):
+        n_users += int(b["n"].sum())
+
+    cuts = {
+        axis: weighted_prefix_cut(stats, col, "one", "user_id",
+                                  1, 2, n_users)
+        for axis, col in (("r", "last_ts_us"), ("f", "n_events"),
+                          ("m", "cents"))
+    }
+    cuts_ref = ray.put(cuts)
+
+    def classify(b: pd.DataFrame, _ref=cuts_ref) -> pd.DataFrame:
+        c = ray.get(_ref)
+        uid = b["user_id"].to_numpy(np.int64)
+
+        def cls(col, cut):
+            v = b[col].to_numpy(np.int64)
+            if cut is None:
+                return np.full(len(b), 2, dtype=np.int64)
+            cv, ct = cut
+            m = v > cv
+            if ct is not None:
+                m |= (v == cv) & (uid <= ct)
+            return np.where(m, 1, 2).astype(np.int64)
+
+        out = b[["user_id", "last_ts_us", "n_events", "cents"]].copy()
+        out["r_class"] = cls("last_ts_us", c["r"])
+        out["f_class"] = cls("n_events", c["f"])
+        out["m_class"] = cls("cents", c["m"])
+        return out
+
+    return stats.map_batches(classify, batch_format="pandas")
+
+
+def sql_events_user_rfm() -> str:
+    return """
+WITH s AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id, last_ts_us, n_events, cents,
+  CASE WHEN 2 * row_number() OVER (ORDER BY last_ts_us DESC, user_id)
+            <= (SELECT count(*) FROM s) THEN 1 ELSE 2 END AS r_class,
+  CASE WHEN 2 * row_number() OVER (ORDER BY n_events DESC, user_id)
+            <= (SELECT count(*) FROM s) THEN 1 ELSE 2 END AS f_class,
+  CASE WHEN 2 * row_number() OVER (ORDER BY cents DESC, user_id)
+            <= (SELECT count(*) FROM s) THEN 1 ELSE 2 END AS m_class
+FROM s"""
