@@ -1322,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm": rel.events_user_rfm,
         "supplier_abc": rel.supplier_abc,
         "part_year_over_year": rel.part_year_over_year,
+        "orders_open_per_month": rel.orders_open_per_month,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
         # deterministic per-key sampling + fixed-enum pivot
@@ -1809,6 +1810,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "events_user_rfm": rel.sql_events_user_rfm(),
         "supplier_abc": rel.sql_supplier_abc(),
         "part_year_over_year": rel.sql_part_year_over_year(),
+        "orders_open_per_month": rel.sql_orders_open_per_month(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),

@@ -4752,3 +4752,102 @@ SELECT user_id, last_ts_us, n_events, cents,
   CASE WHEN 2 * row_number() OVER (ORDER BY cents DESC, user_id)
             <= (SELECT count(*) FROM s) THEN 1 ELSE 2 END AS m_class
 FROM s"""
+
+
+def orders_open_per_month(sf_dir: str, n_buckets: int = 64):
+    """Interval sweep-line counting: per calendar month, how many orders
+    are OPEN — month between o_orderdate's month and the order's LAST
+    lineitem ship month -> (ym, n_open), ym = year*100+month, months
+    with zero open orders omitted.
+
+    The algorithmic shape is delta encoding + prefix sum over the
+    BOUNDED time domain (the classic interval-overlap trick): each order
+    contributes +1 at its start month and -1 after its end month, the
+    per-batch deltas fold into a month-domain-bounded table (~10^2 keys
+    regardless of fact scale), and one driver prefix turns deltas into
+    open counts. Exchanges: one per-order max fold + one key-bucketed
+    date attach — never an order x month blowup."""
+    from ..functions.bucketing import bucketed_apply, bucketed_attach
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        mm = (b["l_shipdate"].to_numpy("datetime64[M]")
+              .view(np.int64) + 1970 * 12)
+        out = pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                            "em": mm})
+        return out.groupby("l_orderkey", sort=False, as_index=False).max()
+
+    def li_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", sort=False, as_index=False)["em"].max()
+        return out.astype({"l_orderkey": "int64", "em": "int64"})
+
+    last_ship = bucketed_apply(li, ["l_orderkey"], li_merge, li_prep,
+                               n_buckets)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        mm = (b["o_orderdate"].to_numpy("datetime64[M]")
+              .view(np.int64) + 1970 * 12)
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                             "sm": mm})
+
+    spans = bucketed_attach(
+        last_ship, orders.map_batches(o_prep, batch_format="pandas"),
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "em"], payload={"sm": "sm"},
+        payload_fill=np.int64(-1), n_buckets=n_buckets,
+        empty_dtypes={"l_orderkey": "int64", "em": "int64", "sm": "int64"})
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        sm = b["sm"].to_numpy(np.int64)
+        # clamp: the synthetic data does not enforce ship >= order, so an
+        # order is open at least its own order month (oracle mirrors via
+        # greatest(sm, em))
+        em = np.maximum(sm, b["em"].to_numpy(np.int64))
+        m = np.concatenate([sm, em + 1])
+        d = np.concatenate([np.ones(len(sm), dtype=np.int64),
+                            -np.ones(len(em), dtype=np.int64)])
+        out = pd.DataFrame({"m": m, "d": d})
+        return out.groupby("m", sort=False, as_index=False).sum()
+
+    agg: dict[int, int] = {}
+    for b in spans.map_batches(deltas, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None):
+        for m, d in zip(b["m"], b["d"]):
+            agg[int(m)] = agg.get(int(m), 0) + int(d)
+    # month-domain-bounded driver prefix (the time axis, never fact-scale)
+    ms = sorted(agg)
+    ym_out, n_out, run = [], [], 0
+    for i, m in enumerate(ms):
+        run += agg[m]
+        nxt = ms[i + 1] if i + 1 < len(ms) else m + 1
+        for mm in range(m, nxt):
+            if run > 0:
+                ym_out.append((mm // 12) * 100 + mm % 12 + 1)
+                n_out.append(run)
+    return rd.from_arrow(pa.table({
+        "ym": pa.array(ym_out, pa.int64()),
+        "n_open": pa.array(n_out, pa.int64())}))
+
+
+def sql_orders_open_per_month() -> str:
+    return """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1 AS sm,
+         max(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1) AS em
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+months AS (
+  SELECT unnest(range((SELECT min(sm) FROM spans),
+                      (SELECT max(em) FROM spans) + 1)) AS m
+)
+SELECT CAST((m // 12) * 100 + (m % 12) + 1 AS BIGINT) AS ym,
+       CAST(count(*) AS BIGINT) AS n_open
+FROM months JOIN spans ON m BETWEEN sm AND greatest(sm, em)
+GROUP BY m"""
