@@ -579,6 +579,19 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_bfs_tree(sf_dir: str):
+    """BFS spanning forest with min-parent pointers from the
+    chemical_substance seed set (canonical shortest-path reconstruction)."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import bfs_tree
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return bfs_tree(_kg(sf_dir, "edges"), tm, "chemical_substance")
+
+
 def _kg_support_triples(sf_dir: str):
     """Frequent entity triples by conversation co-mention (Apriori
     level-3 market-basket above the pair-support stage)."""
@@ -1261,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_community_stats": _kg_community_stats,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
+        "kg_bfs_tree": _kg_bfs_tree,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1763,6 +1777,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
+        "kg_bfs_tree": entry_sql.sql_bfs_tree(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -816,6 +816,33 @@ bfs(id, dist) AS (
 SELECT id, min(dist) AS dist FROM bfs GROUP BY id"""
 
 
+def sql_bfs_tree(tier: str, seed_type: str = "chemical_substance",
+                 rounds: int = 4) -> str:
+    """Oracle for graph_metrics.bfs_tree: the bfs_distances recursion plus
+    the min-parent rule (smallest neighbor one hop closer; '' at seeds)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+bfs(id, dist) AS (
+  SELECT ga.curie, 0 FROM read_parquet('{p["gazetteer"]}') ga
+  WHERE ga.node_type = '{seed_type}'
+    AND ga.curie IN (SELECT id FROM adj)
+  UNION
+  SELECT adj.nb, b.dist + 1 FROM bfs b JOIN adj ON adj.id = b.id
+  WHERE b.dist < {rounds}
+),
+d AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY id),
+par AS (
+  SELECT c.id, min(j.nb) AS parent
+  FROM d c JOIN adj j ON j.id = c.id
+  JOIN d pd ON pd.id = j.nb AND pd.dist = c.dist - 1
+  GROUP BY c.id
+)
+SELECT d.id, CAST(d.dist AS BIGINT) AS dist,
+       coalesce(par.parent, '') AS parent
+FROM d LEFT JOIN par USING (id)"""
+
+
 def sql_weighted_sssp(tier: str, seed_type: str = "chemical_substance",
                       rounds: int = 4) -> str:
     """Multi-source weighted shortest paths (graph_metrics.weighted_sssp):

@@ -1806,3 +1806,61 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
     return (deg.map_batches(partial, batch_format="pandas")
             .repartition(1)
             .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def bfs_tree(edges, type_map: dict[str, str] | None, seed_type: str,
+             rounds: int = BFS_ROUNDS,
+             src: str = "subj_id", dst: str = "obj_id",
+             n_buckets: int = 64, local_threshold: int = 1_000_000):
+    """BFS spanning FOREST with parent pointers (path reconstruction —
+    the piece :func:`bfs_distances` omits): Dataset(id, dist, parent)
+    where parent is the lexicographically smallest neighbor one hop
+    closer to the seed set ('' for the dist-0 seeds). Walking parent
+    links reconstructs one canonical shortest path per node.
+
+    Scale shape: distances come from :func:`bfs_distances` (hybrid
+    local/distributed, node-bounded result — the gazetteer-universe
+    budget); parents are ONE broadcast-distance candidate pass over the
+    adjacency + one id-bucketed string-min exchange. Deterministic by
+    construction: the min-parent rule needs no tie order."""
+    import ray.data as rd
+
+    dist = {r["id"]: int(r["dist"])
+            for r in bfs_distances(edges, type_map, seed_type, rounds,
+                                   src, dst, n_buckets,
+                                   local_threshold).take_all()}
+    empty = pa.table({"id": pa.array([], pa.string()),
+                      "dist": pa.array([], pa.int64()),
+                      "parent": pa.array([], pa.string())})
+    if not dist:
+        return rd.from_arrow(empty)
+    und = undirected_pairs(edges, src, dst, n_buckets)
+    dist_ref = ray.put(dist)
+
+    def cand(b: pd.DataFrame, _ref=dist_ref) -> pd.DataFrame:
+        d = ray.get(_ref)
+        i = b["id"].to_numpy(dtype=object)
+        n = b["nb"].to_numpy(dtype=object)
+        rows_i, rows_p = [], []
+        for x, y in zip(i, n):
+            dx = d.get(x)
+            if dx is not None and d.get(y) == dx - 1:
+                rows_i.append(x)
+                rows_p.append(y)
+        return pd.DataFrame({"id": pd.Series(rows_i, dtype=object),
+                             "parent": pd.Series(rows_p, dtype=object)})
+
+    parent: dict[str, str] = {}
+    for b in bucketed_min(
+            _adjacency(und).map_batches(cand, batch_format="pandas"),
+            ["id"], "parent", n_buckets=min(n_buckets, 16)).iter_batches(
+            batch_format="pandas", batch_size=None):
+        for x, p in zip(b["id"], b["parent"]):
+            if x not in parent or p < parent[x]:
+                parent[x] = p
+    ids = sorted(dist)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "dist": pa.array([dist[i] for i in ids], pa.int64()),
+        "parent": pa.array([parent.get(i, "") for i in ids], pa.string()),
+    }))

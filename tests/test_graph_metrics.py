@@ -588,3 +588,24 @@ def test_community_stats_matches_direct_recompute():
            for r in community_stats(ds, n_buckets=4).take_all()}
     assert got == want
     assert sum(v[1] for v in got.values()) == 2 * len(und)
+
+
+def test_bfs_tree_parents_reconstruct_shortest_paths():
+    from robokop_build_ray.stages.graph_metrics import bfs_tree
+
+    pairs = [("s1", "a"), ("s1", "b"), ("a", "c"), ("b", "c"),
+             ("c", "d"), ("x", "y")]
+    tm = {n: ("seed" if n == "s1" else "other")
+          for n in "s1 a b c d x y".split()}
+    rows = {r["id"]: (r["dist"], r["parent"])
+            for r in bfs_tree(_edges(pairs), tm, "seed",
+                              n_buckets=4).take_all()}
+    assert rows["s1"] == (0, "")
+    assert rows["a"] == (1, "s1") and rows["b"] == (1, "s1")
+    assert rows["c"] == (2, "a")  # min-parent rule: a < b
+    assert rows["d"] == (3, "c")
+    assert "x" not in rows and "y" not in rows  # unreachable component
+    # every non-seed parent is exactly one hop closer
+    for n, (d, p) in rows.items():
+        if d > 0:
+            assert rows[p][0] == d - 1
