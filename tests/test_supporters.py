@@ -150,3 +150,32 @@ def test_turn_window_cap_bounds_pairs():
         rd.from_items(rows), window=1, max_entities_per_conv=2,
         n_buckets=4).take_all()}
     assert got == {("A", "B")}
+
+
+def test_support_triples_hand_values(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from robokop_build_ray.stages.support import support_triples_stage
+
+    # conv1 and conv2 share triple (A,B,C); conv3 has only a pair
+    rows = [
+        ("c1", "A", "B"), ("c1", "B", "C"),
+        ("c2", "A", "C"), ("c2", "B", "C"),
+        ("c3", "A", "B"),
+        ("c4", "A", "D"), ("c4", "B", "C"),  # c4 set {A,B,C,D}
+    ]
+    canon = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "subj_id": pa.array([r[1] for r in rows]),
+        "obj_id": pa.array([r[2] for r in rows]),
+    }))
+    got = {(r["id_a"], r["id_b"], r["id_c"]): r["n_convs"]
+           for r in support_triples_stage(canon, n_buckets=4).take_all()}
+    # (A,B,C) in c1, c2 AND c4 (whose set {A,B,C,D} contains it);
+    # c4's D-triples stay below min_sup=2
+    assert got == {("A", "B", "C"): 3}
+    # cap honored: with cap=2 no conversation can form any triple
+    got2 = support_triples_stage(canon, cap=2, n_buckets=4).take_all()
+    assert got2 == []
