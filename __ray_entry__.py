@@ -579,6 +579,14 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_scc_labels(sf_dir: str):
+    """Fixed-round forward/backward min-label propagation over the
+    DIRECTED simple graph (FW-BW SCC grain)."""
+    from robokop_build_ray.stages.graph_metrics import scc_labels
+
+    return scc_labels(_kg(sf_dir, "edges"))
+
+
 def _kg_bfs_tree(sf_dir: str):
     """BFS spanning forest with min-parent pointers from the
     chemical_substance seed set (canonical shortest-path reconstruction)."""
@@ -1275,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
+        "kg_scc_labels": _kg_scc_labels,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1778,6 +1787,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),
+        "kg_scc_labels": entry_sql.sql_scc_labels(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

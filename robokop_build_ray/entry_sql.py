@@ -1462,6 +1462,38 @@ def sql_label_prop(tier: str, rounds: int = 3) -> str:
             + f"\nSELECT id, label FROM l{rounds}")
 
 
+def sql_scc_labels(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.scc_labels: ``rounds`` unrolled min-label
+    propagations over the DIRECTED simple graph, forward and backward."""
+    p = corpus_paths(tier)
+    ctes = ["""de AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+  WHERE subj_id <> obj_id)""",
+            """n0 AS MATERIALIZED (
+  SELECT a AS id FROM de UNION SELECT b FROM de)""",
+            "f0 AS MATERIALIZED (SELECT id, id AS label FROM n0)",
+            "b0 AS MATERIALIZED (SELECT id, id AS label FROM n0)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""f{r} AS MATERIALIZED (
+  SELECT id, min(l) AS label FROM (
+    SELECT id, label AS l FROM f{r - 1}
+    UNION ALL
+    SELECT e.b AS id, p.label FROM de e JOIN f{r - 1} p ON p.id = e.a
+  ) GROUP BY id)""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+  SELECT id, min(l) AS label FROM (
+    SELECT id, label AS l FROM b{r - 1}
+    UNION ALL
+    SELECT e.a AS id, p.label FROM de e JOIN b{r - 1} p ON p.id = e.b
+  ) GROUP BY id)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n"
+            + ",\n".join(ctes)
+            + f"""
+SELECT f.id, f.label AS fwd_label, b.label AS bwd_label,
+       f.label = b.label AS settled
+FROM f{rounds} f JOIN b{rounds} b USING (id)""")
+
+
 def sql_degree_histogram(tier: str) -> str:
     """Oracle for graph_metrics.degree_histogram."""
     p = corpus_paths(tier)

@@ -609,3 +609,34 @@ def test_bfs_tree_parents_reconstruct_shortest_paths():
     for n, (d, p) in rows.items():
         if d > 0:
             assert rows[p][0] == d - 1
+
+
+def test_scc_labels_cycle_vs_dag():
+    from robokop_build_ray.stages.graph_metrics import scc_labels
+
+    # a->b->c->a is a 3-cycle (one SCC); d->e is a DAG tail
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    rows = {r["id"]: (r["fwd_label"], r["bwd_label"], r["settled"])
+            for r in scc_labels(_edges(pairs), rounds=4,
+                                n_buckets=4).take_all()}
+    # cycle members all see 'a' both ways -> settled, same root
+    for n in "abc":
+        assert rows[n] == ("a", "a", True)
+    # DAG nodes: fwd sees the cycle min, bwd only themselves
+    assert rows["d"][0] == "a" and rows["d"][1] == "d"
+    assert not rows["d"][2] and not rows["e"][2]
+
+
+def test_scc_labels_distributed_matches_local():
+    rng = np.random.default_rng(53)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 30, size=(100, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import scc_labels
+
+    ds = _edges(pairs)
+    local = sorted((r["id"], r["fwd_label"], r["bwd_label"])
+                   for r in scc_labels(ds).take_all())
+    dist = sorted((r["id"], r["fwd_label"], r["bwd_label"])
+                  for r in scc_labels(ds, local_threshold=0,
+                                      n_buckets=4).take_all())
+    assert local == dist and len(local) > 0
