@@ -579,6 +579,14 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity (share of assertions with the reverse
+    also asserted)."""
+    from robokop_build_ray.stages.graph_metrics import reciprocity
+
+    return reciprocity(_kg(sf_dir, "edges"))
+
+
 def _kg_scc_labels(sf_dir: str):
     """Fixed-round forward/backward min-label propagation over the
     DIRECTED simple graph (FW-BW SCC grain)."""
@@ -1284,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
         "kg_scc_labels": _kg_scc_labels,
+        "kg_reciprocity": _kg_reciprocity,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1788,6 +1797,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),
         "kg_scc_labels": entry_sql.sql_scc_labels(t),
+        "kg_reciprocity": entry_sql.sql_reciprocity(t),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1494,6 +1494,24 @@ SELECT f.id, f.label AS fwd_label, b.label AS bwd_label,
 FROM f{rounds} f JOIN b{rounds} b USING (id)""")
 
 
+def sql_reciprocity(tier: str) -> str:
+    """Oracle for graph_metrics.reciprocity (one exact-int division)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+de AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+  WHERE subj_id <> obj_id),
+m AS (SELECT count(*) AS n_mutual FROM de
+      WHERE EXISTS (SELECT 1 FROM de r WHERE r.a = de.b AND r.b = de.a)),
+t AS (SELECT count(*) AS n_directed FROM de)
+SELECT CAST(t.n_directed AS BIGINT) AS n_directed,
+       CAST(m.n_mutual AS BIGINT) AS n_mutual,
+       CASE WHEN t.n_directed > 0
+            THEN CAST(m.n_mutual AS DOUBLE) / t.n_directed
+            ELSE 0.0 END AS reciprocity
+FROM t, m"""
+
+
 def sql_degree_histogram(tier: str) -> str:
     """Oracle for graph_metrics.degree_histogram."""
     p = corpus_paths(tier)

@@ -1967,3 +1967,49 @@ def scc_labels(edges, rounds: int = SCC_ROUNDS,
         "bwd_label": pa.array([bwd[i] for i in out], pa.string()),
         "settled": pa.array([fwd[i] == bwd[i] for i in out], pa.bool_()),
     }))
+
+
+def reciprocity(edges, src: str = "subj_id", dst: str = "obj_id",
+                n_buckets: int = 64):
+    """Directed-graph reciprocity (Newman 2002 grain): one row
+    (n_directed, n_mutual, reciprocity) — how many distinct a -> b
+    assertions have the reverse b -> a also asserted. n_mutual counts
+    DIRECTED edges in mutual pairs (both directions counted, the
+    standard r = L_bidir / L definition); the share is ONE division of
+    exact ints. One composite-key bucketed semi-join (edge vs reversed
+    edge), two scalar folds — no driver edge state."""
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_semi
+
+    de = directed_pairs(edges, src, dst, n_buckets).materialize()
+
+    def fwd_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["a"] + _SEP + b["b"]})
+
+    def rev_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["b"] + _SEP + b["a"]})
+
+    mutual = bucketed_semi(
+        de.map_batches(fwd_key, batch_format="pandas"),
+        de.map_batches(rev_key, batch_format="pandas"),
+        left_on="k", right_on="k", left_cols=["k"],
+        n_buckets=n_buckets, empty_dtypes={"k": object})
+
+    def count_of(ds) -> int:
+        n = 0
+        for b in ds.map_batches(
+                lambda g: pd.DataFrame({"n": [len(g)]}),
+                batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None):
+            n += int(b["n"].sum())
+        return n
+
+    n_dir = count_of(de)
+    n_mut = count_of(mutual)
+    return rd.from_arrow(pa.table({
+        "n_directed": pa.array([n_dir], pa.int64()),
+        "n_mutual": pa.array([n_mut], pa.int64()),
+        "reciprocity": pa.array(
+            [n_mut / n_dir if n_dir else 0.0], pa.float64()),
+    }))
