@@ -579,6 +579,13 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_in_out_degree(sf_dir: str):
+    """Per-node directed in/out degrees (source/sink asymmetry)."""
+    from robokop_build_ray.stages.graph_metrics import in_out_degree
+
+    return in_out_degree(_kg(sf_dir, "edges"))
+
+
 def _kg_reciprocity(sf_dir: str):
     """Directed-edge reciprocity (share of assertions with the reverse
     also asserted)."""
@@ -1293,6 +1300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_tree": _kg_bfs_tree,
         "kg_scc_labels": _kg_scc_labels,
         "kg_reciprocity": _kg_reciprocity,
+        "kg_in_out_degree": _kg_in_out_degree,
+        "events_benford": rel.events_benford,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
@@ -1798,6 +1807,8 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),
         "kg_scc_labels": entry_sql.sql_scc_labels(t),
         "kg_reciprocity": entry_sql.sql_reciprocity(t),
+        "kg_in_out_degree": entry_sql.sql_in_out_degree(t),
+        "events_benford": rel.sql_events_benford(),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),

@@ -1512,6 +1512,21 @@ SELECT CAST(t.n_directed AS BIGINT) AS n_directed,
 FROM t, m"""
 
 
+def sql_in_out_degree(tier: str) -> str:
+    """Oracle for graph_metrics.in_out_degree."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+de AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+  WHERE subj_id <> obj_id),
+o AS (SELECT a AS id, count(*) AS out_deg FROM de GROUP BY a),
+i AS (SELECT b AS id, count(*) AS in_deg FROM de GROUP BY b)
+SELECT coalesce(o.id, i.id) AS id,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM o FULL OUTER JOIN i ON i.id = o.id"""
+
+
 def sql_degree_histogram(tier: str) -> str:
     """Oracle for graph_metrics.degree_histogram."""
     p = corpus_paths(tier)

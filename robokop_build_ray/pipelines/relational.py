@@ -4851,3 +4851,51 @@ SELECT CAST((m // 12) * 100 + (m % 12) + 1 AS BIGINT) AS ym,
        CAST(count(*) AS BIGINT) AS n_open
 FROM months JOIN spans ON m BETWEEN sm AND greatest(sm, em)
 GROUP BY m"""
+
+
+def events_benford(sf_dir: str):
+    """Benford first-digit profile (fraud-analytics classic): per leading
+    digit 1-9 of the integer-cents event value, the count and its share
+    of all positive-cents events (ONE exact-int division). Pure
+    enum-bounded partials: a vectorized digit extraction per batch, a
+    9-key fold — zero wide shuffles."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(b["value"].to_numpy())
+        c = c[c > 0]
+        if len(c) == 0:
+            return pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        # exact integer digit count (no float log): c has k digits iff
+        # 10^(k-1) <= c < 10^k
+        p10 = 10 ** np.arange(1, 19, dtype=np.int64)
+        ndig = np.searchsorted(p10, c, side="right")  # digits - 1
+        d = c // 10 ** ndig
+        vc = pd.Series(d).value_counts()
+        return pd.DataFrame({"digit": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("digit", sort=True, as_index=False)["n"].sum()
+        tot = int(out["n"].sum())
+        out["share"] = out["n"].to_numpy(np.float64) / tot  # ONE division
+        return out.astype({"digit": "int64", "n": "int64"})
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_benford() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM d) AS share
+FROM d GROUP BY digit"""

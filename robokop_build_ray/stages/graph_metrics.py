@@ -2013,3 +2013,29 @@ def reciprocity(edges, src: str = "subj_id", dst: str = "obj_id",
         "reciprocity": pa.array(
             [n_mut / n_dir if n_dir else 0.0], pa.float64()),
     }))
+
+
+def in_out_degree(edges, src: str = "subj_id", dst: str = "obj_id",
+                  n_buckets: int = 64):
+    """Per-node DIRECTED degrees: Dataset(id, out_deg, in_deg) over the
+    distinct subj -> obj pairs — source/sink asymmetry the undirected
+    degree map erases. Two key-bucketed counts reconciled by ONE
+    `bucketing.bucketed_outer_unique` exchange (nodes appearing only as
+    subject or only as object keep a typed 0 on the absent side)."""
+    from ..functions.bucketing import bucketed_count, bucketed_outer_unique
+
+    de = directed_pairs(edges, src, dst, n_buckets).materialize()
+
+    def col(name_in: str, name_out: str):
+        def pick(b: pd.DataFrame, _c=name_in, _o=name_out) -> pd.DataFrame:
+            return pd.DataFrame({"id": b[_c]})
+
+        return bucketed_count(
+            de.map_batches(pick, batch_format="pandas"), ["id"],
+            name=name_out, n_buckets=n_buckets)
+
+    return bucketed_outer_unique(
+        col("a", "out_deg"), col("b", "in_deg"), on="id",
+        left_vals=["out_deg"], right_vals=["in_deg"],
+        fills={"out_deg": np.int64(0), "in_deg": np.int64(0)},
+        n_buckets=n_buckets)
