@@ -65,6 +65,18 @@ def _analyze(args) -> int:
         from .stages.pagerank import PPR_SEEDS, personalized_pagerank
 
         res = personalized_pagerank(edges, n_seeds=args.k or PPR_SEEDS)
+    elif args.metric == "mis":
+        res = gm.maximal_independent_set(edges)
+    elif args.metric == "scc":
+        res = gm.scc_labels(edges)
+    elif args.metric == "reciprocity":
+        res = gm.reciprocity(edges)
+    elif args.metric == "inoutdeg":
+        res = gm.in_out_degree(edges)
+    elif args.metric == "deghist":
+        res = gm.degree_histogram(edges)
+    elif args.metric == "community":
+        res = gm.community_stats(edges)
     else:  # metapath2
         import pandas as pd
 
@@ -133,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
                             "jaccard", "metapath2", "kcore", "labelprop",
                             "clustering", "harmonic", "assortativity",
                             "ktruss", "stress", "ra", "bridges", "hits",
-                            "ppr"])
+                            "ppr", "mis", "scc", "reciprocity", "inoutdeg",
+                            "deghist", "community"])
     a.add_argument("--out", default=None,
                    help="write result parquet here (else just print counts)")
     a.add_argument("--gazetteer", default=None,
