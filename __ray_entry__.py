@@ -579,6 +579,13 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_topo_levels(sf_dir: str):
+    """Fixed-round longest-path layering of the directed graph."""
+    from robokop_build_ray.stages.graph_metrics import topo_levels
+
+    return topo_levels(_kg(sf_dir, "edges"))
+
+
 def _kg_in_out_degree(sf_dir: str):
     """Per-node directed in/out degrees (source/sink asymmetry)."""
     from robokop_build_ray.stages.graph_metrics import in_out_degree
@@ -1301,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc_labels": _kg_scc_labels,
         "kg_reciprocity": _kg_reciprocity,
         "kg_in_out_degree": _kg_in_out_degree,
+        "kg_topo_levels": _kg_topo_levels,
         "events_benford": rel.events_benford,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
@@ -1808,6 +1816,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_scc_labels": entry_sql.sql_scc_labels(t),
         "kg_reciprocity": entry_sql.sql_reciprocity(t),
         "kg_in_out_degree": entry_sql.sql_in_out_degree(t),
+        "kg_topo_levels": entry_sql.sql_topo_levels(t),
         "events_benford": rel.sql_events_benford(),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),

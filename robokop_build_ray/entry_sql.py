@@ -1494,6 +1494,27 @@ SELECT f.id, f.label AS fwd_label, b.label AS bwd_label,
 FROM f{rounds} f JOIN b{rounds} b USING (id)""")
 
 
+def sql_topo_levels(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.topo_levels: unrolled max-level rounds."""
+    p = corpus_paths(tier)
+    ctes = ["""de AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+  WHERE subj_id <> obj_id)""",
+            """l0 AS MATERIALIZED (
+  SELECT id, 0 AS level FROM
+  (SELECT a AS id FROM de UNION SELECT b FROM de))"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS MATERIALIZED (
+  SELECT id, max(l) AS level FROM (
+    SELECT id, level AS l FROM l{r - 1}
+    UNION ALL
+    SELECT e.b AS id, p.level + 1 FROM de e JOIN l{r - 1} p ON p.id = e.a
+  ) GROUP BY id)""")
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n"
+            + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(level AS BIGINT) AS level FROM l{rounds}")
+
+
 def sql_reciprocity(tier: str) -> str:
     """Oracle for graph_metrics.reciprocity (one exact-int division)."""
     p = corpus_paths(tier)

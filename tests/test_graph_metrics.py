@@ -640,3 +640,19 @@ def test_scc_labels_distributed_matches_local():
                   for r in scc_labels(ds, local_threshold=0,
                                       n_buckets=4).take_all())
     assert local == dist and len(local) > 0
+
+
+def test_topo_levels_dag_and_cycle():
+    from robokop_build_ray.stages.graph_metrics import topo_levels
+
+    # chain a->b->c->d (levels 0,1,2,3) + 2-cycle x<->y (both climb to R)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x")]
+    got = {r["id"]: r["level"]
+           for r in topo_levels(_edges(pairs), rounds=3,
+                                n_buckets=4).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 3, "y": 3}
+    ds = _edges(pairs)
+    dist = {r["id"]: r["level"]
+            for r in topo_levels(ds, rounds=3, local_threshold=0,
+                                 n_buckets=4).take_all()}
+    assert dist == got
