@@ -463,6 +463,8 @@ def test_multimodal_strict_raises():
             "width": pa.array([-1], pa.int32()),
             "height": pa.array([-1], pa.int32()),
             "duration_ms": pa.array([-1], pa.int32()),
+            "energy": pa.array([0], pa.int64()),
+            "ac_lag1": pa.array([0], pa.int64()),
         },
         schema=multimodal.MEDIA_SCHEMA,
     )
