@@ -1603,6 +1603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": lambda sf: ta.chunk_spans(_docs(sf)),
         # exact-integer z-score outlier screen (data cleaning)
         "events_value_outliers": rel.events_value_outliers,
+        "events_user_trend": rel.events_user_trend,
+        "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
         # cume_dist() without a global sort (cumulative histogram state)
@@ -1948,6 +1950,8 @@ FROM scored""",
         "events_user_median": rel.sql_events_user_median(),
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),
+        "events_user_trend": rel.sql_events_user_trend(),
+        "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),
         "doc_chunks": r"""

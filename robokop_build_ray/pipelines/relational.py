@@ -4899,3 +4899,154 @@ d AS (
 SELECT digit, CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM d) AS share
 FROM d GROUP BY digit"""
+
+
+# ------------------------------------------- per-user OLS trend (regr_slope)
+
+def events_user_trend(sf_dir: str, n_buckets: int = 64):
+    """Per-user least-squares trend of spend over time -> (user_id, n,
+    slope, intercept): OLS fit of value (cents) against the event's DAY
+    INDEX (epoch days — bounds x² so the moment sums stay exact int64 at
+    fact scale; epoch-second x would overflow the partials).
+
+    regr_slope / regr_intercept shape without a window function or a
+    per-user Python pass over facts: per-batch user-keyed moment partials
+    (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT int64 inside the scan, ONE
+    bucketed exchange on the user hash merges them by integer addition
+    (order-free — bit-identical at any parallelism), and the finish
+    converts each user's arbitrary-precision moments (Python int ==
+    the oracle's HUGEINT) to float in the oracle's exact operation
+    order: slope = ONE division of two exact products, intercept =
+    (Σy - slope·Σx)/n in fixed IEEE order. Users whose events all fall
+    on one day (zero x variance) are excluded in both engines."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["ts"].astype("datetime64[ns]").astype("int64")
+             // 86_400_000_000_000)  # epoch-day index
+        y = _cents(b["value"].to_numpy())
+        df = pd.DataFrame({
+            "user_id": b["user_id"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+        return df.groupby("user_id", as_index=False).sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).sum()
+        uid, ns, slopes, icepts = [], [], [], []
+        # user-bounded rows per bucket, so the exact-int loop is free
+        for u, n, sx, sy, sxy, sxx in zip(m["user_id"], m["n"], m["sx"],
+                                          m["sy"], m["sxy"], m["sxx"]):
+            n, sx, sy = int(n), int(sx), int(sy)
+            den = n * int(sxx) - sx * sx
+            if den <= 0:
+                continue
+            num = n * int(sxy) - sx * sy
+            slope = float(num) / float(den)
+            icept = (float(sy) - slope * float(sx)) / float(n)
+            uid.append(u)
+            ns.append(n)
+            slopes.append(slope)
+            icepts.append(icept)
+        return pd.DataFrame({
+            "user_id": np.array(uid, dtype=np.int64),
+            "n": np.array(ns, dtype=np.int64),
+            "slope": np.array(slopes, dtype=np.float64),
+            "intercept": np.array(icepts, dtype=np.float64),
+        })
+
+    return bucketed_apply(ds, ["user_id"], merge, partial, n_buckets)
+
+
+def sql_events_user_trend() -> str:
+    return """
+WITH m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sy,
+         CAST(sum((epoch_us(ts) // 86400000000)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sxy,
+         CAST(sum((epoch_us(ts) // 86400000000)
+                  * (epoch_us(ts) // 86400000000)) AS BIGINT) AS sxx
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT user_id, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                  AS DOUBLE) AS slope
+  FROM m
+  WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+)
+SELECT user_id, n, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept
+FROM s"""
+
+
+# --------------------------------------- per-user Simpson type diversity
+
+def events_type_diversity(sf_dir: str, n_buckets: int = 64):
+    """Per-user Simpson diversity of event types -> (user_id, n, n_types,
+    simpson): 1 - Σ(c_t/n)² computed as (n² - Σc_t²)/n² — ONE float
+    division of two exact integers (the repo's lift-not-PMI doctrine:
+    entropy's runtime log never reaches an oracle-compared float; Simpson
+    carries the same concentration signal in exact arithmetic).
+
+    Per-batch (user, type) count partials bound a hot user's map output
+    to types × batches rows; ONE bucketed exchange on the user hash
+    co-locates each user's counts; the n / Σc² / distinct-type fold is
+    vectorized per bucket (int64 exact — n² overflows only past 3e9
+    events per user, far beyond any per-key bound this engine assumes)."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["user_id", "event_type"], sort=False).size()
+                .rename("c").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], sort=False,
+                      as_index=False)["c"].sum()
+        cc = c["c"].to_numpy(np.int64)
+        a = (pd.DataFrame({"user_id": c["user_id"], "n": cc,
+                           "ssq": cc * cc,
+                           "n_types": np.ones(len(c), dtype=np.int64)})
+             .groupby("user_id", as_index=False).sum())
+        n = a["n"].to_numpy(np.int64)
+        ssq = a["ssq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": a["user_id"].astype("int64"),
+            "n": n,
+            "n_types": a["n_types"].astype("int64"),
+            "simpson": (n * n - ssq).astype(np.float64)
+            / (n * n).astype(np.float64),
+        })
+
+    return bucketed_apply(ds, ["user_id"], merge, partial, n_buckets)
+
+
+def sql_events_type_diversity() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+a AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq,
+         count(*) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n, CAST(n_types AS BIGINT) AS n_types,
+       CAST(CAST(n AS HUGEINT) * n - ssq AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS simpson
+FROM a"""
