@@ -654,6 +654,15 @@ def _kg_mis(sf_dir: str):
     return maximal_independent_set(_kg(sf_dir, "edges"))
 
 
+def _kg_matching(sf_dir: str):
+    """Deterministic Luby-style MAXIMAL MATCHING: fixed-round min-key
+    edge selection over the undirected simple graph (the multilevel
+    graph-coarsening primitive; edges matched, with their round)."""
+    from robokop_build_ray.stages.graph_metrics import maximal_matching
+
+    return maximal_matching(_kg(sf_dir, "edges"))
+
+
 def _kg_assortativity(sf_dir: str):
     """Graph-level degree assortativity (Newman 2002) — exact integer
     moment sums, one float conversion matching the oracle expression."""
@@ -1301,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edge-grain cohesion: fixed-round k-truss peeling
         "kg_ktruss": _kg_ktruss,
         "kg_mis": _kg_mis,
+        "kg_matching": _kg_matching,
         "kg_community_stats": _kg_community_stats,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
@@ -1811,6 +1821,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_mis": entry_sql.sql_mis(t),
+        "kg_matching": entry_sql.sql_matching(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),

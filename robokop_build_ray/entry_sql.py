@@ -1937,6 +1937,38 @@ FROM e{rounds} e
 LEFT JOIN t{rounds} t ON t.a = e.a AND t.b = e.b""")
 
 
+def sql_matching(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.maximal_matching: ``rounds`` unrolled
+    Luby peels at EDGE grain — per round the active edges whose unique
+    key md5(a||'|'||b) (pair tie-break suffix) is the per-node minimum
+    at BOTH endpoints join the matching; their endpoints deactivate
+    every incident edge."""
+    p = corpus_paths(tier)
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b, "
+            "md5(a || '|' || b) || '|' || a || '|' || b AS k FROM und)"]
+    for r in range(rounds):
+        ctes.append(
+            f"mn{r} AS MATERIALIZED (SELECT id, min(k) AS mk FROM ("
+            f"SELECT a AS id, k FROM e{r} "
+            f"UNION ALL SELECT b, k FROM e{r}) GROUP BY id)")
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN mn{r} ma ON ma.id = e.a AND ma.mk = e.k "
+            f"JOIN mn{r} mb ON mb.id = e.b AND mb.mk = e.k)")
+        if r < rounds - 1:
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT e.a, e.b, e.k "
+                f"FROM e{r} e WHERE e.a NOT IN "
+                f"(SELECT a FROM w{r} UNION ALL SELECT b FROM w{r}) "
+                f"AND e.b NOT IN "
+                f"(SELECT a FROM w{r} UNION ALL SELECT b FROM w{r}))")
+    sel = "\nUNION ALL ".join(
+        f"SELECT a, b, CAST({r} AS BIGINT) AS match_round FROM w{r}"
+        for r in range(rounds))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes) + "\n" + sel)
+
+
 def sql_mis(tier: str, rounds: int = 3) -> str:
     """Oracle for graph_metrics.maximal_independent_set: ``rounds``
     unrolled Luby peels — per round the active nodes whose md5(id)

@@ -2104,3 +2104,159 @@ def topo_levels(edges, rounds: int = TOPO_ROUNDS,
     return rd.from_arrow(pa.table({
         "id": pa.array(out, pa.string()),
         "level": pa.array([levels[i] for i in out], pa.int64())}))
+
+
+# --------------------------------------------- maximal matching (Luby grain)
+
+MATCHING_ROUNDS = 3
+
+
+def _match_key(a: str, b: str) -> str:
+    import hashlib
+
+    # md5 over the canonical "a|b" pair (DuckDB md5() parity); the pair
+    # suffix only breaks the astronomically-unlikely digest collision, so
+    # every edge key is unique and "min of both endpoints" needs no ties
+    return (hashlib.md5((a + "|" + b).encode("utf-8")).hexdigest()
+            + "|" + a + "|" + b)
+
+
+def maximal_matching(edges, rounds: int = MATCHING_ROUNDS,
+                     src: str = "subj_id", dst: str = "obj_id",
+                     n_buckets: int = 64,
+                     local_threshold: int = 1_000_000):
+    """Fixed-round deterministic Luby-style MAXIMAL MATCHING over the
+    undirected simple graph: Dataset(a, b, match_round) — per round,
+    every still-active edge whose key md5(a|b) is the minimum among the
+    active edges incident to BOTH its endpoints joins the matching, then
+    its endpoints (and thus every edge touching them) deactivate.
+    ``rounds`` is a SPEC constant unrolled identically in the SQL oracle
+    (like MIS_ROUNDS); edges still undecided after ``rounds`` are simply
+    absent. Keys are unique (digest + pair tie-break), so two winners can
+    never share a node — matching validity is structural.
+
+    The graph-coarsening primitive (multilevel partitioners contract a
+    maximal matching per level); the reference defers this grain to its
+    neo4j sink (`builder/builder.py:497-521`). Hybrid scale shape (gate
+    as MIS): under the gate one driver pandas fold; above it each round
+    is ONE bucketed min-key exchange over the exploded incidence list
+    (edge-grain, never all-pairs) plus a broadcast-winner filter pass.
+    Driver state is node-bounded (per-node min key + matched set — the
+    canonicalization broadcast's budget); winner edges per round are
+    <= nodes/2, inside the same bound."""
+    import ray.data as rd
+
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "match_round": pa.array([], pa.int64())})
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+
+    def with_key(t: pa.Table) -> pd.DataFrame:
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        return pd.DataFrame({
+            "a": pd.Series(a, dtype=object),
+            "b": pd.Series(b, dtype=object),
+            "k": pd.Series([_match_key(x, y) for x, y in zip(a, b)],
+                           dtype=object),
+        })
+
+    if und.count() <= local_threshold:
+        frames = list(und.map_batches(with_key, batch_format="pyarrow")
+                      .iter_batches(batch_format="pandas",
+                                    batch_size=None))
+        if not frames:
+            return rd.from_arrow(empty)
+        df = pd.concat(frames, ignore_index=True)
+        matched: set[str] = set()
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_r: list[int] = []
+        for r in range(rounds):
+            act = df[~df["a"].isin(matched) & ~df["b"].isin(matched)]
+            if not len(act):
+                break
+            mn: dict[str, str] = {}
+            for x, y, k in zip(act["a"], act["b"], act["k"]):
+                if x not in mn or k < mn[x]:
+                    mn[x] = k
+                if y not in mn or k < mn[y]:
+                    mn[y] = k
+            win = act[(act["k"] == act["a"].map(mn))
+                      & (act["k"] == act["b"].map(mn))]
+            win = win.sort_values(["a", "b"], kind="mergesort")
+            out_a.extend(win["a"])
+            out_b.extend(win["b"])
+            out_r.extend([r] * len(win))
+            matched.update(win["a"])
+            matched.update(win["b"])
+        return rd.from_arrow(pa.table({
+            "a": pa.array(out_a, pa.string()),
+            "b": pa.array(out_b, pa.string()),
+            "match_round": pa.array(out_r, pa.int64())}))
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    undk = und.map_batches(with_key, batch_format="pyarrow").materialize()
+    matched_set: set[str] = set()
+    out_a, out_b, out_r = [], [], []
+    for r in range(rounds):
+        m_ref = ray.put(matched_set)
+
+        def active_fn(b: pd.DataFrame, _m=m_ref) -> pd.DataFrame:
+            mm = ray.get(_m)
+            keep = (~b["a"].isin(mm) & ~b["b"].isin(mm))
+            out = b[keep]
+            return out if len(out) else pd.DataFrame({
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype=object)})
+
+        def explode_fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "id": pd.concat([b["a"], b["b"]], ignore_index=True)
+                .astype(object),
+                "k": pd.concat([b["k"], b["k"]], ignore_index=True)
+                .astype(object)})
+
+        act = undk.map_batches(active_fn, batch_format="pandas")
+        mins = bucketed_min(
+            act.map_batches(explode_fn, batch_format="pandas"),
+            ["id"], "k", n_buckets=min(n_buckets, 16))
+        # node-bounded driver fold (degree_map's budget)
+        mn: dict[str, str] = {}
+        for b in mins.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            for x, k in zip(b["id"], b["k"]):
+                if x not in mn or k < mn[x]:
+                    mn[x] = k
+        if not mn:
+            break
+        mn_ref = ray.put(mn)
+
+        def winners_fn(b: pd.DataFrame, _m=mn_ref) -> pd.DataFrame:
+            m = ray.get(_m)
+            w = b[(b["k"] == b["a"].map(m)) & (b["k"] == b["b"].map(m))]
+            return w[["a", "b"]] if len(w) else pd.DataFrame({
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object)})
+
+        # winner edges are <= active-nodes/2 rows: node-bounded collect
+        wins: list[tuple[str, str]] = []
+        for b in (act.map_batches(winners_fn, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+            wins.extend(zip(b["a"], b["b"]))
+        if not wins:
+            break
+        for x, y in sorted(wins):
+            out_a.append(x)
+            out_b.append(y)
+            out_r.append(r)
+            matched_set.add(x)
+            matched_set.add(y)
+    if not out_a:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "a": pa.array(out_a, pa.string()),
+        "b": pa.array(out_b, pa.string()),
+        "match_round": pa.array(out_r, pa.int64())}))

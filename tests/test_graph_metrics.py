@@ -656,3 +656,38 @@ def test_topo_levels_dag_and_cycle():
             for r in topo_levels(ds, rounds=3, local_threshold=0,
                                  n_buckets=4).take_all()}
     assert dist == got
+
+
+def test_matching_properties_and_hand_structure():
+    # path a-b-c-d-e plus isolated pair x-y: winners must be node-disjoint
+    # (a matching), x-y must match immediately, and after 3 rounds the
+    # matching is maximal — every unmatched edge touches a matched node
+    from robokop_build_ray.stages.graph_metrics import maximal_matching
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    rows = maximal_matching(_edges(pairs), rounds=3, n_buckets=4).take_all()
+    got = {(r["a"], r["b"]): r["match_round"] for r in rows}
+    nodes: list[str] = []
+    for a, b in got:
+        nodes.extend([a, b])
+    assert len(nodes) == len(set(nodes))  # node-disjoint
+    assert got[("x", "y")] == 0           # no competition -> round 0
+    matched = set(nodes)
+    for a, b in pairs:                    # maximality
+        if (a, b) not in got:
+            assert a in matched or b in matched, (a, b)
+
+
+def test_matching_distributed_matches_local():
+    rng = np.random.default_rng(31)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import maximal_matching
+
+    ds = _edges(pairs)
+    local = sorted((r["a"], r["b"], r["match_round"])
+                   for r in maximal_matching(ds).take_all())
+    dist = sorted((r["a"], r["b"], r["match_round"])
+                  for r in maximal_matching(
+                      ds, local_threshold=0, n_buckets=4).take_all())
+    assert local == dist and len(local) > 0
