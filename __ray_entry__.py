@@ -663,6 +663,15 @@ def _kg_matching(sf_dir: str):
     return maximal_matching(_kg(sf_dir, "edges"))
 
 
+def _kg_coloring(sf_dir: str):
+    """Fixed-round Jones-Plassmann greedy coloring: static md5
+    priorities, only winners retire per round — successive rounds are
+    disjoint independent color classes."""
+    from robokop_build_ray.stages.graph_metrics import greedy_coloring
+
+    return greedy_coloring(_kg(sf_dir, "edges"))
+
+
 def _kg_assortativity(sf_dir: str):
     """Graph-level degree assortativity (Newman 2002) — exact integer
     moment sums, one float conversion matching the oracle expression."""
@@ -1311,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": _kg_ktruss,
         "kg_mis": _kg_mis,
         "kg_matching": _kg_matching,
+        "kg_coloring": _kg_coloring,
         "kg_community_stats": _kg_community_stats,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
@@ -1427,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE-ish subword piece counting + PII scrub (training-data ops)
         "doc_bpe_tokens": lambda sf: ta.bpe_token_stats(_docs(sf)),
         "doc_redacted": lambda sf: ta.redact_pii(_docs(sf)),
+        "doc_blocklist": lambda sf: ta.blocklist_scan(_docs(sf)),
         # vocabulary / index-building passes (stages/vocab.py)
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
         "doc_tfidf": lambda sf: _vocab().doc_tfidf(_docs(sf)),
@@ -1822,6 +1833,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_mis": entry_sql.sql_mis(t),
         "kg_matching": entry_sql.sql_matching(t),
+        "kg_coloring": entry_sql.sql_coloring(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
@@ -2042,6 +2054,7 @@ SELECT doc_id,
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
          AS n_bpe_tokens
 FROM documents""",
+        "doc_blocklist": _ta_sql().sql_blocklist(),
         "doc_redacted": r"""
 WITH s1 AS (
   SELECT doc_id,

@@ -1999,6 +1999,35 @@ def sql_mis(tier: str, rounds: int = 3) -> str:
             + ",\n".join(ctes) + "\n" + sel)
 
 
+def sql_coloring(tier: str, rounds: int = 4) -> str:
+    """Oracle for graph_metrics.greedy_coloring: ``rounds`` unrolled
+    Jones-Plassmann steps — per round the still-uncolored nodes whose
+    md5(id) priority (id tie-break) is strictly smallest among uncolored
+    neighbors take color = round; ONLY winners retire (their neighbors
+    keep competing), unlike MIS's neighbor deactivation."""
+    p = corpus_paths(tier)
+    ctes = ["act0 AS MATERIALIZED (SELECT DISTINCT id FROM adj)",
+            "pr AS MATERIALIZED (SELECT id, md5(id) AS h "
+            "FROM (SELECT DISTINCT id FROM adj))"]
+    for r in range(rounds):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT x.id FROM act{r} x "
+            f"JOIN pr px ON px.id = x.id WHERE NOT EXISTS ("
+            f"SELECT 1 FROM adj j "
+            f"JOIN act{r} y ON y.id = j.nb "
+            f"JOIN pr py ON py.id = j.nb "
+            f"WHERE j.id = x.id AND (py.h < px.h "
+            f"OR (py.h = px.h AND j.nb < x.id))))")
+        ctes.append(
+            f"act{r + 1} AS MATERIALIZED (SELECT a.id FROM act{r} a "
+            f"WHERE a.id NOT IN (SELECT id FROM w{r}))")
+    sel = "\nUNION ALL ".join(
+        f"SELECT id, CAST({r} AS BIGINT) AS color FROM w{r}"
+        for r in range(rounds))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes) + "\n" + sel)
+
+
 def sql_conv_latency(tier: str) -> str:
     """Oracle for kg_conv_latency: min assistant ts at-or-after the first
     user ts, per conversation."""

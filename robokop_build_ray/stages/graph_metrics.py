@@ -2260,3 +2260,118 @@ def maximal_matching(edges, rounds: int = MATCHING_ROUNDS,
         "a": pa.array(out_a, pa.string()),
         "b": pa.array(out_b, pa.string()),
         "match_round": pa.array(out_r, pa.int64())}))
+
+
+# ------------------------------------- greedy coloring (Jones-Plassmann)
+
+COLORING_ROUNDS = 4
+
+
+def greedy_coloring(edges, rounds: int = COLORING_ROUNDS,
+                    src: str = "subj_id", dst: str = "obj_id",
+                    n_buckets: int = 64,
+                    local_threshold: int = 1_000_000):
+    """Fixed-round Jones-Plassmann greedy coloring with static md5
+    priorities: Dataset(id, color) — per round, every still-UNCOLORED
+    node whose key md5(id) is strictly smallest among its uncolored
+    neighbors takes color = round. Differs from MIS in the deactivation
+    rule: only the winners retire (their neighbors stay active and
+    compete next round), so successive rounds emit disjoint independent
+    sets that together properly color the priority-ordered graph.
+    ``rounds`` is a SPEC constant unrolled identically in the SQL
+    oracle; nodes uncolored after ``rounds`` are simply absent. Two
+    adjacent nodes can never win the same round (strict local minimum),
+    so color-class validity is structural.
+
+    The conflict-resolution grain (parallel scheduling / register
+    allocation shape) the reference defers to its neo4j sink
+    (`builder/builder.py:497-521`). Hybrid scale shape (gate as MIS):
+    under the gate one driver dict loop; above it each round is ONE
+    bucketed min-key exchange over the active adjacency plus a
+    node-bounded driver winner fold — the edge list never leaves the
+    cluster, driver state is node-bounded (the canonicalization
+    broadcast's budget)."""
+    import ray.data as rd
+
+    empty = pa.table({"id": pa.array([], pa.string()),
+                      "color": pa.array([], pa.int64())})
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    if und.count() <= local_threshold:
+        frames = list(und.iter_batches(batch_format="pandas",
+                                       batch_size=65536))
+        if not frames:
+            return rd.from_arrow(empty)
+        df = pd.concat(frames, ignore_index=True)
+        adj: dict[str, set] = {}
+        for a, b in zip(df["a"].to_numpy(dtype=object),
+                        df["b"].to_numpy(dtype=object)):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        pr = _mis_priorities(adj)
+        key = {i: _mis_key(h, i) for i, h in pr.items()}
+        active = set(adj)
+        colored: dict[str, int] = {}
+        for r in range(rounds):
+            winners = {x for x in active
+                       if all(key[x] < key[y]
+                              for y in adj[x] if y in active)}
+            if not winners:
+                break
+            for w in winners:
+                colored[w] = r
+            active -= winners
+        if not colored:
+            return rd.from_arrow(empty)
+        out = sorted(colored)
+        return rd.from_arrow(pa.table({
+            "id": pa.array(out, pa.string()),
+            "color": pa.array([colored[i] for i in out], pa.int64())}))
+
+    # ---- distributed path (pinned by tests with local_threshold=0) ----
+    ids = sorted(degree_map(und))  # entity-bounded
+    pr = _mis_priorities(ids)
+    key = {i: _mis_key(h, i) for i, h in pr.items()}
+    adj_ds = _adjacency(und).materialize()
+    active = set(ids)
+    colored = {}
+    for r in range(rounds):
+        act_ref = ray.put(active)
+        key_ref = ray.put(key)
+
+        def min_nb(t: pa.Table, _a=act_ref, _k=key_ref) -> pd.DataFrame:
+            act = ray.get(_a)
+            km = ray.get(_k)
+            i = t["id"].to_pylist()
+            n = t["nb"].to_pylist()
+            rows_i, rows_k = [], []
+            for x, y in zip(i, n):
+                if x in act and y in act:
+                    rows_i.append(x)
+                    rows_k.append(km[y])
+            return pd.DataFrame({"id": pd.Series(rows_i, dtype=object),
+                                 "k": pd.Series(rows_k, dtype=object)})
+
+        mins = bucketed_min(
+            adj_ds.map_batches(min_nb, batch_format="pyarrow"),
+            ["id"], "k", n_buckets=min(n_buckets, 16))
+        # node-bounded driver fold (degree_map's budget)
+        mmap: dict[str, str] = {}
+        for b in mins.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            for x, kk in zip(b["id"], b["k"]):
+                if x not in mmap or kk < mmap[x]:
+                    mmap[x] = kk
+        winners = {x for x in active
+                   if x not in mmap or key[x] < mmap[x]}
+        if not winners:
+            break
+        for w in winners:
+            colored[w] = r
+        active -= winners
+    if not colored:
+        return rd.from_arrow(empty)
+    out = sorted(colored)
+    return rd.from_arrow(pa.table({
+        "id": pa.array(out, pa.string()),
+        "color": pa.array([colored[i] for i in out], pa.int64())}))

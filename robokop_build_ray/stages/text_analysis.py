@@ -295,6 +295,80 @@ class PiiRedactor:
         )
 
 
+# Blocklist scan (C4 §2.2 "bad word" filter shape, Raffel et al. 2020):
+# SPEC literal substrings, case-insensitive on the lowercased text,
+# non-overlapping occurrence counts (== SQL replace()-length counting).
+# The list is a SPEC constant like SPLIT_THRESHOLDS: changing it changes
+# the published decision, so it is shared verbatim with the SQL oracle.
+BLOCKLIST_PATTERNS: tuple[str, ...] = (
+    "hash value", "big big", "value table", "spark a",
+    "window window", "merge batch", "drop table",
+)
+
+
+class BlocklistScanner:
+    """Actor-pool curation stage: the pattern set is bound once per actor
+    (``fn_constructor_kwargs``), each pattern counted with one vectorized
+    C-speed pass over the batch (`str.count` on the escaped literal).
+    Zero shuffles; the doc stream never leaves its shard. For pattern
+    sets far beyond SPEC size (10^4+, e.g. URL blocklists) the upgrade
+    path is an Aho-Corasick automaton built in ``__init__`` — same actor
+    signature, one text pass total; per-pattern vectorized passes win at
+    the tens-of-patterns scale used here."""
+
+    def __init__(self, patterns: tuple[str, ...] = None):
+        pats = BLOCKLIST_PATTERNS if patterns is None else patterns
+        self.patterns = [(p, re.compile(re.escape(p))) for p in pats]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch["text"].str.lower()
+        total = pd.Series(0, index=batch.index, dtype="int64")
+        npat = pd.Series(0, index=batch.index, dtype="int64")
+        for _, rx in self.patterns:
+            c = low.str.count(rx).astype("int64")
+            total += c
+            npat += (c > 0).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_patterns": npat,
+                "hits_total": total,
+                "blocked": (total > 0),
+            }
+        )
+
+
+def blocklist_scan(docs, patterns: tuple[str, ...] = None,
+                   batch_size: int = 4096, concurrency=(1, 2)):
+    """doc_id, n_patterns, hits_total, blocked — per-doc blocklist audit
+    (the flag plus the evidence counts a curation report needs)."""
+    return docs.map_batches(
+        BlocklistScanner, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"patterns": patterns})
+
+
+def sql_blocklist(patterns: tuple[str, ...] = None) -> str:
+    """Oracle: per-pattern non-overlapping occurrence counts via the
+    replace()-length identity, aggregated per doc."""
+    pats = BLOCKLIST_PATTERNS if patterns is None else patterns
+    values = ", ".join("('" + p.replace("'", "''") + "')" for p in pats)
+    return f"""
+WITH pats(pat) AS (VALUES {values}),
+per AS (
+  SELECT d.doc_id,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), p.pat, '')))
+              // length(p.pat) AS BIGINT) AS c
+  FROM documents d CROSS JOIN pats p
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_patterns,
+       CAST(sum(c) AS BIGINT) AS hits_total,
+       sum(c) > 0 AS blocked
+FROM per GROUP BY doc_id"""
+
+
 def bpe_token_stats(docs, batch_size: int = 4096):
     return docs.map_batches(bpe_token_stats_batch, batch_format="pandas",
                             batch_size=batch_size)

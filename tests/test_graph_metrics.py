@@ -678,6 +678,36 @@ def test_matching_properties_and_hand_structure():
             assert a in matched or b in matched, (a, b)
 
 
+def test_coloring_proper_and_classes_disjoint():
+    # colors of adjacent nodes must differ; each round's class is an
+    # independent set; a triangle needs >= 3 colors (with 4 rounds all
+    # three nodes of K3 plus the pendant get colored)
+    from robokop_build_ray.stages.graph_metrics import greedy_coloring
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    rows = greedy_coloring(_edges(pairs), rounds=4, n_buckets=4).take_all()
+    col = {r["id"]: r["color"] for r in rows}
+    assert set(col) == {"a", "b", "c", "d"}
+    for a, b in pairs:
+        assert col[a] != col[b], (a, b)
+    assert len({col["a"], col["b"], col["c"]}) == 3  # triangle
+
+
+def test_coloring_distributed_matches_local():
+    rng = np.random.default_rng(37)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 40, size=(120, 2)) if a != b]
+    from robokop_build_ray.stages.graph_metrics import greedy_coloring
+
+    ds = _edges(pairs)
+    local = sorted((r["id"], r["color"])
+                   for r in greedy_coloring(ds).take_all())
+    dist = sorted((r["id"], r["color"])
+                  for r in greedy_coloring(
+                      ds, local_threshold=0, n_buckets=4).take_all())
+    assert local == dist and len(local) > 0
+
+
 def test_matching_distributed_matches_local():
     rng = np.random.default_rng(31)
     pairs = [(f"n{a}", f"n{b}")
