@@ -1578,6 +1578,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.3,
             checkpoint_dir=_ckpt(sf, "ngram_p64"),
         ).select_columns(["id_a", "id_b"]),
+        # PROVABLY-COMPLETE exact Jaccard join: frequency-ordered prefix
+        # filtering (Bayardo et al. 2007 AllPairs), exact-integer gates
+        "dedup_prefix_jaccard": lambda sf: dedup.prefix_jaccard_pairs(
+            _docs(sf), checkpoint_dir=_ckpt(sf, "prefix_jacc"),
+        ),
         # containment near-dups (overlap coefficient): rare-shingle
         # inverted-index blocking, exact set verify, one-division float
         "dedup_containment": lambda sf: dedup.overlap_coefficient_pairs(
@@ -2182,6 +2187,7 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_minhash_lsh": entry_sql.sql_dedup_minhash_lsh(t),
         "dedup_simhash": entry_sql.sql_dedup_simhash(t),
         "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
+        "dedup_prefix_jaccard": entry_sql.sql_dedup_prefix_jaccard(),
         "dedup_containment": entry_sql.sql_dedup_containment(),
         "dedup_clusters": entry_sql.sql_dedup_clusters(t),
         "dedup_keep": f"""

@@ -1213,6 +1213,37 @@ WHERE len(a.gs) + len(b.gs) > 0
       >= {threshold}"""
 
 
+def sql_dedup_prefix_jaccard(t_num: int = 1, t_den: int = 2,
+                             n: int = 3) -> str:
+    """Fully independent oracle for prefix_jaccard_pairs: EXACT all-pairs
+    word n-gram Jaccard in SQL. The engine's prefix-filter blocking is
+    provably complete (no empirical-recall caveat needed, unlike the LSH
+    and rare-shingle siblings); the threshold gate is the same integer
+    cross-multiplication on both sides, the float ONE division."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents
+),
+sets AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {n - 2}),
+                             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+    END) AS gs
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS un
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE len(a.gs) + len(b.gs) > 0
+)
+SELECT id_a, id_b, 1.0 * inter / un AS jaccard
+FROM pairs WHERE inter * {t_den} >= un * {t_num}"""
+
+
 def sql_dedup_containment(threshold: float = 0.8, n: int = 3) -> str:
     """Fully independent oracle for overlap_coefficient_pairs: EXACT
     all-pairs Szymkiewicz-Simpson overlap in SQL (the engine blocks on

@@ -1034,3 +1034,48 @@ def test_audio_stats_probe_roundtrip(ray_session):
     # decode-from-bytes recomputation matches generator ground truth for
     # BOTH encodings (PCM16 exact; mu-law through the companded domain)
     assert got == want
+
+
+def test_prefix_jaccard_complete_vs_bruteforce():
+    """Prefix filtering is PROVABLY complete: the engine's pair set and
+    jaccard values must equal the exact all-pairs computation, including
+    boundary pairs sitting exactly at the threshold."""
+    rng = np.random.default_rng(11)
+    rows = []
+    base = [f"w{v}" for v in rng.integers(0, 400, size=60)]
+    for d in range(30):
+        toks = list(base)
+        # vary few tokens (near-dups, J above 0.5) for half the docs and
+        # many for the rest so pair similarities sweep across 0.5
+        k = int(rng.integers(0, 8)) if d % 2 == 0 else int(
+            rng.integers(8, 60))
+        for pos in rng.choice(60, size=k, replace=False):
+            toks[pos] = f"x{d}_{pos}"
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    expect = []
+    sets = {r["doc_id"]: set(dedup.shingle_hashes(r["text"]).tolist())
+            for r in rows}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 2 >= union:
+                expect.append((a, b, inter / union))
+    got = sorted((r["id_a"], r["id_b"], r["jaccard"])
+                 for r in dedup.prefix_jaccard_pairs(
+                     rd.from_items(rows)).take_all())
+    assert got == sorted(expect) and len(expect) >= 3
+
+
+def test_prefix_jaccard_threshold_is_exact_integer():
+    # 3 shared grams of 4 vs 4: union 5, inter 3 -> 0.6 >= 1/2 kept;
+    # with threshold 2/3 the same pair needs inter*3 >= union*2 (9 >= 10
+    # fails) -> dropped. No float rounding in either decision.
+    a = "p q r s t u"   # grams: pqr qrs rst stu
+    b = "p q r s t v"   # grams: pqr qrs rst stv
+    rows = [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}]
+    kept = dedup.prefix_jaccard_pairs(rd.from_items(rows), 1, 2).take_all()
+    assert [(r["id_a"], r["id_b"]) for r in kept] == [(1, 2)]
+    assert abs(kept[0]["jaccard"] - 0.6) < 1e-15
+    dropped = dedup.prefix_jaccard_pairs(rd.from_items(rows), 2, 3).take_all()
+    assert dropped == []
