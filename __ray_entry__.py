@@ -944,6 +944,17 @@ def _kg_skipgram_negatives(sf_dir: str):
     return walk_skipgram_negatives(pairs, k=2)
 
 
+def _kg_sgns_embeddings(sf_dir: str):
+    """SGNS training over the walk corpus — the node2vec-style pipeline's
+    final stage (walks -> pairs -> negatives -> EMBEDDINGS). Quantized
+    full-batch GD: the oracle is an independently-structured sequential
+    fit (entry_sql.ensure_sgns_aux), so this row is green only when the
+    distributed trainer reproduces it bit-for-bit at any parallelism."""
+    from robokop_build_ray.stages.embedding_train import sgns_embeddings
+
+    return sgns_embeddings(_kg(sf_dir, "edges"))
+
+
 def _media_features(sf_dir: str):
     """Multimodal probe driver consumer: every media payload decoded
     through the REAL pure-numpy codecs (PPM/PNG/GIF/JPEG images,
@@ -1341,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walk_skipgrams": _kg_walk_skipgrams,
         # deterministic negative sampling over those pairs (md5 mod-index)
         "kg_skipgram_negatives": _kg_skipgram_negatives,
+        "kg_sgns_embeddings": _kg_sgns_embeddings,
         # omnicorp/chemotext-analog publication supporter + unified edge sink
         "kg_support_pubs": lambda sf: (ensure_corpus(sf),
                                        _kg_support_pubs(sf))[1],
@@ -1853,6 +1865,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_random_walks": entry_sql.sql_random_walks(t),
         "kg_walk_skipgrams": entry_sql.sql_walk_skipgrams(t),
         "kg_skipgram_negatives": entry_sql.sql_skipgram_negatives(t),
+        "kg_sgns_embeddings": entry_sql.sql_sgns_embeddings(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),

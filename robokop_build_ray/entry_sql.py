@@ -1347,6 +1347,121 @@ def sql_bpe_merges(tier: str, n_merges: int = 60) -> str:
             f"FROM read_parquet('{path}')")
 
 
+# SGNS spec constants — independent copies of stages/embedding_train.py's
+# (the _MINHASH_SEED convention); changing either side requires an
+# _AUX_VERSION bump so signature tables regenerate
+_SGNS_DIM = 8
+_SGNS_ITERS = 10
+_SGNS_LR = 0.5
+_SGNS_Q = 1_000_000_000
+
+
+def ensure_sgns_aux(tier: str, n_walks: int = 2, walk_len: int = 3,
+                    window: int = 2, k_neg: int = 2) -> str:
+    """Sequential SGNS-trainer oracle (idempotent): re-derives the
+    deterministic walk corpus, skip-gram pairs, md5 negatives AND the
+    quantized full-batch fit from the corpus parquet with an
+    independently-structured single-process implementation (the graph
+    comes from the recursive canon SQL, walks from dict-adjacency Python
+    loops), writing the final quantized center embeddings to parquet.
+    The engine's distributed fit must reproduce them bit-for-bit — the
+    ``ensure_bpe_aux`` pattern applied to representation learning."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/sgns_emb_{n_walks}_{walk_len}_{window}_{k_neg}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    from .sources.corpus import ensure_corpus
+
+    p = dict(corpus_paths(tier))
+    p.update(ensure_corpus(tier))  # aux runs duckdb NOW, corpus must exist
+    und = duckdb.sql(
+        f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES}\n"
+        "SELECT a, b FROM und").df()
+    adj: dict[str, list[str]] = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    def hkey(u: str, v: str, w: int, s: int) -> str:
+        return hashlib.md5(f"{u}|{v}|{w}|{s}".encode()).hexdigest()
+
+    # walks: argmin-md5 next hop from EVERY node (engine convention)
+    seqs: dict[tuple[str, int], list[str]] = {}
+    for s in sorted(adj):
+        for w in range(n_walks):
+            seq = [s]
+            for step in range(1, walk_len + 1):
+                u = seq[-1]
+                seq.append(min(adj[u], key=lambda v: hkey(u, v, w, step)))
+            seqs[(s, w)] = seq
+    # skip-gram pairs within the window, both directions, one row per
+    # (sequence, step offset) occurrence — multiplicity preserved
+    pairs: list[tuple[str, int, int, int, str, str]] = []
+    for (s, w), seq in seqs.items():
+        for i in range(len(seq)):
+            for d in range(1, window + 1):
+                if i + d < len(seq):
+                    pairs.append((s, w, i, i + d, seq[i], seq[i + d]))
+                    pairs.append((s, w, i + d, i, seq[i + d], seq[i]))
+    uni = sorted({s for (s, _w) in seqs})
+    pos = {u: i for i, u in enumerate(uni)}
+    n = len(uni)
+    centers, ctxs, ys = [], [], []
+    for (s, w, cs, xs, c, x) in pairs:
+        centers.append(pos[c])
+        ctxs.append(pos[x])
+        ys.append(1.0)
+        for i in range(k_neg):
+            h = int(hashlib.md5(
+                f"{s}|{w}|{cs}|{xs}|{i}".encode()).hexdigest()[:8], 16)
+            centers.append(pos[c])
+            ctxs.append(pos[uni[h % n]])
+            ys.append(0.0)
+    ci = np.asarray(centers, dtype=np.int64)
+    xi = np.asarray(ctxs, dtype=np.int64)
+    y = np.asarray(ys, dtype=np.float64)
+    n_pairs = len(y)
+    i_idx = np.arange(n, dtype=np.int64)[:, None]
+    j_idx = np.arange(_SGNS_DIM, dtype=np.int64)[None, :]
+    W = ((i_idx * 131 + j_idx * 31) % 201 - 100) / 1000.0
+    C = ((i_idx * 137 + j_idx * 29) % 201 - 100) / 1000.0
+    for _ in range(_SGNS_ITERS):
+        z = np.zeros(n_pairs, dtype=np.float64)
+        for j in range(_SGNS_DIM):
+            z = z + W[ci, j] * C[xi, j]
+        err = 1.0 / (1.0 + np.exp(-z)) - y
+        gW = np.zeros((n, _SGNS_DIM), dtype=np.int64)
+        gC = np.zeros((n, _SGNS_DIM), dtype=np.int64)
+        for j in range(_SGNS_DIM):
+            np.add.at(gW[:, j], ci,
+                      np.floor(err * C[xi, j] * _SGNS_Q).astype(np.int64))
+            np.add.at(gC[:, j], xi,
+                      np.floor(err * W[ci, j] * _SGNS_Q).astype(np.int64))
+        W = W - _SGNS_LR * (gW / _SGNS_Q) / n_pairs
+        C = C - _SGNS_LR * (gC / _SGNS_Q) / n_pairs
+    cols = {"id": pa.array(uni, pa.string())}
+    for j in range(_SGNS_DIM):
+        cols[f"e{j}_q"] = pa.array(
+            np.floor(W[:, j] * _SGNS_Q).astype(np.int64), pa.int64())
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+def sql_sgns_embeddings(tier: str) -> str:
+    path = ensure_sgns_aux(tier)
+    cols = ", ".join(f"e{j}_q" for j in range(_SGNS_DIM))
+    return f"SELECT id, {cols} FROM read_parquet('{path}')"
+
+
 def ensure_bpe_encode_aux(tier: str, n_merges: int = 60) -> str:
     """Sequential BPE-ENCODE oracle (idempotent): tokenizes every document
     with the merges from :func:`ensure_bpe_aux` (the independently trained

@@ -721,3 +721,57 @@ def test_matching_distributed_matches_local():
                   for r in maximal_matching(
                       ds, local_threshold=0, n_buckets=4).take_all())
     assert local == dist and len(local) > 0
+
+
+def test_sgns_embeddings_partition_invariant_and_learns():
+    """The quantized-gradient scheme must be bit-identical at any input
+    partitioning, and on two loosely-bridged cliques the trained dots of
+    within-clique skip-gram positives should exceed cross-clique ones."""
+    from robokop_build_ray.stages.embedding_train import (
+        DIM, Q, sgns_embeddings)
+
+    cl1 = list(combinations(["a1", "a2", "a3", "a4"], 2))
+    cl2 = list(combinations(["b1", "b2", "b3", "b4"], 2))
+    pairs = cl1 + cl2 + [("a1", "b1")]
+    one = sorted(tuple(r.values())
+                 for r in sgns_embeddings(_edges(pairs)).take_all())
+    many = sorted(tuple(r.values())
+                  for r in sgns_embeddings(
+                      _edges(pairs).repartition(7)).take_all())
+    assert one == many and len(one) == 8
+    emb = {r[0]: np.array(r[1:], dtype=np.int64) for r in one}
+    assert all(len(v) == DIM for v in emb.values())
+    # in-test sequential fit over the SAME labeled table: the engine must
+    # reproduce it bit-for-bit, and full-batch GD must DESCEND the BCE
+    from robokop_build_ray.stages.embedding_train import (
+        C_SALTS, SGNS_ITERS, SGNS_LR, W_SALTS, _fixed_order_dot,
+        _labeled_pairs, init_matrix)
+
+    lab = _labeled_pairs(_edges(pairs), 2, 3, 2, 2).to_pandas()
+    uni = np.array(sorted(emb), dtype=object)
+    n = len(uni)
+    ci = np.searchsorted(uni, lab["center"].to_numpy(dtype=object))
+    xi = np.searchsorted(uni, lab["ctx"].to_numpy(dtype=object))
+    y = lab["y"].to_numpy(dtype=np.float64)
+
+    def bce(W, C):
+        p = 1.0 / (1.0 + np.exp(-_fixed_order_dot(W, C, ci, xi)))
+        return -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+
+    W, C = init_matrix(n, W_SALTS), init_matrix(n, C_SALTS)
+    loss0 = bce(W, C)
+    for _ in range(SGNS_ITERS):
+        err = 1.0 / (1.0 + np.exp(-_fixed_order_dot(W, C, ci, xi))) - y
+        gW = np.zeros((n, DIM), dtype=np.int64)
+        gC = np.zeros((n, DIM), dtype=np.int64)
+        for j in range(DIM):
+            np.add.at(gW[:, j], ci, np.floor(err * C[xi, j] * Q)
+                      .astype(np.int64))
+            np.add.at(gC[:, j], xi, np.floor(err * W[ci, j] * Q)
+                      .astype(np.int64))
+        W = W - SGNS_LR * (gW / Q) / len(y)
+        C = C - SGNS_LR * (gC / Q) / len(y)
+    assert bce(W, C) < loss0
+    seq_q = np.floor(W * Q).astype(np.int64)
+    got_q = np.stack([emb[u] for u in uni])
+    assert np.array_equal(seq_q, got_q)
