@@ -982,6 +982,19 @@ def _media_audio_stats(sf_dir: str):
     return media_audio_stats(rd.read_parquet(paths["media"]))
 
 
+def _media_image_dhash(sf_dir: str):
+    """Perceptual image hashing (dHash) over the media table: every
+    image payload decoded for real (PPM/PNG/GIF/JPEG), hashed with pure
+    integer arithmetic; the oracle is an independently-written
+    sequential hash over the same decoded pixels
+    (entry_sql.ensure_media_dhash_aux) — the signature pass of image
+    near-dup (pairing itself is pytest-pinned on planted duplicates)."""
+    from robokop_build_ray.stages.multimodal import image_dhash
+
+    paths = ensure_corpus(sf_dir)
+    return image_dhash(rd.read_parquet(paths["media"]))
+
+
 def _kg_support_static(sf_dir: str):
     """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
     and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
@@ -1368,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode probe: real codecs re-derive geometry from bytes
         "media_features": _media_features,
         "media_audio_stats": _media_audio_stats,
+        "media_image_dhash": _media_image_dhash,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -1870,6 +1884,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
+        "media_image_dhash": entry_sql.sql_media_image_dhash(t),
         "media_audio_stats": f"""
 SELECT media_id, CAST(energy AS BIGINT) AS energy,
        CAST(ac_lag1 AS BIGINT) AS ac_lag1

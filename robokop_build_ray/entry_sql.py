@@ -1462,6 +1462,61 @@ def sql_sgns_embeddings(tier: str) -> str:
     return f"SELECT id, {cols} FROM read_parquet('{path}')"
 
 
+def ensure_media_dhash_aux(tier: str) -> str:
+    """Sequential dHash oracle (idempotent): decodes every image payload
+    with the SHARED codec spec (the decoders are spec constants, like
+    the minhash seed) but re-derives the perceptual hash — nearest
+    resize, integer luminance, gradient bits, packing — with
+    independently-written code. The engine's distributed signature pass
+    must reproduce every value exactly."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/media_dhash.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    from .sources.corpus import ensure_corpus
+    from .stages import multimodal as mm
+
+    media = pd.read_parquet(ensure_corpus(tier)["media"])
+    dec = {mm.PPM_MIME: mm.decode_ppm, mm.PNG_MIME: mm.decode_png,
+           mm.GIF_MIME: mm.decode_gif, mm.JPEG_MIME: mm.decode_jpeg}
+    ids, hs = [], []
+    for mid, kind, mime, p in zip(media["media_id"], media["kind"],
+                                  media["mime"], media["payload"]):
+        if kind != "image" or mime not in dec:
+            continue
+        img = dec[mime](p)
+        if img.ndim == 2:
+            img = np.dstack([img, img, img])
+        img = img[:, :, :3]
+        h, w = img.shape[:2]
+        v = 0
+        for r in range(8):
+            rr = (r * h) // 8
+            row = [int(img[rr, (c * w) // 9, 0]) + int(img[rr, (c * w) // 9, 1])
+                   + int(img[rr, (c * w) // 9, 2]) for c in range(9)]
+            for c in range(8):
+                if row[c + 1] > row[c]:
+                    v |= 1 << (r * 8 + c)
+        ids.append(int(mid))
+        hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+    pq.write_table(pa.table({"media_id": pa.array(ids, pa.int64()),
+                             "dhash": pa.array(hs, pa.int64())}), path)
+    return path
+
+
+def sql_media_image_dhash(tier: str) -> str:
+    path = ensure_media_dhash_aux(tier)
+    return f"SELECT media_id, dhash FROM read_parquet('{path}')"
+
+
 def ensure_bpe_encode_aux(tier: str, n_merges: int = 60) -> str:
     """Sequential BPE-ENCODE oracle (idempotent): tokenizes every document
     with the merges from :func:`ensure_bpe_aux` (the independently trained

@@ -1204,3 +1204,135 @@ def media_audio_stats(media, batch_size: int = 32):
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+# --------------------------------------------------- perceptual hash (dHash)
+
+DHASH_W, DHASH_H = 9, 8  # 8x8 gradient bits — the standard dHash geometry
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Channel normalization SPEC (shared with MediaDecoder._feature):
+    grayscale repeats to 3 channels, RGBA drops alpha."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return img[:, :, :3]
+
+
+def dhash_of(img: np.ndarray) -> int:
+    """Difference hash (dHash, Krawetz 2013 — public method): nearest
+    resize to 9x8, integer luminance r+g+b (no division), bit (r, c) set
+    iff lum[r, c+1] > lum[r, c], packed little-endian bit r*8+c. All
+    integer arithmetic — bit-identical anywhere. Returns SIGNED int64
+    (two's complement) so the value survives BIGINT parquet/SQL."""
+    small = resize_nearest(_to_rgb(img), DHASH_W, DHASH_H)
+    lum = small.astype(np.int32).sum(axis=2)
+    bits = (lum[:, 1:] > lum[:, :-1]).flatten()
+    v = int((bits.astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_IMAGE_DECODERS = {PPM_MIME: decode_ppm, PNG_MIME: decode_png,
+                   GIF_MIME: decode_gif, JPEG_MIME: decode_jpeg}
+
+
+class ImageDHasher:
+    """Actor-pool perceptual-hash stage over image rows: real decode
+    (all four image codecs), then the integer dHash. Non-image mimes are
+    skipped (the caller filters by kind; unknown image mimes raise like
+    MediaDecoder strict mode would — a hash from a stub decode would be
+    a silent dedup corruption)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, mime, p in zip(batch["media_id"].to_pylist(),
+                                batch["mime"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            dec = _IMAGE_DECODERS.get(mime)
+            if dec is None:
+                continue
+            ids.append(mid)
+            hs.append(dhash_of(dec(p)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "dhash": pa.array(hs, pa.int64())})
+
+
+def image_dhash(media, batch_size: int = 32, concurrency=(1, 4)):
+    """(media_id, dhash) for every image row — the signature pass of
+    perceptual image dedup (binary payloads never shuffle: the scan is
+    column-pruned to image rows and hashes leave the stage as 8 bytes)."""
+    return media.filter(
+        expr="kind == 'image'"
+    ).select_columns(["media_id", "mime", "payload"]).map_batches(
+        ImageDHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def image_dhash_pairs(media, max_hamming: int = 10, n_buckets: int = 16,
+                      cap: int = 200):
+    """Near-duplicate image pairs: dHash signatures -> 16-bit-chunk
+    pigeonhole blocking -> exact popcount verify inside the bucket.
+    With 4 chunks the blocking is provably COMPLETE for hamming <= 3
+    (some chunk must match); for the default radius 10 a pair whose
+    differing bits spread across all four chunks can be missed — the
+    standard recall/cost tradeoff, same documented contract as
+    simhash_pairs. Payload bytes NEVER enter the exchange — only
+    (media_id, dhash)."""
+    import pandas as pd
+
+    from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
+
+    sigs = image_dhash(media).materialize()  # media-bounded, read twice
+
+    def chunks(b: pa.Table) -> pa.Table:
+        h = b["dhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = h.view(np.uint64)
+        mid = b["media_id"].to_numpy(zero_copy_only=False)
+        out_id, out_ci, out_cv, out_h = [], [], [], []
+        for k in range(4):
+            out_id.append(mid)
+            out_ci.append(np.full(len(u), k, dtype=np.int64))
+            out_cv.append(((u >> np.uint64(16 * k))
+                           & np.uint64(0xFFFF)).astype(np.int64))
+            out_h.append(h)
+        return pa.table({
+            "media_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "chunk_idx": pa.array(np.concatenate(out_ci), pa.int64()),
+            "chunk_val": pa.array(np.concatenate(out_cv), pa.int64()),
+            "dhash": pa.array(np.concatenate(out_h), pa.int64())})
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[["media_id", "dhash"]].drop_duplicates("media_id")
+        ids = sub["media_id"].to_numpy(np.int64)
+        hs = sub["dhash"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        if len(ids) > cap:
+            import warnings
+
+            warnings.warn(
+                f"dhash chunk bucket holds {len(ids)} images > cap {cap};"
+                f" truncated (recall loss — raise cap)", stacklevel=2)
+            ids, hs = ids[:cap], hs[:cap]
+        if len(ids) < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = hs[ii] ^ hs[jj]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # branch-free popcount, vectorized
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep],
+                             "hamming": ham[keep]})
+
+    return bucketed_distinct(
+        bucketed_group_pairs(
+            sigs.map_batches(chunks, batch_format="pyarrow"),
+            ["chunk_idx", "chunk_val"], bucket_verify,
+            n_buckets=n_buckets),
+        ["id_a", "id_b", "hamming"], n_buckets=n_buckets)

@@ -1079,3 +1079,37 @@ def test_prefix_jaccard_threshold_is_exact_integer():
     assert abs(kept[0]["jaccard"] - 0.6) < 1e-15
     dropped = dedup.prefix_jaccard_pairs(rd.from_items(rows), 2, 3).take_all()
     assert dropped == []
+
+
+def test_image_dhash_pairs_planted_duplicates():
+    """Plant a near-duplicate (same gradient structure, +8 brightness,
+    different codec) and an unrelated noise image: the pair op must find
+    exactly the planted pair with small hamming, symmetric across PPM/PNG
+    encodings of identical pixels (hamming 0)."""
+    from robokop_build_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:12, 0:16]
+    base = np.stack([(xx * 9) % 256, (yy * 13) % 256,
+                     ((xx + yy) * 5) % 256], axis=-1).astype(np.uint8)
+    bright = np.clip(base.astype(np.int32) + 8, 0, 255).astype(np.uint8)
+    noise = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    rows = [
+        {"media_id": 0, "kind": "image", "mime": mm.PPM_MIME,
+         "payload": mm.encode_ppm(base)},
+        {"media_id": 1, "kind": "image", "mime": mm.PNG_MIME,
+         "payload": mm.encode_png(base)},        # identical pixels
+        {"media_id": 2, "kind": "image", "mime": mm.PPM_MIME,
+         "payload": mm.encode_ppm(bright)},      # near-dup
+        {"media_id": 3, "kind": "image", "mime": mm.PPM_MIME,
+         "payload": mm.encode_ppm(noise)},       # unrelated
+        {"media_id": 4, "kind": "audio", "mime": mm.WAV_MIME,
+         "payload": mm.encode_wav(np.zeros(64, dtype=np.int16))},
+    ]
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.image_dhash_pairs(
+               rd.from_items(rows), max_hamming=10).take_all()}
+    assert got.get((0, 1)) == 0          # codec-invariant: same pixels
+    assert (0, 2) in got and (1, 2) in got
+    assert all(h <= 10 for h in got.values())
+    assert not any(3 in k for k in got)  # noise image pairs with nothing
