@@ -1500,6 +1500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": lambda sf: ta.stratified_sample(_docs(sf)),
         # windowed exact COUNT DISTINCT (users per tumbling hour)
         "events_hourly_users": rel.events_hourly_users,
+        # sliding-window exact distinct (the non-decomposable aggregate)
+        "events_sliding_users": rel.events_sliding_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
         "events_value_quartiles": rel.events_value_quartiles,
         # per-row quantile-bin assignment (feature binning): broadcast
@@ -1977,6 +1979,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),
         "events_hourly_users": rel.sql_events_hourly_users(),
+        "events_sliding_users": rel.sql_events_sliding_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
         "events_value_ntile": rel.sql_events_value_ntile(),
         "events_value_mad": rel.sql_events_value_mad(),

@@ -410,6 +410,71 @@ SELECT epoch_us(ts) // 3600000000 AS hour,
 FROM events GROUP BY hour"""
 
 
+def events_sliding_users(sf_dir: str, step_s: int = 1800,
+                         n_buckets: int = 64):
+    """Sliding-window COUNT DISTINCT: unique users per 1-hour window
+    stepping every 30 min — the composition of events_sliding's window
+    expansion (each event lands in exactly two windows) with
+    events_hourly_users' exact one-exchange distinct: per-batch
+    (window, user) dedup partial -> (window, user)-bucketed global dedup
+    emitting per-window partial counts (disjoint across buckets) ->
+    window-bounded final sum. DISTINCT over overlapping windows is the
+    aggregate that does NOT decompose into tumbling partials — the
+    row-amplification + keyed-dedup shape here is the standard exact
+    answer; the sketch path (events_hll_users) is the approximate one."""
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        sec = pc.divide(pc.cast(b["ts"], pa.int64()), 1_000_000)
+        k = pc.divide(sec, step_s)
+        w0 = pc.multiply(k, step_s)
+        w1 = pc.multiply(pc.subtract(k, 1), step_s)
+        u = b["user_id"].combine_chunks()
+        return pa.table({
+            "window_start": pa.concat_arrays(
+                [w0.combine_chunks(), w1.combine_chunks()]),
+            "user_id": pa.concat_arrays([u, u])})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["window_start", "user_id"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["window_start", "user_id"])
+        return (g.groupby("window_start", sort=False).size()
+                .rename("n_users").reset_index())
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("window_start", sort=False,
+                        as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        bucketed_apply(ev.map_batches(expand, batch_format="pyarrow"),
+                       ["window_start", "user_id"], merge, partial,
+                       n_buckets)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def sql_events_sliding_users(step_s: int = 1800) -> str:
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec, user_id FROM events
+),
+w AS (
+  SELECT (sec // {step_s}) * {step_s} AS window_start, user_id FROM e
+  UNION ALL
+  SELECT (sec // {step_s} - 1) * {step_s} AS window_start, user_id FROM e
+)
+SELECT window_start, count(DISTINCT user_id) AS n_users
+FROM w GROUP BY window_start"""
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
