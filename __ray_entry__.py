@@ -672,6 +672,15 @@ def _kg_coloring(sf_dir: str):
     return greedy_coloring(_kg(sf_dir, "edges"))
 
 
+def _kg_wl_colors(sf_dir: str):
+    """1-WL (Weisfeiler-Lehman) color refinement: md5-hashed neighbor
+    color multisets, 2 synchronous rounds — the structural-role
+    fingerprint behind WL graph kernels."""
+    from robokop_build_ray.stages.graph_metrics import wl_colors
+
+    return wl_colors(_kg(sf_dir, "edges"))
+
+
 def _kg_assortativity(sf_dir: str):
     """Graph-level degree assortativity (Newman 2002) — exact integer
     moment sums, one float conversion matching the oracle expression."""
@@ -1353,6 +1362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _kg_reciprocity,
         "kg_in_out_degree": _kg_in_out_degree,
         "kg_topo_levels": _kg_topo_levels,
+        # structural-role fingerprints: 1-WL refinement trajectory
+        "kg_wl_colors": _kg_wl_colors,
         "events_benford": rel.events_benford,
         # multi-source BFS reachability (hop distance from typed seeds)
         "kg_bfs_distances": _kg_bfs_distances,
@@ -1867,6 +1878,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_mis": entry_sql.sql_mis(t),
         "kg_matching": entry_sql.sql_matching(t),
         "kg_coloring": entry_sql.sql_coloring(t),
+        "kg_wl_colors": entry_sql.sql_wl_colors(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),

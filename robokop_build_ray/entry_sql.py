@@ -2229,6 +2229,34 @@ def sql_coloring(tier: str, rounds: int = 4) -> str:
             + ",\n".join(ctes) + "\n" + sel)
 
 
+def sql_wl_colors(tier: str, rounds: int = 2) -> str:
+    """Oracle for graph_metrics.wl_colors: 1-WL refinement unrolled —
+    per round each node's color becomes md5(own_color || '|' || the
+    sorted 'color x count' multiset of its neighbors' colors); colors
+    start as the CURIE prefix. ``rounds`` is the SPEC constant
+    WL_ROUNDS."""
+    p = corpus_paths(tier)
+    ctes = ["""w0 AS MATERIALIZED (
+  SELECT id, split_part(id, ':', 1) AS c
+  FROM (SELECT DISTINCT id FROM adj))"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT a.id, p.c AS nc, count(*) AS n
+  FROM adj a JOIN w{r - 1} p ON p.id = a.nb
+  GROUP BY a.id, p.c)""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+  SELECT g.id, md5(o.c || '|' || string_agg(
+           g.nc || 'x' || CAST(g.n AS VARCHAR), ',' ORDER BY g.nc)) AS c
+  FROM g{r} g JOIN w{r - 1} o ON o.id = g.id
+  GROUP BY g.id, o.c)""")
+    sel = ", ".join(f"w{r}.c AS wl{r}" for r in range(1, rounds + 1))
+    joins = " ".join(f"JOIN w{r} ON w{r}.id = w1.id"
+                     for r in range(2, rounds + 1))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes)
+            + f"\nSELECT w1.id, {sel} FROM w1 {joins}")
+
+
 def sql_conv_latency(tier: str) -> str:
     """Oracle for kg_conv_latency: min assistant ts at-or-after the first
     user ts, per conversation."""
