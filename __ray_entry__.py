@@ -1669,6 +1669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-integer z-score outlier screen (data cleaning)
         "events_value_outliers": rel.events_value_outliers,
         "events_user_trend": rel.events_user_trend,
+        # changepoint detection: integer-exact per-user CUSUM argmax
+        "events_user_cusum": rel.events_user_cusum,
         "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
@@ -2022,6 +2024,7 @@ FROM scored""",
         "events_user_mode": rel.sql_events_user_mode(),
         "events_value_outliers": rel.sql_events_value_outliers(),
         "events_user_trend": rel.sql_events_user_trend(),
+        "events_user_cusum": rel.sql_events_user_cusum(),
         "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),

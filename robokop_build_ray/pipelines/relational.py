@@ -5115,3 +5115,101 @@ SELECT user_id, n, CAST(n_types AS BIGINT) AS n_types,
        CAST(CAST(n AS HUGEINT) * n - ssq AS DOUBLE)
          / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS simpson
 FROM a"""
+
+
+def events_user_cusum(sf_dir: str, n_buckets: int = 64):
+    """Per-user CUSUM changepoint detection (Page 1954 grain) over the
+    time-ordered spend series: for user events ordered by (ts, event_id)
+    with prefix sums P_k of cents and total T over n events, the scaled
+    deviation d_k = n*P_k - k*T is EXACT int64 (the mean-free CUSUM times
+    n — the same no-division trick as events_user_trend's moments); the
+    changepoint is argmax |d_k| over k in 1..n-1, ties -> smallest k.
+    Returns (user_id, n, cusum_max, cp_index, cp_event_id) for users with
+    >= 2 events.
+
+    ONE user-bucketed exchange; the per-bucket merge sorts once and
+    computes every user's prefix series with whole-bucket numpy
+    (offset-subtracted cumsum, lexsort argmax) — no per-user Python."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "t": t["ts"].cast(pa.int64()),
+            "y": pa.array(_cents(t["value"].to_numpy(zero_copy_only=False)),
+                          pa.int64()),
+        })
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "cusum_max": pd.Series([], dtype="int64"),
+        "cp_index": pd.Series([], dtype="int64"),
+        "cp_event_id": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        first = np.r_[True, u[1:] != u[:-1]]
+        gid = np.cumsum(first) - 1
+        start = np.flatnonzero(first)
+        counts = np.diff(np.r_[start, len(u)])
+        cs = np.cumsum(y)
+        offset = np.r_[np.int64(0), cs[start[1:] - 1]]
+        p = cs - offset[gid]
+        k = np.arange(len(u), dtype=np.int64) - start[gid] + 1
+        n_row = counts[gid]
+        tot_row = p[start + counts - 1][gid]
+        ad = np.abs(n_row * p - k * tot_row)
+        mask = k < n_row  # drop the final (always-zero) point; n==1 users
+        if not mask.any():
+            return pd.DataFrame(_empty)
+        um, km, adm, em, nm = u[mask], k[mask], ad[mask], e[mask], n_row[mask]
+        order = np.lexsort((km, -adm, um))
+        um, km, adm, em, nm = (um[order], km[order], adm[order],
+                               em[order], nm[order])
+        keep = np.r_[True, um[1:] != um[:-1]]
+        return pd.DataFrame({
+            "user_id": um[keep], "n": nm[keep], "cusum_max": adm[keep],
+            "cp_index": km[keep], "cp_event_id": em[keep],
+        })
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_cusum() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+w AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS k,
+         sum(y) OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(y) OVER (PARTITION BY user_id) AS tot
+  FROM e),
+d AS (
+  SELECT user_id, event_id, k, n, abs(n * p - k * tot) AS ad
+  FROM w WHERE k < n),
+r AS (
+  SELECT user_id, n, k, event_id, ad,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ad DESC, k) AS rn
+  FROM d)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(ad AS BIGINT) AS cusum_max,
+       CAST(k AS BIGINT) AS cp_index,
+       CAST(event_id AS BIGINT) AS cp_event_id
+FROM r WHERE rn = 1"""
