@@ -5213,3 +5213,103 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(ad AS BIGINT) AS cusum_max,
        CAST(k AS BIGINT) AS cp_index,
        CAST(event_id AS BIGINT) AS cp_event_id
 FROM r WHERE rn = 1"""
+
+
+def events_user_autocorr(sf_dir: str, n_buckets: int = 64):
+    """Per-user lag-1 autocorrelation of the time-ordered spend series
+    -> (user_id, n_pairs, acf1): Pearson correlation of consecutive
+    (value_t, value_{t+1}) cent pairs ordered by (ts, event_id) — the
+    burstiness/momentum diagnostic of a usage stream.
+
+    ONE user-bucketed exchange (the ordered-pair sibling of
+    events_user_gaps): the per-bucket merge sorts once, builds every
+    user's lag pairs with one boundary-masked shift, accumulates the five
+    moment sums as EXACT int64, and finishes with
+    lineitem_qty_price_corr's arbitrary-precision-int -> one-double
+    conversion in the oracle's operation order. Users with zero variance
+    on either side (constant runs) are excluded in both engines."""
+    import math
+
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "t": t["ts"].cast(pa.int64()),
+            "y": pa.array(_cents(t["value"].to_numpy(zero_copy_only=False)),
+                          pa.int64()),
+        })
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n_pairs": pd.Series([], dtype="int64"),
+        "acf1": pd.Series([], dtype="float64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame(_empty)
+        x, y2, uu = y[:-1][same], y[1:][same], u[1:][same]
+        df = pd.DataFrame({
+            "user_id": uu, "n": np.ones(len(uu), dtype=np.int64),
+            "sx": x, "sy": y2, "sxy": x * y2, "sxx": x * x, "syy": y2 * y2,
+        })
+        m = df.groupby("user_id", as_index=False).sum()
+        uid, ns, corrs = [], [], []
+        # user-bounded rows per bucket, so the exact-int loop is free
+        for r in m.itertuples(index=False):
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+            dxx, dyy = n * sxx - sx * sx, n * syy - sy * sy
+            if dxx <= 0 or dyy <= 0:
+                continue
+            num = n * sxy - sx * sy
+            uid.append(r.user_id)
+            ns.append(n)
+            corrs.append(float(num)
+                         / (math.sqrt(float(dxx)) * math.sqrt(float(dyy))))
+        return pd.DataFrame({
+            "user_id": np.array(uid, dtype=np.int64),
+            "n_pairs": np.array(ns, dtype=np.int64),
+            "acf1": np.array(corrs, dtype=np.float64),
+        })
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_autocorr() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y FROM events),
+l AS (
+  SELECT user_id, y AS x,
+         lead(y) OVER (PARTITION BY user_id ORDER BY t, event_id) AS y2
+  FROM e),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y2) AS BIGINT) AS sy,
+         CAST(sum(x * y2) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y2 * y2) AS BIGINT) AS syy
+  FROM l WHERE y2 IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS acf1
+FROM m
+WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+  AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0"""
