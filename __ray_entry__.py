@@ -1673,6 +1673,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cusum": rel.events_user_cusum,
         # time-series momentum: lag-1 autocorrelation of ordered spend
         "events_user_autocorr": rel.events_user_autocorr,
+        # dimension maintenance: SCD type-2 validity intervals
+        "events_user_scd2": rel.events_user_scd2,
         "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
@@ -2028,6 +2030,7 @@ FROM scored""",
         "events_user_trend": rel.sql_events_user_trend(),
         "events_user_cusum": rel.sql_events_user_cusum(),
         "events_user_autocorr": rel.sql_events_user_autocorr(),
+        "events_user_scd2": rel.sql_events_user_scd2(),
         "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),

@@ -5313,3 +5313,106 @@ SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
 FROM m
 WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
   AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0"""
+
+
+# SCD2 open-interval sentinel: epoch_us of 9999-12-31 00:00:00 UTC (the
+# classic warehouse high-date; both engines emit the same constant)
+_SCD2_OPEN_US = 253_402_214_400_000_000
+
+
+def events_user_scd2(sf_dir: str, n_buckets: int = 64):
+    """Slowly-changing-dimension TYPE 2 history build from the event
+    stream: consecutive runs of the same event_type per user (ordered by
+    ts, event_id) collapse into versioned validity intervals ->
+    (user_id, version, event_type, valid_from_us, valid_to_us, n_events),
+    valid_to = the next run's start, open runs closed with the 9999-12-31
+    high-date sentinel — the dimension-table maintenance step every
+    warehouse load performs on a mutable attribute feed.
+
+    ONE user-bucketed exchange; the per-bucket merge is whole-bucket
+    numpy gaps-and-islands (boundary-masked change flags -> cumsum run
+    ids -> one groupby), no per-user Python."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "t": t["ts"].cast(pa.int64()),
+        })
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "version": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype=object),
+        "valid_from_us": pd.Series([], dtype="int64"),
+        "valid_to_us": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(dtype=object)
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        change = new_user | np.r_[False, ty[1:] != ty[:-1]]
+        run_start = np.flatnonzero(change)
+        run_len = np.diff(np.r_[run_start, len(u)])
+        ru = u[run_start]
+        r_from = t[run_start]
+        # version = run rank within user
+        user_first = new_user[run_start]  # first run of each user
+        ver = np.arange(len(run_start), dtype=np.int64)
+        ver -= np.maximum.accumulate(np.where(user_first, ver, 0))
+        ver += 1
+        # valid_to = next run's start within the same user, else sentinel
+        nxt_same = np.r_[ru[1:] == ru[:-1], False]
+        r_to = np.where(nxt_same, np.r_[r_from[1:], 0],
+                        np.int64(_SCD2_OPEN_US))
+        return pd.DataFrame({
+            "user_id": ru, "version": ver,
+            "event_type": pd.Series(ty[run_start], dtype=object),
+            "valid_from_us": r_from, "valid_to_us": r_to,
+            "n_events": run_len.astype(np.int64),
+        })
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_scd2() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+o AS (
+  SELECT user_id, event_id, event_type, t,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM e),
+r AS (
+  SELECT user_id, event_type, t,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM o),
+runs AS (
+  SELECT user_id, run_id, min(event_type) AS event_type,
+         min(t) AS valid_from_us, count(*) AS n_events
+  FROM r GROUP BY user_id, run_id)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY run_id)
+            AS BIGINT) AS version,
+       event_type,
+       CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(coalesce(lead(valid_from_us) OVER (PARTITION BY user_id
+                                               ORDER BY run_id),
+                     {_SCD2_OPEN_US}) AS BIGINT) AS valid_to_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM runs"""
