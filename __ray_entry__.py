@@ -1406,6 +1406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_anchored": _kg_path_anchored,
         "part_skyline": rel.part_skyline,
         "embedding_gram": _clustering().embedding_gram,
+        # dominant eigendirection: integer power iteration + projection
+        "embedding_pca_proj": lambda sf: _clustering().embedding_pca_proj(sf),
         "embedding_rp": _clustering().embedding_rp,
         # --- relational coverage (testdata views) ----------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -2320,6 +2322,7 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "embedding_gram": _clustering().sql_embedding_gram(),
+        "embedding_pca_proj": _clustering().sql_embedding_pca_proj(),
         "embedding_rp": _clustering().sql_embedding_rp(),
         "dedup_semantic": _clustering().sql_semantic_dedup(kmeans_c),
         "ann_pq_topk": _ann.sql_pq_topk(pq_c),

@@ -317,3 +317,107 @@ SELECT q.vec_id, k.k,
                             THEN 1 ELSE -1 END)) AS BIGINT) AS proj
 FROM q CROSS JOIN k
 GROUP BY q.vec_id, k.k"""
+
+
+PCA_ITERS = 3
+PCA_SCALE = 1 << 20  # rescale target after each power iteration
+
+
+def _power_iterate(G: list[list[int]], iters: int, scale: int) -> list[int]:
+    """Deterministic integer power iteration on an exact integer Gram
+    matrix: v0 = ones; per round w = G v (arbitrary-precision ints ==
+    the oracle's HUGEINT), then rescale v = sign(w) * (|w| * scale // m)
+    with m = max|w| — truncating division on NON-NEGATIVE operands, so
+    Python // and DuckDB // agree exactly. No sqrt, no float: the
+    returned direction is bit-identical to the unrolled SQL."""
+    dim = len(G)
+    v = [1] * dim
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            return v
+        v = [(-1 if x < 0 else 1) * ((abs(x) * scale) // m) for x in w]
+    return v
+
+
+def embedding_pca_proj(sf_dir: str, iters: int = PCA_ITERS):
+    """Distributed PCA first-component projection (the whitening /
+    dedup-direction primitive): Dataset(vec_id, pc1_proj) — every vector's
+    EXACT integer dot product with the dominant eigendirection of X^T X,
+    found by ``iters`` integer power iterations (SPEC constants like
+    WL_ROUNDS; converged or not, engine and unrolled oracle agree
+    bit-for-bit).
+
+    Scale shape: the Gram matrix folds from per-batch int64 matmul
+    partials with NO shuffle (embedding_gram's dim^2-bounded fold — the
+    only driver state is 64x64); the power iteration is driver-side
+    arithmetic on that dim^2 table; the projection pass broadcasts the
+    64-int direction and is one int64 matmul per batch, embarrassingly
+    parallel. This is exactly how a 100 TB PCA runs: moments small,
+    data-pass wide."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = _matrix(b["embedding"])
+        Q = np.floor(M * QUANT + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        iu, ju = np.indices(G.shape)
+        return pd.DataFrame({"i": iu.reshape(-1).astype(np.int64),
+                             "j": ju.reshape(-1).astype(np.int64),
+                             "gram": G.reshape(-1)})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["i", "j"], sort=True, as_index=False)["gram"].sum()
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    gram = (emb.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
+    # dim^2-bounded driver fold (the embedding_gram budget)
+    rows = gram.take_all()
+    if not rows:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "pc1_proj": pa.array([], pa.int64())}))
+    dim = max(r["i"] for r in rows) + 1
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["i"]][r["j"]] = int(r["gram"])
+    v = np.array(_power_iterate(G, iters, PCA_SCALE), dtype=np.int64)
+
+    def project(b: pd.DataFrame, _v=v) -> pd.DataFrame:
+        M = _matrix(b["embedding"])
+        Q = np.floor(M * QUANT + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy().astype(np.int64),
+            "pc1_proj": Q @ _v,
+        })
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
+def sql_embedding_pca_proj(iters: int = PCA_ITERS) -> str:
+    s = PCA_SCALE
+    ctes = [f"""q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}.0 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings)""",
+            """g AS MATERIALIZED (
+  SELECT a.j AS i, b.j AS j,
+         CAST(sum(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS gv
+  FROM q a JOIN q b ON b.vec_id = a.vec_id GROUP BY a.j, b.j)""",
+            """v0 AS MATERIALIZED (
+  SELECT DISTINCT i AS j, CAST(1 AS HUGEINT) AS v FROM g)"""]
+    for r in range(1, iters + 1):
+        ctes.append(f"""w{r} AS MATERIALIZED (
+  SELECT g.i AS j, sum(g.gv * p.v) AS w
+  FROM g JOIN v{r - 1} p ON p.j = g.j GROUP BY g.i)""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+  SELECT j, CASE WHEN w < 0 THEN -1 ELSE 1 END
+            * ((abs(w) * {s}) // (SELECT max(abs(w)) FROM w{r})) AS v
+  FROM w{r})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT q.vec_id, CAST(sum(q.v * v{iters}.v) AS BIGINT) AS pc1_proj
+FROM q JOIN v{iters} ON v{iters}.j = q.j
+GROUP BY q.vec_id""")
