@@ -1677,6 +1677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_autocorr": rel.events_user_autocorr,
         # dimension maintenance: SCD type-2 validity intervals
         "events_user_scd2": rel.events_user_scd2,
+        # theta join: |value diff| <= delta band self-join, pair counts
+        "events_value_band_pairs": rel.events_value_band_pairs,
         "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
@@ -2033,6 +2035,7 @@ FROM scored""",
         "events_user_cusum": rel.sql_events_user_cusum(),
         "events_user_autocorr": rel.sql_events_user_autocorr(),
         "events_user_scd2": rel.sql_events_user_scd2(),
+        "events_value_band_pairs": rel.sql_events_value_band_pairs(),
         "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),

@@ -5416,3 +5416,89 @@ SELECT user_id,
                      {_SCD2_OPEN_US}) AS BIGINT) AS valid_to_us,
        CAST(n_events AS BIGINT) AS n_events
 FROM runs"""
+
+
+BAND_DELTA_CENTS = 500  # band half-width: $5 in exact cents
+
+
+def events_value_band_pairs(sf_dir: str, delta: int = BAND_DELTA_CENTS,
+                            n_buckets: int = 64):
+    """Distributed BAND JOIN (value range self-join): per event type, the
+    EXACT count of unordered event pairs whose spend differs by at most
+    ``delta`` cents -> (event_type, n_pairs). The |a.c - b.c| <= delta
+    theta-join Ray Data has no operator for, expressed with the classic
+    band-blocking decomposition: bucket values by floor(c / delta) (bucket
+    width == band width, so every qualifying pair lives in the SAME or
+    ADJACENT buckets), replicate each row into its successor bucket, and
+    count inside each (type, bucket) group — within-bucket pairs by sorted
+    searchsorted prefix counts, cross-bucket pairs by replica-vs-home
+    range counts. No pair is materialized, no pair is counted twice
+    (cross pairs straddle distinct buckets; within pairs use positional
+    i < j), and the exchange is ONE bucketed shuffle of 2x the input
+    rows."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ty = t["event_type"].combine_chunks().cast(pa.string())
+        c = _cents(t["value"].to_numpy(zero_copy_only=False))
+        b = c // delta
+        return pa.table({
+            "event_type": pa.concat_arrays([ty, ty]),
+            "bkt": pa.array(np.r_[b, b + 1], pa.int64()),
+            "c": pa.array(np.r_[c, c], pa.int64()),
+            "home": pa.array(np.r_[np.ones(len(c), bool),
+                                   np.zeros(len(c), bool)]),
+        })
+
+    _empty = {"event_type": pd.Series([], dtype=object),
+              "n_pairs": pd.Series([], dtype="int64")}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_empty)
+        tys, ns = [], []
+        # (type x value-range/delta)-bounded groups; numpy inside each
+        for (ty, _b), sub in g.groupby(["event_type", "bkt"], sort=False):
+            home = np.sort(sub.loc[sub["home"], "c"].to_numpy(np.int64))
+            n = 0
+            if len(home) > 1:
+                idx = np.searchsorted(home, home + delta, side="right")
+                n += int((idx - np.arange(1, len(home) + 1)).sum())
+            lo = sub.loc[~sub["home"], "c"].to_numpy(np.int64)
+            if len(lo) and len(home):
+                n += int(np.searchsorted(home, lo + delta,
+                                         side="right").sum())
+            if n:
+                tys.append(ty)
+                ns.append(n)
+        return pd.DataFrame({"event_type": pd.Series(tys, dtype=object),
+                             "n_pairs": pd.Series(ns, dtype="int64")})
+
+    parts = bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["event_type", "bkt"], merge, None, n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(_empty)
+        out = b.groupby("event_type", as_index=False)["n_pairs"].sum()
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    # enum-bounded final fold (one row per event type)
+    return (parts.repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_events_value_band_pairs(delta: int = BAND_DELTA_CENTS) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events)
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b
+  ON b.event_type = a.event_type AND b.event_id > a.event_id
+  AND abs(a.c - b.c) <= {delta}
+GROUP BY a.event_type"""
