@@ -1505,6 +1505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming pass per GD iteration, int64-quantized gradient
         # partials -> weights bit-identical to the sequential fit; the
         # oracle scores with the SEQUENTIAL fit's weight literals
+        # model eval: exact tie-averaged ROC-AUC of the trained classifier
+        "doc_lr_auc": lambda sf: _classifier().lr_auc(_docs(sf)),
         "doc_lr_quality": lambda sf: _classifier().lr_train_and_score(
             _docs(sf)),
         # FineWeb/Gopher-style composite filter chain (one fused pass)
@@ -1997,6 +1999,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
         "doc_bpe_encode": entry_sql.sql_bpe_encode(t),
         "doc_lr_quality": _classifier().sql_lr_scores(
+            _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
+        "doc_lr_auc": _classifier().sql_lr_auc(
             _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),

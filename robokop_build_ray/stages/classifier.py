@@ -149,3 +149,101 @@ SELECT doc_id,
   CAST(floor(({z}) * {Q}) AS BIGINT) AS logit_q,
   ({z}) > 0 AS pred
 FROM f"""
+
+
+def lr_auc(docs):
+    """Exact ROC-AUC of the trained classifier against its labels ->
+    one row (n_pos, n_neg, auc): the Mann-Whitney rank statistic with
+    tie-averaging, computed distributed as EXACT integers — per batch a
+    (score, n_pos, n_neg) histogram partial, coalesced score-bounded
+    (scores are the quantized logit_q ints), then
+    2U = sum_s [2*n_pos(s)*N_neg_below(s) + n_pos(s)*n_neg(s)] folded in
+    arbitrary-precision Python ints and ONE IEEE division 2U / (2*P*N).
+    Identical to the oracle's window-rank formulation
+    (sum of tie-averaged positive ranks) by the standard U-statistic
+    identity. The model-quality gate a training-data pipeline runs after
+    every classifier refresh."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    w = lr_fit(docs)
+    wref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        z = _logits(_features(b), ray.get(wref))
+        df = pd.DataFrame({
+            "score": np.floor(z * Q).astype(np.int64),
+            "pos": (b["lang"] == "en").to_numpy(np.int64),
+        })
+        g = df.groupby("score", as_index=False).agg(
+            n_pos=("pos", "sum"), n=("pos", "size"))
+        g["n_neg"] = (g["n"] - g["n_pos"]).astype("int64")
+        return g[["score", "n_pos", "n_neg"]]
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("score", as_index=False)[["n_pos", "n_neg"]].sum()
+
+    parts = (docs.select_columns(["text", "lang"])
+             .map_batches(partial, batch_format="pandas")
+             .repartition(16)
+             .map_batches(merge, batch_format="pandas", batch_size=None))
+    # score-cardinality-bounded driver fold (logit_q histogram)
+    hist: dict[int, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        for s, npos, nneg in zip(b["score"], b["n_pos"], b["n_neg"]):
+            e = hist.setdefault(int(s), [0, 0])
+            e[0] += int(npos)
+            e[1] += int(nneg)
+    p = sum(v[0] for v in hist.values())
+    nn = sum(v[1] for v in hist.values())
+    empty = pa.table({"n_pos": pa.array([], pa.int64()),
+                      "n_neg": pa.array([], pa.int64()),
+                      "auc": pa.array([], pa.float64())})
+    if p == 0 or nn == 0:
+        return rd.from_arrow(empty)
+    a2, cum_neg = 0, 0
+    for s in sorted(hist):
+        npos, nneg = hist[s]
+        a2 += 2 * npos * cum_neg + npos * nneg
+        cum_neg += nneg
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([p], pa.int64()),
+        "n_neg": pa.array([nn], pa.int64()),
+        "auc": pa.array([float(a2) / float(2 * p * nn)], pa.float64()),
+    }))
+
+
+def sql_lr_auc(w: np.ndarray) -> str:
+    """Oracle for lr_auc: tie-averaged rank-sum AUC over the sequential
+    fit's scores (passes only if the distributed fit matched those
+    weights bit-for-bit, like sql_lr_scores)."""
+    w0, w1, w2, w3 = (f"{float(x):.17g}" for x in w)
+    z = (f"(({w0} + {w1} * (n_tok / 100.0)) + {w2} * (alnum / 1000.0))"
+         f" + {w3} * (s_en / 10.0)")
+    return rf"""
+WITH f AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok,
+    COALESCE(list_aggregate(list_transform(
+      regexp_extract_all(lower(text), '{TOKEN_RE}'),
+      x -> length(x)), 'sum'), 0) AS alnum,
+    len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|was)\b')) AS s_en
+  FROM documents
+),
+s AS (
+  SELECT CAST(floor(({z}) * {Q}) AS BIGINT) AS score,
+         (lang = 'en') AS y
+  FROM f),
+r AS (
+  SELECT y, 2 * rank() OVER (ORDER BY score)
+            + count(*) OVER (PARTITION BY score) - 1 AS r2
+  FROM s),
+a AS (
+  SELECT CAST(sum(CASE WHEN y THEN r2 ELSE 0 END) AS HUGEINT) AS s2,
+         CAST(count(*) FILTER (WHERE y) AS HUGEINT) AS p,
+         CAST(count(*) FILTER (WHERE NOT y) AS HUGEINT) AS nn
+  FROM r)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(s2 - p * (p + 1) AS DOUBLE) / CAST(2 * p * nn AS DOUBLE) AS auc
+FROM a WHERE p > 0 AND nn > 0"""
