@@ -1479,6 +1479,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": lambda sf: ta.blocklist_scan(_docs(sf)),
         # vocabulary / index-building passes (stages/vocab.py)
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
+        # keyword extraction: RAKE phrase scoring (deg/freq, one division)
+        "doc_rake_keywords": lambda sf: _vocab().rake_keywords(_docs(sf)),
         "doc_tfidf": lambda sf: _vocab().doc_tfidf(_docs(sf)),
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
         # collocation mining: top-k bigrams by lift (PMI-monotone)
@@ -1991,6 +1993,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_refresh": rel.sql_orders_refresh(),
         "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
+        "doc_rake_keywords": _vocab().sql_rake_keywords(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "doc_repetition": _ta_sql().sql_repetition(),

@@ -670,3 +670,181 @@ def bpe_encode(docs, n_merges: int = 60, max_vocab_words: int = 200_000,
         batch_format="pandas", batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+RAKE_K = 30
+RAKE_STOPWORDS = ("the", "and", "of", "to", "in", "is", "a")
+
+
+def _rake_phrases(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-occurrence RAKE candidate phrases: maximal runs of consecutive
+    non-stopword tokens in the token sequence -> (phrase, plen). Whole-batch
+    numpy gaps-and-islands (doc-boundary OR stopword breaks), one groupby
+    join — no per-document Python."""
+    toks = b["text"].str.lower().str.findall(TOKEN_RE)
+    ex = toks.explode().dropna()
+    empty = pd.DataFrame({"phrase": pd.Series([], dtype=object),
+                          "plen": pd.Series([], dtype="int64")})
+    if len(ex) == 0:
+        return empty
+    doc = ex.index.to_numpy()
+    w = ex.to_numpy(dtype=object)
+    stop = np.isin(w, RAKE_STOPWORDS)
+    brk = np.r_[True, (doc[1:] != doc[:-1]) | stop[:-1]]
+    isl = np.cumsum(brk)
+    keep = ~stop
+    if not keep.any():
+        return empty
+    df = pd.DataFrame({"isl": isl[keep], "w": w[keep]})
+    g = df.groupby("isl", sort=False)["w"]
+    return pd.DataFrame({
+        "phrase": g.agg(" ".join).to_numpy(dtype=object),
+        "plen": g.size().to_numpy(np.int64),
+    })
+
+
+def rake_keywords(docs, k: int = RAKE_K, n_buckets: int = 64):
+    """RAKE keyword extraction (Rose et al. 2010 grain) over the corpus ->
+    top-k candidate phrases (rk, phrase, n_occ, sum_deg, sum_freq, score):
+    phrases are stopword-delimited token runs; freq(w) = occurrences of w
+    inside candidate phrases, deg(w) = sum of the lengths of the phrases
+    each occurrence sits in (co-occurrence degree incl. self); the phrase
+    score is the RAKE ratio computed as ONE exact-int division
+    sum_deg / sum_freq over the phrase's word multiset (single-division
+    variant of the per-word ratio sum, keeping the float bit-identical to
+    the oracle).
+
+    Scale shape: extraction is one batch pass (a doc never spans rows);
+    word stats and phrase counts each ONE term/phrase-bucketed exchange
+    over pre-aggregated partials; stats re-attach by bucketed merge join
+    (the vocabulary is never broadcast); final cut is k-bounded. The
+    phrase-occurrence table is materialized once to feed both exchanges —
+    token-bounded; checkpoint it to parquet at corpus scale (the minhash
+    signature pattern)."""
+    occ = (docs.select_columns(["text"])
+           .map_batches(_rake_phrases, batch_format="pandas")
+           .materialize())
+
+    def wrows(b: pd.DataFrame) -> pd.DataFrame:
+        sp = b["phrase"].str.split(" ")
+        ex = sp.explode()
+        return pd.DataFrame({
+            "w": ex.to_numpy(dtype=object),
+            "plen": b["plen"].loc[ex.index].to_numpy(np.int64),
+        })
+
+    def wpartial(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("w", sort=False)
+                .agg(freq=("plen", "size"), deg=("plen", "sum"))
+                .reset_index())
+
+    def wmerge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("w", sort=False, as_index=False)[
+            ["freq", "deg"]].sum()
+
+    wstats = bucketed_apply(
+        occ.map_batches(wrows, batch_format="pandas"), ["w"],
+        wmerge, wpartial, n_buckets)
+
+    pcounts = bucketed_count(occ, ["phrase"], name="n_occ",
+                             n_buckets=n_buckets)
+
+    def pw(b: pd.DataFrame) -> pd.DataFrame:
+        sp = b["phrase"].str.split(" ")
+        ex = sp.explode()
+        return pd.DataFrame({
+            "w": ex.to_numpy(dtype=object),
+            "phrase": b["phrase"].loc[ex.index].to_numpy(dtype=object),
+        })
+
+    tagged = bucketed_attach(
+        pcounts.map_batches(pw, batch_format="pandas"), wstats,
+        left_on="w", right_on="w", left_cols=["phrase"],
+        payload={"freq": "freq", "deg": "deg"},
+        payload_fill=np.int64(0), n_buckets=n_buckets,
+        empty_dtypes={"phrase": object, "freq": np.int64, "deg": np.int64})
+
+    def psum(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("phrase", sort=False)
+               .agg(sum_deg=("deg", "sum"), sum_freq=("freq", "sum"))
+               .reset_index())
+        return out
+
+    sums = bucketed_apply(tagged, ["phrase"], psum, None, n_buckets)
+    scored = bucketed_attach(
+        sums, pcounts, left_on="phrase", right_on="phrase",
+        left_cols=["phrase", "sum_deg", "sum_freq"],
+        payload={"n_occ": "n_occ"}, payload_fill=np.int64(0),
+        left_fill={"sum_deg": np.int64(0), "sum_freq": np.int64(0)},
+        n_buckets=n_buckets,
+        empty_dtypes={"phrase": object, "sum_deg": np.int64,
+                      "sum_freq": np.int64, "n_occ": np.int64})
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({
+                "rk": pd.Series([], dtype="int64"),
+                "phrase": pd.Series([], dtype=object),
+                "n_occ": pd.Series([], dtype="int64"),
+                "sum_deg": pd.Series([], dtype="int64"),
+                "sum_freq": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        b = b.copy()
+        b["score"] = (b["sum_deg"].to_numpy(np.int64).astype(np.float64)
+                      / b["sum_freq"].to_numpy(np.int64))
+        b = b.sort_values(["score", "phrase"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        b["rk"] = np.arange(1, len(b) + 1)
+        for c in ("n_occ", "sum_deg", "sum_freq"):
+            b[c] = b[c].astype("int64")
+        return b[["rk", "phrase", "n_occ", "sum_deg", "sum_freq", "score"]]
+
+    return (scored.repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_rake_keywords(k: int = RAKE_K) -> str:
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS i FROM d),
+marked AS (
+  SELECT doc_id, term, i, term IN ({stop}) AS stop FROM toks),
+brk AS (
+  SELECT doc_id, term, i, stop,
+         CASE WHEN coalesce(lag(stop) OVER (PARTITION BY doc_id
+                                            ORDER BY i), TRUE)
+              THEN 1 ELSE 0 END AS b
+  FROM marked),
+isl AS (
+  SELECT doc_id, term, i, stop,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS isl
+  FROM brk),
+ph AS (
+  SELECT doc_id, isl, string_agg(term, ' ' ORDER BY i) AS phrase,
+         count(*) AS plen
+  FROM isl WHERE NOT stop GROUP BY doc_id, isl),
+pw_occ AS (
+  SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph),
+ws AS (
+  SELECT w, count(*) AS freq, sum(plen) AS deg FROM pw_occ GROUP BY w),
+pc AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+pd AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pc),
+sums AS (
+  SELECT pd.phrase, CAST(sum(ws.deg) AS BIGINT) AS sum_deg,
+         CAST(sum(ws.freq) AS BIGINT) AS sum_freq
+  FROM pd JOIN ws ON ws.w = pd.w GROUP BY pd.phrase),
+scored AS (
+  SELECT s.phrase, pc.n_occ, s.sum_deg, s.sum_freq,
+         CAST(s.sum_deg AS DOUBLE) / s.sum_freq AS score
+  FROM sums s JOIN pc ON pc.phrase = s.phrase)
+SELECT rk, phrase, CAST(n_occ AS BIGINT) AS n_occ, sum_deg, sum_freq, score
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rk
+      FROM scored)
+WHERE rk <= {k}"""
