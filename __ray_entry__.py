@@ -1683,6 +1683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_scd2": rel.events_user_scd2,
         # theta join: |value diff| <= delta band self-join, pair counts
         "events_value_band_pairs": rel.events_value_band_pairs,
+        # distributed prefix scan: running-record detection (global cummax)
+        "events_records": rel.events_records,
         "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
@@ -2043,6 +2045,7 @@ FROM scored""",
         "events_user_autocorr": rel.sql_events_user_autocorr(),
         "events_user_scd2": rel.sql_events_user_scd2(),
         "events_value_band_pairs": rel.sql_events_value_band_pairs(),
+        "events_records": rel.sql_events_records(),
         "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),

@@ -5502,3 +5502,107 @@ FROM e a JOIN e b
   ON b.event_type = a.event_type AND b.event_id > a.event_id
   AND abs(a.c - b.c) <= {delta}
 GROUP BY a.event_type"""
+
+
+RECORDS_RANGES = 256
+
+
+def events_records(sf_dir: str, n_ranges: int = RECORDS_RANGES):
+    """Running-record detection over ARRIVAL order — the distributed
+    PREFIX-SCAN primitive: an event is a record iff its spend strictly
+    exceeds every earlier (by event_id) event's spend. Returns
+    (event_id, cents, prev_max_cents), the first event included with
+    prev_max_cents = -1.
+
+    A global ordered cummax cannot be one bucketed exchange (every row
+    depends on ALL earlier rows), so this is the classic two-pass scan:
+    (1) partition the id domain into ``n_ranges`` contiguous ranges and
+    fold each range's max through a coalesced partial pass (driver state
+    = n_ranges ints); (2) exclusive-prefix-max those on the driver and
+    broadcast, then ONE range-bucketed exchange re-runs the cummax inside
+    each range with its carry-in. At 10^12 rows the scan nests
+    (log_R levels of the same fold); everything else is unchanged."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    max_id = int(ds.max("event_id"))
+    span = max_id // n_ranges + 1
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"].to_numpy(zero_copy_only=False))
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"rng": pa.array(e // span, pa.int64()),
+                         "event_id": pa.array(e, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    # consumed twice — recompute from the pruned 2-column read both times
+    # rather than pinning a corpus-scale (rng, id, cents) table
+    scan = ds.map_batches(prep, batch_format="pyarrow")
+
+    def rmax_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("rng", as_index=False)["cents"].max()
+
+    def rmax_merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("rng", as_index=False)["cents"].max()
+
+    parts = (scan.map_batches(rmax_partial, batch_format="pandas")
+             .repartition(8)
+             .map_batches(rmax_merge, batch_format="pandas",
+                          batch_size=None))
+    rmax: dict[int, int] = {}
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        for r, m in zip(b["rng"], b["cents"]):
+            rmax[int(r)] = max(rmax.get(int(r), -1), int(m))
+    # exclusive prefix max over the range-bounded driver array
+    pre: dict[int, int] = {}
+    run = -1
+    for r in sorted(rmax):
+        pre[r] = run
+        run = max(run, rmax[r])
+    pre_ref = ray.put(pre)
+
+    _empty = {"event_id": pd.Series([], dtype="int64"),
+              "cents": pd.Series([], dtype="int64"),
+              "prev_max_cents": pd.Series([], dtype="int64")}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(_empty)
+        carry = ray.get(pre_ref)
+        outs = []
+        for r, sub in g.groupby("rng", sort=False):  # n_ranges-bounded
+            sub = sub.sort_values("event_id", kind="mergesort")
+            c = sub["cents"].to_numpy(np.int64)
+            mx = np.maximum.accumulate(c)
+            cin = np.int64(carry.get(int(r), -1))
+            prev = np.maximum(np.r_[cin, mx[:-1]], cin)
+            rec = c > prev
+            if rec.any():
+                outs.append(pd.DataFrame({
+                    "event_id": sub["event_id"].to_numpy(np.int64)[rec],
+                    "cents": c[rec],
+                    "prev_max_cents": prev[rec],
+                }))
+        if not outs:
+            return pd.DataFrame(_empty)
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(scan, ["rng"], merge, None,
+                          n_buckets=min(n_ranges, 64))
+
+
+def sql_events_records() -> str:
+    return """
+WITH e AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+w AS (
+  SELECT event_id, c,
+         max(c) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS mx
+  FROM e)
+SELECT event_id, c AS cents,
+       CAST(coalesce(mx, -1) AS BIGINT) AS prev_max_cents
+FROM w WHERE mx IS NULL OR c > mx"""
