@@ -1457,6 +1457,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": rel.orders_cube,
         # TPC-H refresh stream: keyed ANTI delete + re-keyed insert batch
         "orders_refresh": rel.orders_refresh,
+        # snapshot reconciliation: fact-scale A vs B diff, one bucketed
+        # exchange, per-key change kind (added/removed/changed)
+        "orders_snapshot_diff": rel.orders_snapshot_diff,
+        # order-independent table checksum: shuffle-free partial fold;
+        # output IS hash-valued, so parity mode always (CLAUDE.md rule)
+        "lineitem_checksum": lambda sf: rel.lineitem_checksum(
+            sf, parity=True),
         # value-concentration (Gini over per-user totals, integer moments)
         "events_value_gini": rel.events_value_gini,
         "mktsegments": rel.mktsegments,
@@ -2006,6 +2013,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_rollup": rel.sql_orders_rollup(),
         "orders_cube": rel.sql_orders_cube(),
         "orders_refresh": rel.sql_orders_refresh(),
+        "orders_snapshot_diff": rel.sql_orders_snapshot_diff(),
+        "lineitem_checksum": rel.sql_lineitem_checksum(),
         "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_rake_keywords": _vocab().sql_rake_keywords(),

@@ -5606,3 +5606,173 @@ w AS (
 SELECT event_id, c AS cents,
        CAST(coalesce(mx, -1) AS BIGINT) AS prev_max_cents
 FROM w WHERE mx IS NULL OR c > mx"""
+
+
+# snapshot-diff mutation constants are SPEC (shared by query and oracle):
+# %97 rows change status, %101 rows are deleted, %103 rows are re-inserted
+# under a shifted key ("added")
+DIFF_CHANGE_MOD = 97
+DIFF_DELETE_MOD = 101
+DIFF_INSERT_MOD = 103
+DIFF_KEY_SHIFT = 10_000_000
+
+
+def orders_snapshot_diff(sf_dir: str, n_buckets: int = 64):
+    """Snapshot reconciliation (table diff): compare snapshot A (orders as
+    stored) against snapshot B (a deterministic mutation of A) and emit one
+    row per divergent key with its change kind ('added' | 'removed' |
+    'changed').
+
+    The core incremental-maintenance primitive at 100 TB: both snapshots
+    are fact-scale, so neither side can broadcast — each row is tagged with
+    its side, both sides meet in ONE key-bucketed exchange, and the
+    per-bucket compare is a vectorized outer merge + payload equality on
+    integer cents. Unchanged keys (the overwhelming majority in a real
+    diff) never leave their bucket. Payload equality here is direct column
+    compare; with wide payloads, substitute one row-hash column computed
+    map-side so the exchange ships (key, hash) only."""
+    from ..functions.bucketing import bucketed_apply
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def prep_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["o_orderkey"].to_numpy(np.int64),
+            "s": b["o_orderstatus"].astype(object),
+            "p": _cents(b["o_totalprice"].to_numpy()),
+            "_side": np.int64(0),
+        })
+
+    def prep_b(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(np.int64)
+        s = b["o_orderstatus"].to_numpy(object).copy()
+        p = _cents(b["o_totalprice"].to_numpy())
+        s[k % DIFF_CHANGE_MOD == 0] = "X"
+        keep = k % DIFF_DELETE_MOD != 0
+        ins = k % DIFF_INSERT_MOD == 0
+        return pd.DataFrame({
+            "k": np.r_[k[keep], k[ins] + DIFF_KEY_SHIFT],
+            # inserted rows carry the ORIGINAL status (pre-mutation)
+            "s": np.r_[s[keep],
+                       b["o_orderstatus"].to_numpy(object)[ins]],
+            "p": np.r_[p[keep], p[ins]],
+            "_side": np.int64(1),
+        })
+
+    u = base.map_batches(prep_a, batch_format="pandas").union(
+        base.map_batches(prep_b, batch_format="pandas"))
+
+    _empty = {"o_orderkey": pd.Series([], dtype="int64"),
+              "change": pd.Series([], dtype="object")}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "_side" not in g.columns:
+            return pd.DataFrame(_empty)
+        a = g.loc[g["_side"] == 0, ["k", "s", "p"]]
+        bb = g.loc[g["_side"] == 1, ["k", "s", "p"]]
+        m = a.merge(bb, on="k", how="outer", suffixes=("_a", "_b"),
+                    indicator=True)
+        added = m["_merge"] == "right_only"
+        removed = m["_merge"] == "left_only"
+        both = m["_merge"] == "both"
+        # cents fit float64 exactly, so the post-outer-merge float compare
+        # is still exact; NaN != NaN never fires because `both` gates it
+        changed = both & ((m["s_a"] != m["s_b"]) | (m["p_a"] != m["p_b"]))
+        out = m.loc[added | removed | changed, ["k"]].copy()
+        kind = np.where(added[added | removed | changed], "added",
+                        np.where(removed[added | removed | changed],
+                                 "removed", "changed"))
+        if len(out) == 0:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({"o_orderkey": out["k"].to_numpy(np.int64),
+                             "change": kind.astype(object)})
+
+    return bucketed_apply(u, ["k"], merge, None, n_buckets)
+
+
+def sql_orders_snapshot_diff() -> str:
+    return f"""
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p
+  FROM orders),
+b AS (
+  SELECT k, CASE WHEN k % {DIFF_CHANGE_MOD} = 0 THEN 'X' ELSE s END AS s, p
+  FROM a WHERE k % {DIFF_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT k + {DIFF_KEY_SHIFT}, s, p FROM a WHERE k % {DIFF_INSERT_MOD} = 0),
+j AS (
+  SELECT coalesce(a.k, b.k) AS o_orderkey,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.s <> b.s OR a.p <> b.p THEN 'changed' END AS change
+  FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT o_orderkey, change FROM j WHERE change IS NOT NULL"""
+
+
+CHECKSUM_MOD = 2_147_483_647  # per-row reduction so BIGINT sums never wrap
+
+
+def lineitem_checksum(sf_dir: str, parity: bool | None = None):
+    """Order-independent table checksum: one row (n_rows, checksum) where
+    checksum = sum over rows of (row_hash % {CHECKSUM_MOD}) % {CHECKSUM_MOD}.
+
+    The cheapest cross-site reconciliation primitive: two clusters (or a
+    source and its replica) each stream their copy through embarrassingly
+    parallel per-batch partials — NO shuffle, NO sort, commutative merge —
+    and compare two integers. Fast path hashes each canonical row string
+    with one vectorized siphash call per batch; parity mode (md5, the tier
+    oracles check — this query's OUTPUT is hash-valued so it always passes
+    parity=True) matches DuckDB's md5_number_lower = lower 8 md5 bytes,
+    little-endian."""
+    import hashlib
+
+    from ..stages.text_analysis import resolve_parity
+
+    use_md5 = resolve_parity(parity) if parity is None else parity
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+            "l_quantity"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        q = _cents(b["l_quantity"].to_numpy())
+        s = (b["l_orderkey"].astype(str) + "|"
+             + b["l_linenumber"].astype(str) + "|"
+             + b["l_returnflag"].astype(str) + "|"
+             + b["l_linestatus"].astype(str) + "|"
+             + pd.Series(q, index=b.index).astype(str))
+        if use_md5:
+            v = np.fromiter(
+                (int.from_bytes(hashlib.md5(x.encode()).digest()[8:],
+                                "little") % CHECKSUM_MOD for x in s),
+                np.int64, len(s))
+        else:
+            v = (pd.util.hash_array(s.to_numpy(object))
+                 % np.uint64(CHECKSUM_MOD)).astype(np.int64)
+        return pa.table({"n_rows": pa.array([len(s)], pa.int64()),
+                         "checksum": pa.array([int(v.sum()) % CHECKSUM_MOD],
+                                              pa.int64())})
+
+    seed = rd.from_arrow(pa.table({"n_rows": pa.array([0], pa.int64()),
+                                   "checksum": pa.array([0], pa.int64())}))
+    return (ds.map_batches(partial, batch_format="pandas")
+            .union(seed)
+            .repartition(1)
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "n_rows": [np.int64(b["n_rows"].sum())],
+                    "checksum": [np.int64(b["checksum"].sum()
+                                          % CHECKSUM_MOD)]}),
+                batch_format="pandas", batch_size=None))
+
+
+def sql_lineitem_checksum() -> str:
+    return f"""
+SELECT count(*) AS n_rows,
+       CAST(COALESCE(sum(md5_number_lower(
+                concat_ws('|', l_orderkey, l_linenumber, l_returnflag,
+                          l_linestatus,
+                          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)))
+                % {CHECKSUM_MOD}), 0) % {CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM lineitem"""
