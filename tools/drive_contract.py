@@ -137,7 +137,13 @@ def main() -> int:
             # actor-pool workers alive, and on the 8-CPU contract cluster
             # a couple of orphaned actors plus the next query's pool can
             # hold every CPU lease and starve its read tasks (observed
-            # deadlock at query 89 of a full sweep)
+            # deadlock at query 89 of a full sweep). `out`/`got` are still
+            # bound to the previous query's Dataset at this point, so the
+            # gc alone could not reap its executor — unbind them first
+            # (observed again at query 48 of the r3 full sweep: a
+            # VarLenFilter actor from kg_path_filtered_2hop survived the
+            # collect and starved kg_path_anchored's three pools)
+            out = got = None
             gc.collect()
             out = fn(sf_dir)
             got = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
