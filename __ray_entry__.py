@@ -1460,6 +1460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot reconciliation: fact-scale A vs B diff, one bucketed
         # exchange, per-key change kind (added/removed/changed)
         "orders_snapshot_diff": rel.orders_snapshot_diff,
+        # data profiling: candidate functional-dependency discovery
+        "orders_fd_profile": rel.orders_fd_profile,
         # order-independent table checksum: shuffle-free partial fold;
         # output IS hash-valued, so parity mode always (CLAUDE.md rule)
         "lineitem_checksum": lambda sf: rel.lineitem_checksum(
@@ -1470,6 +1472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
         "doc_quality": lambda sf: ta.quality(_docs(sf)),
+        # zlib compression-ratio quality filter (Gopher-style two-sided)
+        "doc_compression_flags": lambda sf: ta.compression_flags(_docs(sf)),
         "doc_langid": lambda sf: ta.langid(_docs(sf)),
         # eval confusion matrix (gold vs predicted language, enum-bounded)
         "doc_langid_confusion": lambda sf: ta.langid_confusion(_docs(sf)),
@@ -2014,6 +2018,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_cube": rel.sql_orders_cube(),
         "orders_refresh": rel.sql_orders_refresh(),
         "orders_snapshot_diff": rel.sql_orders_snapshot_diff(),
+        "orders_fd_profile": rel.sql_orders_fd_profile(),
         "lineitem_checksum": rel.sql_lineitem_checksum(),
         "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
@@ -2119,6 +2124,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "doc_tokens": r"""
 SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
        length(text) AS n_chars FROM documents""",
+        "doc_compression_flags": entry_sql.sql_compression_flags(t),
         "doc_quality": r"""
 WITH s AS (
   SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -2288,3 +2288,53 @@ SELECT tool,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tc) AS share
 FROM tc GROUP BY tool"""
+
+
+def ensure_zlib_aux(tier: str) -> str:
+    """Sequential zlib measurement oracle (idempotent): DEFLATE output
+    length is a property of the zlib spec constants (level 6), like the
+    media codecs — the aux stores only the raw MEASUREMENTS (raw_len,
+    comp_len); the ratio arithmetic and both quality thresholds are
+    re-derived independently in :func:`sql_compression_flags`."""
+    import os
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .stages.text_analysis import ZLIB_LEVEL
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/zlib_lens.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    docs = pd.read_parquet(f"/root/testdata/{tier}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ids, rls, cls_ = [], [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = text.encode("utf-8")
+        ids.append(int(doc_id))
+        rls.append(len(b))
+        cls_.append(len(zlib.compress(b, ZLIB_LEVEL)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "raw_len": pa.array(rls, pa.int64()),
+                             "comp_len": pa.array(cls_, pa.int64())}), path)
+    return path
+
+
+def sql_compression_flags(tier: str) -> str:
+    from .stages.text_analysis import COMP_RATIO_HI_PM, COMP_RATIO_LO_PM
+
+    path = ensure_zlib_aux(tier)
+    return f"""
+WITH m AS (
+  SELECT doc_id, raw_len, comp_len,
+         comp_len * 1000 // greatest(raw_len, 1) AS ratio_pm
+  FROM read_parquet('{path}'))
+SELECT doc_id, raw_len, comp_len, ratio_pm,
+       CASE WHEN ratio_pm < {COMP_RATIO_LO_PM} THEN 'repetitive'
+            ELSE 'incompressible' END AS flag
+FROM m
+WHERE ratio_pm < {COMP_RATIO_LO_PM} OR ratio_pm > {COMP_RATIO_HI_PM}"""

@@ -5776,3 +5776,92 @@ SELECT count(*) AS n_rows,
                           CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)))
                 % {CHECKSUM_MOD}), 0) % {CHECKSUM_MOD} AS BIGINT) AS checksum
 FROM lineitem"""
+
+
+FD_PAIRS = (  # candidate functional dependencies profiled over orders: SPEC
+    ("o_orderkey", "o_orderstatus"),    # holds (determinant is the key)
+    ("o_custkey", "o_orderpriority"),   # expected to fail
+    ("o_orderdate", "o_orderstatus"),   # expected to fail
+)
+
+
+def orders_fd_profile(sf_dir: str, n_buckets: int = 64):
+    """Functional-dependency discovery (data profiling): for each candidate
+    A -> B, count the distinct determinant values and how many of them
+    VIOLATE the dependency (map to >1 distinct B). One row per candidate:
+    (determinant, dependent, n_det, n_violating).
+
+    Scale shape: all candidates melt into ONE stream of (pair, a, b)
+    triples, map-side deduplicated per batch, then a single
+    (pair, a)-bucketed exchange computes per-determinant distinct-B counts
+    — every (pair, a) group lands whole in one bucket, so the per-bucket
+    partials (n_det, n_violating) sum exactly in a pair-bounded driver
+    fold. Adding candidates widens the melt, never adds exchanges."""
+    from ..functions.bucketing import bucketed_apply
+
+    cols = sorted({c for pr in FD_PAIRS for c in pr})
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, (a, dep) in enumerate(FD_PAIRS):
+            outs.append(pd.DataFrame({
+                "pair": np.int64(i),
+                # str casts are injective on int64/timestamp/string, and
+                # distinct counts (not the rendered values) are compared
+                "a": b[a].astype(str),
+                "b": b[dep].astype(str),
+            }).drop_duplicates())
+        return pd.concat(outs, ignore_index=True)
+
+    _empty = {"pair": pd.Series([], dtype="int64"),
+              "n_det": pd.Series([], dtype="int64"),
+              "n_violating": pd.Series([], dtype="int64")}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "a" not in g.columns:
+            return pd.DataFrame(_empty)
+        nb = (g.groupby(["pair", "a"], sort=False)["b"].nunique()
+              .reset_index(name="nb"))
+        out = nb.groupby("pair", sort=False).agg(
+            n_det=("nb", "size"), n_violating=("nb", lambda s: int((s > 1).sum())))
+        return out.reset_index().astype(
+            {"pair": "int64", "n_det": "int64", "n_violating": "int64"})
+
+    parts = bucketed_apply(ds.map_batches(prep, batch_format="pandas"),
+                           ["pair", "a"], merge, None, n_buckets)
+    # typed identity seed: an all-empty scan must still emit one zero row
+    # per candidate, matching the oracle's outer aggregate. Pandas block
+    # (not Arrow) because bucketed_apply emits pandas blocks and the
+    # repartition reduce cannot mix block types (q6's pitfall, inverted).
+    seed = rd.from_pandas(pd.DataFrame({
+        "pair": np.arange(len(FD_PAIRS), dtype=np.int64),
+        "n_det": np.zeros(len(FD_PAIRS), dtype=np.int64),
+        "n_violating": np.zeros(len(FD_PAIRS), dtype=np.int64)}))
+
+    det = {i: p[0] for i, p in enumerate(FD_PAIRS)}
+    dep = {i: p[1] for i, p in enumerate(FD_PAIRS)}
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("pair").sum().reset_index()
+        return pd.DataFrame({
+            "determinant": s["pair"].map(det).astype(object),
+            "dependent": s["pair"].map(dep).astype(object),
+            "n_det": s["n_det"].to_numpy(np.int64),
+            "n_violating": s["n_violating"].to_numpy(np.int64)})
+
+    return (parts.union(seed).repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_orders_fd_profile() -> str:
+    parts = []
+    for a, dep in FD_PAIRS:
+        parts.append(f"""
+SELECT '{a}' AS determinant, '{dep}' AS dependent,
+       count(*) AS n_det,
+       CAST(coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_violating
+FROM (SELECT {a} AS a, count(DISTINCT {dep}) AS nb
+      FROM orders GROUP BY {a})""")
+    return "\nUNION ALL\n".join(parts)

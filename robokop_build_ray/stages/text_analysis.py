@@ -1005,3 +1005,39 @@ def lang_source_chi2(docs, batch_size: int = 65_536):
         "expected": expected, "chi2": chi2,
     }).sort_values(["lang", "source"], kind="mergesort")
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+# zlib compression-ratio quality filter (the Gopher / RefinedWeb signal):
+# level and thresholds are SPEC, shared with entry_sql.ensure_zlib_aux
+ZLIB_LEVEL = 6
+COMP_RATIO_LO_PM = 430   # compresses too well -> repetitive / templated
+COMP_RATIO_HI_PM = 900   # barely compresses -> near-random / binary-ish
+
+
+def compression_flags_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc zlib compression ratio in permille (comp*1000 // raw) with
+    two-sided quality flags. The per-doc ``zlib.compress`` call is the
+    deliberate hot loop: DEFLATE is inherently per-document and each call
+    is C-speed; there is no vectorized form to prefer. Emits only flagged
+    docs (the filter's output), typed even when the batch flags none."""
+    import zlib
+
+    raw = [t.encode("utf-8") for t in batch["text"]]
+    rl = np.fromiter((len(b) for b in raw), np.int64, len(raw))
+    cl = np.fromiter((len(zlib.compress(b, ZLIB_LEVEL)) for b in raw),
+                     np.int64, len(raw))
+    pm = cl * 1000 // np.maximum(rl, 1)
+    keep = (pm < COMP_RATIO_LO_PM) | (pm > COMP_RATIO_HI_PM)
+    flag = np.where(pm < COMP_RATIO_LO_PM, "repetitive", "incompressible")
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+        "raw_len": rl[keep],
+        "comp_len": cl[keep],
+        "ratio_pm": pm[keep],
+        "flag": flag[keep].astype(object),
+    })
+
+
+def compression_flags(docs, batch_size: int = 2048):
+    return docs.map_batches(compression_flags_batch, batch_format="pandas",
+                            batch_size=batch_size)
