@@ -1696,6 +1696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band_pairs": rel.events_value_band_pairs,
         # distributed prefix scan: running-record detection (global cummax)
         "events_records": rel.events_records,
+        # Z-order (Morton) locality cells: multi-dim layout clustering
+        "events_zorder_cells": rel.events_zorder_cells,
         "events_type_diversity": rel.events_type_diversity,
         # fact-grain dense_rank window without a global sort
         "events_value_dense_rank": rel.events_value_dense_rank,
@@ -2073,6 +2075,7 @@ FROM scored""",
         "events_user_scd2": rel.sql_events_user_scd2(),
         "events_value_band_pairs": rel.sql_events_value_band_pairs(),
         "events_records": rel.sql_events_records(),
+        "events_zorder_cells": rel.sql_events_zorder_cells(),
         "events_type_diversity": rel.sql_events_type_diversity(),
         "events_value_dense_rank": rel.sql_events_value_dense_rank(),
         "events_value_cume_dist": rel.sql_events_value_cume_dist(),

@@ -5865,3 +5865,75 @@ SELECT '{a}' AS determinant, '{dep}' AS dependent,
 FROM (SELECT {a} AS a, count(DISTINCT {dep}) AS nb
       FROM orders GROUP BY {a})""")
     return "\nUNION ALL\n".join(parts)
+
+
+ZORDER_BITS = 8   # 8+8-bit Morton cells: 65,536-cell bounded domain (SPEC)
+ZORDER_TOPK = 32
+
+
+def events_zorder_cells(sf_dir: str, k: int = ZORDER_TOPK):
+    """Z-order (Morton) locality clustering: map each event to a 16-bit
+    Morton cell interleaving (user_id % 256) with (whole currency units
+    % 256), count per cell, return the top-``k`` hottest cells with both
+    decoded coordinates — the layout primitive behind multi-dimensional
+    file clustering (Delta/Iceberg OPTIMIZE ZORDER): rows sharing a cell
+    prefix are co-located, so 2-D range predicates prune contiguously.
+
+    Scale shape: the interleave is three vectorized shift-or passes per
+    batch, partials are a 65,536-bounded ``bincount`` per batch, the fold
+    is one tiny exchange — no row ever shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    n_cells = 1 << (2 * ZORDER_BITS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = (b["user_id"].to_numpy(np.int64) % 256).astype(np.uint32)
+        v = ((_cents(b["value"].to_numpy()) // 100) % 256).astype(np.uint32)
+        cell = np.zeros(len(u), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            cell |= (((u >> i) & 1) << (2 * i + 1)).astype(np.int64)
+            cell |= (((v >> i) & 1) << (2 * i)).astype(np.int64)
+        counts = np.bincount(cell, minlength=n_cells)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"cell": nz.astype(np.int64),
+                             "n_events": counts[nz].astype(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        s = (b.groupby("cell", as_index=False)["n_events"].sum()
+             .sort_values(["n_events", "cell"], ascending=[False, True],
+                          kind="mergesort")
+             .head(k))
+        cell = s["cell"].to_numpy(np.int64)
+        u = np.zeros(len(cell), dtype=np.int64)
+        v = np.zeros(len(cell), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            u |= ((cell >> (2 * i + 1)) & 1) << i
+            v |= ((cell >> (2 * i)) & 1) << i
+        return pd.DataFrame({"cell": cell, "u_bucket": u, "v_bucket": v,
+                             "n_events": s["n_events"].to_numpy(np.int64)})
+
+    # cell domain is 65,536-bounded, so the fold is one tiny reduce
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_zorder_cells(k: int = ZORDER_TOPK) -> str:
+    interleave = " + ".join(
+        f"((((user_id % 256) >> {i}) & 1) << {2 * i + 1})"
+        f" + ((((CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 100) % 256)"
+        f" >> {i} & 1) << {2 * i})"
+        for i in range(8))
+    return f"""
+WITH c AS (
+  SELECT {interleave} AS cell, count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT cell,
+       {" + ".join(f"(((cell >> {2 * i + 1}) & 1) << {i})" for i in range(8))}
+           AS u_bucket,
+       {" + ".join(f"(((cell >> {2 * i}) & 1) << {i})" for i in range(8))}
+           AS v_bucket,
+       n_events
+FROM c
+ORDER BY n_events DESC, cell ASC
+LIMIT {k}"""
