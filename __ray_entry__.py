@@ -1462,6 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": rel.orders_snapshot_diff,
         # data profiling: candidate functional-dependency discovery
         "orders_fd_profile": rel.orders_fd_profile,
+        # referential-integrity audit (orphans + unreferenced parents)
+        "ri_audit": rel.ri_audit,
         # order-independent table checksum: shuffle-free partial fold;
         # output IS hash-valued, so parity mode always (CLAUDE.md rule)
         "lineitem_checksum": lambda sf: rel.lineitem_checksum(
@@ -2021,6 +2023,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "orders_refresh": rel.sql_orders_refresh(),
         "orders_snapshot_diff": rel.sql_orders_snapshot_diff(),
         "orders_fd_profile": rel.sql_orders_fd_profile(),
+        "ri_audit": rel.sql_ri_audit(),
         "lineitem_checksum": rel.sql_lineitem_checksum(),
         "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),

@@ -5937,3 +5937,139 @@ SELECT cell,
 FROM c
 ORDER BY n_events DESC, cell ASC
 LIMIT {k}"""
+
+
+RI_BACKFILL_MOD = 7  # SPEC: rel 0 audits a parent snapshot mid-backfill
+
+
+def ri_audit(sf_dir: str, n_buckets: int = 64):
+    """Referential-integrity audit across three FK relationships — the
+    data-quality gate a 100 TB ingest runs before publishing a snapshot.
+    Per relationship: child row count, orphan child rows (FK value absent
+    from the parent), distinct parent keys, and parent keys never
+    referenced. Relationship 0 deliberately audits lineitem against a
+    parent snapshot missing every ``o_orderkey % {RI_BACKFILL_MOD} == 0``
+    row (a backfill in flight), so the orphan path is exercised for real;
+    relationships 1-2 are the natural (clean) FKs.
+
+    Scale shape: all three relationships melt into ONE (rel, key)-bucketed
+    exchange of map-side-reduced (key, side, cnt) partials; each bucket
+    reconciles its keys vectorized and emits per-rel partial counters, so
+    the driver fold is 3-rows-bounded. Adding FKs widens the melt only."""
+    from ..functions.bucketing import bucketed_apply
+
+    rels = ("lineitem.l_orderkey->orders[backfill].o_orderkey",
+            "orders.o_custkey->customer.c_custkey",
+            "events.user_id->customer.c_custkey")
+
+    def child_prep(col, rel):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(col, sort=False).size()
+            return pd.DataFrame({"rel": np.int64(rel),
+                                 "key": g.index.to_numpy(np.int64),
+                                 "side": np.int64(0),
+                                 "cnt": g.to_numpy(np.int64)})
+        return f
+
+    def parent_prep(col, rel, mod=None):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[col].drop_duplicates().to_numpy(np.int64)
+            if mod is not None:
+                k = k[k % mod != 0]
+            return pd.DataFrame({"rel": np.int64(rel), "key": k,
+                                 "side": np.int64(1),
+                                 "cnt": np.int64(0)})
+        return f
+
+    def rp(table, cols):
+        return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+    streams = [
+        rp("lineitem", ["l_orderkey"]).map_batches(
+            child_prep("l_orderkey", 0), batch_format="pandas"),
+        rp("orders", ["o_orderkey"]).map_batches(
+            parent_prep("o_orderkey", 0, RI_BACKFILL_MOD),
+            batch_format="pandas"),
+        rp("orders", ["o_custkey"]).map_batches(
+            child_prep("o_custkey", 1), batch_format="pandas"),
+        rp("customer", ["c_custkey"]).map_batches(
+            parent_prep("c_custkey", 1), batch_format="pandas"),
+        rp("events", ["user_id"]).map_batches(
+            child_prep("user_id", 2), batch_format="pandas"),
+        rp("customer", ["c_custkey"]).map_batches(
+            parent_prep("c_custkey", 2), batch_format="pandas"),
+    ]
+    u = streams[0]
+    for s in streams[1:]:
+        u = u.union(s)
+
+    _empty = {"rel": pd.Series([], dtype="int64"),
+              "n_child": pd.Series([], dtype="int64"),
+              "n_orphans": pd.Series([], dtype="int64"),
+              "n_parents": pd.Series([], dtype="int64"),
+              "n_unref_parents": pd.Series([], dtype="int64")}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "side" not in g.columns:
+            return pd.DataFrame(_empty)
+        piv = (g.groupby(["rel", "key", "side"], sort=False)["cnt"].sum()
+               .unstack("side", fill_value=-1).reset_index())
+        child = piv[0] if 0 in piv.columns else pd.Series(-1, index=piv.index)
+        parent = piv[1] if 1 in piv.columns else pd.Series(-1, index=piv.index)
+        has_child, has_parent = child >= 0, parent >= 0
+        out = piv.assign(
+            n_child=child.clip(lower=0),
+            n_orphans=np.where(has_parent, 0, child.clip(lower=0)),
+            n_parents=has_parent.astype(np.int64),
+            n_unref_parents=(has_parent & ~has_child).astype(np.int64),
+        ).groupby("rel", as_index=False)[
+            ["n_child", "n_orphans", "n_parents", "n_unref_parents"]].sum()
+        return out.astype("int64")
+
+    parts = bucketed_apply(u, ["rel", "key"], merge, None, n_buckets)
+    seed = rd.from_pandas(pd.DataFrame({
+        "rel": np.arange(len(rels), dtype=np.int64),
+        "n_child": np.zeros(len(rels), dtype=np.int64),
+        "n_orphans": np.zeros(len(rels), dtype=np.int64),
+        "n_parents": np.zeros(len(rels), dtype=np.int64),
+        "n_unref_parents": np.zeros(len(rels), dtype=np.int64)}))
+
+    names = dict(enumerate(rels))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("rel", as_index=False).sum()
+        return pd.DataFrame({
+            "relationship": s["rel"].map(names).astype(object),
+            "n_child": s["n_child"].to_numpy(np.int64),
+            "n_orphans": s["n_orphans"].to_numpy(np.int64),
+            "n_parents": s["n_parents"].to_numpy(np.int64),
+            "n_unref_parents": s["n_unref_parents"].to_numpy(np.int64)})
+
+    return (parts.union(seed).repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_ri_audit() -> str:
+    m = RI_BACKFILL_MOD
+    rels = [
+        ("lineitem.l_orderkey->orders[backfill].o_orderkey",
+         "SELECT l_orderkey AS k FROM lineitem",
+         f"SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % {m} <> 0"),
+        ("orders.o_custkey->customer.c_custkey",
+         "SELECT o_custkey AS k FROM orders",
+         "SELECT DISTINCT c_custkey AS k FROM customer"),
+        ("events.user_id->customer.c_custkey",
+         "SELECT user_id AS k FROM events",
+         "SELECT DISTINCT c_custkey AS k FROM customer"),
+    ]
+    parts = []
+    for name, child, parent in rels:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       (SELECT count(*) FROM ({child})) AS n_child,
+       (SELECT count(*) FROM ({child}) c
+        WHERE c.k NOT IN (SELECT k FROM ({parent}))) AS n_orphans,
+       (SELECT count(*) FROM ({parent})) AS n_parents,
+       (SELECT count(*) FROM ({parent}) p
+        WHERE p.k NOT IN (SELECT k FROM ({child}))) AS n_unref_parents""")
+    return "\nUNION ALL\n".join(parts)
