@@ -792,6 +792,18 @@ def _kg_weighted_sssp(sf_dir: str):
     return weighted_sssp(_kg(sf_dir, "canonical"), tm, "chemical_substance")
 
 
+def _kg_mst(sf_dir: str):
+    """Minimum spanning forest of the mention-weighted KG (deterministic
+    Borůvka; oracle = independent sequential Kruskal — the (wt, a, b)
+    total order makes the MSF unique)."""
+    from robokop_build_ray.stages.graph_metrics import (
+        minimum_spanning_forest,
+    )
+
+    ensure_corpus(sf_dir)
+    return minimum_spanning_forest(_kg(sf_dir, "canonical"))
+
+
 def _kg_node_umls_projection(sf_dir: str):
     """Per-node UMLS-prefixed synonym projection (`builder/chemotext.py:27-31`
     MeSH filter / `builder/cdw.py:75-76` ICD9 filter semantics)."""
@@ -1369,6 +1381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_distances": _kg_bfs_distances,
         # weighted sibling: Bellman-Ford over mention-discounted weights
         "kg_weighted_sssp": _kg_weighted_sssp,
+        # distributed Boruvka MSF vs independent sequential Kruskal
+        "kg_mst": _kg_mst,
         # DeepWalk-style deterministic walk corpus (md5 position hash)
         "kg_random_walks": _kg_random_walks,
         # skip-gram (center, context) pairs over the walk corpus — the
@@ -1934,6 +1948,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "events_benford": rel.sql_events_benford(),
         "kg_bfs_distances": entry_sql.sql_bfs_distances(t),
         "kg_weighted_sssp": entry_sql.sql_weighted_sssp(t),
+        "kg_mst": entry_sql.sql_mst(t),
         "kg_random_walks": entry_sql.sql_random_walks(t),
         "kg_walk_skipgrams": entry_sql.sql_walk_skipgrams(t),
         "kg_skipgram_negatives": entry_sql.sql_skipgram_negatives(t),

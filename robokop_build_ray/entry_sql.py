@@ -2338,3 +2338,59 @@ SELECT doc_id, raw_len, comp_len, ratio_pm,
             ELSE 'incompressible' END AS flag
 FROM m
 WHERE ratio_pm < {COMP_RATIO_LO_PM} OR ratio_pm > {COMP_RATIO_HI_PM}"""
+
+
+def ensure_mst_aux(tier: str) -> str:
+    """Sequential KRUSKAL oracle for the minimum spanning forest
+    (idempotent): derives the same mention-weighted edge list in DuckDB
+    (the weighted_sssp CTEs) and runs an independently-written
+    sort-then-union-find Kruskal. Under the total edge order (wt, a, b)
+    all weights are distinct, so the MSF is unique — the distributed
+    Borůvka in graph_metrics must reproduce the edge set exactly."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/mst_edges.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    p = corpus_paths(tier)
+    edges = duckdb.sql(f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+wpair AS (
+  SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+         count(*) AS m
+  FROM canon WHERE subj_id <> obj_id GROUP BY 1, 2
+)
+SELECT a, b, CASE WHEN m >= 3 THEN 1 WHEN m = 2 THEN 2 ELSE 3 END AS wt
+FROM wpair ORDER BY wt, a, b""").fetchdf()
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    keep_a, keep_b, keep_w = [], [], []
+    for a, b, wt in edges.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            keep_a.append(a)
+            keep_b.append(b)
+            keep_w.append(int(wt))
+    pq.write_table(pa.table({"a": pa.array(keep_a, pa.string()),
+                             "b": pa.array(keep_b, pa.string()),
+                             "wt": pa.array(keep_w, pa.int64())}), path)
+    return path
+
+
+def sql_mst(tier: str) -> str:
+    path = ensure_mst_aux(tier)
+    return f"SELECT a, b, wt FROM read_parquet('{path}')"

@@ -2462,3 +2462,122 @@ def wl_colors(edges, rounds: int = WL_ROUNDS,
     for r, h in enumerate(history, 1):
         cols[f"wl{r}"] = pa.array([h[i] for i in out], pa.string())
     return rd.from_arrow(pa.table(cols))
+
+
+# --------------------------------------------------- minimum spanning forest
+
+MST_MAX_ROUNDS = 32  # safety cap; Boruvka needs ceil(log2 V) rounds
+
+
+def minimum_spanning_forest(canonical, src: str = "subj_id",
+                            dst: str = "obj_id", n_buckets: int = 64):
+    """Deterministic Borůvka minimum spanning forest over the
+    mention-weighted undirected KG -> Dataset(a, b, wt) of forest edges.
+
+    The total edge order (wt, a, b) makes every weight distinct, so the
+    MSF is UNIQUE — which is the correctness contract: the oracle runs an
+    independent sequential KRUSKAL over the same weighted edge list and
+    must produce the identical edge set (two different algorithms, one
+    mathematical object; no unrolled-round coupling needed).
+
+    Scale shape (Borůvka is the distributed-MST classic precisely
+    because each round is embarrassingly parallel): per round ONE
+    broadcast-label vectorized pass over the edge table emits each
+    cross-component edge keyed by both endpoint components with a
+    map-side per-component lexicographic-min partial, then one bucketed
+    exchange finishes the argmin — shuffle volume is bounded by
+    components x batches, never edges. Selected edges are
+    component-bounded (< V per round), so the driver union-find fold is
+    node-bounded state, the same gazetteer-universe bound every KG
+    broadcast here relies on; components at least halve per round, so
+    rounds = O(log V)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_apply, bucketed_count
+
+    def canon_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t[src].combine_chunks().cast(pa.string())
+        o = t[dst].combine_chunks().cast(pa.string())
+        lo = pc.min_element_wise(s, o)
+        hi = pc.max_element_wise(s, o)
+        keep = pc.not_equal(lo, hi)
+        return pa.table({"a": lo.filter(keep), "b": hi.filter(keep)})
+
+    mentions = bucketed_count(
+        canonical.map_batches(canon_pairs, batch_format="pyarrow"),
+        ["a", "b"], name="m", n_buckets=n_buckets)
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": b["a"], "b": b["b"],
+            "wt": _mention_weight(b["m"].to_numpy(dtype=np.int64))})
+
+    wund = mentions.map_batches(weigh, batch_format="pandas").materialize()
+
+    # node-bounded driver state: every endpoint starts as its own component
+    labels: dict[str, str] = {n: n for n in degree_map(wund)}
+    parent: dict[str, str] = dict(labels)
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    _empty = {"comp": pd.Series([], dtype=object),
+              "wt": pd.Series([], dtype="int64"),
+              "a": pd.Series([], dtype=object),
+              "b": pd.Series([], dtype=object)}
+
+    def comp_min(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "comp" not in g.columns:
+            return pd.DataFrame(_empty)
+        return (g.sort_values(["wt", "a", "b"], kind="mergesort")
+                .drop_duplicates("comp", keep="first"))
+
+    forest: list[tuple[str, str, int]] = []
+    for _ in range(MST_MAX_ROUNDS):
+        lab_ref = ray.put(dict(labels))
+
+        def cand(b: pd.DataFrame, _ref=lab_ref) -> pd.DataFrame:
+            lab = ray.get(_ref)
+            la = b["a"].map(lab).to_numpy(dtype=object)
+            lb = b["b"].map(lab).to_numpy(dtype=object)
+            keep = la != lb
+            a = b["a"].to_numpy(dtype=object)[keep]
+            bb = b["b"].to_numpy(dtype=object)[keep]
+            wt = b["wt"].to_numpy(np.int64)[keep]
+            out = pd.DataFrame({
+                "comp": np.concatenate([la[keep], lb[keep]]),
+                "wt": np.concatenate([wt, wt]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([bb, bb])})
+            return comp_min(out)  # map-side per-component partial
+
+        sel = bucketed_apply(
+            wund.map_batches(cand, batch_format="pandas"),
+            ["comp"], comp_min, None, n_buckets)
+        # component-bounded (< V rows), never edge-scale
+        picked = {(r["a"], r["b"], int(r["wt"]))
+                  for b_ in sel.iter_batches(batch_format="pandas",
+                                             batch_size=None)
+                  for r in b_.to_dict("records")}
+        merged = 0
+        for a, b_, wt in sorted(picked, key=lambda e: (e[2], e[0], e[1])):
+            ra, rb = find(a), find(b_)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+                forest.append((a, b_, wt))
+                merged += 1
+        if merged == 0:
+            break
+        labels = {n: find(n) for n in labels}
+
+    forest.sort(key=lambda e: (e[2], e[0], e[1]))
+    return rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in forest], pa.string()),
+        "b": pa.array([e[1] for e in forest], pa.string()),
+        "wt": pa.array([e[2] for e in forest], pa.int64())}))

@@ -142,3 +142,19 @@ def test_compression_flags_two_sided():
     assert flags[3] == "incompressible"
     assert (got["ratio_pm"] < ta.COMP_RATIO_LO_PM).equals(
         got["flag"] == "repetitive")
+
+
+def test_boruvka_msf_matches_bruteforce():
+    # weights via mention counts: (A,B)x3 -> wt1, (B,C)x2 -> wt2,
+    # (A,C)x1 -> wt3 (cycle: drop the heaviest), (C,D)x1 -> wt3 (bridge)
+    from robokop_build_ray.stages.graph_metrics import (
+        minimum_spanning_forest,
+    )
+    pairs = ([("A", "B")] * 3 + [("B", "C")] * 2
+             + [("A", "C")] + [("C", "D")] + [("E", "F")])
+    canonical = rd.from_pandas(pd.DataFrame(
+        {"subj_id": [p[0] for p in pairs],
+         "obj_id": [p[1] for p in pairs]}))
+    got = minimum_spanning_forest(canonical).to_pandas()
+    assert set(map(tuple, got.to_numpy())) == {
+        ("A", "B", 1), ("B", "C", 2), ("C", "D", 3), ("E", "F", 3)}
