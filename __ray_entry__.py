@@ -1447,6 +1447,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_per_month": rel.orders_open_per_month,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
+        # second-order sequential patterns (trigram mining)
+        "events_user_trigrams": tmp.events_user_trigrams,
+        # LOCF time-grid resampling (gap fill) + debounce throttle filter
+        "events_user_resample": tmp.events_user_resample,
+        "events_debounced": tmp.events_debounced,
+        # diurnal-baseline residual anomaly flags (integer cross-multiply)
+        "events_seasonal_outliers": tmp.events_seasonal_outliers,
         # deterministic per-key sampling + fixed-enum pivot
         "events_user_sample": rel.events_user_sample,
         "events_type_pivot": rel.events_type_pivot,
@@ -1548,6 +1555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_users": rel.events_sliding_users,
         # exact distributed multi-quantile (p25/p50/p75 per group)
         "events_value_quartiles": rel.events_value_quartiles,
+        # interpolated percentile_cont p95 (exact x20-cents integers)
+        "events_value_p95": rel.events_value_p95,
         # per-row quantile-bin assignment (feature binning): broadcast
         # thresholds from the same histogram selection, zero-shuffle map
         "events_value_ntile": rel.events_value_ntile,
@@ -1998,6 +2007,10 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "part_year_over_year": rel.sql_part_year_over_year(),
         "orders_open_per_month": rel.sql_orders_open_per_month(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
+        "events_user_trigrams": tmp.sql_events_user_trigrams(),
+        "events_user_resample": tmp.sql_events_user_resample(),
+        "events_debounced": tmp.sql_events_debounced(),
+        "events_seasonal_outliers": tmp.sql_events_seasonal_outliers(),
         "events_user_sample": rel.sql_events_user_sample(),
         "events_type_pivot": rel.sql_events_type_pivot(),
         "part_topk": rel.sql_part_topk(),
@@ -2059,6 +2072,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_hourly_users": rel.sql_events_hourly_users(),
         "events_sliding_users": rel.sql_events_sliding_users(),
         "events_value_quartiles": rel.sql_events_value_quartiles(),
+        "events_value_p95": rel.sql_events_value_p95(),
         "events_value_ntile": rel.sql_events_value_ntile(),
         "events_value_mad": rel.sql_events_value_mad(),
         "doc_tokens_median_by_lang":

@@ -2167,6 +2167,73 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e JOIN q USING (event_type)"""
 
 
+def events_value_p95(sf_dir: str):
+    """INTERPOLATED per-type p95 (``percentile_cont`` semantics) with the
+    exact-integer x20 trick: pos = (n-1) * 19/20 splits into lo = floor
+    and a /20 remainder r, so ``p95_x20_cents = cents(v_lo) * (20 - r) +
+    cents(v_hi) * r`` is an exact BIGINT both engines compute identically;
+    the float ``p95`` is ONE division (/2000: x20 and cents). The two
+    order statistics resolve through the same scale-safe iterative
+    histogram selection as the quartiles — both ranks of every type
+    advance in shared passes, no group ever materializes."""
+    from ..functions.quantiles import grouped_exact_ranks
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    counts = {r["event_type"]: int(r["count()"])
+              for r in scan().groupby("event_type").count().take_all()}
+    targets, pos = {}, {}
+    for g, n in counts.items():
+        num = (n - 1) * 19
+        lo, r = num // 20, num % 20
+        pos[g] = (lo, r)
+        targets[g] = [("lo", lo)] + ([("hi", lo + 1)] if r else [])
+    got = grouped_exact_ranks(scan, "event_type", "value", targets)
+    groups = sorted(counts)
+    x20, p95 = [], []
+    for g in groups:
+        lo, r = pos[g]
+        c_lo = int(np.floor(got[(g, "lo")] * 100.0 + 0.5))
+        c_hi = (int(np.floor(got[(g, "hi")] * 100.0 + 0.5))
+                if r else c_lo)
+        x = c_lo * (20 - r) + c_hi * r
+        x20.append(x)
+        p95.append(x / 2000.0)  # single float division (repo invariant)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "p95_x20_cents": pa.array(x20, pa.int64()),
+        "p95": pa.array(p95, pa.float64()),
+    }))
+
+
+def sql_events_value_p95() -> str:
+    return """
+WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+p AS (
+  SELECT event_type, ((n - 1) * 19) // 20 AS lo, ((n - 1) * 19) % 20 AS r
+  FROM n
+),
+s AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rk
+  FROM events
+),
+sel AS (
+  SELECT s.event_type,
+         CAST(sum(CASE WHEN s.rk = p.lo THEN s.cents * (20 - p.r)
+                       WHEN s.rk = p.lo + 1 THEN s.cents * p.r
+                       ELSE 0 END) AS BIGINT) AS x
+  FROM s JOIN p USING (event_type)
+  WHERE s.rk = p.lo OR (p.r > 0 AND s.rk = p.lo + 1)
+  GROUP BY s.event_type
+)
+SELECT event_type, x AS p95_x20_cents, x / 2000.0 AS p95 FROM sel"""
+
+
 def sql_events_value_quartiles() -> str:
     return """
 SELECT event_type,

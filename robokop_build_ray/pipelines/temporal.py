@@ -542,3 +542,345 @@ c AS (
 SELECT from_type, to_type, n,
        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
 FROM c"""
+
+
+# ------------------------------------------------------------------
+# Gap-fill / LOCF resampling, debounce, trigram sequences, seasonal
+# residual outliers (round-3 session-I batch)
+
+RESAMPLE_STEP_US = 6 * 3600 * 1_000_000  # 6-hour grid (SPEC constant)
+DEBOUNCE_GAP_US = 24 * 3600 * 1_000_000  # 1-day throttle window (SPEC)
+
+
+def events_user_resample(sf_dir: str, step_us: int = RESAMPLE_STEP_US,
+                         n_buckets: int = 64):
+    """Time-grid RESAMPLING with last-observation-carried-forward: for
+    every user, the event-value state sampled on a fixed ``step_us`` grid
+    between the user's first and last event (the gap-fill shape a
+    feature-store backfill or monitoring rollup runs; ts-ordered LOCF
+    interpolation).
+
+    Shape: ONE user-bucketed exchange; the per-bucket merge UNIONS each
+    user's events with its generated grid points, sorts once, and
+    forward-fills with a single ``np.maximum.accumulate`` over event row
+    positions — vectorized ACROSS users (the SCALE.md merge rule), no
+    per-user Python. Cross-user leakage is impossible by construction:
+    a user's first grid point is >= its first event's timestamp (ceil
+    division) and events sort before grid rows at equal (user, ts), so
+    every grid row's most recent event position belongs to its own user.
+    Output is span-bounded (sum over users of span/step), never
+    event-count x grid — it streams.
+
+    At 100 TB: the exchange carries each event once plus the grid (output
+    grain); driver state is zero. Ties at one timestamp resolve to the
+    max event_id (matches the oracle's ASOF on per-(user, ts) max)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "t": pc.cast(t["ts"], pa.int64()),
+            "cents": _cents_arr(t["value"]),
+        })
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "grid_ts_us": pd.Series([], dtype="int64"),
+        "value_cents": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        # per-user segment bounds from the sorted array (vectorized)
+        start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        end = np.r_[start[1:], len(u)]
+        h0 = -(-t[start] // step_us)          # ceil div (t > 0)
+        h1 = t[end - 1] // step_us
+        cnt = np.maximum(h1 - h0 + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame(_empty)
+        # grid rows: user repeated per count, h = h0 + intra-user offset
+        gu = np.repeat(u[start], cnt)
+        base = np.repeat(h0, cnt)
+        csum = np.r_[0, np.cumsum(cnt)[:-1]]
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum, cnt)
+        gt = (base + off) * step_us
+        # union events (kind 0) + grid (kind 1), one sort, one ffill
+        cu = np.r_[u, gu]
+        ct = np.r_[t, gt]
+        ck = np.r_[np.zeros(len(u), np.int8), np.ones(total, np.int8)]
+        ce = np.r_[g["event_id"].to_numpy(np.int64),
+                   np.zeros(total, np.int64)]
+        cc = np.r_[cents, np.zeros(total, np.int64)]
+        order = np.lexsort((ce, ck, ct, cu))
+        ck = ck[order]
+        pos = np.arange(len(ck), dtype=np.int64)
+        src = np.where(ck == 0, pos, -1)
+        last = np.maximum.accumulate(src)  # most recent event position
+        gm = ck == 1
+        return pd.DataFrame({
+            "user_id": cu[order][gm],
+            "grid_ts_us": ct[order][gm],
+            "value_cents": cc[order][last[gm]],
+        })
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_user_resample(step_us: int = RESAMPLE_STEP_US) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+),
+d AS (SELECT user_id, t, cents FROM e WHERE rn = 1),
+b AS (
+  SELECT user_id,
+         (min(t) + {step_us - 1}) // {step_us} AS h0,
+         max(t) // {step_us} AS h1
+  FROM d GROUP BY user_id
+),
+g AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1)) * {step_us} AS grid_ts_us
+  FROM b WHERE h1 >= h0
+)
+SELECT g.user_id, g.grid_ts_us, d.cents AS value_cents
+FROM g ASOF JOIN d
+  ON g.user_id = d.user_id AND g.grid_ts_us >= d.t"""
+
+
+def events_debounced(sf_dir: str, gap_us: int = DEBOUNCE_GAP_US,
+                     n_buckets: int = 64):
+    """Event DEBOUNCE filter: keep an event iff it is the first of its
+    (user, event_type) stream or arrives more than ``gap_us`` after the
+    PREVIOUS event of that stream (LAG semantics — the vectorizable
+    throttle; a keep-previous recurrence would be the EWMA-class per-key
+    sequential shape, documented there). The alert-throttling /
+    notification-dedup stage of a streaming pipeline.
+
+    ONE user-bucketed exchange; the merge sorts the bucket once and
+    masks stream boundaries — no per-key Python. Output is the kept
+    subset at fact grain, streaming back out of the bucket."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "t": pc.cast(t["ts"], pa.int64()),
+        })
+
+    _empty = {
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "event_type": pd.Series([], dtype=object),
+        "ts_us": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "event_type", "t", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(dtype=object)
+        t = g["t"].to_numpy(np.int64)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        # keep = stream-first OR gap-to-previous-row > threshold; when
+        # first is False the previous sorted row IS the stream's LAG row
+        keep = first.copy()
+        keep[1:] |= (t[1:] - t[:-1]) > gap_us
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "user_id": u[keep],
+            "event_type": et[keep],
+            "ts_us": t[keep],
+        })
+
+    return bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["user_id"], merge, None, n_buckets)
+
+
+def sql_events_debounced(gap_us: int = DEBOUNCE_GAP_US) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pt
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM s WHERE pt IS NULL OR ts_us - pt > {gap_us}"""
+
+
+def events_user_trigrams(sf_dir: str, n_buckets: int = 64):
+    """Second-order SEQUENTIAL PATTERN counts: how often the event-type
+    triple (t1, t2, t3) occurs as three consecutive events in a user's
+    timeline — the order-3 extension of ``events_type_transitions``
+    (sequence mining / next-event-model features). Same shape: one
+    user-bucketed exchange, a vectorized double-shift pass emitting
+    enum^3-bounded PARTIAL counts, enum^3-bounded driver fold."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    _empty = {"t1": pd.Series([], dtype=object),
+              "t2": pd.Series([], dtype=object),
+              "t3": pd.Series([], dtype=object),
+              "n": pd.Series([], dtype=np.int64)}
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 3 or "user_id" not in g.columns:
+            return pd.DataFrame(_empty)
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = uid[1:] == uid[:-1]          # row i aligned with i+1
+        ok = same[:-1] & same[1:]           # i, i+1, i+2 share a user
+        if not ok.any():
+            return pd.DataFrame(_empty)
+        out = pd.DataFrame({"t1": et[:-2][ok], "t2": et[1:-1][ok],
+                            "t3": et[2:][ok]})
+        return (out.groupby(["t1", "t2", "t3"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id"], triples, n_buckets=n_buckets)
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame(_empty))
+    agg = (agg.groupby(["t1", "t2", "t3"], as_index=False)["n"]
+           .sum().sort_values(["t1", "t2", "t3"]))  # enum^3 driver fold
+    return rd.from_arrow(pa.table({
+        "t1": pa.array(agg["t1"], pa.string()),
+        "t2": pa.array(agg["t2"], pa.string()),
+        "t3": pa.array(agg["t3"], pa.string()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+    }))
+
+
+def sql_events_user_trigrams() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3"""
+
+
+# seasonal residual flag: value > NUM/DEN x the (hour, type) mean
+SEASONAL_NUM = 3
+SEASONAL_DEN = 2
+
+
+def events_seasonal_outliers(sf_dir: str):
+    """SEASONALITY-AWARE anomaly flags: events whose value exceeds
+    1.5x the mean of their own (hour-of-day, event_type) cell — the
+    residual-vs-diurnal-baseline screen a monitoring pipeline runs
+    (an absolute threshold would just flag every evening peak).
+
+    Two passes, zero wide shuffles: (1) enum-bounded (24 x types)
+    baseline fold from per-batch partials — broadcast; (2) a
+    zero-shuffle vectorized flag map over the fact stream. The
+    comparison is an integer cross-multiplication
+    (cents * n * DEN > NUM * sum_cents), so no float ever forms and
+    the oracle matches bit-exactly."""
+    import ray as _ray
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type",
+                                        "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "hour": b["ts"].dt.hour.astype("int64"),
+            "event_type": b["event_type"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "cents": np.floor(
+                b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        })
+        return p.groupby(["hour", "event_type"],
+                         as_index=False)[["n", "cents"]].sum()
+
+    frames = list(scan().map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    base = (pd.concat(frames, ignore_index=True)
+            .groupby(["hour", "event_type"],
+                     as_index=False)[["n", "cents"]].sum())
+    base["n"] = base["n"].astype("int64")
+    base["cents"] = base["cents"].astype("int64")
+    ref = _ray.put(base)  # 24 x enum driver state
+
+    def flag(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        bl = _ray.get(_ref)
+        d = pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].to_numpy(dtype=object),
+            "hour": b["ts"].dt.hour.astype("int64").to_numpy(),
+            "value_cents": np.floor(
+                b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+        })
+        # vectorized baseline gather: merge against the tiny cell table
+        m = d.merge(bl, on=["hour", "event_type"], how="left")
+        hot = (m["value_cents"].to_numpy(np.int64)
+               * m["n"].to_numpy(np.int64) * SEASONAL_DEN
+               > SEASONAL_NUM * m["cents"].to_numpy(np.int64))
+        out = d.loc[hot, ["event_id", "event_type", "hour",
+                          "value_cents"]]
+        return out if len(out) else pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "hour": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+        })
+
+    return scan().map_batches(flag, batch_format="pandas")
+
+
+def sql_events_seasonal_outliers() -> str:
+    return f"""
+WITH b AS (
+  SELECT hour(ts) AS h, event_type,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sc,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, hour(e.ts) AS hour,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events e JOIN b ON hour(e.ts) = b.h AND e.event_type = b.event_type
+WHERE CAST(floor(e.value * 100 + 0.5) AS BIGINT) * b.n * {SEASONAL_DEN}
+      > {SEASONAL_NUM} * b.sc"""

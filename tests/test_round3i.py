@@ -1,0 +1,115 @@
+"""Unit tests for the session-I operators: LOCF grid resampling,
+debounce throttle filter, trigram sequence mining, seasonal residual
+outliers, and interpolated p95."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from robokop_build_ray.pipelines import relational as rel
+from robokop_build_ray.pipelines import temporal as tmp
+
+
+def _write_events(dirp, rows):
+    df = pd.DataFrame(rows)
+    # real testdata carries timestamp[us] — match it exactly
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(df["ts_us"], pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    pq.write_table(t, f"{dirp}/events.parquet")
+
+
+H = 3600 * 1_000_000  # one hour in us
+
+
+def test_resample_locf_and_ties(tmp_path):
+    # user 1: events at t=30m (c=100), 90m (c=200) and a SAME-ts tie at
+    # 90m with higher event_id (c=250) -> grid (step 1h) points at 1h, 2h
+    # (span 30m..150m); 1h carries 100, 2h carries the TIE WINNER 250.
+    # user 2: single event exactly ON a grid point (t=2h, c=700) -> one
+    # grid row at 2h with its own value (ts <= grid inclusive).
+    _write_events(tmp_path, [
+        {"event_id": 1, "ts_us": 30 * 60 * 1_000_000, "user_id": 1,
+         "event_type": "view", "value": 1.00},
+        {"event_id": 2, "ts_us": 90 * 60 * 1_000_000, "user_id": 1,
+         "event_type": "view", "value": 2.00},
+        {"event_id": 3, "ts_us": 90 * 60 * 1_000_000, "user_id": 1,
+         "event_type": "view", "value": 2.50},
+        {"event_id": 4, "ts_us": 150 * 60 * 1_000_000, "user_id": 1,
+         "event_type": "view", "value": 9.99},
+        {"event_id": 5, "ts_us": 2 * H, "user_id": 2,
+         "event_type": "view", "value": 7.00},
+    ])
+    got = (tmp.events_user_resample(str(tmp_path), step_us=H)
+           .to_pandas().sort_values(["user_id", "grid_ts_us"])
+           .reset_index(drop=True))
+    assert got["user_id"].tolist() == [1, 1, 2]
+    assert got["grid_ts_us"].tolist() == [H, 2 * H, 2 * H]
+    assert got["value_cents"].tolist() == [100, 250, 700]
+
+
+def test_debounce_lag_semantics(tmp_path):
+    # stream (u1, view): t=0 keep, t=0+30m drop, t=30m+25h keep (gap to
+    # PREVIOUS event, not previous kept). Other type is independent.
+    m = 60 * 1_000_000
+    _write_events(tmp_path, [
+        {"event_id": 1, "ts_us": 0 * m, "user_id": 1,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts_us": 30 * m, "user_id": 1,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 3, "ts_us": 30 * m + 25 * 60 * m, "user_id": 1,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 4, "ts_us": 5 * m, "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ])
+    got = tmp.events_debounced(str(tmp_path)).to_pandas()
+    assert sorted(got["event_id"].tolist()) == [1, 3, 4]
+
+
+def test_trigrams_counts(tmp_path):
+    # u1 sequence A B A B -> (A,B,A), (B,A,B); u2 sequence A B A ->
+    # (A,B,A) again => {(A,B,A): 2, (B,A,B): 1}
+    rows = []
+    eid = 0
+    for uid, seq in ((1, "ABAB"), (2, "ABA")):
+        for i, ch in enumerate(seq):
+            eid += 1
+            rows.append({"event_id": eid, "ts_us": i * H, "user_id": uid,
+                         "event_type": ch, "value": 1.0})
+    _write_events(tmp_path, rows)
+    got = (tmp.events_user_trigrams(str(tmp_path)).to_pandas()
+           .set_index(["t1", "t2", "t3"])["n"].to_dict())
+    assert got == {("A", "B", "A"): 2, ("B", "A", "B"): 1}
+
+
+def test_seasonal_outliers_integer_rule(tmp_path):
+    # hour 0 / type A cell: values 1.00, 1.00, 4.00 -> sum 600c, n=3,
+    # flag iff cents*3*2 > 3*600 i.e. cents > 300 -> only the 4.00 event.
+    _write_events(tmp_path, [
+        {"event_id": i + 1, "ts_us": i * 60 * 1_000_000, "user_id": 1,
+         "event_type": "A", "value": v}
+        for i, v in enumerate([1.0, 1.0, 4.0])
+    ])
+    got = tmp.events_seasonal_outliers(str(tmp_path)).to_pandas()
+    assert got["event_id"].tolist() == [3]
+    assert got["value_cents"].tolist() == [400]
+
+
+def test_p95_interpolation_exact(tmp_path):
+    # one type, n=5 values 10..50 dollars: pos=(5-1)*0.95=3.8 ->
+    # lo=3 (40.00), r=16 -> x20 = 4000*4 + 5000*16 = 96000 (=48.00)
+    _write_events(tmp_path, [
+        {"event_id": i + 1, "ts_us": i * H, "user_id": 1,
+         "event_type": "A", "value": 10.0 * (i + 1)}
+        for i in range(5)
+    ])
+    got = rel.events_value_p95(str(tmp_path)).to_pandas()
+    assert got["p95_x20_cents"].tolist() == [96000]
+    assert got["p95"].tolist() == [48.0]
