@@ -1515,6 +1515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
         # keyword extraction: RAKE phrase scoring (deg/freq, one division)
         "doc_rake_keywords": lambda sf: _vocab().rake_keywords(_docs(sf)),
+        # TextRank: quantized-integer PageRank over the word-adjacency graph
+        "doc_textrank": _vocab().doc_textrank,
         "doc_tfidf": lambda sf: _vocab().doc_tfidf(_docs(sf)),
         "doc_inverted_index": lambda sf: _vocab().inverted_index(_docs(sf)),
         # collocation mining: top-k bigrams by lift (PMI-monotone)
@@ -1749,6 +1751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
         "embedding_kmeans": _clustering().embedding_kmeans,
+        # greedy k-center coreset pick (farthest-point-first, exact ints)
+        "embedding_kcenter": _clustering().embedding_kcenter,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
     # rotate: never-driver-checked queries first (see _R02_DRIVER_CHECKED),
@@ -2056,6 +2060,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_value_gini": rel.sql_events_value_gini(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_rake_keywords": _vocab().sql_rake_keywords(),
+        "doc_textrank": _vocab().sql_doc_textrank(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),
         "doc_inverted_index": _vocab().sql_inverted_index(),
         "doc_repetition": _ta_sql().sql_repetition(),
@@ -2397,6 +2402,7 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM s
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
+        "embedding_kcenter": _clustering().sql_embedding_kcenter(),
         "embedding_gram": _clustering().sql_embedding_gram(),
         "embedding_pca_proj": _clustering().sql_embedding_pca_proj(),
         "embedding_rp": _clustering().sql_embedding_rp(),

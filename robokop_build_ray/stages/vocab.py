@@ -848,3 +848,102 @@ SELECT rk, phrase, CAST(n_occ AS BIGINT) AS n_occ, sum_deg, sum_freq, score
 FROM (SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rk
       FROM scored)
 WHERE rk <= {k}"""
+
+
+# ------------------------------------------------------------ TextRank
+
+def doc_textrank(sf_dir: str, n_buckets: int = 64):
+    """TextRank keyword ranking (Mihalcea & Tarau 2004 shape): PageRank
+    over the word co-occurrence graph -> Dataset(id=term, rank_units).
+
+    SPEC graph: an undirected edge joins every pair of ADJACENT tokens
+    (TOKEN_RE over lowered text) where both tokens are >= 3 chars —
+    window 2 over the raw sequence (the classic POS filter is replaced by
+    the deterministic length gate). Ranks are the repo's quantized-int64
+    PageRank (stages/pagerank.py SCALE/damping/iters), so the oracle's
+    unrolled integer iterations match bit-exactly.
+
+    Scale: pair extraction is a zero-shuffle vectorized flat-map (explode
+    + shift, doc boundaries masked); the distinct-edge exchange and the
+    rank loop are VOCABULARY-bounded — the same reason the BPE trainer
+    scales (corpus-size-independent state). Self-loops (a word adjacent
+    to itself) are kept; both engines see them identically."""
+    import ray.data as rd
+
+    from .pagerank import pagerank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    _empty = {"src": pd.Series([], dtype=object),
+              "dst": pd.Series([], dtype=object)}
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(_empty)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks if len(t)])
+        did = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        a, bb = flat[:-1], flat[1:]
+        same = did[1:] == did[:-1]
+        la = np.fromiter((len(x) for x in a), count=len(a), dtype=np.int64)
+        lb = np.fromiter((len(x) for x in bb), count=len(bb),
+                         dtype=np.int64)
+        keep = same & (la >= 3) & (lb >= 3)
+        a, bb = a[keep], bb[keep]
+        lo = np.where(a <= bb, a, bb)
+        hi = np.where(a <= bb, bb, a)
+        out = pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates()
+        return out if len(out) else pd.DataFrame(_empty)
+
+    und = docs.map_batches(pairs, batch_format="pandas")
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "src" not in b.columns:
+            return pd.DataFrame(_empty)
+        rev = b.loc[b["src"] != b["dst"], ["src", "dst"]].rename(
+            columns={"src": "dst", "dst": "src"})
+        return pd.concat([b[["src", "dst"]], rev[["src", "dst"]]],
+                         ignore_index=True)
+
+    edges = und.map_batches(both_dirs, batch_format="pandas")
+    return pagerank(edges, src="src", dst="dst", n_buckets=n_buckets)
+
+
+def sql_doc_textrank(iters: int = 3) -> str:
+    ctes = [f"""tk AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk
+  FROM documents),
+adj AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+    i -> CASE WHEN tk[i] <= tk[i+1] THEN tk[i] || ' ' || tk[i+1]
+              ELSE tk[i+1] || ' ' || tk[i] END)) AS pr
+  FROM tk),
+p AS (
+  SELECT DISTINCT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b
+  FROM adj
+  WHERE length(split_part(pr, ' ', 1)) >= 3
+    AND length(split_part(pr, ' ', 2)) >= 3),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT a AS src, b AS dst FROM p
+    UNION ALL SELECT b, a FROM p)),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+meta AS (SELECT count(*) AS n FROM nodes),
+it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""it{i} AS (
+  SELECT nd.id,
+         150000000000 // (SELECT n FROM meta)
+           + (85 * coalesce(s.inb, 0)) // 100 AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(p.r // d.deg) AS inb
+    FROM e JOIN it{i-1} p ON e.src = p.id JOIN deg d ON d.id = e.src
+    GROUP BY e.dst) s ON nd.id = s.id)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")

@@ -113,3 +113,48 @@ def test_p95_interpolation_exact(tmp_path):
     got = rel.events_value_p95(str(tmp_path)).to_pandas()
     assert got["p95_x20_cents"].tolist() == [96000]
     assert got["p95"].tolist() == [48.0]
+
+
+def _write_docs(dirp, texts):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), f"{dirp}/documents.parquet")
+
+
+def test_textrank_graph_and_ranks(tmp_path):
+    # "foo bar foo" + "bar baz ok": edges foo-bar (x2, distinct once),
+    # bar-baz; "ok" is 2 chars -> filtered; "baz ok" pair dropped.
+    from robokop_build_ray.stages.vocab import doc_textrank
+
+    _write_docs(tmp_path, ["foo bar foo", "bar baz ok"])
+    got = (doc_textrank(str(tmp_path)).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["id"].tolist() == ["bar", "baz", "foo"]
+    # undirected graph: bar has degree 2, foo/baz degree 1 -> bar ranks
+    # strictly highest; foo == baz by symmetry
+    r = dict(zip(got["id"], got["rank_units"]))
+    assert r["bar"] > r["foo"] == r["baz"]
+
+
+def test_kcenter_greedy_farthest(tmp_path):
+    # 1-D embeddings at 0, 1, 10, 11 (padded to dim 4): start at vec 1
+    # (value 0); farthest is 11 (vec 4); then max-min-dist point is 1
+    # (vec 2, d=1) vs 10 (d=1) -> tie on distance? d(10)=min(100,1)=1,
+    # d(1)=min(1,100)=1 -> tie -> smaller vec_id 2 wins.
+    from robokop_build_ray.stages.clustering import QUANT, embedding_kcenter
+
+    vals = [0.0, 1.0, 10.0, 11.0]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[v, 0.0, 0.0, 0.0] for v in vals],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, 0], pa.int32()),
+    }), f"{tmp_path}/embeddings.parquet")
+    got = embedding_kcenter(str(tmp_path), k=3).to_pandas()
+    assert got["vec_id"].tolist() == [1, 4, 2]
+    assert got["dist_sq"].tolist() == [0, 121 * QUANT * QUANT,
+                                       1 * QUANT * QUANT]
