@@ -1572,6 +1572,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active": rel.events_daily_active,
         # CooccurChi2 shape on corpus metadata: lang x source association
         "doc_lang_source_chi2": lambda sf: ta.lang_source_chi2(_docs(sf)),
+        # one-vs-rest KS drift over per-source doc-length distributions
+        "doc_length_ks": lambda sf: ta.length_ks_by_source(_docs(sf)),
+        # recency-halved engagement score (integer shift decay)
+        "events_user_decay": rel.events_user_decay,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -2084,6 +2088,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
             rel.sql_doc_tokens_median_by_lang(),
         "events_hour_profile": rel.sql_events_hour_profile(),
         "events_daily_active": rel.sql_events_daily_active(),
+        "doc_length_ks": _ta_sql().sql_length_ks_by_source(),
+        "events_user_decay": rel.sql_events_user_decay(),
         "doc_lang_source_chi2": """
 WITH j AS (SELECT lang, source, count(*) AS c
            FROM documents GROUP BY lang, source),

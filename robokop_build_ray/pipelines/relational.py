@@ -6140,3 +6140,56 @@ SELECT '{name}' AS relationship,
        (SELECT count(*) FROM ({parent}) p
         WHERE p.k NOT IN (SELECT k FROM ({child}))) AS n_unref_parents""")
     return "\nUNION ALL\n".join(parts)
+
+
+# -------------------------------------------- time-decayed engagement
+
+DECAY_HALFLIFE_US = 24 * 3600 * 1_000_000  # 1-day half-life (SPEC)
+
+
+def events_user_decay(sf_dir: str, n_buckets: int = 64):
+    """Time-DECAYED engagement score: per user the sum of event values
+    halved for every full day of age at the corpus watermark (max ts) —
+    the recency-weighted activity feature a ranking/retention model
+    consumes. -> (user_id, decayed_cents).
+
+    Exactness: weight is the INTEGER floor division cents >> age_days
+    (cents // 2^age) — no float powers, so any engine reproduces it
+    bit-for-bit; values are positive so floor == truncation in both
+    engines. Shape: one streaming aggregate for the watermark (driver
+    scalar, broadcast in the closure), a zero-shuffle vectorized decay
+    map, ONE user-bucketed sum exchange."""
+    from ..functions.bucketing import bucketed_sum
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+
+    # watermark: one streaming aggregate -> a driver scalar (us epoch)
+    t_max = int(pd.Timestamp(scan().max("ts")).value // 1000)
+
+    def decay(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy()
+        cents = np.floor(
+            t["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        age = (t_max - ts) // DECAY_HALFLIFE_US
+        dec = cents >> np.minimum(age, 62)
+        return pa.table({
+            "user_id": t["user_id"],
+            "decayed_cents": pa.array(dec, pa.int64()),
+        })
+
+    return bucketed_sum(scan().map_batches(decay, batch_format="pyarrow"),
+                        ["user_id"], "decayed_cents", n_buckets)
+
+
+def sql_events_user_decay() -> str:
+    return f"""
+WITH m AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+SELECT user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                // (CAST(1 AS BIGINT)
+                    << ((m.t_max - epoch_us(ts)) // {DECAY_HALFLIFE_US})))
+            AS BIGINT) AS decayed_cents
+FROM events, m
+GROUP BY user_id"""

@@ -1041,3 +1041,86 @@ def compression_flags_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def compression_flags(docs, batch_size: int = 2048):
     return docs.map_batches(compression_flags_batch, batch_format="pandas",
                             batch_size=batch_size)
+
+
+def length_ks_by_source(docs, batch_size: int = 65_536):
+    """Distribution-DRIFT screen: per source, the exact two-sample
+    Kolmogorov-Smirnov statistic between that source's doc-length
+    (n_chars) distribution and the REST of the corpus — the
+    one-vs-rest test a curator runs to spot a source whose scrape
+    changed shape. -> (source, n_s, d_num, d).
+
+    Exactness: D = max_x |F_s(x) - F_rest(x)| is evaluated as the
+    INTEGER cross-multiplication d_num = max |cum_s(x) * n_rest -
+    cum_rest(x) * n_s| (both engines bit-identical); ``d`` is the ONE
+    float division d_num / (n_s * n_rest).
+
+    Scale: one streaming pass of per-batch (source, n_chars) partial
+    counts; the fold is (sources x distinct lengths)-bounded — when the
+    length domain is unbounded a drift report buckets lengths to a SPEC
+    grid first (same histogram doctrine as the selection passes). All
+    sources' cumsums advance in one vectorized pivot on the driver."""
+    import numpy as np
+    import ray.data as rd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["source", "n_chars"], sort=False)
+                .size().rename("k").reset_index())
+
+    frames = list(docs.select_columns(["source", "n_chars"])
+                  .map_batches(partial, batch_format="pandas",
+                               batch_size=batch_size)
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["source", "n_chars"], as_index=False)["k"].sum())
+    # dense (source x sorted-length) count grid, cumulative along lengths
+    piv = (df.pivot(index="n_chars", columns="source", values="k")
+           .fillna(0).astype(np.int64).sort_index())
+    cum = piv.cumsum(axis=0).to_numpy(np.int64)      # cum_s per column
+    n_s = piv.sum(axis=0).to_numpy(np.int64)
+    n = int(n_s.sum())
+    cum_tot = cum.sum(axis=1, keepdims=True)
+    cum_rest = cum_tot - cum
+    n_rest = n - n_s
+    d_num = np.abs(cum * n_rest[None, :]
+                   - cum_rest * n_s[None, :]).max(axis=0)
+    out = pd.DataFrame({
+        "source": piv.columns.to_numpy(dtype=object),
+        "n_s": n_s,
+        "d_num": d_num.astype(np.int64),
+        "d": d_num / (n_s * n_rest),  # one division of exact ints
+    }).sort_values("source", kind="mergesort")
+    return rd.from_pandas(out.reset_index(drop=True))
+
+
+def sql_length_ks_by_source() -> str:
+    return """
+WITH c AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT n_chars, CAST(sum(k) AS BIGINT) AS kt FROM c GROUP BY 1),
+ns AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_s FROM c GROUP BY 1),
+ntot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM c),
+grid AS (
+  SELECT s.source, t.n_chars, coalesce(c.k, 0) AS k, t.kt
+  FROM (SELECT DISTINCT source FROM c) s
+  CROSS JOIN tot t
+  LEFT JOIN c ON c.source = s.source AND c.n_chars = t.n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         CAST(sum(k) OVER w AS BIGINT) AS cs,
+         CAST(sum(kt) OVER w AS BIGINT) AS ct
+  FROM grid
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+),
+d AS (
+  SELECT cum.source, s.n_s,
+         max(abs(cs * (n.n - s.n_s) - (ct - cs) * s.n_s)) AS d_num
+  FROM cum JOIN ns s USING (source) CROSS JOIN ntot n
+  GROUP BY cum.source, s.n_s, n.n
+)
+SELECT d.source, d.n_s, CAST(d.d_num AS BIGINT) AS d_num,
+       1.0 * d.d_num / (d.n_s * ((SELECT n FROM ntot) - d.n_s)) AS d
+FROM d"""

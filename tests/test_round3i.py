@@ -158,3 +158,39 @@ def test_kcenter_greedy_farthest(tmp_path):
     assert got["vec_id"].tolist() == [1, 4, 2]
     assert got["dist_sq"].tolist() == [0, 121 * QUANT * QUANT,
                                        1 * QUANT * QUANT]
+
+
+def test_length_ks_one_vs_rest(tmp_path):
+    # src a lengths {1,2}, src b lengths {3,4}: perfectly separated ->
+    # D = 1 -> d_num = n_a * n_b = 4 for both sources.
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x"] * 4, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+        "n_chars": pa.array([1, 2, 3, 4], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+    from robokop_build_ray.stages.text_analysis import length_ks_by_source
+    import ray.data as rd
+
+    got = (length_ks_by_source(
+        rd.read_parquet(f"{tmp_path}/documents.parquet"))
+        .to_pandas().set_index("source"))
+    assert got.loc["a", "d_num"] == 4 and got.loc["b", "d_num"] == 4
+    assert got.loc["a", "d"] == 1.0
+
+
+def test_user_decay_integer_halving(tmp_path):
+    # watermark = last event; ages 0d, 1d, 2.5d -> shifts 0, 1, 2:
+    # 4.00 >> 2 = 100, 4.00 >> 1 = 200, 4.00 >> 0 = 400 -> 700 cents
+    D = 24 * 3600 * 1_000_000
+    _write_events(tmp_path, [
+        {"event_id": 1, "ts_us": 0, "user_id": 1,
+         "event_type": "A", "value": 4.0},          # age 2.5d -> >>2
+        {"event_id": 2, "ts_us": int(1.5 * D), "user_id": 1,
+         "event_type": "A", "value": 4.0},          # age 1d   -> >>1
+        {"event_id": 3, "ts_us": int(2.5 * D), "user_id": 1,
+         "event_type": "A", "value": 4.0},          # age 0    -> >>0
+    ])
+    got = rel.events_user_decay(str(tmp_path)).to_pandas()
+    assert got["decayed_cents"].tolist() == [700]
