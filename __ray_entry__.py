@@ -1576,6 +1576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ks": lambda sf: ta.length_ks_by_source(_docs(sf)),
         # recency-halved engagement score (integer shift decay)
         "events_user_decay": rel.events_user_decay,
+        # k-anonymity audit (quasi-id classes below k) + winsorized rollup
+        "events_kanonymity": rel.events_kanonymity,
+        "events_value_winsorized": rel.events_value_winsorized,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -2090,6 +2093,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_daily_active": rel.sql_events_daily_active(),
         "doc_length_ks": _ta_sql().sql_length_ks_by_source(),
         "events_user_decay": rel.sql_events_user_decay(),
+        "events_kanonymity": rel.sql_events_kanonymity(),
+        "events_value_winsorized": rel.sql_events_value_winsorized(),
         "doc_lang_source_chi2": """
 WITH j AS (SELECT lang, source, count(*) AS c
            FROM documents GROUP BY lang, source),

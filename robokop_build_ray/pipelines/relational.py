@@ -6193,3 +6193,145 @@ SELECT user_id,
             AS BIGINT) AS decayed_cents
 FROM events, m
 GROUP BY user_id"""
+
+
+# ------------------------------------------------- k-anonymity audit
+
+KANON_K = 5
+KANON_VALUE_BUCKET_CENTS = 1000  # $10 quasi-identifier value bins
+
+
+def events_kanonymity(sf_dir: str, k: int = KANON_K, n_buckets: int = 64):
+    """k-ANONYMITY audit (data-governance gate): equivalence classes of
+    the quasi-identifier tuple (event_type, hour-of-day, $10 value bin)
+    with FEWER than ``k`` members — the re-identifiable cells a privacy
+    review must suppress or generalize before publishing the table.
+    -> (event_type, hour, value_bucket, n) for n < k.
+
+    Shape: per-batch partial counts -> ONE quasi-id-bucketed sum
+    exchange -> vectorized n < k filter inside the merge. Class count is
+    bounded by the quasi-id domain (enum x 24 x value bins), never the
+    fact count."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "event_type": b["event_type"],
+            "hour": b["ts"].dt.hour.astype("int64"),
+            "value_bucket": (np.floor(
+                b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+                // KANON_VALUE_BUCKET_CENTS),
+        })
+        p["n"] = np.int64(1)
+        return p.groupby(["event_type", "hour", "value_bucket"],
+                         as_index=False)["n"].sum()
+
+    _empty = {
+        "event_type": pd.Series([], dtype=object),
+        "hour": pd.Series([], dtype="int64"),
+        "value_bucket": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "event_type" not in g.columns:
+            return pd.DataFrame(_empty)
+        agg = g.groupby(["event_type", "hour", "value_bucket"],
+                        as_index=False)["n"].sum()
+        agg["n"] = agg["n"].astype("int64")
+        out = agg.loc[agg["n"] < k]
+        return out if len(out) else pd.DataFrame(_empty)
+
+    return bucketed_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour", "value_bucket"], merge, None, n_buckets)
+
+
+def sql_events_kanonymity(k: int = KANON_K) -> str:
+    return f"""
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(floor(value * 100 + 0.5) AS BIGINT)
+         // {KANON_VALUE_BUCKET_CENTS} AS value_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < {k}"""
+
+
+# --------------------------------------------- winsorized aggregates
+
+def events_value_winsorized(sf_dir: str):
+    """WINSORIZED per-type totals: values clipped to the type's exact
+    [p(1/16), p(15/16)] quantiles (binary-exact q per the quantiles
+    module contract; quantile_disc data values from the scale-safe histogram
+    selection, broadcast), then an enum-bounded (n, clipped-cents-sum)
+    fold — the outlier-robust revenue rollup a cleaning pipeline
+    publishes next to the raw sum. Clip thresholds are actual data
+    values so the cents comparison is bit-identical to the oracle."""
+    from ..functions.quantiles import grouped_exact_ranks, quantile_disc_rank
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    counts = {r["event_type"]: int(r["count()"])
+              for r in scan().groupby("event_type").count().take_all()}
+    targets = {
+        g: [(lbl, quantile_disc_rank(q, n))
+            for lbl, q in (("plo", 0.0625), ("phi", 0.9375))]
+        for g, n in counts.items()
+    }
+    got = grouped_exact_ranks(scan, "event_type", "value", targets)
+    lim = {g: (int(np.floor(got[(g, "plo")] * 100.0 + 0.5)),
+               int(np.floor(got[(g, "phi")] * 100.0 + 0.5)))
+           for g in counts}  # enum-bounded broadcast cents thresholds
+    import ray as _ray
+
+    ref = _ray.put(lim)
+
+    def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        th = _ray.get(_ref)
+        cents = np.floor(
+            b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        lo = np.array([th[t][0] for t in b["event_type"]], dtype=np.int64)
+        hi = np.array([th[t][1] for t in b["event_type"]], dtype=np.int64)
+        p = pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "clipped_cents": np.clip(cents, lo, hi),
+        })
+        return p.groupby("event_type",
+                         as_index=False)[["n", "clipped_cents"]].sum()
+
+    frames = list(scan().map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby("event_type", as_index=False)[["n", "clipped_cents"]]
+           .sum().sort_values("event_type"))  # enum-bounded fold
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        "clipped_cents": pa.array(agg["clipped_cents"].astype("int64"),
+                                  pa.int64()),
+    }))
+
+
+def sql_events_value_winsorized() -> str:
+    return """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(quantile_disc(value, 0.0625) * 100 + 0.5) AS BIGINT)
+           AS lo,
+         CAST(floor(quantile_disc(value, 0.9375) * 100 + 0.5) AS BIGINT)
+           AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(greatest(
+              CAST(floor(e.value * 100 + 0.5) AS BIGINT), q.lo), q.hi))
+            AS BIGINT) AS clipped_cents
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type"""

@@ -194,3 +194,30 @@ def test_user_decay_integer_halving(tmp_path):
     ])
     got = rel.events_user_decay(str(tmp_path)).to_pandas()
     assert got["decayed_cents"].tolist() == [700]
+
+
+def test_kanonymity_small_classes(tmp_path):
+    # class (A, hour 0, bucket 0): 5 members -> NOT flagged (n >= k);
+    # class (B, hour 0, bucket 0): 2 members -> flagged.
+    rows = [{"event_id": i + 1, "ts_us": i, "user_id": 1,
+             "event_type": "A", "value": 1.0} for i in range(5)]
+    rows += [{"event_id": 10 + i, "ts_us": i, "user_id": 1,
+              "event_type": "B", "value": 1.0} for i in range(2)]
+    _write_events(tmp_path, rows)
+    got = rel.events_kanonymity(str(tmp_path)).to_pandas()
+    assert got["event_type"].tolist() == ["B"]
+    assert got["n"].tolist() == [2]
+
+
+def test_winsorized_clip(tmp_path):
+    # 16 values 1..16 dollars: p(1/16) = v[ceil(16/16)-1] = 1.00,
+    # p(15/16) = v[ceil(15)-1] = 15.00 -> 16.00 clips to 15.00:
+    # sum = (1+..+15) + 15 = 120 + 15 = 135 dollars = 13500 cents
+    _write_events(tmp_path, [
+        {"event_id": i + 1, "ts_us": i * H, "user_id": 1,
+         "event_type": "A", "value": float(i + 1)}
+        for i in range(16)
+    ])
+    got = rel.events_value_winsorized(str(tmp_path)).to_pandas()
+    assert got["n"].tolist() == [16]
+    assert got["clipped_cents"].tolist() == [13500]
