@@ -579,6 +579,13 @@ def _kg_ktruss(sf_dir: str):
     return ktruss(_kg(sf_dir, "edges"))
 
 
+def _kg_densest(sf_dir: str):
+    """Greedy densest-subgraph peel trace (Charikar / Bahmani shape)."""
+    from robokop_build_ray.stages.graph_metrics import densest_subgraph
+
+    return densest_subgraph(_kg(sf_dir, "edges"))
+
+
 def _kg_topo_levels(sf_dir: str):
     """Fixed-round longest-path layering of the directed graph."""
     from robokop_build_ray.stages.graph_metrics import topo_levels
@@ -1363,6 +1370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _kg_assortativity,
         # edge-grain cohesion: fixed-round k-truss peeling
         "kg_ktruss": _kg_ktruss,
+        # average-degree peel trace (densest-subgraph 2-approx witness)
+        "kg_densest": _kg_densest,
         "kg_mis": _kg_mis,
         "kg_matching": _kg_matching,
         "kg_coloring": _kg_coloring,
@@ -1953,6 +1962,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_distance_profile": entry_sql.sql_distance_profile(t),
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
+        "kg_densest": entry_sql.sql_densest(t),
         "kg_mis": entry_sql.sql_mis(t),
         "kg_matching": entry_sql.sql_matching(t),
         "kg_coloring": entry_sql.sql_coloring(t),

@@ -2394,3 +2394,36 @@ FROM wpair ORDER BY wt, a, b""").fetchdf()
 def sql_mst(tier: str) -> str:
     path = ensure_mst_aux(tier)
     return f"SELECT a, b, wt FROM read_parquet('{path}')"
+
+
+def sql_densest(tier: str, rounds: int = 8) -> str:
+    """Oracle for graph_metrics.densest_subgraph: ``rounds`` unrolled
+    average-degree peels; per surviving round one (v_count, e_count,
+    density) row. Peel keeps nodes with deg * V > 2 * E (integer
+    cross-multiplication); density is the single float division."""
+    p = corpus_paths(tier)
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b FROM und)"]
+    for r in range(rounds):
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS e_cnt,
+         CAST((SELECT count(DISTINCT id) FROM
+               (SELECT a AS id FROM e{r} UNION ALL SELECT b FROM e{r}))
+              AS BIGINT) AS v_cnt
+  FROM e{r})""")
+        if r < rounds - 1:
+            ctes.append(f"""k{r} AS MATERIALIZED (
+  SELECT d.id FROM (
+    SELECT id, count(*) AS deg FROM
+      (SELECT a AS id FROM e{r} UNION ALL SELECT b FROM e{r})
+    GROUP BY id) d, s{r} s
+  WHERE d.deg * s.v_cnt > 2 * s.e_cnt)""")
+            ctes.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN k{r} x ON x.id = e.a JOIN k{r} y ON y.id = e.b)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, v_cnt AS v_count,"
+        f" e_cnt AS e_count, 1.0 * e_cnt / v_cnt AS density"
+        f" FROM s{r} WHERE v_cnt > 0"
+        for r in range(rounds))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
+            + ",\n".join(ctes) + "\n" + sel)

@@ -2581,3 +2581,54 @@ def minimum_spanning_forest(canonical, src: str = "subj_id",
         "a": pa.array([e[0] for e in forest], pa.string()),
         "b": pa.array([e[1] for e in forest], pa.string()),
         "wt": pa.array([e[2] for e in forest], pa.int64())}))
+
+
+# -------------------------------------------------- densest subgraph
+
+DENSEST_ROUNDS = 8
+
+
+def densest_subgraph(edges, rounds: int = DENSEST_ROUNDS,
+                     src: str = "subj_id", dst: str = "obj_id",
+                     n_buckets: int = 64):
+    """Greedy densest-subgraph PEEL trace (Charikar 1999 / the Bahmani
+    et al. 2012 MapReduce variant): per round report (v_count, e_count,
+    density = E/V) of the surviving subgraph, then remove every node
+    whose distinct-neighbor degree is <= the average (keep iff
+    deg * V > 2 * E — integer cross-multiplication, so the peel decision
+    never forms a float). At least the min-degree node always peels, so
+    the trace shrinks monotonically; the densest prefix row is
+    Charikar's 2-approximation witness. ``rounds`` is a SPEC constant
+    like KCORE_ROUNDS; the trace stops early when the graph empties.
+
+    Scale shape (the kcore budget): per round ONE coalesced degree count
+    (entity-bounded driver dict), a broadcast keep-set, and a map-side
+    edge filter — the edge list streams, never collects. ``density`` is
+    the row's single float division of exact ints."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    e = und
+    out = []
+    for r in range(rounds):
+        degs = degree_map(e)
+        if not degs:
+            break
+        v_cnt = len(degs)
+        e_cnt = int(e.count())
+        out.append((r, v_cnt, e_cnt, e_cnt / v_cnt))
+        keep_ref = ray.put(
+            {i for i, d in degs.items() if d * v_cnt > 2 * e_cnt})
+
+        def filt(b: pd.DataFrame, _ref=keep_ref) -> pd.DataFrame:
+            s = ray.get(_ref)
+            m = b["a"].isin(s).to_numpy() & b["b"].isin(s).to_numpy()
+            return b[m]
+
+        e = e.map_batches(filt, batch_format="pandas").materialize()
+    return rd.from_arrow(pa.table({
+        "round": pa.array([r for r, _, _, _ in out], pa.int64()),
+        "v_count": pa.array([v for _, v, _, _ in out], pa.int64()),
+        "e_count": pa.array([c for _, _, c, _ in out], pa.int64()),
+        "density": pa.array([d for _, _, _, d in out], pa.float64()),
+    }))

@@ -221,3 +221,23 @@ def test_winsorized_clip(tmp_path):
     got = rel.events_value_winsorized(str(tmp_path)).to_pandas()
     assert got["n"].tolist() == [16]
     assert got["clipped_cents"].tolist() == [13500]
+
+
+def test_densest_peel_trace():
+    # K4 on {a,b,c,d} plus pendant e-a: round 0 has V=5, E=7 (avg 2.8);
+    # keep deg*5 > 14 -> only deg >= 3 nodes: a(4),b,c,d(3) -> e peels.
+    # round 1: K4 -> V=4, E=6, avg 3; keep deg*4 > 12 -> none (deg 3
+    # each) -> empty. Trace = 2 rows; densest witness is round 1 (1.5).
+    import ray.data as rd
+    from robokop_build_ray.stages.graph_metrics import densest_subgraph
+
+    edges = rd.from_items([
+        {"subj_id": s, "obj_id": o}
+        for s, o in [("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d"), ("e", "a")]
+    ])
+    got = densest_subgraph(edges).to_pandas()
+    assert got["round"].tolist() == [0, 1]
+    assert got["v_count"].tolist() == [5, 4]
+    assert got["e_count"].tolist() == [7, 6]
+    assert got["density"].tolist() == [1.4, 1.5]
