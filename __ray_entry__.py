@@ -1588,6 +1588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-anonymity audit (quasi-id classes below k) + winsorized rollup
         "events_kanonymity": rel.events_kanonymity,
         "events_value_winsorized": rel.events_value_winsorized,
+        # declarative data-contract audit over orders (expectations suite)
+        "orders_expectations": rel.orders_expectations,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -1769,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _clustering().embedding_kmeans,
         # greedy k-center coreset pick (farthest-point-first, exact ints)
         "embedding_kcenter": _clustering().embedding_kcenter,
+        # per-label centroid drift between even/odd vec_id halves
+        "embedding_centroid_drift": _clustering().embedding_centroid_drift,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
     # rotate: never-driver-checked queries first (see _R02_DRIVER_CHECKED),
@@ -2105,6 +2109,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_user_decay": rel.sql_events_user_decay(),
         "events_kanonymity": rel.sql_events_kanonymity(),
         "events_value_winsorized": rel.sql_events_value_winsorized(),
+        "orders_expectations": rel.sql_orders_expectations(),
         "doc_lang_source_chi2": """
 WITH j AS (SELECT lang, source, count(*) AS c
            FROM documents GROUP BY lang, source),
@@ -2424,6 +2429,8 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "embedding_kcenter": _clustering().sql_embedding_kcenter(),
+        "embedding_centroid_drift":
+            _clustering().sql_embedding_centroid_drift(),
         "embedding_gram": _clustering().sql_embedding_gram(),
         "embedding_pca_proj": _clustering().sql_embedding_pca_proj(),
         "embedding_rp": _clustering().sql_embedding_rp(),

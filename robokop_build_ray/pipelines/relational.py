@@ -6335,3 +6335,91 @@ SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
             AS BIGINT) AS clipped_cents
 FROM events e JOIN q USING (event_type)
 GROUP BY e.event_type"""
+
+
+# ------------------------------------------------ expectations audit
+
+# declarative data-contract rules over orders (SPEC suite): each rule is
+# a named vectorized predicate; the report is rule-bounded.
+ORDERS_EXPECTATIONS = (
+    "totalprice_positive",   # o_totalprice > 0
+    "status_in_enum",        # o_orderstatus in {O, F} (P = exception row)
+    "date_before_2000",      # o_orderdate < 2000-01-01
+    "priority_format",       # o_orderpriority matches ^[1-5]-
+    "custkey_positive",      # o_custkey > 0
+)
+
+
+def orders_expectations(sf_dir: str):
+    """Declarative DATA-CONTRACT audit (the expectations suite an ingest
+    gate runs before publishing): per named rule the violation count and
+    the total row count -> (rule, n_violations, n_rows). One streaming
+    pass of vectorized per-batch predicate counts; the fold is
+    rule-bounded (5 x batch partials). Rules are SPEC constants shared
+    with the oracle."""
+    import re
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice", "o_orderstatus",
+                                  "o_orderdate", "o_orderpriority",
+                                  "o_custkey"])
+    cutoff = pd.Timestamp("2000-01-01")
+    prio_re = re.compile(r"^[1-5]-")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        viol = {
+            "totalprice_positive": (~(b["o_totalprice"] > 0)).sum(),
+            "status_in_enum": (~b["o_orderstatus"].isin(["O", "F"])).sum(),
+            "date_before_2000": (~(b["o_orderdate"] < cutoff)).sum(),
+            "priority_format":
+                (~b["o_orderpriority"].str.match(prio_re)).sum(),
+            "custkey_positive": (~(b["o_custkey"] > 0)).sum(),
+        }
+        return pd.DataFrame({
+            "rule": list(ORDERS_EXPECTATIONS),
+            "n_violations": np.array(
+                [viol[r] for r in ORDERS_EXPECTATIONS], dtype=np.int64),
+            "n_rows": np.full(len(ORDERS_EXPECTATIONS), len(b),
+                              dtype=np.int64),
+        })
+
+    frames = list(ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby("rule", as_index=False)[["n_violations", "n_rows"]]
+           .sum().sort_values("rule"))  # rule-bounded fold
+    return rd.from_arrow(pa.table({
+        "rule": pa.array(agg["rule"], pa.string()),
+        "n_violations": pa.array(agg["n_violations"].astype("int64"),
+                                 pa.int64()),
+        "n_rows": pa.array(agg["n_rows"].astype("int64"), pa.int64()),
+    }))
+
+
+def sql_orders_expectations() -> str:
+    return """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+SELECT 'custkey_positive' AS rule,
+       CAST(count(*) FILTER (NOT (o_custkey > 0)) AS BIGINT)
+         AS n_violations, n.n_rows
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'date_before_2000',
+       CAST(count(*) FILTER (NOT (o_orderdate < TIMESTAMP '2000-01-01'))
+            AS BIGINT), n.n_rows
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'priority_format',
+       CAST(count(*) FILTER (NOT regexp_matches(o_orderpriority,
+                                                '^[1-5]-')) AS BIGINT),
+       n.n_rows
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'status_in_enum',
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F')) AS BIGINT),
+       n.n_rows
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT), n.n_rows
+FROM orders, n GROUP BY n.n_rows"""

@@ -534,3 +534,107 @@ m0 AS MATERIALIZED (
                FROM c{r} c)) AS d
   FROM m{r - 1} m JOIN qa a ON a.vec_id = m.vec_id)""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+# ------------------------------------------ centroid drift (A/B halves)
+
+def embedding_centroid_drift(sf_dir: str):
+    """Per-label CENTROID DRIFT between the even- and odd-``vec_id``
+    halves (the two-run / two-shard consistency probe an embedding
+    pipeline publishes after a model or preprocessing change):
+    -> (label, n_a, n_b, drift_l1_num, drift).
+
+    Exactness: the L1 distance between the two half-centroids is
+    evaluated WITHOUT forming means — drift_l1_num = sum_i
+    |s1_i * n_b - s2_i * n_a| over QUANT-quantized int64 component sums
+    (common-denominator cross-multiplication; magnitudes stay well under
+    int64). ``drift`` = num / (n_a * n_b * QUANT) is the single float
+    division. L1 (not L2) keeps every intermediate in int64 — the
+    squared form would need int128 (the corr/HUGEINT class).
+
+    Shape: one streaming pass of per-batch (label, dim) partial sums +
+    count marker rows; the fold is (labels x dim)-bounded driver work —
+    zero shuffles."""
+    import ray.data as rd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(_matrix(b["embedding"]) * QUANT + 0.5).astype(
+            np.int64)
+        ids = b["vec_id"].to_numpy(np.int64)
+        lab = b["label"].to_numpy(np.int64)
+        even = ids % 2 == 0
+        outs = []
+        for lb in np.unique(lab):
+            m = lab == lb
+            s1 = q[m & even].sum(axis=0, dtype=np.int64)
+            s2 = q[m & ~even].sum(axis=0, dtype=np.int64)
+            d = len(s1)
+            outs.append(pd.DataFrame({
+                "label": np.full(d + 1, lb, dtype=np.int64),
+                "i": np.r_[np.arange(d, dtype=np.int64), -1],
+                "s1": np.r_[s1, int((m & even).sum())],
+                "s2": np.r_[s2, int((m & ~even).sum())],
+            }))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                   "i": pd.Series([], dtype="int64"),
+                                   "s1": pd.Series([], dtype="int64"),
+                                   "s2": pd.Series([], dtype="int64")}))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    frames = list(ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby(["label", "i"], as_index=False)[["s1", "s2"]].sum())
+    rows = []
+    for lb, g in agg.groupby("label", sort=True):
+        cnt = g.loc[g["i"] < 0]
+        n_a = int(cnt["s1"].iloc[0])
+        n_b = int(cnt["s2"].iloc[0])
+        if n_a == 0 or n_b == 0:
+            continue  # a half is empty: drift undefined (oracle matches)
+        s = g.loc[g["i"] >= 0].sort_values("i")
+        num = int(np.abs(s["s1"].to_numpy(np.int64) * n_b
+                         - s["s2"].to_numpy(np.int64) * n_a).sum())
+        rows.append((int(lb), n_a, n_b, num,
+                     num / (n_a * n_b * QUANT)))  # one division
+    return rd.from_arrow(pa.table({
+        "label": pa.array([r[0] for r in rows], pa.int64()),
+        "n_a": pa.array([r[1] for r in rows], pa.int64()),
+        "n_b": pa.array([r[2] for r in rows], pa.int64()),
+        "drift_l1_num": pa.array([r[3] for r in rows], pa.int64()),
+        "drift": pa.array([r[4] for r in rows], pa.float64()),
+    }))
+
+
+def sql_embedding_centroid_drift() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT}.0 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT label, i,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN v ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN v ELSE 0 END)
+              AS BIGINT) AS s2
+  FROM q GROUP BY label, i
+),
+n AS (
+  SELECT label,
+         CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS n_b
+  FROM embeddings GROUP BY label
+)
+SELECT CAST(s.label AS BIGINT) AS label, n.n_a, n.n_b,
+       CAST(sum(abs(s.s1 * n.n_b - s.s2 * n.n_a)) AS BIGINT)
+         AS drift_l1_num,
+       1.0 * CAST(sum(abs(s.s1 * n.n_b - s.s2 * n.n_a)) AS BIGINT)
+         / (n.n_a * n.n_b * {QUANT}) AS drift
+FROM s JOIN n USING (label)
+WHERE n.n_a > 0 AND n.n_b > 0
+GROUP BY s.label, n.n_a, n.n_b"""

@@ -241,3 +241,43 @@ def test_densest_peel_trace():
     assert got["v_count"].tolist() == [5, 4]
     assert got["e_count"].tolist() == [7, 6]
     assert got["density"].tolist() == [1.4, 1.5]
+
+
+def test_expectations_counts(tmp_path):
+    # one violating row per rule class: status X, date 2001, price -1
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O", "X", "F"], pa.string()),
+        "o_totalprice": pa.array([10.0, 5.0, -1.0], pa.float64()),
+        "o_orderdate": pa.array([0, 10**15, 2 * 10**15],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "9-BAD", "5-LOW"],
+                                    pa.string()),
+    }), f"{tmp_path}/orders.parquet")
+    got = (rel.orders_expectations(str(tmp_path)).to_pandas()
+           .set_index("rule")["n_violations"].to_dict())
+    # 10^15 us = 2001-09, 2*10^15 = 2033 -> both >= 2000-01-01
+    assert got == {"totalprice_positive": 1, "status_in_enum": 1,
+                   "date_before_2000": 2, "priority_format": 1,
+                   "custkey_positive": 0}
+
+
+def test_centroid_drift_exact():
+    # label 0: even half {(1,0)}, odd half {(0,1)} (QUANT units):
+    # s1=(Q,0) n_a=1, s2=(0,Q) n_b=1 -> num = Q + Q; drift = 2Q/Q = 2.0
+    import pyarrow.parquet as _pq
+    import tempfile
+    from robokop_build_ray.stages.clustering import (
+        QUANT, embedding_centroid_drift)
+
+    with tempfile.TemporaryDirectory() as d:
+        _pq.write_table(pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0], pa.int32()),
+        }), f"{d}/embeddings.parquet")
+        got = embedding_centroid_drift(d).to_pandas()
+    assert got["drift_l1_num"].tolist() == [2 * QUANT]
+    assert got["drift"].tolist() == [2.0]
