@@ -1590,6 +1590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": rel.events_value_winsorized,
         # declarative data-contract audit over orders (expectations suite)
         "orders_expectations": rel.orders_expectations,
+        # semi-structured JSON payload extraction (props -> k stats)
+        "events_props_stats": rel.events_props_stats,
         # high-cardinality grouped exact median (per-key co-location)
         "events_user_median": rel.events_user_median,
         # grouped argmax (modal event type, deterministic tie-break)
@@ -2110,6 +2112,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_kanonymity": rel.sql_events_kanonymity(),
         "events_value_winsorized": rel.sql_events_value_winsorized(),
         "orders_expectations": rel.sql_orders_expectations(),
+        "events_props_stats": rel.sql_events_props_stats(),
         "doc_lang_source_chi2": """
 WITH j AS (SELECT lang, source, count(*) AS c
            FROM documents GROUP BY lang, source),

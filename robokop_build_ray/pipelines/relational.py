@@ -6423,3 +6423,80 @@ UNION ALL
 SELECT 'totalprice_positive',
        CAST(count(*) FILTER (NOT (o_totalprice > 0)) AS BIGINT), n.n_rows
 FROM orders, n GROUP BY n.n_rows"""
+
+
+# --------------------------------------- semi-structured props parsing
+
+PROPS_KEY_RE = r'"k":\s*(\d+)'
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured EXTRACTION over the JSON ``props`` column (the
+    ELT parse step for event payloads): pull the integer ``k`` field
+    with ONE vectorized regex pass per batch and publish per-type
+    stats -> (event_type, n, n_missing, sum_k, min_k, max_k).
+
+    The extraction rule is the SPEC regex shared with the oracle (a
+    JSON-path oracle would also work — the regex keeps both engines on
+    one grammar). Rows whose props carry no integer ``k`` count as
+    n_missing and are excluded from the aggregates. One streaming pass,
+    enum-bounded fold, zero shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(PROPS_KEY_RE, expand=False)
+        miss = k.isna()
+        kv = pd.to_numeric(k, errors="coerce")
+        p = pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": np.ones(len(b), dtype=np.int64),
+            "n_missing": miss.to_numpy().astype(np.int64),
+            "sum_k": kv.fillna(0).astype(np.int64),
+            "min_k": kv.fillna(np.inf),
+            "max_k": kv.fillna(-np.inf),
+        })
+        agg = p.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_missing=("n_missing", "sum"),
+            sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+            max_k=("max_k", "max"))
+        return agg
+
+    frames = list(ds.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby("event_type", as_index=False)
+           .agg(n=("n", "sum"), n_missing=("n_missing", "sum"),
+                sum_k=("sum_k", "sum"), min_k=("min_k", "min"),
+                max_k=("max_k", "max"))
+           .sort_values("event_type"))  # enum-bounded fold
+    present = agg["n"] > agg["n_missing"]
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        "n_missing": pa.array(agg["n_missing"].astype("int64"),
+                              pa.int64()),
+        "sum_k": pa.array(agg["sum_k"].astype("int64"), pa.int64()),
+        "min_k": pa.array(
+            np.where(present, agg["min_k"], 0).astype(np.int64),
+            pa.int64()),
+        "max_k": pa.array(
+            np.where(present, agg["max_k"], 0).astype(np.int64),
+            pa.int64()),
+    }))
+
+
+def sql_events_props_stats() -> str:
+    return r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+           AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_missing,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
+       CAST(coalesce(max(k), 0) AS BIGINT) AS max_k
+FROM x GROUP BY event_type"""

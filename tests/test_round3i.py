@@ -281,3 +281,28 @@ def test_centroid_drift_exact():
         got = embedding_centroid_drift(d).to_pandas()
     assert got["drift_l1_num"].tolist() == [2 * QUANT]
     assert got["drift"].tolist() == [2.0]
+
+
+def test_props_extraction_with_missing(tmp_path):
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts_us": [0, 1, 2],
+        "user_id": [1, 1, 1],
+        "event_type": ["A", "A", "A"],
+        "value": [1.0, 1.0, 1.0],
+    })
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "ts": pa.array(df["ts_us"], pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "value": pa.array(df["value"], pa.float64()),
+        "props": pa.array(['{"k": 7}', "oops", '{"k": 3}'], pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    got = rel.events_props_stats(str(tmp_path)).to_pandas()
+    assert got["n"].tolist() == [3]
+    assert got["n_missing"].tolist() == [1]
+    assert got["sum_k"].tolist() == [10]
+    assert got["min_k"].tolist() == [3]
+    assert got["max_k"].tolist() == [7]
