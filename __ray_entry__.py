@@ -586,6 +586,13 @@ def _kg_densest(sf_dir: str):
     return densest_subgraph(_kg(sf_dir, "edges"))
 
 
+def _kg_bipartite(sf_dir: str):
+    """Odd-cycle / 2-colorability audit per connected component."""
+    from robokop_build_ray.stages.graph_metrics import bipartite_components
+
+    return bipartite_components(_kg(sf_dir, "edges"))
+
+
 def _kg_topo_levels(sf_dir: str):
     """Fixed-round longest-path layering of the directed graph."""
     from robokop_build_ray.stages.graph_metrics import topo_levels
@@ -1372,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": _kg_ktruss,
         # average-degree peel trace (densest-subgraph 2-approx witness)
         "kg_densest": _kg_densest,
+        # per-component 2-colorability (parity union-find odd-cycle audit)
+        "kg_bipartite": _kg_bipartite,
         "kg_mis": _kg_mis,
         "kg_matching": _kg_matching,
         "kg_coloring": _kg_coloring,
@@ -1969,6 +1978,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_assortativity": entry_sql.sql_degree_assortativity(t),
         "kg_ktruss": entry_sql.sql_ktruss(t),
         "kg_densest": entry_sql.sql_densest(t),
+        "kg_bipartite": entry_sql.sql_bipartite(t),
         "kg_mis": entry_sql.sql_mis(t),
         "kg_matching": entry_sql.sql_matching(t),
         "kg_coloring": entry_sql.sql_coloring(t),

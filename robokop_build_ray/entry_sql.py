@@ -2427,3 +2427,30 @@ def sql_densest(tier: str, rounds: int = 8) -> str:
         for r in range(rounds))
     return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n{_UND_CTES},\n"
             + ",\n".join(ctes) + "\n" + sel)
+
+
+def sql_bipartite(tier: str) -> str:
+    """Oracle for graph_metrics.bipartite_components: parity-carrying
+    reachability (recursive CTE) — a component has an odd cycle iff some
+    node is reachable from some root at BOTH parities."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+nodes AS (SELECT DISTINCT id FROM adj),
+preach(id, root, par) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION
+  SELECT a.nb, r.root, 1 - r.par
+  FROM preach r JOIN adj a ON a.id = r.id
+),
+comp AS (SELECT id, min(root) AS component FROM preach GROUP BY id),
+oddnodes AS (
+  SELECT r.id FROM preach r
+  GROUP BY r.id, r.root HAVING count(DISTINCT r.par) = 2
+),
+odd AS (SELECT DISTINCT c.component
+        FROM oddnodes o JOIN comp c ON c.id = o.id)
+SELECT c.component, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(CASE WHEN c.component IN (SELECT component FROM odd)
+                 THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
+FROM comp c GROUP BY c.component"""

@@ -2632,3 +2632,82 @@ def densest_subgraph(edges, rounds: int = DENSEST_ROUNDS,
         "e_count": pa.array([c for _, _, c, _ in out], pa.int64()),
         "density": pa.array([d for _, _, _, d in out], pa.float64()),
     }))
+
+
+# ----------------------------------------------- bipartite components
+
+def bipartite_components(edges, src: str = "subj_id",
+                         dst: str = "obj_id", n_buckets: int = 64):
+    """Per-component BIPARTITENESS audit (odd-cycle detection): for every
+    connected component of the undirected simple graph, (component =
+    min member id, n_nodes, is_bipartite 1/0) — the 2-colorability
+    sanity gate for graphs expected to be bipartite (e.g. doc-term,
+    user-item) and a structural profile otherwise.
+
+    Engine: the distinct-pair stream folds into a PARITY union-find on
+    the driver — node state is entity-bounded (the same gazetteer-
+    universe bound degree_map and the canonicalization broadcast already
+    rely on); bipartiteness and membership are edge-order-independent,
+    so the fold needs no ordering guarantee. At a node universe beyond
+    driver bounds this becomes the components-style min-label
+    propagation carrying (root, parity) per round — same exchange
+    budget as connected_components."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets)
+    parent: dict[str, str] = {}
+    par: dict[str, int] = {}   # parity of node relative to its parent
+    odd: set[str] = set()      # roots of components with an odd cycle
+
+    def find(x: str) -> tuple[str, int]:
+        path = []
+        p = 0
+        while parent.get(x, x) != x:
+            path.append((x, par[x]))
+            p ^= par[x]
+            x = parent[x]
+        # path compression, re-rooting parities to the root
+        acc = p
+        for n, pr in path:
+            parent[n] = x
+            old = par[n]
+            par[n] = acc
+            acc ^= old
+        return x, p
+
+    def union(a: str, b: str) -> None:
+        for n in (a, b):
+            parent.setdefault(n, n)
+            par.setdefault(n, 0)
+        ra, pa_ = find(a)
+        rb, pb = find(b)
+        if ra == rb:
+            if pa_ == pb:  # same side joined by an edge -> odd cycle
+                odd.add(ra)
+            return
+        # attach lexicographically-larger root under the smaller
+        # (deterministic; rank-free is fine at entity scale)
+        if rb < ra:
+            ra, rb, pa_, pb = rb, ra, pb, pa_
+        parent[rb] = ra
+        par[rb] = pa_ ^ pb ^ 1  # edge flips sides
+        if rb in odd:
+            odd.discard(rb)
+            odd.add(ra)
+
+    for b in und.iter_batches(batch_format="pandas", batch_size=65536):
+        for a_, b_ in zip(b["a"].to_numpy(dtype=object),
+                          b["b"].to_numpy(dtype=object)):
+            union(a_, b_)
+
+    members: dict[str, list[str]] = {}
+    for n in parent:
+        r, _ = find(n)
+        members.setdefault(r, []).append(n)
+    rows = sorted((min(v), len(v), 0 if r in odd else 1)
+                  for r, v in members.items())
+    return rd.from_arrow(pa.table({
+        "component": pa.array([c for c, _, _ in rows], pa.string()),
+        "n_nodes": pa.array([n for _, n, _ in rows], pa.int64()),
+        "is_bipartite": pa.array([f for _, _, f in rows], pa.int64()),
+    }))

@@ -306,3 +306,21 @@ def test_props_extraction_with_missing(tmp_path):
     assert got["sum_k"].tolist() == [10]
     assert got["min_k"].tolist() == [3]
     assert got["max_k"].tolist() == [7]
+
+
+def test_bipartite_odd_even_cycles():
+    # square a-b-c-d-a (even cycle: bipartite) + triangle x-y-z (odd),
+    # plus a path p-q (trivially bipartite)
+    import ray.data as rd
+    from robokop_build_ray.stages.graph_metrics import bipartite_components
+
+    edges = rd.from_items([
+        {"subj_id": s, "obj_id": o}
+        for s, o in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                     ("x", "y"), ("y", "z"), ("z", "x"), ("p", "q")]
+    ])
+    got = (bipartite_components(edges).to_pandas()
+           .set_index("component"))
+    assert got.loc["a", "n_nodes"] == 4 and got.loc["a", "is_bipartite"] == 1
+    assert got.loc["x", "n_nodes"] == 3 and got.loc["x", "is_bipartite"] == 0
+    assert got.loc["p", "n_nodes"] == 2 and got.loc["p", "is_bipartite"] == 1
