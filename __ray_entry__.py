@@ -1509,6 +1509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, parity=True),
         # value-concentration (Gini over per-user totals, integer moments)
         "events_value_gini": rel.events_value_gini,
+        # exact distribution shape (hi/lo-split 3rd/4th moment partials)
+        "events_value_skewkurt": rel.events_value_skewkurt,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -2091,6 +2093,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "ri_audit": rel.sql_ri_audit(),
         "lineitem_checksum": rel.sql_lineitem_checksum(),
         "events_value_gini": rel.sql_events_value_gini(),
+        "events_value_skewkurt": rel.sql_events_value_skewkurt(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_rake_keywords": _vocab().sql_rake_keywords(),
         "doc_textrank": _vocab().sql_doc_textrank(),

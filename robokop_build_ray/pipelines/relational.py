@@ -6500,3 +6500,140 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(coalesce(min(k), 0) AS BIGINT) AS min_k,
        CAST(coalesce(max(k), 0) AS BIGINT) AS max_k
 FROM x GROUP BY event_type"""
+
+
+# ------------------------------- exact distributed skewness / kurtosis
+
+def events_value_skewkurt(sf_dir: str):
+    """Per-event-type EXACT skewness and excess kurtosis of the cent
+    value -> (event_type, n_events, skewness, kurtosis) — the
+    distribution-shape profile a data-quality monitor alarms on.
+
+    Distributed higher moments need sum(y^3) / sum(y^4), which overflow
+    int64 even WITHIN one batch (y <= ~5e4 cents -> y^4 up to 6.25e18;
+    a 100k-row batch sums to ~1e23). The partials therefore carry each
+    power in HI/LO bit-split components that provably fit int64 per
+    batch — y^2 = a*2^16 + b with a,b < 2^16 for any y < 2^16 cents, so
+    every component element (a*a, a*b, b*b, y*a, y*b) is < 2^32 and a
+    2-billion-row batch cannot overflow the int64 partial sum. The
+    enum-bounded fold reconstructs the exact sums as arbitrary-precision
+    Python ints (pandas object-dtype sums: the int64 column sums would
+    overflow at fact scale even though each batch partial fits). Floats
+    appear only in the final double combination, computed in the
+    IDENTICAL operation order as the DuckDB oracle (HUGEINT sums there)
+    so the doubles are bit-exact. Zero-variance groups are excluded in
+    both engines via the exact integer test n*s2 - s1^2 > 0.
+
+    Shape: zero wide shuffles — vectorized per-batch partials,
+    repartition(1) coalesce of enum-bounded rows, one driver-grain fold
+    (the events_benford budget class)."""
+    import math
+
+    def hug2d(x: int) -> float:
+        # DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded above
+        # 2^64: it converts the two 64-bit halves separately and combines
+        # in double (double rounding, observed 1-ulp-off at sf0.01).
+        # Python's float(int) IS correctly rounded, so mimic DuckDB here.
+        return (float(x >> 64) * 18446744073709551616.0
+                + float(x & 0xFFFFFFFFFFFFFFFF))
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        y = _cents(b["value"].to_numpy())
+        if len(y) and int(y.max()) >= 1 << 16:
+            raise ValueError(
+                "events_value_skewkurt: cent values >= 2^16 break the "
+                "hi/lo split bound; widen the split constant")
+        y2 = y * y
+        a, lo = y2 >> 16, y2 & 0xFFFF
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "n": np.ones(len(y), dtype=np.int64),
+            "s1": y, "s2": y2,
+            "s3a": y * a, "s3b": y * lo,
+            "s4aa": a * a, "s4ab": a * lo, "s4bb": lo * lo,
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    _empty = {
+        "event_type": pd.Series([], dtype="object"),
+        "n_events": pd.Series([], dtype="int64"),
+        "skewness": pd.Series([], dtype="float64"),
+        "kurtosis": pd.Series([], dtype="float64"),
+    }
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "event_type" not in b.columns:
+            return pd.DataFrame(_empty)
+        rows = []
+        for et, t in b.groupby("event_type", sort=True):
+            # object-dtype sums: exact Python ints, no int64 overflow
+            n = int(t["n"].astype(object).sum())
+            s1 = int(t["s1"].astype(object).sum())
+            s2 = int(t["s2"].astype(object).sum())
+            s3 = (int(t["s3a"].astype(object).sum()) << 16) \
+                + int(t["s3b"].astype(object).sum())
+            s4 = (int(t["s4aa"].astype(object).sum()) << 32) \
+                + (int(t["s4ab"].astype(object).sum()) << 17) \
+                + int(t["s4bb"].astype(object).sum())
+            if n * s2 - s1 * s1 <= 0:  # exact zero-variance exclusion
+                continue
+            nd = float(n)
+            m1 = hug2d(s1) / nd
+            r2 = hug2d(s2) / nd
+            r3 = hug2d(s3) / nd
+            r4 = hug2d(s4) / nd
+            m2 = r2 - m1 * m1
+            m3 = r3 - 3.0 * m1 * r2 + 2.0 * (m1 * m1 * m1)
+            m4 = (r4 - 4.0 * m1 * r3 + 6.0 * (m1 * m1) * r2
+                  - 3.0 * ((m1 * m1) * (m1 * m1)))
+            rows.append((et, n, m3 / (m2 * math.sqrt(m2)),
+                         m4 / (m2 * m2) - 3.0))
+        if not rows:
+            return pd.DataFrame(_empty)
+        return pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_events": np.array([r[1] for r in rows], dtype=np.int64),
+            "skewness": np.array([r[2] for r in rows], dtype=np.float64),
+            "kurtosis": np.array([r[3] for r in rows], dtype=np.float64),
+        })
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_value_skewkurt() -> str:
+    # operation order mirrors the engine's fold EXACTLY (bit-identical
+    # doubles): HUGEINT power sums -> per-sum single division by n ->
+    # the same central-moment association order -> skew/kurt divisions.
+    return """
+WITH y AS (
+  SELECT event_type,
+         CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(y) AS s1, sum(y * y) AS s2, sum((y * y) * y) AS s3,
+         sum((y * y) * (y * y)) AS s4
+  FROM y GROUP BY event_type),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s WHERE n * s2 - s1 * s1 > 0),
+c AS (
+  SELECT event_type, n,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * (m1 * m1 * m1) AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * (m1 * m1) * r2
+           - 3.0 * ((m1 * m1) * (m1 * m1)) AS m4
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis
+FROM c"""
