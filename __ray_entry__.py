@@ -1533,6 +1533,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": lambda sf: ta.blocklist_scan(_docs(sf)),
         # vocabulary / index-building passes (stages/vocab.py)
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
+        # distinct-n generation-diversity / boilerplate detection
+        "doc_distinct_ngrams": lambda sf: _vocab().distinct_ngrams(
+            _docs(sf)),
+        # cross-source vocabulary overlap (corpus-mixing diagnostic)
+        "source_vocab_jaccard": lambda sf: _vocab().source_vocab_jaccard(
+            _docs(sf)),
         # keyword extraction: RAKE phrase scoring (deg/freq, one division)
         "doc_rake_keywords": lambda sf: _vocab().rake_keywords(_docs(sf)),
         # TextRank: quantized-integer PageRank over the word-adjacency graph
@@ -2095,6 +2101,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_value_gini": rel.sql_events_value_gini(),
         "events_value_skewkurt": rel.sql_events_value_skewkurt(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
+        "doc_distinct_ngrams": _vocab().sql_distinct_ngrams(),
+        "source_vocab_jaccard": _vocab().sql_source_vocab_jaccard(),
         "doc_rake_keywords": _vocab().sql_rake_keywords(),
         "doc_textrank": _vocab().sql_doc_textrank(),
         "doc_tfidf": _vocab().sql_doc_tfidf(),

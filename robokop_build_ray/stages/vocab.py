@@ -947,3 +947,215 @@ it0 AS (SELECT id, 1000000000000 // (SELECT n FROM meta) AS r FROM nodes)"""]
     GROUP BY e.dst) s ON nd.id = s.id)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, CAST(r AS BIGINT) AS rank_units FROM it{iters}")
+
+
+# --------------------------------------- per-source n-gram diversity
+
+def distinct_ngrams(docs, n: int = 3, n_buckets: int = 64):
+    """Per-source distinct word-n-gram diversity -> (source, total_ngrams,
+    distinct_ngrams, diversity): the distinct-n generation-diversity /
+    templating-detection metric (a boilerplate-heavy source shows a low
+    distinct-over-total ratio). Tokens are the vocab TOKEN_RE convention;
+    only full n-grams count (docs shorter than n tokens contribute none).
+
+    Shape: per-batch vectorized gram construction (token explode + two
+    shifted object-array concats — no per-doc Python loop) pre-aggregated
+    to (source, gram, c) combiner rows, ONE (source, gram)-bucketed
+    exchange whose merge emits enum-bounded per-source partials (buckets
+    partition the gram space, so per-bucket distinct counts sum exactly),
+    and a driver-grain fold with the single diversity division."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "gram": pd.Series([], dtype=object),
+            "c": pd.Series([], dtype="int64"),
+        })
+        toks = b["text"].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().dropna()
+        if len(flat) < n:
+            return empty
+        tok = np.asarray(flat.to_numpy(), dtype=object)
+        di = np.repeat(np.arange(len(b), dtype=np.int64), lens)
+        ok = di[: -(n - 1)] == di[n - 1:]  # all n positions in one doc
+        if not ok.any():
+            return empty
+        grams = tok[: -(n - 1)][ok]
+        for j in range(1, n):
+            shifted = tok[j: len(tok) - (n - 1) + j] if j < n - 1 \
+                else tok[n - 1:]
+            grams = grams + " " + shifted[ok]
+        src = b["source"].to_numpy()[di[: -(n - 1)][ok]]
+        out = pd.DataFrame({"source": src, "gram": grams})
+        return (out.groupby(["source", "gram"], sort=False).size()
+                .rename("c").reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "source" not in g.columns:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "total": pd.Series([], dtype="int64"),
+                "distinct": pd.Series([], dtype="int64"),
+            })
+        per = g.groupby("source", as_index=False).agg(
+            total=("c", "sum"), distinct=("gram", "nunique"))
+        return per.astype({"total": "int64", "distinct": "int64"})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "source" not in b.columns:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "total_ngrams": pd.Series([], dtype="int64"),
+                "distinct_ngrams": pd.Series([], dtype="int64"),
+                "diversity": pd.Series([], dtype="float64"),
+            })
+        per = b.groupby("source", as_index=False).sum()
+        d = per["distinct"].to_numpy(np.int64)
+        t = per["total"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": per["source"],
+            "total_ngrams": t,
+            "distinct_ngrams": d,
+            "diversity": d.astype(np.float64) / t,  # ONE division
+        })
+
+    return (bucketed_apply(docs.select_columns(["source", "text"]),
+                           ["source", "gram"], merge, partial, n_buckets)
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_distinct_ngrams(n: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tk
+  FROM documents),
+g AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(tk) - {n - 2}),
+           i -> {" || ' ' || ".join(f"tk[i + {j}]" if j else "tk[i]"
+                                    for j in range(n))})) AS gram
+  FROM toks WHERE len(tk) >= {n})
+SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+       CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS diversity
+FROM g GROUP BY source"""
+
+
+# ------------------------------------ cross-source vocabulary overlap
+
+def source_vocab_jaccard(docs, n_buckets: int = 64):
+    """Pairwise vocabulary Jaccard between sources -> (src_a, src_b,
+    n_a, n_b, n_common, jaccard) for src_a < src_b: the corpus-mixing
+    diagnostic (near-identical vocabularies flag mirrored / templated
+    sources; disjoint ones flag domain or language splits).
+
+    Shape: per-batch distinct (source, term) combiner rows -> ONE
+    term-bucketed exchange; each bucket computes its local per-source
+    vocab sizes AND per-pair intersection counts from a terms x sources
+    membership pivot (term sets are disjoint across buckets, so both
+    partials sum exactly) -> enum-pair-bounded fold with the single
+    Jaccard division. The vocabulary itself is never broadcast and never
+    leaves its bucket — only O(sources^2) count rows move."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(TOKEN_RE)
+        flat = toks.explode().dropna()
+        if len(flat) == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+            })
+        out = pd.DataFrame({
+            "source": b["source"].loc[flat.index].to_numpy(),
+            "term": flat.to_numpy(),
+        })
+        return out.drop_duplicates()
+
+    _partial_empty = {
+        "src_a": pd.Series([], dtype=object),
+        "src_b": pd.Series([], dtype=object),
+        "n_a": pd.Series([], dtype="int64"),
+        "n_common": pd.Series([], dtype="int64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "source" not in g.columns:
+            return pd.DataFrame(_partial_empty)
+        g = g.drop_duplicates(["source", "term"])
+        # terms x sources membership pivot: bucket-local, source-bounded
+        m = pd.crosstab(g["term"], g["source"]).astype(np.int64)
+        srcs = sorted(m.columns)
+        mv = m[srcs].to_numpy()
+        inter = mv.T @ mv  # sources x sources co-membership counts
+        rows = {"src_a": [], "src_b": [], "n_a": [], "n_common": []}
+        for i, sa in enumerate(srcs):
+            # diagonal row carries the per-source vocab-size partial
+            rows["src_a"].append(sa)
+            rows["src_b"].append(sa)
+            rows["n_a"].append(int(inter[i, i]))
+            rows["n_common"].append(0)
+            for j in range(i + 1, len(srcs)):
+                rows["src_a"].append(sa)
+                rows["src_b"].append(srcs[j])
+                rows["n_a"].append(0)
+                rows["n_common"].append(int(inter[i, j]))
+        out = pd.DataFrame(rows)
+        return out.astype({"n_a": "int64", "n_common": "int64"})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "src_a": pd.Series([], dtype=object),
+            "src_b": pd.Series([], dtype=object),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+        if len(b) == 0 or "src_a" not in b.columns:
+            return empty
+        agg = b.groupby(["src_a", "src_b"], as_index=False).sum()
+        sizes = {r.src_a: int(r.n_a)
+                 for r in agg[agg["src_a"] == agg["src_b"]]
+                 .itertuples(index=False)}
+        pairs = agg[agg["src_a"] != agg["src_b"]]
+        if len(pairs) == 0:
+            return empty
+        na = pairs["src_a"].map(sizes).fillna(0).astype(np.int64)
+        nb = pairs["src_b"].map(sizes).fillna(0).astype(np.int64)
+        nc = pairs["n_common"].astype(np.int64)
+        union = na + nb - nc
+        out = pd.DataFrame({
+            "src_a": pairs["src_a"].to_numpy(),
+            "src_b": pairs["src_b"].to_numpy(),
+            "n_a": na.to_numpy(),
+            "n_b": nb.to_numpy(),
+            "n_common": nc.to_numpy(),
+            "jaccard": nc.to_numpy(np.float64) / union.to_numpy(),
+        })
+        return out[union.to_numpy() > 0].sort_values(
+            ["src_a", "src_b"], kind="mergesort").reset_index(drop=True)
+
+    return (bucketed_apply(docs.select_columns(["source", "text"]),
+                           ["term"], merge, partial, n_buckets)
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_source_vocab_jaccard() -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT i.src_a, i.src_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+FROM inter i JOIN sz sa ON sa.source = i.src_a
+             JOIN sz sb ON sb.source = i.src_b
+WHERE sa.n + sb.n - i.n_common > 0"""
