@@ -6637,3 +6637,106 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
        m3 / (m2 * sqrt(m2)) AS skewness,
        m4 / (m2 * m2) - 3.0 AS kurtosis
 FROM c"""
+
+
+# ------------------------- type x hour mutual information / entropies
+
+def events_type_hour_mi(sf_dir: str):
+    """Dependence between event type and hour-of-day -> ONE row
+    (n_events, h_type, h_hour, mi): Shannon entropies of both marginals
+    and their mutual information in nats — the seasonality-coupling
+    audit ("are error events clock-dependent?") that chi2 flags but
+    does not quantify in bits.
+
+    Floats here are multi-term transcendental sums, which the repo's
+    one-division rule cannot cover — instead the ENUM-BOUNDED cells
+    (types x 24) are folded in a FIXED sorted order on both sides:
+    Python accumulates terms sequentially over cells sorted by
+    (event_type, hour), and the oracle folds the identical terms with
+    ``list_sum(list(term ORDER BY ...))`` — DuckDB's list_sum is a
+    sequential left fold (verified), and ln() is the same libm call, so
+    every intermediate double is bit-identical. The fact-scale work is
+    the same zero-shuffle enum-bounded partial pass as
+    events_hour_profile; only the <=  types x 24 contingency reaches the
+    driver-grain fold."""
+    import math
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({
+            "event_type": b["event_type"],
+            "hour": b["ts"].dt.hour.astype("int64"),
+            "n": np.ones(len(b), dtype=np.int64),
+        })
+        return p.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        c = (b.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+             .sort_values(["event_type", "hour"], kind="mergesort"))
+        n = int(c["n"].sum())
+        nd = float(n)
+        nx = c.groupby("event_type")["n"].sum().sort_index()
+        ny = c.groupby("hour")["n"].sum().sort_index()
+        hx = 0.0
+        for v in nx:  # sequential fold in sorted-key order (oracle order)
+            p = float(int(v)) / nd
+            hx += p * math.log(p)
+        hy = 0.0
+        for v in ny:
+            p = float(int(v)) / nd
+            hy += p * math.log(p)
+        mi = 0.0
+        nx_of = dict(nx.items())
+        ny_of = dict(ny.items())
+        for r in c.itertuples(index=False):
+            mi += ((float(int(r.n)) / nd)
+                   * math.log((float(int(r.n)) * nd)
+                              / (float(int(nx_of[r.event_type]))
+                                 * float(int(ny_of[r.hour])))))
+        return pd.DataFrame({
+            "n_events": np.array([n], dtype=np.int64),
+            "h_type": np.array([-hx], dtype=np.float64),
+            "h_hour": np.array([-hy], dtype=np.float64),
+            "mi": np.array([mi], dtype=np.float64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_type_hour_mi() -> str:
+    return """
+WITH c AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS nxy
+  FROM events GROUP BY event_type, hour(ts)),
+tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS nd,
+               CAST(sum(nxy) AS BIGINT) AS n FROM c),
+mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx
+       FROM c GROUP BY event_type),
+my AS (SELECT hour, CAST(sum(nxy) AS BIGINT) AS ny FROM c GROUP BY hour),
+terms AS (
+  SELECT c.event_type, c.hour,
+         (CAST(c.nxy AS DOUBLE) / t.nd)
+           * ln((CAST(c.nxy AS DOUBLE) * t.nd)
+                / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE))) AS term
+  FROM c CROSS JOIN tot t
+  JOIN mx ON mx.event_type = c.event_type
+  JOIN my ON my.hour = c.hour),
+hx AS (SELECT list_sum(list((CAST(nx AS DOUBLE) / t.nd)
+                            * ln(CAST(nx AS DOUBLE) / t.nd)
+                            ORDER BY event_type)) AS s
+       FROM mx CROSS JOIN tot t),
+hy AS (SELECT list_sum(list((CAST(ny AS DOUBLE) / t.nd)
+                            * ln(CAST(ny AS DOUBLE) / t.nd)
+                            ORDER BY hour)) AS s
+       FROM my CROSS JOIN tot t),
+mi AS (SELECT list_sum(list(term ORDER BY event_type, hour)) AS s
+       FROM terms)
+SELECT (SELECT n FROM tot) AS n_events,
+       -(SELECT s FROM hx) AS h_type,
+       -(SELECT s FROM hy) AS h_hour,
+       (SELECT s FROM mi) AS mi"""
