@@ -1790,6 +1790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
         "embedding_kmeans": _clustering().embedding_kmeans,
+        # per-vector simplified silhouette (integer-grid distances)
+        "embedding_silhouette": _clustering().embedding_silhouette,
         # greedy k-center coreset pick (farthest-point-first, exact ints)
         "embedding_kcenter": _clustering().embedding_kcenter,
         # per-label centroid drift between even/odd vec_id halves
@@ -2455,6 +2457,8 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM s
 ) WHERE rank <= 10""",
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
+        "embedding_silhouette":
+            _clustering().sql_embedding_silhouette(kmeans_c),
         "embedding_kcenter": _clustering().sql_embedding_kcenter(),
         "embedding_centroid_drift":
             _clustering().sql_embedding_centroid_drift(),

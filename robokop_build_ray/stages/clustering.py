@@ -638,3 +638,94 @@ SELECT CAST(s.label AS BIGINT) AS label, n.n_a, n.n_b,
 FROM s JOIN n USING (label)
 WHERE n.n_a > 0 AND n.n_b > 0
 GROUP BY s.label, n.n_a, n.n_b"""
+
+
+# ------------------------------------------------ silhouette evaluation
+
+def embedding_silhouette(sf_dir: str, k: int = KMEANS_K,
+                         iters: int = KMEANS_ITERS):
+    """Per-vector simplified silhouette over the fitted k-means clusters
+    -> (vec_id, cluster, a2, b2, s): a2 = squared distance to the OWN
+    (nearest) centroid, b2 = squared distance to the best OTHER centroid,
+    s = (b2 - a2) / max(a2, b2) — the centroid-based silhouette
+    (Vendramin et al.'s simplified variant: O(n*k), never the O(n^2)
+    pairwise form — the only silhouette a 100 TB table can afford).
+
+    Exactness: both the vectors and the fitted centroids are quantized to
+    the gram op's integer grid (floor(x * QUANT + 0.5)), so a2/b2 are
+    EXACT int64 (dim * (2*QUANT)^2 ~ 2.8e14 << 2^63) and the assignment
+    (argmin d2, ties -> lowest cluster) is decided in integer space —
+    bit-identical to the oracle's row_number ordering with no float-tie
+    hazard. s is the single float division (repo rule).
+
+    Shape: the kmeans_fit rounds (centroid-bounded driver state), then
+    ONE zero-shuffle scoring scan (k x dim broadcast in the closure)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k, iters)
+    Cq = np.floor(C * QUANT + 0.5).astype(np.int64)
+    cn2 = (Cq * Cq).sum(axis=1)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(_matrix(b["embedding"].to_numpy()) * QUANT
+                     + 0.5).astype(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] + cn2[None, :] - 2 * (q @ Cq.T)
+        rows = np.arange(len(q))
+        own = d2.argmin(axis=1)           # ties -> lowest cluster id
+        a2 = d2[rows, own]
+        masked = d2.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        mx = np.maximum(a2, b2)
+        s = np.where(mx == 0, 0.0,
+                     (b2 - a2).astype(np.float64)
+                     / np.maximum(mx, 1).astype(np.float64))
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "cluster": own.astype(np.int64),
+            "a2": a2, "b2": b2, "s": s,
+        })
+
+    return emb.map_batches(score, batch_format="pandas")
+
+
+def _centroid_int_values_sql(Cq: np.ndarray) -> str:
+    rows = []
+    for j, c in enumerate(Cq):
+        lit = ", ".join(str(int(x)) for x in c)
+        rows.append(f"({j}, CAST([{lit}] AS BIGINT[]))")
+    return ",\n    ".join(rows)
+
+
+def sql_embedding_silhouette(C: np.ndarray) -> str:
+    """Oracle: centroids from the INDEPENDENT sequential fit, quantized to
+    the same integer grid; distances, assignment and the silhouette ratio
+    recomputed entirely inside DuckDB."""
+    Cq = np.floor(C * QUANT + 0.5).astype(np.int64)
+    return f"""
+WITH cq(cluster, ce) AS (VALUES
+    {_centroid_int_values_sql(Cq)}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * {QUANT}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+           i -> (qv[i] - ce[i]) * (qv[i] - ce[i]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN cq c),
+r AS (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rn
+  FROM d),
+a AS (SELECT vec_id, cluster, d2 AS a2 FROM r WHERE rn = 1),
+b AS (SELECT vec_id, min(d2) AS b2 FROM r WHERE rn > 1 GROUP BY vec_id)
+SELECT a.vec_id, a.cluster, CAST(a.a2 AS BIGINT) AS a2,
+       CAST(b.b2 AS BIGINT) AS b2,
+       CASE WHEN greatest(a.a2, b.b2) = 0 THEN 0.0
+            ELSE CAST(b.b2 - a.a2 AS DOUBLE) / greatest(a.a2, b.b2)
+       END AS s
+FROM a JOIN b ON a.vec_id = b.vec_id"""
