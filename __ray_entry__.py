@@ -1030,6 +1030,18 @@ def _media_image_dhash(sf_dir: str):
     return image_dhash(rd.read_parquet(paths["media"]))
 
 
+def _media_video_scenecut(sf_dir: str):
+    """Shot-boundary detection over the media table: every video payload
+    container-parsed and MJPEG-decoded for real (AVI + mp4), per-frame
+    integer dHash, consecutive-frame Hamming distance and cut flag; the
+    oracle re-derives all of it sequentially with independently-written
+    hash/popcount code (entry_sql.ensure_media_scenecut_aux)."""
+    from robokop_build_ray.stages.multimodal import video_scenecuts
+
+    paths = ensure_corpus(sf_dir)
+    return video_scenecuts(rd.read_parquet(paths["media"]))
+
+
 def _kg_support_static(sf_dir: str):
     """S4/T4/J4 driver consumer: the CDW count-table supporter — marginal
     and pair counts read from DELIMITED FILES (the AllDxCounts/ICD_Combo
@@ -1425,6 +1437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_audio_stats": _media_audio_stats,
         "media_image_dhash": _media_image_dhash,
+        # video shot boundaries: real MJPEG decode -> per-frame dHash ->
+        # consecutive Hamming (oracle: independent sequential recompute)
+        "media_video_scenecut": _media_video_scenecut,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -2016,6 +2031,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
         "media_image_dhash": entry_sql.sql_media_image_dhash(t),
+        "media_video_scenecut": entry_sql.sql_media_video_scenecut(t),
         "media_audio_stats": f"""
 SELECT media_id, CAST(energy AS BIGINT) AS energy,
        CAST(ac_lag1 AS BIGINT) AS ac_lag1

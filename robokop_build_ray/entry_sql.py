@@ -1517,6 +1517,73 @@ def sql_media_image_dhash(tier: str) -> str:
     return f"SELECT media_id, dhash FROM read_parquet('{path}')"
 
 
+def ensure_media_scenecut_aux(tier: str, threshold: int = 16) -> str:
+    """Sequential scene-cut oracle (idempotent): decodes every video
+    payload with the SHARED container/MJPEG codec spec, then re-derives
+    the per-frame perceptual hash and consecutive Hamming distances with
+    INDEPENDENTLY-written code (scalar bit loop + bin().count popcount —
+    the engine's path is the vectorized dhash_of + shift-accumulate)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/graft_oracle/{tier}_{_AUX_VERSION}"
+    path = f"{root}/media_scenecut_{threshold}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    from .sources.corpus import ensure_corpus
+    from .stages import multimodal as mm
+
+    dec = {mm.AVI_MIME: mm.decode_avi_mjpeg,
+           mm.MP4_MIME: mm.decode_mp4_mjpeg}
+    media = pd.read_parquet(ensure_corpus(tier)["media"])
+    ids, idxs, hams, cuts = [], [], [], []
+    for mid, kind, mime, p in zip(media["media_id"], media["kind"],
+                                  media["mime"], media["payload"]):
+        if kind != "video" or mime not in dec:
+            continue
+        frames = dec[mime](p)
+        hs = []
+        for img in frames:
+            if img.ndim == 2:
+                import numpy as np
+                img = np.dstack([img, img, img])
+            img = img[:, :, :3]
+            h, w = img.shape[:2]
+            v = 0
+            for r in range(8):
+                rr = (r * h) // 8
+                row = [int(img[rr, (c * w) // 9, 0])
+                       + int(img[rr, (c * w) // 9, 1])
+                       + int(img[rr, (c * w) // 9, 2]) for c in range(9)]
+                for c in range(8):
+                    if row[c + 1] > row[c]:
+                        v |= 1 << (r * 8 + c)
+            hs.append(v)
+        for i in range(1, len(hs)):
+            d = bin(hs[i - 1] ^ hs[i]).count("1")
+            ids.append(int(mid))
+            idxs.append(i)
+            hams.append(d)
+            cuts.append(d >= threshold)
+    pq.write_table(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(idxs, pa.int64()),
+        "hamming": pa.array(hams, pa.int64()),
+        "is_cut": pa.array(cuts, pa.bool_()),
+    }), path)
+    return path
+
+
+def sql_media_video_scenecut(tier: str) -> str:
+    path = ensure_media_scenecut_aux(tier)
+    return (f"SELECT media_id, frame_idx, hamming, is_cut "
+            f"FROM read_parquet('{path}')")
+
+
 def ensure_bpe_encode_aux(tier: str, n_merges: int = 60) -> str:
     """Sequential BPE-ENCODE oracle (idempotent): tokenizes every document
     with the merges from :func:`ensure_bpe_aux` (the independently trained

@@ -1336,3 +1336,67 @@ def image_dhash_pairs(media, max_hamming: int = 10, n_buckets: int = 16,
             ["chunk_idx", "chunk_val"], bucket_verify,
             n_buckets=n_buckets),
         ["id_a", "id_b", "hamming"], n_buckets=n_buckets)
+
+
+# ----------------------------------------------- video scene-cut detect
+
+SCENECUT_HAMMING = 16  # dHash bits that must flip between frames
+
+
+class VideoSceneCutter:
+    """Actor-pool scene-boundary stage over video rows: REAL container +
+    MJPEG decode (both RIFF/AVI and ISO-BMFF mp4), per-frame integer
+    dHash, Hamming distance between consecutive frames — the shot-change
+    signal a video-curation pipeline samples keyframes at. Payload bytes
+    never leave the stage; one row per frame TRANSITION exits."""
+
+    def __init__(self, threshold: int = SCENECUT_HAMMING):
+        self.threshold = threshold
+        self._dec = {AVI_MIME: decode_avi_mjpeg, MP4_MIME: decode_mp4_mjpeg}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, hams = [], [], []
+        for mid, mime, p in zip(batch["media_id"].to_pylist(),
+                                batch["mime"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            dec = self._dec.get(mime)
+            if dec is None:
+                continue
+            frames = dec(p)
+            if len(frames) < 2:
+                continue
+            hs = np.array([dhash_of(f) for f in frames],
+                          dtype=np.int64).view(np.uint64)
+            x = hs[:-1] ^ hs[1:]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):  # branch-free popcount, vectorized
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            ids.append(np.full(len(ham), mid, dtype=np.int64))
+            idxs.append(np.arange(1, len(frames), dtype=np.int64))
+            hams.append(ham)
+        if not ids:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64()),
+                             "is_cut": pa.array([], pa.bool_())})
+        ham_all = np.concatenate(hams)
+        return pa.table({
+            "media_id": pa.array(np.concatenate(ids), pa.int64()),
+            "frame_idx": pa.array(np.concatenate(idxs), pa.int64()),
+            "hamming": pa.array(ham_all, pa.int64()),
+            "is_cut": pa.array(ham_all >= self.threshold, pa.bool_()),
+        })
+
+
+def video_scenecuts(media, threshold: int = SCENECUT_HAMMING,
+                    batch_size: int = 8, concurrency=(1, 4)):
+    """(media_id, frame_idx, hamming, is_cut) per consecutive-frame pair
+    of every video row. Small batches: decoded frame stacks x batch x
+    concurrency must fit worker heaps (the media_audio_stats rule)."""
+    return media.filter(
+        expr="kind == 'video'"
+    ).select_columns(["media_id", "mime", "payload"]).map_batches(
+        VideoSceneCutter, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"threshold": threshold})
