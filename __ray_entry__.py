@@ -1480,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_per_month": rel.orders_open_per_month,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
+        # next-event predictability: H(next|prev) via ordered folds
+        "events_markov_entropy": tmp.events_markov_entropy,
         # second-order sequential patterns (trigram mining)
         "events_user_trigrams": tmp.events_user_trigrams,
         # LOCF time-grid resampling (gap fill) + debounce throttle filter
@@ -2072,6 +2074,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "part_year_over_year": rel.sql_part_year_over_year(),
         "orders_open_per_month": rel.sql_orders_open_per_month(),
         "events_type_transitions": tmp.sql_events_type_transitions(),
+        "events_markov_entropy": tmp.sql_events_markov_entropy(),
         "events_user_trigrams": tmp.sql_events_user_trigrams(),
         "events_user_resample": tmp.sql_events_user_resample(),
         "events_debounced": tmp.sql_events_debounced(),

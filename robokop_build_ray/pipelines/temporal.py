@@ -884,3 +884,101 @@ SELECT e.event_id, e.event_type, hour(e.ts) AS hour,
 FROM events e JOIN b ON hour(e.ts) = b.h AND e.event_type = b.event_type
 WHERE CAST(floor(e.value * 100 + 0.5) AS BIGINT) * b.n * {SEASONAL_DEN}
       > {SEASONAL_NUM} * b.sc"""
+
+
+def events_markov_entropy(sf_dir: str, n_buckets: int = 64):
+    """Predictability of the per-user event-type Markov chain -> ONE row
+    (n_transitions, h_joint, h_from, h_cond): joint entropy of the
+    (from, to) transition distribution, entropy of the outgoing-state
+    marginal, and the conditional next-event entropy
+    H(next|prev) = H(from, to) - H(from) in nats — 0 means the next
+    event type is fully determined by the previous one.
+
+    Same fact-scale shape as events_type_transitions (ONE user-bucketed
+    exchange emitting enum x enum partial counts); the transcendental
+    sums use the events_type_hour_mi doctrine — terms folded
+    sequentially over cells sorted by key on BOTH sides (Python loop vs
+    DuckDB ``list_sum(list(term ORDER BY ...))``), ln = same libm, so
+    every double is bit-identical."""
+    import math
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"from_type": et[:-1][same],
+                            "to_type": et[1:][same]})
+        return (out.groupby(["from_type", "to_type"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = bucketed_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id"], pairs, n_buckets=n_buckets)
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True)
+           .groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+           .sort_values(["from_type", "to_type"], kind="mergesort"))
+    n_tot = int(agg["n"].sum())
+    nd = float(n_tot)
+    hj = 0.0
+    for v in agg["n"]:  # sequential fold in sorted-cell order
+        p = float(int(v)) / nd
+        hj += p * math.log(p)
+    hf = 0.0
+    for v in agg.groupby("from_type")["n"].sum().sort_index():
+        p = float(int(v)) / nd
+        hf += p * math.log(p)
+    return rd.from_arrow(pa.table({
+        "n_transitions": pa.array([n_tot], pa.int64()),
+        "h_joint": pa.array([-hj], pa.float64()),
+        "h_from": pa.array([-hf], pa.float64()),
+        "h_cond": pa.array([(-hj) - (-hf)], pa.float64()),
+    }))
+
+
+def sql_events_markov_entropy() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(n) AS DOUBLE) AS nd FROM c),
+hj AS (SELECT list_sum(list((CAST(c.n AS DOUBLE) / t.nd)
+                            * ln(CAST(c.n AS DOUBLE) / t.nd)
+                            ORDER BY from_type, to_type)) AS s
+       FROM c CROSS JOIN tot t),
+f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n
+      FROM c GROUP BY from_type),
+hf AS (SELECT list_sum(list((CAST(f.n AS DOUBLE) / t.nd)
+                            * ln(CAST(f.n AS DOUBLE) / t.nd)
+                            ORDER BY from_type)) AS s
+       FROM f CROSS JOIN tot t)
+SELECT (SELECT n FROM tot) AS n_transitions,
+       -(SELECT s FROM hj) AS h_joint,
+       -(SELECT s FROM hf) AS h_from,
+       (-(SELECT s FROM hj)) - (-(SELECT s FROM hf)) AS h_cond"""
