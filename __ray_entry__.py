@@ -1530,6 +1530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_skewkurt": rel.events_value_skewkurt,
         # type x hour entropies + mutual information (ordered-fold floats)
         "events_type_hour_mi": rel.events_type_hour_mi,
+        # per-user behavioral-diversity entropy (user-bucketed)
+        "events_user_entropy": rel.events_user_entropy,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -2124,6 +2126,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_value_gini": rel.sql_events_value_gini(),
         "events_value_skewkurt": rel.sql_events_value_skewkurt(),
         "events_type_hour_mi": rel.sql_events_type_hour_mi(),
+        "events_user_entropy": rel.sql_events_user_entropy(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_distinct_ngrams": _vocab().sql_distinct_ngrams(),
         "source_vocab_jaccard": _vocab().sql_source_vocab_jaccard(),

@@ -6740,3 +6740,86 @@ SELECT (SELECT n FROM tot) AS n_events,
        -(SELECT s FROM hx) AS h_type,
        -(SELECT s FROM hy) AS h_hour,
        (SELECT s FROM mi) AS mi"""
+
+
+# --------------------------------------- per-user behavioral entropy
+
+def events_user_entropy(sf_dir: str, n_buckets: int = 64):
+    """Per-user Shannon entropy of the event-type mix -> (user_id,
+    n_events, n_types, entropy): the behavioral-diversity segmentation
+    feature (0 = single-behavior user; ln(5) = uniform over all types).
+
+    ONE user-bucketed exchange of per-batch (user, type) partial counts;
+    each user's <= |type-enum| terms fold sequentially in sorted type
+    order with libm ln (the events_type_hour_mi doctrine — np.log is NOT
+    bit-identical to libm, measured, so the per-user loop stays scalar;
+    it runs over user x type rows, never events)."""
+    import math
+
+    from ..functions.bucketing import bucketed_apply
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                          "event_type": b["event_type"],
+                          "n": np.ones(len(b), dtype=np.int64)})
+        return p.groupby(["user_id", "event_type"],
+                         as_index=False)["n"].sum()
+
+    _empty = {
+        "user_id": pd.Series([], dtype="int64"),
+        "n_events": pd.Series([], dtype="int64"),
+        "n_types": pd.Series([], dtype="int64"),
+        "entropy": pd.Series([], dtype="float64"),
+    }
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "user_id" not in g.columns:
+            return pd.DataFrame(_empty)
+        c = (g.groupby(["user_id", "event_type"], as_index=False)["n"]
+             .sum().sort_values(["user_id", "event_type"],
+                                kind="mergesort"))
+        uids, nevs, ntys, ents = [], [], [], []
+        # rows here are user x type partials — never event-scale
+        for uid, t in c.groupby("user_id", sort=True):
+            n = int(t["n"].sum())
+            nd = float(n)
+            h = 0.0
+            for v in t["n"]:  # sorted-type sequential fold (oracle order)
+                p = float(int(v)) / nd
+                h += p * math.log(p)
+            uids.append(uid)
+            nevs.append(n)
+            ntys.append(len(t))
+            ents.append(-h)
+        return pd.DataFrame({
+            "user_id": np.array(uids, dtype=np.int64),
+            "n_events": np.array(nevs, dtype=np.int64),
+            "n_types": np.array(ntys, dtype=np.int64),
+            "entropy": np.array(ents, dtype=np.float64),
+        })
+
+    return bucketed_apply(ev, ["user_id"], merge, partial, n_buckets)
+
+
+def sql_events_user_entropy() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type),
+u AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(n) AS DOUBLE) AS nd
+  FROM c GROUP BY user_id),
+h AS (
+  SELECT c.user_id,
+         list_sum(list((CAST(c.n AS DOUBLE) / u.nd)
+                       * ln(CAST(c.n AS DOUBLE) / u.nd)
+                       ORDER BY c.event_type)) AS s
+  FROM c JOIN u ON u.user_id = c.user_id
+  GROUP BY c.user_id)
+SELECT u.user_id, u.n_events, u.n_types, -(h.s) AS entropy
+FROM u JOIN h ON h.user_id = u.user_id"""
