@@ -1557,6 +1557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-n generation-diversity / boilerplate detection
         "doc_distinct_ngrams": lambda sf: _vocab().distinct_ngrams(
             _docs(sf)),
+        # Zipf rank-frequency OLS over the top-k vocabulary
+        "doc_zipf_fit": lambda sf: _vocab().zipf_fit(_docs(sf)),
         # cross-source vocabulary overlap (corpus-mixing diagnostic)
         "source_vocab_jaccard": lambda sf: _vocab().source_vocab_jaccard(
             _docs(sf)),
@@ -2129,6 +2131,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "events_user_entropy": rel.sql_events_user_entropy(),
         "doc_vocab_topk": _vocab().sql_vocab_topk(),
         "doc_distinct_ngrams": _vocab().sql_distinct_ngrams(),
+        "doc_zipf_fit": _vocab().sql_zipf_fit(),
         "source_vocab_jaccard": _vocab().sql_source_vocab_jaccard(),
         "doc_rake_keywords": _vocab().sql_rake_keywords(),
         "doc_textrank": _vocab().sql_doc_textrank(),

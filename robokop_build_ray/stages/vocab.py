@@ -1159,3 +1159,69 @@ SELECT i.src_a, i.src_b,
 FROM inter i JOIN sz sa ON sa.source = i.src_a
              JOIN sz sb ON sb.source = i.src_b
 WHERE sa.n + sb.n - i.n_common > 0"""
+
+
+# ----------------------------------------------------- Zipf-law fit
+
+def zipf_fit(docs, k: int = 100, n_buckets: int = 64):
+    """Zipf rank-frequency fit over the global top-k vocabulary -> ONE
+    row (k, slope, intercept): OLS of ln(tf) against ln(rank) — the
+    corpus-health check (natural text slopes ~ -1; template/spam-heavy
+    corpora flatten, truncated vocabularies steepen).
+
+    The fact-scale work is exactly vocab_topk's shape (per-batch count
+    combiner -> term-bucketed sum -> per-bucket top-k cap); only the
+    k-bounded rank table reaches the driver. The four transcendental
+    moment sums fold sequentially in rank order with libm ln on both
+    sides (events_type_hour_mi doctrine), then slope/intercept use the
+    IDENTICAL operation order as the oracle."""
+    import math
+
+    top = pd.DataFrame(vocab_topk(docs, k, n_buckets).take_all())
+    top = top.sort_values("rk", kind="mergesort")  # k-bounded
+    sx = sy = sxy = sxx = 0.0
+    for r in top.itertuples(index=False):
+        x = math.log(float(int(r.rk)))
+        y = math.log(float(int(r.tf)))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    kd = float(len(top))
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / kd
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "k": pa.array([len(top)], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64()),
+    }))
+
+
+def sql_zipf_fit(k: int = 100) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+counts AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+topk AS (
+  SELECT rk, tf FROM (
+    SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rk
+    FROM counts
+  ) WHERE rk <= {k}),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS kd,
+         CAST(count(*) AS BIGINT) AS kn,
+         list_sum(list(ln(CAST(rk AS DOUBLE)) ORDER BY rk)) AS sx,
+         list_sum(list(ln(CAST(tf AS DOUBLE)) ORDER BY rk)) AS sy,
+         list_sum(list(ln(CAST(rk AS DOUBLE)) * ln(CAST(tf AS DOUBLE))
+                       ORDER BY rk)) AS sxy,
+         list_sum(list(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+                       ORDER BY rk)) AS sxx
+  FROM topk)
+SELECT kn AS k,
+       (kd * sxy - sx * sy) / (kd * sxx - sx * sx) AS slope,
+       (sy - ((kd * sxy - sx * sy) / (kd * sxx - sx * sx)) * sx) / kd
+         AS intercept
+FROM s"""
