@@ -1437,9 +1437,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_audio_stats": _media_audio_stats,
         "media_image_dhash": _media_image_dhash,
-        # video shot boundaries: real MJPEG decode -> per-frame dHash ->
-        # consecutive Hamming (oracle: independent sequential recompute)
-        "media_video_scenecut": _media_video_scenecut,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -1480,8 +1477,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_per_month": rel.orders_open_per_month,
         # first-order Markov transitions over user event-type sequences
         "events_type_transitions": tmp.events_type_transitions,
-        # next-event predictability: H(next|prev) via ordered folds
-        "events_markov_entropy": tmp.events_markov_entropy,
         # second-order sequential patterns (trigram mining)
         "events_user_trigrams": tmp.events_user_trigrams,
         # LOCF time-grid resampling (gap fill) + debounce throttle filter
@@ -1526,12 +1521,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, parity=True),
         # value-concentration (Gini over per-user totals, integer moments)
         "events_value_gini": rel.events_value_gini,
-        # exact distribution shape (hi/lo-split 3rd/4th moment partials)
-        "events_value_skewkurt": rel.events_value_skewkurt,
-        # type x hour entropies + mutual information (ordered-fold floats)
-        "events_type_hour_mi": rel.events_type_hour_mi,
-        # per-user behavioral-diversity entropy (user-bucketed)
-        "events_user_entropy": rel.events_user_entropy,
         "mktsegments": rel.mktsegments,
         # --- training-data ops: documents ------------------------------
         "doc_tokens": lambda sf: ta.token_stats(_docs(sf)),
@@ -1554,14 +1543,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist": lambda sf: ta.blocklist_scan(_docs(sf)),
         # vocabulary / index-building passes (stages/vocab.py)
         "doc_vocab_topk": lambda sf: _vocab().vocab_topk(_docs(sf)),
-        # distinct-n generation-diversity / boilerplate detection
-        "doc_distinct_ngrams": lambda sf: _vocab().distinct_ngrams(
-            _docs(sf)),
-        # Zipf rank-frequency OLS over the top-k vocabulary
-        "doc_zipf_fit": lambda sf: _vocab().zipf_fit(_docs(sf)),
-        # cross-source vocabulary overlap (corpus-mixing diagnostic)
-        "source_vocab_jaccard": lambda sf: _vocab().source_vocab_jaccard(
-            _docs(sf)),
         # keyword extraction: RAKE phrase scoring (deg/freq, one division)
         "doc_rake_keywords": lambda sf: _vocab().rake_keywords(_docs(sf)),
         # TextRank: quantized-integer PageRank over the word-adjacency graph
@@ -1813,6 +1794,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _clustering().embedding_kmeans,
         # per-vector simplified silhouette (integer-grid distances)
         "embedding_silhouette": _clustering().embedding_silhouette,
+        # --- session-J batch (driver-rotation: newest code first) -------
+        # exact distribution shape (hi/lo-split 3rd/4th moment partials)
+        "events_value_skewkurt": rel.events_value_skewkurt,
+        # type x hour entropies + mutual information (ordered-fold floats)
+        "events_type_hour_mi": rel.events_type_hour_mi,
+        # per-user behavioral-diversity entropy (user-bucketed)
+        "events_user_entropy": rel.events_user_entropy,
+        # next-event predictability: H(next|prev) via ordered folds
+        "events_markov_entropy": tmp.events_markov_entropy,
+        # distinct-n generation-diversity / boilerplate detection
+        "doc_distinct_ngrams": lambda sf: _vocab().distinct_ngrams(
+            _docs(sf)),
+        # Zipf rank-frequency OLS over the top-k vocabulary
+        "doc_zipf_fit": lambda sf: _vocab().zipf_fit(_docs(sf)),
+        # cross-source vocabulary overlap (corpus-mixing diagnostic)
+        "source_vocab_jaccard": lambda sf: _vocab().source_vocab_jaccard(
+            _docs(sf)),
+        # video shot boundaries: real MJPEG decode -> per-frame dHash ->
+        # consecutive Hamming (oracle: independent sequential recompute)
+        "media_video_scenecut": _media_video_scenecut,
         # greedy k-center coreset pick (farthest-point-first, exact ints)
         "embedding_kcenter": _clustering().embedding_kcenter,
         # per-label centroid drift between even/odd vec_id halves
@@ -1833,7 +1834,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bool(m) and 4 <= int(m.group(1)) <= 22
     fresh = {k: v for k, v in q.items() if k not in _R02_DRIVER_CHECKED}
     head = {k: v for k, v in fresh.items() if _named(k)}
-    return (head | fresh
+    # session-J additions ride directly behind the verdict-named families
+    # so the newest operators also land inside a ~50-query driver budget
+    new_j = {k: v for k, v in fresh.items() if k in (
+        "events_value_skewkurt", "events_type_hour_mi",
+        "events_user_entropy", "events_markov_entropy",
+        "doc_distinct_ngrams", "doc_zipf_fit", "source_vocab_jaccard",
+        "media_video_scenecut")}
+    return (head | new_j | fresh
             | {k: v for k, v in q.items() if k in _R02_DRIVER_CHECKED})
 
 
