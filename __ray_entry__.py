@@ -757,6 +757,15 @@ def _kg_resource_allocation(sf_dir: str):
     return resource_allocation_topk(_kg(sf_dir, "edges"))
 
 
+def _kg_adamic_adar(sf_dir: str):
+    """Top-k Adamic-Adar link-prediction pairs (Adamic & Adar 2003) —
+    per-term floor(quant/ln(deg)) integer quantization (libm log on both
+    sides) keeps the score sum order-free and the float ONE division."""
+    from robokop_build_ray.stages.graph_metrics import adamic_adar_topk
+
+    return adamic_adar_topk(_kg(sf_dir, "edges"))
+
+
 def _kg_stress(sf_dir: str):
     """Sampled hop-bounded stress centrality (Shimbel 1953; Brandes-2001
     two-pass, integer-exact) from the 8 lexicographically-smallest
@@ -1377,6 +1386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stress": _kg_stress,
         # link prediction: Resource Allocation index top-k
         "kg_resource_allocation": _kg_resource_allocation,
+        # link prediction: Adamic-Adar index top-k (libm-ln quantized)
+        "kg_adamic_adar": _kg_adamic_adar,
         # directed hubs/authorities (HITS, quantized-integer)
         "kg_hits": _kg_hits,
         # random-walk-with-restart relevance to a seed set
@@ -2012,6 +2023,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_harmonic": entry_sql.sql_harmonic_centrality(t),
         "kg_stress": entry_sql.sql_stress_centrality(t),
         "kg_resource_allocation": entry_sql.sql_resource_allocation(t),
+        "kg_adamic_adar": entry_sql.sql_adamic_adar(t),
         "kg_hits": entry_sql.sql_hits(t),
         "kg_ppr": entry_sql.sql_personalized_pagerank(t),
         "kg_local_bridges": entry_sql.sql_local_bridges(t),

@@ -753,6 +753,33 @@ SELECT rk, id_a, id_b, ra_q, CAST(ra_q AS DOUBLE) / {quant} AS ra FROM (
 ) WHERE rk <= {k}"""
 
 
+def sql_adamic_adar(tier: str, k: int = 50,
+                    quant: int = 1_000_000) -> str:
+    """Oracle for graph_metrics.adamic_adar_topk: each 1/ln(deg) term
+    quantized to ``FLOOR(quant / LN(deg))`` — DuckDB's LN is the same
+    libm log(double) as Python's math.log, the division and floor are
+    IEEE-exact, so per-term integers match the engine bit-for-bit and
+    the sum is order-free."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+wed AS (
+  SELECT m1.nb AS id_a, m2.nb AS id_b,
+         CAST(FLOOR({quant} / LN(deg.d)) AS BIGINT) AS w
+  FROM adj m1
+  JOIN adj m2 ON m1.id = m2.id AND m1.nb < m2.nb
+  JOIN deg ON deg.id = m1.id
+),
+sc AS (SELECT id_a, id_b, CAST(sum(w) AS BIGINT) AS aa_q
+       FROM wed GROUP BY id_a, id_b)
+SELECT rk, id_a, id_b, aa_q, CAST(aa_q AS DOUBLE) / {quant} AS aa FROM (
+  SELECT row_number() OVER (ORDER BY aa_q DESC, id_a, id_b) AS rk,
+         id_a, id_b, aa_q
+  FROM sc
+) WHERE rk <= {k}"""
+
+
 def sql_kcore(tier: str, k: int = 30, rounds: int = 8) -> str:
     """Fixed-round k-core peeling unrolled per round (mirrors
     graph_metrics.kcore: ``rounds`` is a spec constant, so the oracle

@@ -1449,15 +1449,14 @@ def stress_centrality(edges, n_seeds: int = STRESS_SEEDS,
 RA_QUANT = 1_000_000
 
 
-def resource_allocation_topk(edges, src: str = "subj_id",
-                             dst: str = "obj_id", k: int = 50,
-                             n_buckets: int = 64, quant: int = RA_QUANT):
-    """Top-k entity pairs by the Resource Allocation link-prediction index
-    (Zhou, Lü & Zhang 2009): RA(a, b) = sum over common neighbors z of
-    1/deg(z) — Dataset(rk, id_a, id_b, ra_q, ra). Chosen over Adamic-Adar
-    because 1/ln(deg) would be a multi-term float sum (summation order
-    would break the bit-identical-float oracle rule); RA quantizes each
-    term to ``quant // deg(z)`` so the accumulation is an order-free
+def _wedge_weight_topk(edges, weight_for_deg, qcol: str, fcol: str,
+                       src: str = "subj_id", dst: str = "obj_id",
+                       k: int = 50, n_buckets: int = 64,
+                       quant: int = RA_QUANT):
+    """Shared core of the degree-weighted common-neighbor link-prediction
+    indices (Resource Allocation, Adamic-Adar): score(a, b) = sum over
+    common neighbors z of weight(deg(z)), with ``weight_for_deg(deg) ->
+    int64`` quantizing each term so the accumulation is an order-free
     INTEGER sum (the lm_score trick) and the float is ONE division.
 
     Scale shape: per-center wedge generation weighted at the source (the
@@ -1477,7 +1476,8 @@ def resource_allocation_topk(edges, src: str = "subj_id",
                                  "w": pd.Series([], dtype="int64")})
         i, j = np.triu_indices(len(nbs), k=1)
         return pd.DataFrame({"id_a": nbs[i], "id_b": nbs[j],
-                             "w": np.full(len(i), quant // len(nbs),
+                             "w": np.full(len(i),
+                                          weight_for_deg(len(nbs)),
                                           dtype=np.int64)})
 
     from ..functions.bucketing import bucketed_sum
@@ -1486,26 +1486,58 @@ def resource_allocation_topk(edges, src: str = "subj_id",
         bucketed_group_pairs(_adjacency(und), ["id"], wedge_fn, n_buckets),
         ["id_a", "id_b"], "w", n_buckets=n_buckets)
 
-    by, asc = ["ra_q", "id_a", "id_b"], [False, True, True]
+    by, asc = [qcol, "id_a", "id_b"], [False, True, True]
 
     def cap(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                                  "id_b": pd.Series([], dtype=object),
-                                 "ra_q": pd.Series([], dtype="int64")})
-        b = b.rename(columns={"w": "ra_q"})
+                                 qcol: pd.Series([], dtype="int64")})
+        b = b.rename(columns={"w": qcol})
         return b.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(by, ascending=asc, kind="mergesort").head(k)
         b = b.reset_index(drop=True)
         b["rk"] = np.arange(1, len(b) + 1)
-        b["ra"] = b["ra_q"] / float(quant)  # ONE division
-        return b[["rk", "id_a", "id_b", "ra_q", "ra"]]
+        b[fcol] = b[qcol] / float(quant)  # ONE division
+        return b[["rk", "id_a", "id_b", qcol, fcol]]
 
     return (scored.map_batches(cap, batch_format="pandas")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def resource_allocation_topk(edges, src: str = "subj_id",
+                             dst: str = "obj_id", k: int = 50,
+                             n_buckets: int = 64, quant: int = RA_QUANT):
+    """Top-k entity pairs by the Resource Allocation link-prediction index
+    (Zhou, Lü & Zhang 2009): RA(a, b) = sum over common neighbors z of
+    1/deg(z) — Dataset(rk, id_a, id_b, ra_q, ra). Each term quantizes to
+    ``quant // deg(z)``, an EXACT integer on both engine and oracle
+    sides; see :func:`_wedge_weight_topk` for the scale shape."""
+    return _wedge_weight_topk(
+        edges, lambda d: quant // d, "ra_q", "ra",
+        src=src, dst=dst, k=k, n_buckets=n_buckets, quant=quant)
+
+
+def adamic_adar_topk(edges, src: str = "subj_id", dst: str = "obj_id",
+                     k: int = 50, n_buckets: int = 64,
+                     quant: int = RA_QUANT):
+    """Top-k entity pairs by the Adamic-Adar link-prediction index
+    (Adamic & Adar 2003): AA(a, b) = sum over common neighbors z of
+    1/ln(deg(z)) — Dataset(rk, id_a, id_b, aa_q, aa). Each term
+    quantizes to ``floor(quant / ln(deg))`` — ``math.log`` is the same
+    libm ``log(double)`` DuckDB's ``LN`` calls, the division and floor
+    are IEEE-exact, so the per-term integers (and hence the order-free
+    sum) are bit-identical to the SQL oracle. deg >= 2 inside every
+    wedge group, so ln(deg) > 0 always. Shares
+    :func:`_wedge_weight_topk`'s one-exchange scale shape with RA."""
+    import math
+
+    return _wedge_weight_topk(
+        edges, lambda d: int(quant / math.log(d)), "aa_q", "aa",
+        src=src, dst=dst, k=k, n_buckets=n_buckets, quant=quant)
 
 
 # ----------------------------------------------------------- local bridges

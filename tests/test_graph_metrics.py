@@ -487,6 +487,31 @@ def test_resource_allocation_topk_rank_determinism():
         (1, "a", "z"), (2, "b", "z"), (3, "a", "b")]
 
 
+def test_adamic_adar_hand_values():
+    # same graph as the RA hand test; weights are floor(Q/ln(deg)):
+    # center z deg 3 -> w3 = int(Q/ln 3); centers a,b deg 2 -> int(Q/ln 2)
+    import math
+
+    from robokop_build_ray.stages.graph_metrics import adamic_adar_topk
+
+    ds = _edges([("a", "z"), ("b", "z"), ("c", "z"), ("a", "b")])
+    got = {(r["id_a"], r["id_b"]): (r["aa_q"], r["aa"])
+           for r in adamic_adar_topk(ds, n_buckets=4).take_all()}
+    q = 1_000_000
+    w3, w2 = int(q / math.log(3)), int(q / math.log(2))
+    assert got == {
+        ("a", "b"): (w3, w3 / q),
+        ("a", "c"): (w3, w3 / q),
+        ("b", "c"): (w3, w3 / q),
+        ("a", "z"): (w2, w2 / q),
+        ("b", "z"): (w2, w2 / q),
+    }
+    # AA ranks the deg-2-center pairs first (1/ln2 > 1/ln3), same as RA
+    rows = adamic_adar_topk(ds, k=3, n_buckets=4).take_all()
+    assert [(r["rk"], r["id_a"], r["id_b"]) for r in rows] == [
+        (1, "a", "z"), (2, "b", "z"), (3, "a", "b")]
+
+
 def test_local_bridges_hand_values():
     from robokop_build_ray.stages.graph_metrics import local_bridges
 
