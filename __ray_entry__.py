@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_modularity(sf_dir: str):
+    """Global Newman modularity of the label-prop partition — one row,
+    exact integer rational, ONE double division."""
+    from robokop_build_ray.stages.graph_metrics import modularity_summary
+
+    return modularity_summary(_kg(sf_dir, "edges"))
+
+
 def _kg_mis(sf_dir: str):
     """Deterministic Luby-style maximal independent set: fixed-round
     md5-priority local-minimum selection over the undirected simple
@@ -1408,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_matching": _kg_matching,
         "kg_coloring": _kg_coloring,
         "kg_community_stats": _kg_community_stats,
+        # global Newman modularity of the label-prop partition
+        "kg_modularity": _kg_modularity,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2037,6 +2047,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_coloring": entry_sql.sql_coloring(t),
         "kg_wl_colors": entry_sql.sql_wl_colors(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
+        "kg_modularity": entry_sql.sql_modularity(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

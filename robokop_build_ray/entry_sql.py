@@ -1888,6 +1888,26 @@ SELECT nn.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
 FROM nn LEFT JOIN ie USING (label)""")
 
 
+def sql_modularity(tier: str, rounds: int = 3) -> str:
+    """Oracle for graph_metrics.modularity_summary: wraps the
+    community-stats oracle and folds the exact integer rational
+    Q = (4*m*intra - sum(D_c^2)) / (4*m^2), m = sum(D_c)//2 — the CAST
+    AS DOUBLE / integer-den division is the identical
+    double-cast-then-divide the engine performs."""
+    inner = sql_community_stats(tier, rounds)
+    return f"""SELECT
+  CAST(count(*) AS BIGINT) AS n_communities,
+  CAST(sum(degree_sum) // 2 AS BIGINT) AS n_edges,
+  CAST(sum(intra_edges) AS BIGINT) AS intra_edges,
+  CAST(sum(degree_sum * degree_sum) AS BIGINT) AS deg_sq_sum,
+  CASE WHEN sum(degree_sum) = 0 THEN 0.0 ELSE
+    CAST(4 * (sum(degree_sum) // 2) * sum(intra_edges)
+         - sum(degree_sum * degree_sum) AS DOUBLE)
+    / CAST(4 * (sum(degree_sum) // 2) * (sum(degree_sum) // 2) AS DOUBLE)
+  END AS modularity
+FROM ({inner})"""
+
+
 def sql_clustering_coeff(tier: str) -> str:
     """Oracle for graph_metrics.clustering_coefficient: triangle counts
     (a<b<c enumeration) LEFT-joined to distinct-neighbor degree; the

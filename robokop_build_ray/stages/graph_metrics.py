@@ -1815,6 +1815,43 @@ def community_stats(edges, rounds: int = LABELPROP_ROUNDS,
     }))
 
 
+def modularity_summary(edges, rounds: int = LABELPROP_ROUNDS,
+                       src: str = "subj_id", dst: str = "obj_id",
+                       n_buckets: int = 64,
+                       local_threshold: int = 1_000_000):
+    """Global Newman modularity (Newman 2006) of the label-propagation
+    partition: ONE row (n_communities, n_edges, intra_edges, deg_sq_sum,
+    modularity) where Q = sum_c [intra_c/m - (D_c/2m)^2] is evaluated as
+    the exact integer rational (4*m*intra - sum D_c^2) / (4*m^2) — all
+    partial sums are order-free int64, the float is ONE double division
+    (float(num)/float(den), the same double-cast-then-divide the oracle's
+    CAST(...AS DOUBLE)/den performs). m falls out of the partition stats
+    themselves (sum of degree sums = 2m), so no extra edge pass.
+
+    Scale shape: everything heavy lives in :func:`community_stats`
+    (hybrid label-prop + one broadcast-label pass over und); the fold
+    here is over the community-bounded stats table in a single block."""
+    stats = community_stats(edges, rounds, src, dst, n_buckets,
+                            local_threshold)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        ds = b["degree_sum"].to_numpy(np.int64)
+        intra = int(b["intra_edges"].sum())
+        dss = int((ds * ds).sum())
+        m = int(ds.sum()) // 2
+        num, den = 4 * m * intra - dss, 4 * m * m
+        q = float(num) / float(den) if m else 0.0  # ONE division
+        return pd.DataFrame({
+            "n_communities": pd.Series([len(b)], dtype="int64"),
+            "n_edges": pd.Series([m], dtype="int64"),
+            "intra_edges": pd.Series([intra], dtype="int64"),
+            "deg_sq_sum": pd.Series([dss], dtype="int64"),
+            "modularity": pd.Series([q], dtype="float64")})
+
+    return (stats.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
 def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
                      n_buckets: int = 64):
     """Degree distribution of the undirected simple graph:

@@ -615,6 +615,28 @@ def test_community_stats_matches_direct_recompute():
     assert sum(v[1] for v in got.values()) == 2 * len(und)
 
 
+def test_modularity_summary_matches_stats_fold():
+    from robokop_build_ray.stages.graph_metrics import (
+        community_stats, modularity_summary)
+
+    rng = np.random.default_rng(41)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 30, size=(90, 2)) if a != b]
+    ds = _edges(pairs)
+    stats = community_stats(ds, n_buckets=4).take_all()
+    m = sum(r["degree_sum"] for r in stats) // 2
+    intra = sum(r["intra_edges"] for r in stats)
+    dss = sum(r["degree_sum"] ** 2 for r in stats)
+    (row,) = modularity_summary(ds, n_buckets=4).take_all()
+    assert row["n_communities"] == len(stats)
+    assert row["n_edges"] == m
+    assert row["intra_edges"] == intra
+    assert row["deg_sq_sum"] == dss
+    assert row["modularity"] == float(4 * m * intra - dss) / float(
+        4 * m * m)
+    assert -0.5 <= row["modularity"] <= 1.0
+
+
 def test_bfs_tree_parents_reconstruct_shortest_paths():
     from robokop_build_ray.stages.graph_metrics import bfs_tree
 
