@@ -1047,6 +1047,29 @@ def _media_image_dhash(sf_dir: str):
     return image_dhash(rd.read_parquet(paths["media"]))
 
 
+def _media_dhash_dupes(sf_dir: str):
+    """Near-duplicate image pairs by banded dHash Hamming distance —
+    radius 3, where the 4x16-bit-chunk pigeonhole blocking is provably
+    COMPLETE (some chunk must match), so the banded engine output equals
+    the oracle's exact all-pairs popcount join. Payload bytes never
+    enter the exchange, only (media_id, dhash)."""
+    import pyarrow as pa
+
+    from robokop_build_ray.stages.multimodal import image_dhash_pairs
+
+    paths = ensure_corpus(sf_dir)
+    pairs = image_dhash_pairs(rd.read_parquet(paths["media"]),
+                              max_hamming=3)
+    # typed empty seed: a tier with no near-dup images must still carry
+    # the output schema (zero-row datasets lose theirs)
+    seed = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    }))
+    return pairs.union(seed)
+
+
 def _media_video_scenecut(sf_dir: str):
     """Shot-boundary detection over the media table: every video payload
     container-parsed and MJPEG-decoded for real (AVI + mp4), per-frame
@@ -1458,6 +1481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_audio_stats": _media_audio_stats,
         "media_image_dhash": _media_image_dhash,
+        # banded-complete near-dup image pairs (hamming <= 3)
+        "media_dhash_dupes": _media_dhash_dupes,
         # M2/M3/M5/D5: typed name -> CURIE lookup dispatch
         "kg_name_lookup": lambda sf: (ensure_corpus(sf),
                                       _kg_name_lookup(sf))[1],
@@ -2068,6 +2093,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
         "media_image_dhash": entry_sql.sql_media_image_dhash(t),
+        "media_dhash_dupes": entry_sql.sql_media_dhash_dupes(t),
         "media_video_scenecut": entry_sql.sql_media_video_scenecut(t),
         "media_audio_stats": f"""
 SELECT media_id, CAST(energy AS BIGINT) AS energy,

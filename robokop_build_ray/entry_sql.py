@@ -939,7 +939,8 @@ SELECT id, min(lbl) AS component FROM reach GROUP BY id"""
 # from those signatures. That checks everything the Ray pipeline does after
 # hashing: the exchanges, joins, caps and dedup steps.
 
-_AUX_VERSION = "v3"  # bump when any sketch constant/algorithm changes
+_AUX_VERSION = "v4"  # bump when any sketch constant/algorithm changes
+# (v4: corpus rev 4 — media near-dup variants change payload-derived aux)
 _MINHASH_NUM_PERM = 128
 _MINHASH_SEED = 7
 _SHINGLE_N = 3
@@ -1542,6 +1543,19 @@ def ensure_media_dhash_aux(tier: str) -> str:
 def sql_media_image_dhash(tier: str) -> str:
     path = ensure_media_dhash_aux(tier)
     return f"SELECT media_id, dhash FROM read_parquet('{path}')"
+
+
+def sql_media_dhash_dupes(tier: str, max_hamming: int = 3) -> str:
+    """Oracle for multimodal.image_dhash_pairs at radius <= 3: exact
+    all-pairs popcount join over the independently-derived dHash aux
+    table — valid as a completeness check because the engine's 4-chunk
+    pigeonhole blocking is provably complete at this radius."""
+    path = ensure_media_dhash_aux(tier)
+    return f"""SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM read_parquet('{path}') a
+JOIN read_parquet('{path}') b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}"""
 
 
 def ensure_media_scenecut_aux(tier: str, threshold: int = 16) -> str:

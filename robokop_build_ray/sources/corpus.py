@@ -50,8 +50,13 @@ N_MEDIA: dict[str, int] = {"sf0.001": 48, "sf0.01": 120, "sf0.1": 240}
 # bump whenever generator/codec OUTPUT BYTES change (tier caches carry
 # the rev in _META.json and regenerate on mismatch). rev 2: mp4 rows
 # became real ISO-BMFF payloads (round-3 codec). rev 3: media gained
-# exact decoded-audio energy/ac_lag1 ground-truth columns.
-CORPUS_REV = 3
+# exact decoded-audio energy/ac_lag1 ground-truth columns. rev 4: media
+# gained planted near-duplicate image variants (media_dhash_dupes
+# positives; entry_sql._AUX_VERSION bumped in lockstep).
+CORPUS_REV = 4
+
+# near-duplicate image variants appended to every tier's media table
+N_MEDIA_DUPES = 6
 
 _FILES = ("transcripts", "gazetteer", "lexicon", "bridges", "xrefs", "media")
 
@@ -101,7 +106,8 @@ def ensure_corpus(sf_dir_or_tier: str) -> dict[str, str]:
         "lexicon": lexicon_table(ents),
         "bridges": bridges_table(ents),
         "xrefs": xrefs_table(ents),
-        "media": synthesize_media(N_MEDIA.get(tier, 120), seed=SEED),
+        "media": synthesize_media(N_MEDIA.get(tier, 120), seed=SEED,
+                                  near_dupes=N_MEDIA_DUPES),
     }
     for name, tbl in tables.items():
         if name == "transcripts":

@@ -784,14 +784,22 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 # ------------------------------------------------------ synthetic media
 
-def synthesize_media(n: int, seed: int = 42) -> pa.Table:
+def synthesize_media(n: int, seed: int = 42,
+                     near_dupes: int = 0) -> pa.Table:
     """Deterministic media table: REAL payloads for every format — PPM /
     PNG / GIF / JPEG images, PCM16 / mu-law WAV audio, and MJPEG video
     alternating between the RIFF/AVI and ISO-BMFF mp4 containers. Every
-    row decodes for real; metadata columns carry the true geometry."""
+    row decodes for real; metadata columns carry the true geometry.
+
+    ``near_dupes`` appends that many near-duplicate IMAGE variants
+    (media_id n..n+near_dupes-1) cycling over the PPM source images —
+    even variants are byte-exact payload copies (dHash Hamming 0), odd
+    variants re-encode the same pixels at +2 brightness (Hamming ~0-3)
+    — the planted positives for the banded dHash near-dup query."""
     rng = np.random.default_rng(seed)
     kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
     energies, ac1s = [], []
+    ppm_imgs: list[np.ndarray] = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         kinds.append(kind)
@@ -820,6 +828,7 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
                 else:
                     payloads.append(encode_ppm(img))
                     mimes.append(PPM_MIME)
+                    ppm_imgs.append(img)
             ws.append(w); hs.append(h); durs.append(-1)
             energies.append(0); ac1s.append(0)
         elif kind == "audio":
@@ -873,9 +882,22 @@ def synthesize_media(n: int, seed: int = 42) -> pa.Table:
             ws.append(32); hs.append(24)
             durs.append(n_fr * (1000 // fps))
             energies.append(0); ac1s.append(0)
+    n_rows = n
+    if near_dupes and ppm_imgs:
+        for j in range(near_dupes):
+            img = ppm_imgs[j % len(ppm_imgs)]
+            if j % 2 == 1:  # lossless re-encode at +2 brightness
+                img = np.clip(img.astype(np.int16) + 2,
+                              0, 255).astype(np.uint8)
+            kinds.append("image")
+            payloads.append(encode_ppm(img))
+            mimes.append(PPM_MIME)
+            hs.append(img.shape[0]); ws.append(img.shape[1])
+            durs.append(-1); energies.append(0); ac1s.append(0)
+        n_rows = n + near_dupes
     return pa.table(
         {
-            "media_id": pa.array(range(n), pa.int64()),
+            "media_id": pa.array(range(n_rows), pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(mimes, pa.string()),

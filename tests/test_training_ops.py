@@ -1081,6 +1081,31 @@ def test_prefix_jaccard_threshold_is_exact_integer():
     assert dropped == []
 
 
+def test_synthesize_media_near_dupes():
+    """near_dupes appends PPM image variants: even = byte-exact copy of
+    a source PPM image (dHash Hamming 0), odd = +2 brightness re-encode;
+    the banded pair op finds every exact-copy pair at hamming 0."""
+    from robokop_build_ray.stages import multimodal as mm
+
+    base = mm.synthesize_media(24)
+    tbl = mm.synthesize_media(24, near_dupes=4)
+    assert tbl.num_rows == 28 and base.num_rows == 24
+    assert tbl.slice(0, 24).equals(base)  # base rows untouched
+    tail = tbl.slice(24).to_pylist()
+    assert all(r["kind"] == "image" and r["mime"] == mm.PPM_MIME
+               for r in tail)
+    # source PPM images in the first 24 rows: i = 0, 12 (i%3==0,
+    # (i//3)%4==0); variant 0 is a byte-exact copy of image 0
+    src = {r["media_id"]: r["payload"] for r in base.to_pylist()}
+    assert tail[0]["payload"] == src[0]
+    assert tail[1]["payload"] != src[12]  # brightness variant differs
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.image_dhash_pairs(
+               rd.from_arrow(tbl), max_hamming=3).take_all()}
+    assert got.get((0, 24)) == 0   # exact copy pair
+    assert got.get((24, 26)) == 0  # two exact copies of image 0 pair up
+
+
 def test_image_dhash_pairs_planted_duplicates():
     """Plant a near-duplicate (same gradient structure, +8 brightness,
     different codec) and an unrelated noise image: the pair op must find
