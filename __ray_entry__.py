@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_two_hop_ball(sf_dir: str):
+    """Per-node distinct <=2-hop neighborhood size (GNN fan-out budget
+    statistic) — wedge-union-adjacency, one distinct + one count."""
+    from robokop_build_ray.stages.graph_metrics import two_hop_ball
+
+    return two_hop_ball(_kg(sf_dir, "edges"))
+
+
 def _kg_modularity(sf_dir: str):
     """Global Newman modularity of the label-prop partition — one row,
     exact integer rational, ONE double division."""
@@ -1441,6 +1449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_community_stats": _kg_community_stats,
         # global Newman modularity of the label-prop partition
         "kg_modularity": _kg_modularity,
+        # per-node distinct <=2-hop neighborhood size
+        "kg_two_hop_ball": _kg_two_hop_ball,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2073,6 +2083,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_wl_colors": entry_sql.sql_wl_colors(t),
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_modularity": entry_sql.sql_modularity(t),
+        "kg_two_hop_ball": entry_sql.sql_two_hop_ball(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

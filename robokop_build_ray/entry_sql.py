@@ -450,9 +450,10 @@ def sql_path_filtered_2hop(tier: str, type_a: str = "chemical_substance",
     p = corpus_paths(tier)
     return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
 und AS (
-  SELECT DISTINCT subj_id AS u, obj_id AS v FROM canon WHERE subj_id <> obj_id
-  UNION
-  SELECT DISTINCT obj_id, subj_id FROM canon WHERE subj_id <> obj_id
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM canon WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM canon WHERE subj_id <> obj_id)
 ),
 nt AS (
   SELECT und.u, g.node_type AS t, count(DISTINCT und.v) AS n
@@ -664,6 +665,11 @@ SELECT rk, id, degree FROM (
 ) WHERE rk <= {k}"""
 
 
+# ORACLE HYGIENE: under WITH RECURSIVE, DuckDB 1.0 silently drops the
+# dedup of a bare `UNION` in a NON-self-referencing CTE (it behaves as
+# UNION ALL — observed on kg_two_hop_ball's ball CTE). Non-recursive
+# CTEs in these oracles must use `SELECT DISTINCT ... FROM (a UNION ALL
+# b)` instead; bare UNION is reserved for genuinely recursive CTEs.
 _UND_CTES = """p0 AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
        WHERE subj_id <> obj_id),
 und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM p0),
@@ -1900,6 +1906,23 @@ SELECT nn.label, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
        CAST(nn.degree_sum AS BIGINT) AS degree_sum,
        CAST(coalesce(ie.intra_edges, 0) AS BIGINT) AS intra_edges
 FROM nn LEFT JOIN ie USING (label)""")
+
+
+def sql_two_hop_ball(tier: str) -> str:
+    """Oracle for graph_metrics.two_hop_ball: distinct <=2-hop partners
+    per node = adjacency UNION both orientations of every same-center
+    neighbor pair, counted per node."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+ball AS (
+  SELECT DISTINCT id, p FROM (
+    SELECT id, nb AS p FROM adj
+    UNION ALL
+    SELECT m1.nb AS id, m2.nb AS p
+    FROM adj m1 JOIN adj m2 ON m1.id = m2.id AND m1.nb <> m2.nb)
+)
+SELECT id, CAST(count(*) AS BIGINT) AS ball_size FROM ball GROUP BY id"""
 
 
 def sql_modularity(tier: str, rounds: int = 3) -> str:

@@ -1815,6 +1815,42 @@ def community_stats(edges, rounds: int = LABELPROP_ROUNDS,
     }))
 
 
+def two_hop_ball(edges, src: str = "subj_id", dst: str = "obj_id",
+                 n_buckets: int = 64):
+    """Per-node 2-hop ball size: Dataset(id, ball_size) — the number of
+    DISTINCT nodes within <=2 hops (excluding the node itself) in the
+    undirected simple graph. The neighborhood-explosion statistic a
+    GNN-sampling / feature-propagation pipeline budgets fan-out by.
+
+    Scale shape: the <=2-hop partner set of v is exactly neighbors(v)
+    UNION {wedge mates of v} — both orientations of every per-center
+    neighbor pair (the RA/jaccard wedge machinery) unioned with the
+    adjacency, then ONE bucketed distinct + ONE bucketed count keyed by
+    node. Cost is sum(deg^2) wedge rows, the same envelope as
+    triangles/jaccard; no BFS rounds, no frontier state."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    adj = _adjacency(und).materialize()  # read twice: direct + wedges
+
+    def direct(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["id"], "p": b["nb"]})
+
+    def wedges(sub: pd.DataFrame) -> pd.DataFrame:
+        nbs = np.sort(sub["nb"].to_numpy(dtype=object))
+        if len(nbs) < 2:
+            return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                 "p": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(nbs), k=1)
+        return pd.DataFrame({
+            "id": np.concatenate([nbs[i], nbs[j]]),
+            "p": np.concatenate([nbs[j], nbs[i]])})
+
+    pairs = adj.map_batches(direct, batch_format="pandas").union(
+        bucketed_group_pairs(adj, ["id"], wedges, n_buckets))
+    dp = bucketed_distinct(pairs, ["id", "p"], n_buckets)
+    return bucketed_count(dp, ["id"], name="ball_size",
+                          n_buckets=n_buckets)
+
+
 def modularity_summary(edges, rounds: int = LABELPROP_ROUNDS,
                        src: str = "subj_id", dst: str = "obj_id",
                        n_buckets: int = 64,

@@ -615,6 +615,36 @@ def test_community_stats_matches_direct_recompute():
     assert sum(v[1] for v in got.values()) == 2 * len(und)
 
 
+def test_two_hop_ball_hand_values():
+    from robokop_build_ray.stages.graph_metrics import two_hop_ball
+
+    # path a-b-c-d plus triangle chord a-c:
+    #   a: {b, c, d(via c)}=3  b: {a, c, d(via c)}=3
+    #   c: {a, b, d}=3         d: {c, a(via c), b(via c)}=3
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    got = {r["id"]: r["ball_size"]
+           for r in two_hop_ball(ds, n_buckets=4).take_all()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # star: center sees all leaves (1 hop); leaves see center + others
+    ds2 = _edges([("z", "a"), ("z", "b"), ("z", "c")])
+    got2 = {r["id"]: r["ball_size"]
+            for r in two_hop_ball(ds2, n_buckets=4).take_all()}
+    assert got2 == {"z": 3, "a": 3, "b": 3, "c": 3}
+    # brute-force cross-check on a random graph
+    rng = np.random.default_rng(43)
+    pairs = [(f"n{a}", f"n{b}")
+             for a, b in rng.integers(0, 25, size=(60, 2)) if a != b]
+    adj: dict[str, set] = {}
+    for a, b in {tuple(sorted(p)) for p in pairs}:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {v: len((ns | {w for u in ns for w in adj[u]}) - {v})
+            for v, ns in adj.items()}
+    got3 = {r["id"]: r["ball_size"]
+            for r in two_hop_ball(_edges(pairs), n_buckets=4).take_all()}
+    assert got3 == want
+
+
 def test_modularity_summary_matches_stats_fold():
     from robokop_build_ray.stages.graph_metrics import (
         community_stats, modularity_summary)
