@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_powerlaw_alpha(sf_dir: str):
+    """Degree power-law MLE exponent (Clauset-Shalizi-Newman, x_min=1)
+    — quantized-ln integer sum over the degree histogram, ONE division."""
+    from robokop_build_ray.stages.graph_metrics import powerlaw_alpha
+
+    return powerlaw_alpha(_kg(sf_dir, "edges"))
+
+
 def _kg_two_hop_ball(sf_dir: str):
     """Per-node distinct <=2-hop neighborhood size (GNN fan-out budget
     statistic) — wedge-union-adjacency, one distinct + one count."""
@@ -1451,6 +1459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_modularity": _kg_modularity,
         # per-node distinct <=2-hop neighborhood size
         "kg_two_hop_ball": _kg_two_hop_ball,
+        # degree power-law MLE exponent (quantized-ln, one division)
+        "kg_powerlaw_alpha": _kg_powerlaw_alpha,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2084,6 +2094,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_community_stats": entry_sql.sql_community_stats(t),
         "kg_modularity": entry_sql.sql_modularity(t),
         "kg_two_hop_ball": entry_sql.sql_two_hop_ball(t),
+        "kg_powerlaw_alpha": entry_sql.sql_powerlaw_alpha(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1873,6 +1873,27 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_powerlaw_alpha(tier: str, quant: int = 1_000_000) -> str:
+    """Oracle for graph_metrics.powerlaw_alpha: Clauset-Shalizi-Newman
+    continuous MLE with x_min=1 over the degree distribution; per-degree
+    ln terms quantized with the same libm FLOOR(Q*LN(d)) as the engine,
+    the float is one division plus one add."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+h AS (SELECT deg, count(*) AS n,
+             CAST(FLOOR({quant} * LN(deg)) AS BIGINT) AS t
+      FROM deg GROUP BY deg)
+SELECT CAST(sum(n) AS BIGINT) AS n_nodes,
+       CAST(max(deg) AS BIGINT) AS deg_max,
+       CAST(sum(n * t) AS BIGINT) AS lnsum_q,
+       CASE WHEN sum(n * t) = 0 THEN 0.0 ELSE
+         1.0 + CAST({quant} * sum(n) AS DOUBLE)
+               / CAST(sum(n * t) AS DOUBLE) END AS alpha
+FROM h"""
+
+
 def sql_community_stats(tier: str, rounds: int = 3) -> str:
     """Oracle for graph_metrics.community_stats: the label-prop unroll
     (sql_label_prop's rounds) followed by exact integer per-community

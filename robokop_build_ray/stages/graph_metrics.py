@@ -1913,6 +1913,41 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def powerlaw_alpha(edges, src: str = "subj_id", dst: str = "obj_id",
+                   n_buckets: int = 64, quant: int = RA_QUANT):
+    """Continuous power-law MLE exponent over the degree distribution
+    (Clauset, Shalizi & Newman 2009, eq. 3.1 with x_min = 1):
+    alpha = 1 + n / sum_i ln(d_i) — ONE row (n_nodes, deg_max,
+    lnsum_q, alpha). Each ln(d) term is quantized to
+    ``floor(quant * ln(d))`` (libm log on both sides, the Adamic-Adar
+    trick) so the degree-weighted sum is an order-free int64 and the
+    float is one division plus one add, bit-identical to the oracle.
+    Degenerate all-degree-1 graphs (lnsum 0) report alpha = 0.0.
+
+    Scale shape: rides :func:`degree_histogram` (one bucketed count +
+    degree-domain-bounded fold); this fold touches max-degree rows."""
+    import math
+
+    hist = degree_histogram(edges, src, dst, n_buckets)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        degs = b["deg"].to_numpy(np.int64)
+        ns = b["n_nodes"].to_numpy(np.int64)
+        t = np.fromiter((int(quant * math.log(int(d))) for d in degs),
+                        np.int64, len(degs))
+        n, s = int(ns.sum()), int((ns * t).sum())
+        alpha = 1.0 + float(quant * n) / float(s) if s else 0.0
+        return pd.DataFrame({
+            "n_nodes": pd.Series([n], dtype="int64"),
+            "deg_max": pd.Series([int(degs.max()) if len(degs) else 0],
+                                 dtype="int64"),
+            "lnsum_q": pd.Series([s], dtype="int64"),
+            "alpha": pd.Series([alpha], dtype="float64")})
+
+    return hist.repartition(1).map_batches(fold, batch_format="pandas",
+                                           batch_size=None)
+
+
 def bfs_tree(edges, type_map: dict[str, str] | None, seed_type: str,
              rounds: int = BFS_ROUNDS,
              src: str = "subj_id", dst: str = "obj_id",

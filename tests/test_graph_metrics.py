@@ -645,6 +645,24 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_powerlaw_alpha_hand_values():
+    import math
+
+    from robokop_build_ray.stages.graph_metrics import powerlaw_alpha
+
+    # star z-(a,b,c): degrees z=3, a=b=c=1 -> lnsum = floor(Q ln 3)
+    ds = _edges([("z", "a"), ("z", "b"), ("z", "c")])
+    (row,) = powerlaw_alpha(ds, n_buckets=4).take_all()
+    q = 1_000_000
+    s = int(q * math.log(3))
+    assert (row["n_nodes"], row["deg_max"], row["lnsum_q"]) == (4, 3, s)
+    assert row["alpha"] == 1.0 + float(q * 4) / float(s)
+    # degenerate matching graph (all degree 1): alpha = 0.0 guard
+    (row2,) = powerlaw_alpha(_edges([("a", "b"), ("c", "d")]),
+                             n_buckets=4).take_all()
+    assert row2["lnsum_q"] == 0 and row2["alpha"] == 0.0
+
+
 def test_modularity_summary_matches_stats_fold():
     from robokop_build_ray.stages.graph_metrics import (
         community_stats, modularity_summary)
