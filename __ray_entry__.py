@@ -1755,6 +1755,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Q20 shape: nested double aggregate + semi chain (excess supply)
         "q20_excess_suppliers": rel.q20_excess_suppliers,
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        # incremental exact dedup: new shard (doc_id%3==0) anti-joined
+        # against the base snapshot's fingerprints, keep-first within new
+        "dedup_incremental": lambda sf: dedup.incremental_dedup(_docs(sf)),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
@@ -2383,6 +2386,15 @@ FROM toks""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13))))""",
+        "dedup_incremental": """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13)))) AS f
+  FROM documents)
+SELECT min(doc_id) AS doc_id FROM fp
+WHERE doc_id % 3 = 0
+  AND f NOT IN (SELECT f FROM fp WHERE doc_id % 3 <> 0)
+GROUP BY f""",
         "doc_duplicate_ngrams": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents

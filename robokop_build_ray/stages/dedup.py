@@ -52,6 +52,46 @@ def exact_dedup(docs, batch_size: int = 4096):
     ).select_columns(["doc_id"])
 
 
+def incremental_dedup(docs, mod: int = 3, batch_size: int = 4096,
+                      n_buckets: int = 64):
+    """Incremental exact dedup (the nightly-crawl pattern): docs with
+    ``doc_id % mod == 0`` are the NEW shard, the rest the BASE snapshot
+    already in the corpus. Survivors = min new doc_id per fingerprint
+    among new docs whose fingerprint appears nowhere in the base —
+    Dataset(doc_id).
+
+    Scale shape: both shards reduce to 8-byte fingerprints before any
+    exchange (text never shuffles), new-vs-base is ONE bucketed ANTI
+    semi (both sides fact-scale, neither key set driver-bounded), and
+    new-vs-new keep-first is the exact-dedup groupby-min."""
+    from ..functions.bucketing import bucketed_min, bucketed_semi
+    from .text_analysis import fingerprint_batch, resolve_parity
+
+    fp = docs.map_batches(fingerprint_batch, batch_format="pandas",
+                          batch_size=batch_size)
+    # typed-empty dtype must track the fingerprint mode (int64 siphash
+    # fast path vs md5-hex parity path)
+    fp_dtype = object if resolve_parity(None) else "int64"
+
+    def split(b: pd.DataFrame, new: bool) -> pd.DataFrame:
+        m = (b["doc_id"].to_numpy(np.int64) % mod == 0) == new
+        return b.loc[m]
+
+    import functools
+
+    new_fp = fp.map_batches(functools.partial(split, new=True),
+                            batch_format="pandas")
+    base_fp = fp.map_batches(functools.partial(split, new=False),
+                             batch_format="pandas")
+    fresh = bucketed_semi(
+        new_fp, base_fp, left_on="fingerprint", right_on="fingerprint",
+        left_cols=["doc_id", "fingerprint"], n_buckets=n_buckets,
+        anti=True,
+        empty_dtypes={"doc_id": "int64", "fingerprint": fp_dtype})
+    return bucketed_min(fresh, ["fingerprint"], "doc_id",
+                        n_buckets=n_buckets).select_columns(["doc_id"])
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHasher:

@@ -53,6 +53,21 @@ def test_exact_dedup_with_planted_duplicates():
     assert survivors == [1, 3]
 
 
+def test_incremental_dedup_planted():
+    # new shard = doc_id % 3 == 0: ids 3, 6, 9, 12
+    rows = [
+        {"doc_id": 1, "text": "seen before"},        # base
+        {"doc_id": 2, "text": "base only"},          # base
+        {"doc_id": 3, "text": "Seen Before "},       # new, dup of base 1
+        {"doc_id": 6, "text": "brand new"},          # new, unique -> keep
+        {"doc_id": 9, "text": "repeated new"},       # new, dup-of-new
+        {"doc_id": 12, "text": "repeated NEW"},      # new, dup-of-new
+    ]
+    got = sorted(r["doc_id"] for r in
+                 dedup.incremental_dedup(rd.from_items(rows)).take_all())
+    assert got == [6, 9]  # base-dup 3 dropped; keep-first within new
+
+
 def test_minhash_lsh_finds_planted_near_dups():
     text_a = " ".join(f"tok{i}" for i in range(100))
     text_b = " ".join(f"tok{i}" for i in range(99)) + " changed"
