@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_rich_club(sf_dir: str):
+    """Rich-club coefficient curve (hub-interconnection density per
+    degree threshold) — two degree attaches + degree-domain fold."""
+    from robokop_build_ray.stages.graph_metrics import rich_club
+
+    return rich_club(_kg(sf_dir, "edges"))
+
+
 def _kg_powerlaw_alpha(sf_dir: str):
     """Degree power-law MLE exponent (Clauset-Shalizi-Newman, x_min=1)
     — quantized-ln integer sum over the degree histogram, ONE division."""
@@ -1461,6 +1469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_ball": _kg_two_hop_ball,
         # degree power-law MLE exponent (quantized-ln, one division)
         "kg_powerlaw_alpha": _kg_powerlaw_alpha,
+        # rich-club density curve per degree threshold
+        "kg_rich_club": _kg_rich_club,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2098,6 +2108,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_modularity": entry_sql.sql_modularity(t),
         "kg_two_hop_ball": entry_sql.sql_two_hop_ball(t),
         "kg_powerlaw_alpha": entry_sql.sql_powerlaw_alpha(t),
+        "kg_rich_club": entry_sql.sql_rich_club(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

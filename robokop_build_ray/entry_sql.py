@@ -1873,6 +1873,30 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_rich_club(tier: str) -> str:
+    """Oracle for graph_metrics.rich_club: for every k = 0..deg_max-1
+    with a >=2-member club, the induced-subgraph density of nodes with
+    degree > k — counts via inequality joins over the degree table, the
+    float is the identical single division of two exact ints."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+em AS (SELECT least(d1.deg, d2.deg) AS m
+       FROM und JOIN deg d1 ON d1.id = und.a JOIN deg d2 ON d2.id = und.b),
+ks AS (SELECT unnest(range(0, (SELECT max(deg) FROM deg))) AS k),
+agg AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg WHERE deg.deg > ks.k) AS n_nodes,
+         (SELECT count(*) FROM em WHERE em.m > ks.k) AS n_edges
+  FROM ks)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(2 * n_edges AS DOUBLE)
+         / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) AS phi
+FROM agg WHERE n_nodes >= 2"""
+
+
 def sql_powerlaw_alpha(tier: str, quant: int = 1_000_000) -> str:
     """Oracle for graph_metrics.powerlaw_alpha: Clauset-Shalizi-Newman
     continuous MLE with x_min=1 over the degree distribution; per-degree

@@ -1913,6 +1913,86 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def rich_club(edges, src: str = "subj_id", dst: str = "obj_id",
+              n_buckets: int = 64):
+    """Rich-club coefficient curve (Colizza et al. 2006):
+    Dataset(k, n_nodes, n_edges, phi) for k = 0..deg_max-1 where the
+    >k-degree club has >= 2 members — phi(k) = 2*E_k / (N_k*(N_k-1)),
+    the density of the subgraph induced by nodes of degree > k. The
+    hub-interconnection diagnostic for scale-free graphs.
+
+    Scale shape: per-node degrees (one bucketed count) attach to both
+    endpoints of every undirected edge through TWO bucketed exchanges;
+    each edge then reduces to min(deg_a, deg_b) and both the edge-min
+    and node-degree histograms fold in one degree-domain-bounded block
+    where E_k / N_k are suffix sums. The float is ONE division per
+    output row of two exact ints."""
+    from ..functions.bucketing import bucketed_attach
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg = bucketed_count(_adjacency(und), ["id"], name="deg",
+                         n_buckets=n_buckets)
+
+    def deg_src(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["id"],
+                             "deg": b["deg"].astype(np.int64)})
+
+    degs = deg.map_batches(deg_src, batch_format="pandas").materialize()
+
+    e1 = bucketed_attach(
+        und, degs, left_on="a", right_on="id",
+        left_cols=["a", "b"], payload={"deg": "deg_a"},
+        payload_fill=0, n_buckets=n_buckets,
+        empty_dtypes={"a": object, "b": object, "deg_a": "int64"})
+    e2 = bucketed_attach(
+        e1, degs, left_on="b", right_on="id",
+        left_cols=["a", "b", "deg_a"], payload={"deg": "deg_b"},
+        payload_fill=0, left_fill={"deg_a": 0}, n_buckets=n_buckets,
+        empty_dtypes={"a": object, "b": object, "deg_a": "int64",
+                      "deg_b": "int64"})
+
+    def edge_min_hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.minimum(b["deg_a"].to_numpy(np.int64),
+                       b["deg_b"].to_numpy(np.int64))
+        vc = pd.Series(m).value_counts()
+        return pd.DataFrame({"d": vc.index.to_numpy(np.int64),
+                             "n_e": vc.to_numpy(np.int64),
+                             "n_v": np.zeros(len(vc), dtype=np.int64)})
+
+    def node_hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["deg"].value_counts()
+        return pd.DataFrame({"d": vc.index.to_numpy(np.int64),
+                             "n_e": np.zeros(len(vc), dtype=np.int64),
+                             "n_v": vc.to_numpy(np.int64)})
+
+    hist = e2.map_batches(edge_min_hist, batch_format="pandas").union(
+        deg.map_batches(node_hist, batch_format="pandas"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("d", as_index=False)[["n_e", "n_v"]].sum()
+        g = g.sort_values("d")
+        ds_, ne, nv = (g["d"].to_numpy(np.int64),
+                       g["n_e"].to_numpy(np.int64),
+                       g["n_v"].to_numpy(np.int64))
+        dmax = int(ds_.max()) if len(ds_) else 0
+        ks, nks, eks, phis = [], [], [], []
+        for k in range(dmax):
+            nk = int(nv[ds_ > k].sum())
+            if nk < 2:
+                continue
+            ek = int(ne[ds_ > k].sum())
+            ks.append(k); nks.append(nk); eks.append(ek)
+            phis.append(float(2 * ek) / float(nk * (nk - 1)))
+        return pd.DataFrame({
+            "k": pd.Series(ks, dtype="int64"),
+            "n_nodes": pd.Series(nks, dtype="int64"),
+            "n_edges": pd.Series(eks, dtype="int64"),
+            "phi": pd.Series(phis, dtype="float64")})
+
+    return (hist.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
 def powerlaw_alpha(edges, src: str = "subj_id", dst: str = "obj_id",
                    n_buckets: int = 64, quant: int = RA_QUANT):
     """Continuous power-law MLE exponent over the degree distribution

@@ -645,6 +645,18 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_rich_club_hand_values():
+    from robokop_build_ray.stages.graph_metrics import rich_club
+
+    # triangle a-b-c (all deg 2) + pendant c-d (d deg 1, c deg 3)
+    ds = _edges([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    rows = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+            for r in rich_club(ds, n_buckets=4).take_all()}
+    # k=0: all 4 nodes, 4 edges -> 8/12; k=1: {a,b,c} deg>1, 3 edges -> 1.0
+    # k=2: {c} only -> filtered (club < 2)
+    assert rows == {0: (4, 4, float(8) / float(12)), 1: (3, 3, 1.0)}
+
+
 def test_powerlaw_alpha_hand_values():
     import math
 
