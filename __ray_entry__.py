@@ -1633,6 +1633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_assignments": lambda sf: ta.pack_assignments(_docs(sf)),
         # CCNet-style corpus bigram-LM quality score (Wenzek et al. 2020)
         "doc_lm_score": lambda sf: _vocab().lm_score(_docs(sf)),
+        # DSIR-style importance weights: smoothed unigram target/raw
+        # log-ratio per doc (data-selection toward the target slice)
+        "doc_dsir_weights": lambda sf: _vocab().dsir_weights(_docs(sf)),
         # BPE tokenizer TRAINING (Sennrich et al. 2016): one distributed
         # word-count exchange, vocabulary-bounded driver merge loop;
         # oracle = independently-structured sequential trainer (Counter +
@@ -2233,6 +2236,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_repetition": _ta_sql().sql_repetition(),
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
+        "doc_dsir_weights": _vocab().sql_dsir_weights(),
         "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
         "doc_bpe_encode": entry_sql.sql_bpe_encode(t),
         "doc_lr_quality": _classifier().sql_lr_scores(

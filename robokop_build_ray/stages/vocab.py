@@ -442,6 +442,158 @@ def lm_score(docs, n_buckets: int = 64, quant: int = 1_000_000):
     return per_doc.map_batches(final, batch_format="pandas").union(seed)
 
 
+def dsir_weights(docs, target_lang: str = "en", n_buckets: int = 64,
+                 quant: int = 1_000_000):
+    """DSIR-style data-selection importance weight per document (Xie et
+    al. 2023 shape — unigram MLE LMs with add-one smoothing instead of
+    hashed n-gram features, so the weight is exactly recomputable):
+    Dataset(doc_id, n_tokens, logratio_q, logratio). The target LM is
+    fit on the ``target_lang`` slice, the raw LM on the whole corpus;
+
+        t(w) = floor(Q * ln( ((c_t(w)+1) * (N_r+V))
+                             / ((c_r(w)+1) * (N_t+V)) ))
+        weight(d) = sum over doc tokens of t(w)
+
+    Every per-token term is an order-free int64 (the Adamic-Adar libm
+    trick: both sides take ln of the SAME exactly-converted double
+    ratio, multiply by the integer Q and floor), so the per-doc sum is
+    bit-identical at any parallelism; ``logratio`` is ONE division.
+    Select top-weight docs downstream to shift the corpus toward the
+    target distribution.
+
+    Shape at 100 TB — one scalar pre-pass + TWO exchanges. Both LMs'
+    token counts (c_t, c_r) are in-bucket sums once instances bucket by
+    token; the three global scalars (N_t, N_r, V) fold from one
+    n_buckets-row collect; exchange 2 is the per-doc sum. The smoothed
+    products stay exact doubles while (c+1)*(N+V) < 2^53 — beyond that
+    split the ln into quantized ln-count lookups."""
+    import math
+
+    def inst_partial(b: pd.DataFrame) -> pd.DataFrame:
+        flat = (b["text"].str.lower().str.findall(TOKEN_RE)
+                .set_axis(np.arange(len(b))).explode().dropna())
+        empty = pd.DataFrame({"w": pd.Series([], dtype=object),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "k": pd.Series([], dtype="int64"),
+                              "kt": pd.Series([], dtype="int64")})
+        if len(flat) == 0:
+            return empty
+        idx = flat.index.to_numpy(dtype=np.int64)
+        w = flat.to_numpy(dtype=object)
+        d = b["doc_id"].to_numpy()[idx]
+        is_t = (b["lang"].to_numpy(dtype=object)[idx]
+                == target_lang).astype(np.int64)
+        cnt = (pd.DataFrame({"w": w, "doc_id": d, "k": 1, "kt": is_t})
+               .groupby(["w", "doc_id"], sort=False, as_index=False)
+               [["k", "kt"]].sum())
+        cnt["doc_id"] = cnt["doc_id"].astype("int64")
+        cnt["k"] = cnt["k"].astype("int64")
+        cnt["kt"] = cnt["kt"].astype("int64")
+        return cnt
+
+    pruned = docs.select_columns(["doc_id", "lang", "text"])
+
+    # ---- pass 1: the three global LM scalars (n_buckets-row collect)
+    def stats_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                 "sk": pd.Series([], dtype="int64"),
+                                 "skt": pd.Series([], dtype="int64")})
+        per_w = g.groupby("w", sort=False)[["k", "kt"]].sum()
+        return pd.DataFrame({"v": [len(per_w)],
+                             "sk": [int(per_w["k"].sum())],
+                             "skt": [int(per_w["kt"].sum())]})
+
+    rows = bucketed_apply(pruned, ["w"], stats_merge, inst_partial,
+                          n_buckets).take_all()  # n_buckets-bounded
+    vocab_v = sum(r["v"] for r in rows)
+    n_raw = sum(r["sk"] for r in rows)
+    n_tgt = sum(r["skt"] for r in rows)
+
+    # ---- pass 2: per-token terms inside the token bucket, per-doc sums
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        cw = g.groupby("w", sort=False)[["k", "kt"]].sum()
+        cr = cw["k"].to_numpy(np.int64)
+        ct = cw["kt"].to_numpy(np.int64)
+        t = np.fromiter(
+            (math.floor(quant * math.log(
+                float((int(c_t) + 1) * (n_raw + vocab_v))
+                / float((int(c_r) + 1) * (n_tgt + vocab_v))))
+             for c_r, c_t in zip(cr, ct)),
+            np.int64, len(cw))
+        tmap = pd.Series(t, index=cw.index)
+        contrib = (g["k"].to_numpy(np.int64)
+                   * tmap.reindex(g["w"]).to_numpy(np.int64))
+        per = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                            "s": contrib,
+                            "n": g["k"].to_numpy(np.int64)})
+        return per.groupby("doc_id", sort=False, as_index=False)[
+            ["s", "n"]].sum()
+
+    per_doc_partials = bucketed_apply(pruned, ["w"], bucket_merge,
+                                      inst_partial, n_buckets)
+
+    def doc_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", sort=False, as_index=False)[
+            ["s", "n"]].sum()
+
+    per_doc = bucketed_apply(per_doc_partials, ["doc_id"], doc_merge,
+                             None, n_buckets)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_tokens": b["n"].to_numpy(np.int64),
+            "logratio_q": s,
+            "logratio": s / float(quant),  # ONE division
+        })
+
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "logratio_q": pa.array([], pa.int64()),
+        "logratio": pa.array([], pa.float64()),
+    }))
+    return per_doc.map_batches(final, batch_format="pandas").union(seed)
+
+
+def sql_dsir_weights(target_lang: str = "en",
+                     quant: int = 1_000_000) -> str:
+    """Oracle for :func:`dsir_weights` — identical smoothed unigram
+    log-ratio, recomputed relationally (LN of the same exact double
+    ratio, FLOOR, integer sum)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cr,
+               CAST(count(*) FILTER (WHERE lang = '{target_lang}')
+                    AS BIGINT) AS ct
+        FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(ct) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS v FROM cnt),
+tw AS (SELECT w, CAST(FLOOR({quant} * LN(
+           CAST((ct + 1) * (nr + v) AS DOUBLE)
+           / CAST((cr + 1) * (nt + v) AS DOUBLE))) AS BIGINT) AS t
+       FROM cnt, tot)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tw.t) AS BIGINT) AS logratio_q,
+       CAST(sum(tw.t) AS DOUBLE) / {quant} AS logratio
+FROM toks JOIN tw USING (w)
+GROUP BY doc_id"""
+
+
 def sql_lm_score(quant: int = 1_000_000) -> str:
     """Oracle for :func:`lm_score` — same integer floor-division quantized
     conditional probabilities, recomputed relationally."""

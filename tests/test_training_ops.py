@@ -53,6 +53,38 @@ def test_exact_dedup_with_planted_duplicates():
     assert survivors == [1, 3]
 
 
+def test_dsir_weights_shift_toward_target():
+    """Docs made of target-slice-only vocabulary must outweigh docs of
+    non-target vocabulary; weights are exact integer sums of per-token
+    floor(Q*ln) terms."""
+    import math
+
+    from robokop_build_ray.stages import vocab as vb
+
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": "apple apple banana"},
+        {"doc_id": 2, "lang": "en", "text": "apple banana banana"},
+        {"doc_id": 3, "lang": "de", "text": "katze hund katze"},
+        {"doc_id": 4, "lang": "de", "text": "hund hund katze"},
+    ]
+    got = {r["doc_id"]: (r["n_tokens"], r["logratio_q"], r["logratio"])
+           for r in vb.dsir_weights(rd.from_items(rows),
+                                    n_buckets=4).take_all()}
+    # hand recompute: V=4, Nr=12, Nt=6; c_r(apple)=3, c_t(apple)=3 ...
+    q = 1_000_000
+
+    def t(cr, ct):
+        return math.floor(q * math.log(
+            float((ct + 1) * (12 + 4)) / float((cr + 1) * (6 + 4))))
+
+    ta, tb = t(3, 3), t(3, 3)      # apple, banana: all occurrences en
+    tk, th = t(3, 0), t(3, 0)      # katze, hund: none en
+    assert got[1] == (3, 2 * ta + tb, (2 * ta + tb) / q)
+    assert got[3] == (3, 2 * tk + th, (2 * tk + th) / q)
+    # en-vocab docs outweigh de-vocab docs
+    assert got[1][1] > got[3][1] and got[2][1] > got[4][1]
+
+
 def test_incremental_dedup_planted():
     # new shard = doc_id % 3 == 0: ids 3, 6, 9, 12
     rows = [
