@@ -1898,6 +1898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_scenecut": _media_video_scenecut,
         # greedy k-center coreset pick (farthest-point-first, exact ints)
         "embedding_kcenter": _clustering().embedding_kcenter,
+        # greedy MMR diverse selection (lambda=1/2, integer-exact x2)
+        "embedding_mmr": _clustering().embedding_mmr,
         # per-label centroid drift between even/odd vec_id halves
         "embedding_centroid_drift": _clustering().embedding_centroid_drift,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
@@ -2591,6 +2593,7 @@ SELECT query_id, neighbor_id, rank FROM (
         "embedding_silhouette":
             _clustering().sql_embedding_silhouette(kmeans_c),
         "embedding_kcenter": _clustering().sql_embedding_kcenter(),
+        "embedding_mmr": _clustering().sql_embedding_mmr(),
         "embedding_centroid_drift":
             _clustering().sql_embedding_centroid_drift(),
         "embedding_gram": _clustering().sql_embedding_gram(),

@@ -453,6 +453,127 @@ def _kcenter_partial(b: pd.DataFrame, centers_ref) -> pd.DataFrame:
     })
 
 
+def _mmr_partial(b: pd.DataFrame, state_ref) -> pd.DataFrame:
+    """Per-batch MMR candidate: quantize, drop excluded ids, score
+    rel - max_sim_to_selected (rel alone when nothing is selected yet),
+    emit ONE row (best score, its vec_id, its vector) — max score, ties
+    to the smallest vec_id. Same broadcast task-map shape as
+    :func:`_kcenter_partial`."""
+    import ray as _ray
+
+    qv, sel, excl = _ray.get(state_ref)
+    q = np.floor(_matrix(b["embedding"]) * QUANT + 0.5).astype(np.int64)
+    ids = b["vec_id"].to_numpy(np.int64)
+    keep = ~np.isin(ids, excl)
+    empty = pd.DataFrame({"sc": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "vec": pd.Series([], dtype=object)})
+    if not keep.any():
+        return empty
+    q, ids = q[keep], ids[keep]
+    rel = q @ qv  # exact int64 dots
+    sc = rel - (q @ sel.T).max(axis=1) if len(sel) else rel
+    best = sc.max()
+    j = int(np.flatnonzero((sc == best)
+                           & (ids == ids[sc == best].min()))[0])
+    return pd.DataFrame({
+        "sc": np.asarray([best], dtype=np.int64),
+        "vec_id": np.asarray([ids[j]], dtype=np.int64),
+        "vec": [q[j].tolist()],
+    })
+
+
+def embedding_mmr(sf_dir: str, k: int = K_CENTERS):
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein 1998, lambda = 1/2) — the relevance-vs-redundancy pick a
+    curation pipeline uses to choose diverse examples near a query:
+    query = the smallest-vec_id vector; each round selects the candidate
+    maximizing rel(x) - max_sim(x, selected) (dot products; the empty
+    selected set contributes 0, so round 0 is the pure-relevance pick).
+    Dataset(sel_round, vec_id, mmr_x2) where mmr_x2 is 2x the
+    lambda=1/2 MMR score — an exact int64, no float anywhere.
+
+    Exactness/scale: identical profile to :func:`embedding_kcenter` —
+    quantized int64 dots, k zero-shuffle scans with one candidate row
+    per batch, broadcast state k x dim ints."""
+    import ray as _ray
+    import ray.data as rd
+
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    first = int(scan().min("vec_id"))
+    got = scan().filter(expr=f"vec_id == {first}").take_all()
+    qvec = np.floor(
+        np.asarray(got[0]["embedding"], dtype=np.float64) * QUANT
+        + 0.5).astype(np.int64)
+    rows: list[tuple[int, int, int]] = []
+    sel: list[np.ndarray] = []
+    excl = [first]
+    for r in range(k):
+        ref = _ray.put((qvec,
+                        np.stack(sel) if sel else np.empty(
+                            (0, len(qvec)), dtype=np.int64),
+                        np.asarray(excl, dtype=np.int64)))
+        parts = scan().map_batches(
+            _mmr_partial, batch_format="pandas",
+            fn_kwargs={"state_ref": ref}).to_pandas()
+        if len(parts) == 0:
+            break  # candidate pool exhausted
+        best = int(parts["sc"].max())
+        win = parts.loc[parts["sc"] == best]
+        win = win.loc[win["vec_id"] == win["vec_id"].min()].iloc[0]
+        rows.append((r, int(win["vec_id"]), best))
+        sel.append(np.asarray(win["vec"], dtype=np.int64))
+        excl.append(int(win["vec_id"]))
+
+    return rd.from_arrow(pa.table({
+        "sel_round": pa.array([r for r, _, _ in rows], pa.int64()),
+        "vec_id": pa.array([v for _, v, _ in rows], pa.int64()),
+        "mmr_x2": pa.array([s for _, _, s in rows], pa.int64()),
+    }))
+
+
+def sql_embedding_mmr(k: int = K_CENTERS) -> str:
+    """Oracle for :func:`embedding_mmr` — unrolled greedy rounds over
+    list-kernel integer dots (the kcenter template with least -> greatest
+    and distance -> rel - maxsim), every CTE MATERIALIZED per the
+    multi-arm unrolled-oracle invariant."""
+    dot = ("list_sum(list_transform(range(1, len({a}.q) + 1),"
+           " i -> {a}.q[i] * {b}.q[i]))")
+    ctes = [f"""qa AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {QUANT}.0 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+qv AS MATERIALIZED (SELECT q FROM qa
+                    WHERE vec_id = (SELECT min(vec_id) FROM qa)),
+rel AS MATERIALIZED (
+  SELECT a.vec_id, a.q, {dot.format(a='a', b='v')} AS rel
+  FROM qa a CROSS JOIN qv v
+  WHERE a.vec_id <> (SELECT min(vec_id) FROM qa)),
+s0 AS MATERIALIZED (SELECT vec_id, rel AS sc, q FROM rel
+                    ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    sel = ["SELECT CAST(0 AS BIGINT) AS sel_round,"
+           " (SELECT vec_id FROM s0) AS vec_id,"
+           " CAST((SELECT sc FROM s0) AS BIGINT) AS mmr_x2"]
+    for r in range(1, k):
+        prev = "rel" if r == 1 else f"m{r - 2}"
+        ms = (f"greatest(m.ms, {dot.format(a='m', b='c')})" if r > 1
+              else dot.format(a="m", b="c"))
+        ctes.append(f"""m{r - 1} AS MATERIALIZED (
+  SELECT m.vec_id, m.q, m.rel, {ms} AS ms
+  FROM {prev} m CROSS JOIN s{r - 1} c
+  WHERE m.vec_id <> c.vec_id)""")
+        ctes.append(f"""s{r} AS MATERIALIZED (
+  SELECT vec_id, rel - ms AS sc, q FROM m{r - 1}
+  ORDER BY sc DESC, vec_id LIMIT 1)""")
+        sel.append(f"SELECT {r}, (SELECT vec_id FROM s{r}),"
+                   f" CAST((SELECT sc FROM s{r}) AS BIGINT)")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def embedding_kcenter(sf_dir: str, k: int = K_CENTERS):
     """Greedy k-CENTER coreset selection (Gonzalez 1985 — the farthest-
     point-first pick SemDeDup-style curation and active-learning loops

@@ -160,6 +160,26 @@ def test_kcenter_greedy_farthest(tmp_path):
                                        1 * QUANT * QUANT]
 
 
+def test_mmr_prefers_diverse_over_redundant(tmp_path):
+    # query = vec 1 [1,0]; candidates: 2 [2,0] (most relevant), 3 [1.5,0]
+    # (relevant but redundant with 2), 4 [0,1] (orthogonal/diverse).
+    # Round 0 picks 2 (pure relevance); round 1: score(3) = 1.5 - 3 < 0
+    # while score(4) = 0 - 0 = 0 -> the diverse 4 beats the redundant 3.
+    from robokop_build_ray.stages.clustering import QUANT, embedding_mmr
+
+    vecs = {1: [1.0, 0.0], 2: [2.0, 0.0], 3: [1.5, 0.0], 4: [0.0, 1.0]}
+    pq.write_table(pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] + [0.0, 0.0] for i in sorted(vecs)],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int32()),
+    }), f"{tmp_path}/embeddings.parquet")
+    got = embedding_mmr(str(tmp_path), k=3).to_pandas()
+    assert got["vec_id"].tolist() == [2, 4, 3]
+    q2 = QUANT * QUANT
+    assert got["mmr_x2"].tolist() == [2 * q2, 0, -(3 * q2) // 2]
+
+
 def test_length_ks_one_vs_rest(tmp_path):
     # src a lengths {1,2}, src b lengths {3,4}: perfectly separated ->
     # D = 1 -> d_num = n_a * n_b = 4 for both sources.
