@@ -659,6 +659,17 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_growth(sf_dir: str):
+    """Temporal densification trace: per-hour first-seen node/edge
+    counts + cumulative curves (turn timestamps attached to triples
+    through one bucketed exchange)."""
+    from robokop_build_ray.stages.graph_metrics import growth_trace
+
+    paths = ensure_corpus(sf_dir)
+    return growth_trace(_kg(sf_dir, "canonical"),
+                        rd.read_parquet(paths["transcripts"]))
+
+
 def _kg_rich_club(sf_dir: str):
     """Rich-club coefficient curve (hub-interconnection density per
     degree threshold) — two degree attaches + degree-domain fold."""
@@ -1471,6 +1482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_powerlaw_alpha": _kg_powerlaw_alpha,
         # rich-club density curve per degree threshold
         "kg_rich_club": _kg_rich_club,
+        # per-hour first-seen node/edge growth + cumulative curves
+        "kg_growth": _kg_growth,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2114,6 +2127,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_two_hop_ball": entry_sql.sql_two_hop_ball(t),
         "kg_powerlaw_alpha": entry_sql.sql_powerlaw_alpha(t),
         "kg_rich_club": entry_sql.sql_rich_club(t),
+        "kg_growth": entry_sql.sql_growth_trace(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

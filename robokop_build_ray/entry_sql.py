@@ -1873,6 +1873,33 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_growth_trace(tier: str) -> str:
+    """Oracle for graph_metrics.growth_trace: triples joined back to
+    their turn timestamps, first-seen mins per node / per (s,p,o) edge,
+    hour histogram with window cumsums."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+tt AS (SELECT conv_id, turn_idx, epoch_us(ts) AS t
+       FROM read_parquet('{p["transcripts"]}/*.parquet')),
+ct AS (SELECT c.subj_id, c.pred_id, c.obj_id, tt.t
+       FROM canon c JOIN tt ON tt.conv_id = c.conv_id
+                           AND tt.turn_idx = c.turn_idx),
+ef AS (SELECT min(t) AS t FROM ct GROUP BY subj_id, pred_id, obj_id),
+nf AS (SELECT id, min(t) AS t FROM (
+         SELECT subj_id AS id, t FROM ct
+         UNION ALL SELECT obj_id, t FROM ct) GROUP BY id),
+eh AS (SELECT t // 3600000000 AS hour, count(*) AS ne FROM ef GROUP BY 1),
+nh AS (SELECT t // 3600000000 AS hour, count(*) AS nn FROM nf GROUP BY 1),
+h AS (SELECT coalesce(nh.hour, eh.hour) AS hour,
+             coalesce(nn, 0) AS nn, coalesce(ne, 0) AS ne
+      FROM nh FULL JOIN eh ON nh.hour = eh.hour)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST(nn AS BIGINT) AS new_nodes, CAST(ne AS BIGINT) AS new_edges,
+       CAST(sum(nn) OVER (ORDER BY hour) AS BIGINT) AS cum_nodes,
+       CAST(sum(ne) OVER (ORDER BY hour) AS BIGINT) AS cum_edges
+FROM h"""
+
+
 def sql_rich_club(tier: str) -> str:
     """Oracle for graph_metrics.rich_club: for every k = 0..deg_max-1
     with a >=2-member club, the induced-subgraph density of nodes with

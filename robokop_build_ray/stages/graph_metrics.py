@@ -1913,6 +1913,96 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+GROWTH_HOUR_US = 3_600_000_000
+
+
+def growth_trace(canonical, transcripts, n_buckets: int = 64):
+    """Temporal KG densification trace (Leskovec et al. 2005 grain):
+    Dataset(hour, new_nodes, new_edges, cum_nodes, cum_edges) — per hour
+    of transcript time, how many nodes / distinct (s,p,o) edges are seen
+    for the FIRST time, plus the cumulative curves. The audit a
+    continuously-ingesting KG build watches for densification /
+    ingestion stalls.
+
+    Scale shape: turn timestamps attach to triples through ONE bucketed
+    exchange keyed by (conv, turn) — both sides fact-scale, no driver
+    state; first-seen times are two bucketed mins (edge key, node id);
+    the hour histogram folds in one hour-domain-bounded block where the
+    cumulative sums are a prefix scan over sorted hours. All integers."""
+    from ..functions.bucketing import bucketed_attach, bucketed_min
+
+    def prep_turns(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tkey": (b["conv_id"].astype(str) + _SEP
+                     + b["turn_idx"].astype("int64").astype(str)),
+            "t": b["ts"].astype("datetime64[us]").astype("int64")})
+
+    def prep_triples(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tkey": (b["conv_id"].astype(str) + _SEP
+                     + b["turn_idx"].astype("int64").astype(str)),
+            "subj_id": b["subj_id"], "pred_id": b["pred_id"],
+            "obj_id": b["obj_id"]})
+
+    turns = transcripts.map_batches(prep_turns, batch_format="pandas")
+    # materialize the actor-pool lineage before the union+groupby inside
+    # bucketed_attach (live actor lineage + union stalls the streaming
+    # executor — CLAUDE.md invariant; triples are the smaller branch)
+    trips = canonical.map_batches(prep_triples,
+                                  batch_format="pandas").materialize()
+    timed = bucketed_attach(
+        trips, turns, left_on="tkey", right_on="tkey",
+        left_cols=["subj_id", "pred_id", "obj_id"], payload={"t": "t"},
+        payload_fill=0, n_buckets=n_buckets,
+        empty_dtypes={"subj_id": object, "pred_id": object,
+                      "obj_id": object, "t": "int64"})
+
+    def ekey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["subj_id"] + _SEP + b["pred_id"] + _SEP + b["obj_id"],
+            "t": b["t"].astype("int64")})
+
+    def nkey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": np.concatenate([b["subj_id"].to_numpy(dtype=object),
+                                 b["obj_id"].to_numpy(dtype=object)]),
+            "t": np.concatenate([b["t"].to_numpy(np.int64)] * 2)})
+
+    efirst = bucketed_min(timed.map_batches(ekey, batch_format="pandas"),
+                          ["k"], "t", n_buckets=n_buckets)
+    nfirst = bucketed_min(timed.map_batches(nkey, batch_format="pandas"),
+                          ["k"], "t", n_buckets=n_buckets)
+
+    def hist(b: pd.DataFrame, col: str) -> pd.DataFrame:
+        vc = (b["t"].to_numpy(np.int64) // GROWTH_HOUR_US)
+        s = pd.Series(vc).value_counts()
+        out = pd.DataFrame({"hour": s.index.to_numpy(np.int64),
+                            "nn": np.zeros(len(s), dtype=np.int64),
+                            "ne": np.zeros(len(s), dtype=np.int64)})
+        out[col] = s.to_numpy(np.int64)
+        return out
+
+    import functools
+
+    h = nfirst.map_batches(functools.partial(hist, col="nn"),
+                           batch_format="pandas").union(
+        efirst.map_batches(functools.partial(hist, col="ne"),
+                           batch_format="pandas"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("hour", as_index=False)[["nn", "ne"]].sum()
+        g = g.sort_values("hour").reset_index(drop=True)
+        return pd.DataFrame({
+            "hour": g["hour"].astype("int64"),
+            "new_nodes": g["nn"].astype("int64"),
+            "new_edges": g["ne"].astype("int64"),
+            "cum_nodes": g["nn"].cumsum().astype("int64"),
+            "cum_edges": g["ne"].cumsum().astype("int64")})
+
+    return (h.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
 def rich_club(edges, src: str = "subj_id", dst: str = "obj_id",
               n_buckets: int = 64):
     """Rich-club coefficient curve (Colizza et al. 2006):

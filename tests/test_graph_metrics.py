@@ -645,6 +645,37 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_growth_trace_hand_values():
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import growth_trace
+
+    # hour 0: triple (A,P,B) -> 2 new nodes, 1 new edge
+    # hour 1: same edge again (no news) + (A,P,C) -> 1 new node, 1 edge
+    tr = rd.from_items([
+        {"conv_id": "c1", "turn_idx": 0,
+         "ts": pd.Timestamp("2025-01-01 00:10:00")},
+        {"conv_id": "c1", "turn_idx": 1,
+         "ts": pd.Timestamp("2025-01-01 01:10:00")},
+        {"conv_id": "c2", "turn_idx": 0,
+         "ts": pd.Timestamp("2025-01-01 01:20:00")},
+    ])
+    canon = rd.from_items([
+        {"conv_id": "c1", "turn_idx": 0,
+         "subj_id": "A", "pred_id": "P", "obj_id": "B"},
+        {"conv_id": "c1", "turn_idx": 1,
+         "subj_id": "A", "pred_id": "P", "obj_id": "B"},
+        {"conv_id": "c2", "turn_idx": 0,
+         "subj_id": "A", "pred_id": "P", "obj_id": "C"},
+    ])
+    rows = growth_trace(canon, tr, n_buckets=4).take_all()
+    h0 = int(pd.Timestamp("2025-01-01").value // 10**3
+             // 3_600_000_000)
+    got = {r["hour"] - h0: (r["new_nodes"], r["new_edges"],
+                            r["cum_nodes"], r["cum_edges"]) for r in rows}
+    assert got == {0: (2, 1, 2, 1), 1: (1, 1, 3, 2)}
+
+
 def test_rich_club_hand_values():
     from robokop_build_ray.stages.graph_metrics import rich_club
 
