@@ -1784,6 +1784,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental exact dedup: new shard (doc_id%3==0) anti-joined
         # against the base snapshot's fingerprints, keep-first within new
         "dedup_incremental": lambda sf: dedup.incremental_dedup(_docs(sf)),
+        # MOSS-style shared-winnow-fingerprint pairs (parity: the winnow
+        # SELECTION depends on hash ordering, so the oracle-checked path
+        # must pick mins over the DuckDB-recomputable md5)
+        "dedup_winnow_pairs": lambda sf: dedup.winnow_pairs(_docs(sf),
+                                                            parity=True),
         # sketch/LSH dedup family: oracles recompute banding/blocking from
         # deterministic signature parquet (entry_sql.ensure_dedup_aux)
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
@@ -2426,6 +2431,34 @@ SELECT min(doc_id) AS doc_id FROM fp
 WHERE doc_id % 3 = 0
   AND f NOT IN (SELECT f FROM fp WHERE doc_id % 3 <> 0)
 GROUP BY f""",
+        "dedup_winnow_pairs": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, len(tk) - 3 AS n,
+         md5(array_to_string(tk[i:i+3], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(tk) - 2)) AS t(i)
+  WHERE len(tk) >= 4
+  UNION ALL
+  SELECT doc_id, 1, 1, md5(array_to_string(tk, ' '))
+  FROM toks WHERE len(tk) < 4
+),
+win AS (
+  SELECT doc_id, i, n,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM win
+  WHERE (n >= 5 AND i <= n - 3) OR (n <= 4 AND i = 1)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
         "doc_duplicate_ngrams": r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS tk FROM documents

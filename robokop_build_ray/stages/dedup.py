@@ -18,6 +18,8 @@ actor ``__init__``.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -90,6 +92,105 @@ def incremental_dedup(docs, mod: int = 3, batch_size: int = 4096,
         empty_dtypes={"doc_id": "int64", "fingerprint": fp_dtype})
     return bucketed_min(fresh, ["fingerprint"], "doc_id",
                         n_buckets=n_buckets).select_columns(["doc_id"])
+
+
+WINNOW_K = 4       # tokens per k-gram
+WINNOW_W = 4       # grams per winnow window
+WINNOW_MIN_SHARED = 2
+WINNOW_BUCKET_CAP = 200
+
+
+def _winnow_doc_fps(toks: list[str], parity: bool) -> list:
+    """Winnowed fingerprint SET of one token list (Schleimer et al. 2003
+    MOSS): k-gram hashes -> min per sliding w-window -> distinct. Docs
+    shorter than k tokens hash the whole text as one gram; fewer than w
+    grams collapse to a single whole-doc window."""
+    if len(toks) < WINNOW_K:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i:i + WINNOW_K])
+                 for i in range(len(toks) - WINNOW_K + 1)]
+    if parity:
+        gh: list = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    else:
+        gh = list(pd.util.hash_array(np.asarray(grams, dtype=object)))
+    if len(gh) <= WINNOW_W:
+        return [min(gh)]
+    return sorted({min(gh[i:i + WINNOW_W])
+                   for i in range(len(gh) - WINNOW_W + 1)})
+
+
+def winnow_pairs(docs, min_shared: int = WINNOW_MIN_SHARED,
+                 n_buckets: int = 64, cap: int = WINNOW_BUCKET_CAP,
+                 parity: bool | None = None):
+    """Near-duplicate pairs by shared winnowed fingerprints (the MOSS
+    plagiarism-detection shape, Schleimer et al. 2003): docs sharing at
+    least ``min_shared`` distinct winnow fingerprints —
+    Dataset(id_a, id_b, n_shared).
+
+    Scale shape: each doc reduces to its winnowed fingerprint set (text
+    never shuffles); fingerprints bucket by value, per-fp doc lists pair
+    inside the bucket (hot fps capped with a warning, the LSH-band
+    contract), and n_shared is ONE bucketed integer sum over pairs.
+    Parity mode selects mins over md5 hex (DuckDB-recomputable); the
+    default selects over vectorized siphash — same algorithm, different
+    (documented) fingerprint choice, like fingerprint_batch's modes."""
+    from ..functions.bucketing import bucketed_group_pairs, bucketed_sum
+    from .text_analysis import resolve_parity
+
+    par = resolve_parity(parity)
+
+    def fp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, text in zip(b["doc_id"], b["text"]):
+            for fp in _winnow_doc_fps(text.lower().split(), par):
+                ids.append(did)
+                fps.append(fp)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "fp": pd.Series(fps,
+                            dtype=object if par else "uint64")})
+
+    def pair_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(sub["doc_id"].to_numpy(np.int64))
+        if len(ids) > cap:
+            import warnings
+
+            warnings.warn(
+                f"winnow fp bucket holds {len(ids)} docs > cap {cap};"
+                f" truncated (recall loss — raise cap)", stacklevel=2)
+            ids = ids[:cap]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
+                             "w": np.ones(len(i), dtype=np.int64)})
+
+    shared = bucketed_sum(
+        bucketed_group_pairs(
+            docs.select_columns(["doc_id", "text"]).map_batches(
+                fp_rows, batch_format="pandas"),
+            ["fp"], pair_fn, n_buckets),
+        ["id_a", "id_b"], "w", n_buckets=n_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["w"].to_numpy(np.int64) >= min_shared
+        return pd.DataFrame({
+            "id_a": b["id_a"].to_numpy(np.int64)[m],
+            "id_b": b["id_b"].to_numpy(np.int64)[m],
+            "n_shared": b["w"].to_numpy(np.int64)[m]})
+
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "n_shared": pa.array([], pa.int64()),
+    }))
+    return shared.map_batches(finish,
+                              batch_format="pandas").union(seed)
 
 
 # ------------------------------------------------------------------ minhash

@@ -100,6 +100,23 @@ def test_incremental_dedup_planted():
     assert got == [6, 9]  # base-dup 3 dropped; keep-first within new
 
 
+def test_winnow_pairs_planted_overlap():
+    """Docs sharing a long passage pair up with n_shared >= 2 in BOTH
+    hash modes; unrelated docs never pair."""
+    shared = " ".join(f"common{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": shared + " tail one"},
+        {"doc_id": 2, "text": "head two " + shared},
+        {"doc_id": 3, "text": " ".join(f"other{i}" for i in range(40))},
+    ]
+    for par in (True, False):
+        got = {(r["id_a"], r["id_b"]): r["n_shared"]
+               for r in dedup.winnow_pairs(rd.from_items(rows),
+                                           parity=par).take_all()}
+        assert (1, 2) in got and got[(1, 2)] >= 2, (par, got)
+        assert not any(3 in k for k in got)
+
+
 def test_minhash_lsh_finds_planted_near_dups():
     text_a = " ".join(f"tok{i}" for i in range(100))
     text_b = " ".join(f"tok{i}" for i in range(99)) + " changed"
