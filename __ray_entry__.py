@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_triad_motifs(sf_dir: str):
+    """Directed triad motifs: 2-paths + transitive/cyclic closure counts
+    (feed-forward vs feedback structure)."""
+    from robokop_build_ray.stages.graph_metrics import triad_motifs
+
+    return triad_motifs(_kg(sf_dir, "edges"))
+
+
 def _kg_growth(sf_dir: str):
     """Temporal densification trace: per-hour first-seen node/edge
     counts + cumulative curves (turn timestamps attached to triples
@@ -1484,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rich_club": _kg_rich_club,
         # per-hour first-seen node/edge growth + cumulative curves
         "kg_growth": _kg_growth,
+        # directed 2-paths + transitive/cyclic triad closures
+        "kg_triad_motifs": _kg_triad_motifs,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2133,6 +2143,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_powerlaw_alpha": entry_sql.sql_powerlaw_alpha(t),
         "kg_rich_club": entry_sql.sql_rich_club(t),
         "kg_growth": entry_sql.sql_growth_trace(t),
+        "kg_triad_motifs": entry_sql.sql_triad_motifs(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1873,6 +1873,24 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_triad_motifs(tier: str) -> str:
+    """Oracle for graph_metrics.triad_motifs: directed 2-paths and their
+    transitive / cyclic closures via joins over the distinct digraph."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+de AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+       WHERE subj_id <> obj_id),
+pth AS (SELECT e1.a AS x, e1.b AS m, e2.b AS y
+        FROM de e1 JOIN de e2 ON e2.a = e1.b
+        WHERE e1.a <> e2.b)
+SELECT (SELECT count(*) FROM pth) AS n_paths,
+       (SELECT count(*) FROM pth
+        JOIN de ON de.a = pth.x AND de.b = pth.y) AS n_transitive,
+       CAST((SELECT count(*) FROM pth
+             JOIN de ON de.a = pth.y AND de.b = pth.x) // 3
+            AS BIGINT) AS n_cyclic"""
+
+
 def sql_growth_trace(tier: str) -> str:
     """Oracle for graph_metrics.growth_trace: triples joined back to
     their turn timestamps, first-seen mins per node / per (s,p,o) edge,

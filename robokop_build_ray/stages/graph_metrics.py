@@ -1913,6 +1913,89 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def triad_motifs(edges, src: str = "subj_id", dst: str = "obj_id",
+                 n_buckets: int = 64):
+    """Directed triad motif counts over the distinct (s -> o) simple
+    digraph: ONE row (n_paths, n_transitive, n_cyclic) — length-2
+    directed paths a->m->c (a != c), how many close transitively
+    (a->c present) and how many close cyclically (c->a present; each
+    3-cycle closes at all three rotations, so the count divides by 3).
+    The feed-forward-vs-feedback structure signal (Milo et al. 2002).
+
+    Scale shape: per-mid path generation is one bucketed group exchange
+    over the union of in- and out-adjacency (sum(in_deg x out_deg)
+    rows — the directed wedge envelope; salt/cap hubs if a corpus ever
+    grows super-hubs), then each closure test is ONE bucketed semi of
+    path rows against the edge-key set. Counts fold driver-side from
+    block counts; no driver-scale state."""
+    import ray.data as rd
+
+    from ..functions.bucketing import (bucketed_distinct,
+                                       bucketed_group_pairs, bucketed_semi)
+
+    def depairs(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b[src] != b[dst]).to_numpy()
+        return pd.DataFrame({"a": b[src][m], "b": b[dst][m]})
+
+    de = bucketed_distinct(
+        edges.select_columns([src, dst]).map_batches(
+            depairs, batch_format="pandas"),
+        ["a", "b"], n_buckets).materialize()  # read three times
+
+    def tag_in(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mid": b["b"], "nb": b["a"],
+                             "is_in": np.ones(len(b), dtype=np.int64)})
+
+    def tag_out(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mid": b["a"], "nb": b["b"],
+                             "is_in": np.zeros(len(b), dtype=np.int64)})
+
+    def paths_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        ins = sub.loc[sub["is_in"] == 1, "nb"].to_numpy(dtype=object)
+        outs = sub.loc[sub["is_in"] == 0, "nb"].to_numpy(dtype=object)
+        empty = pd.DataFrame({"x": pd.Series([], dtype=object),
+                              "y": pd.Series([], dtype=object)})
+        if len(ins) == 0 or len(outs) == 0:
+            return empty
+        x = np.repeat(ins, len(outs))
+        y = np.tile(outs, len(ins))
+        keep = x != y
+        return pd.DataFrame({"x": x[keep], "y": y[keep]})
+
+    adj2 = de.map_batches(tag_in, batch_format="pandas").union(
+        de.map_batches(tag_out, batch_format="pandas"))
+    paths = bucketed_group_pairs(adj2, ["mid"], paths_fn,
+                                 n_buckets).materialize()  # read twice
+
+    def pkey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["x"] + _SEP + b["y"]})
+
+    def pkey_rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["y"] + _SEP + b["x"]})
+
+    def ekey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["a"] + _SEP + b["b"]})
+
+    ek = de.map_batches(ekey, batch_format="pandas")
+    closed_t = bucketed_semi(
+        paths.map_batches(pkey, batch_format="pandas"), ek,
+        left_on="k", right_on="k", left_cols=["k"], n_buckets=n_buckets,
+        empty_dtypes={"k": object})
+    closed_c = bucketed_semi(
+        paths.map_batches(pkey_rev, batch_format="pandas"), ek,
+        left_on="k", right_on="k", left_cols=["k"], n_buckets=n_buckets,
+        empty_dtypes={"k": object})
+
+    n_paths = paths.count()
+    n_trans = closed_t.count()
+    cx3 = closed_c.count()
+    return rd.from_arrow(pa.table({
+        "n_paths": pa.array([n_paths], pa.int64()),
+        "n_transitive": pa.array([n_trans], pa.int64()),
+        "n_cyclic": pa.array([cx3 // 3], pa.int64()),
+    }))
+
+
 GROWTH_HOUR_US = 3_600_000_000
 
 

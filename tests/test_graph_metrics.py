@@ -645,6 +645,19 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_triad_motifs_hand_values():
+    from robokop_build_ray.stages.graph_metrics import triad_motifs
+
+    # feed-forward a->b->c with shortcut a->c, plus 3-cycle x->y->z->x
+    ds = _edges([("a", "b"), ("b", "c"), ("a", "c"),
+                 ("x", "y"), ("y", "z"), ("z", "x")])
+    (row,) = triad_motifs(ds, n_buckets=4).take_all()
+    # paths: a->b->c, x->y->z, y->z->x, z->x->y = 4
+    assert row["n_paths"] == 4
+    assert row["n_transitive"] == 1  # only a->b->c closes via a->c
+    assert row["n_cyclic"] == 1      # one 3-cycle (3 rotations / 3)
+
+
 def test_growth_trace_hand_values():
     import pandas as pd
 
