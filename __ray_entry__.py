@@ -659,6 +659,16 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_mention_trend(sf_dir: str):
+    """Rising-entity detection: per-entity OLS slope of hourly mention
+    counts over the global span (integer moments, one division)."""
+    from robokop_build_ray.stages.graph_metrics import mention_trend
+
+    paths = ensure_corpus(sf_dir)
+    return mention_trend(_kg(sf_dir, "canonical"),
+                         rd.read_parquet(paths["transcripts"]))
+
+
 def _kg_triad_motifs(sf_dir: str):
     """Directed triad motifs: 2-paths + transitive/cyclic closure counts
     (feed-forward vs feedback structure)."""
@@ -1494,6 +1504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_growth": _kg_growth,
         # directed 2-paths + transitive/cyclic triad closures
         "kg_triad_motifs": _kg_triad_motifs,
+        # per-entity hourly mention-count OLS slope (rising entities)
+        "kg_mention_trend": _kg_mention_trend,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2144,6 +2156,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_rich_club": entry_sql.sql_rich_club(t),
         "kg_growth": entry_sql.sql_growth_trace(t),
         "kg_triad_motifs": entry_sql.sql_triad_motifs(t),
+        "kg_mention_trend": entry_sql.sql_mention_trend(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

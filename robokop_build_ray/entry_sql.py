@@ -1873,6 +1873,35 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_mention_trend(tier: str) -> str:
+    """Oracle for graph_metrics.mention_trend: per-entity hourly mention
+    counts over the global span, OLS slope from integer moments (span
+    constants H/Sx/Sxx, zero-hours contribute nothing to Sy/Sxy)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+tt AS (SELECT conv_id, turn_idx, epoch_us(ts) AS t
+       FROM read_parquet('{p["transcripts"]}/*.parquet')),
+ct AS (SELECT c.subj_id, c.obj_id, tt.t // 3600000000 AS hour
+       FROM canon c JOIN tt ON tt.conv_id = c.conv_id
+                           AND tt.turn_idx = c.turn_idx),
+men AS (SELECT id, hour, count(*) AS c FROM (
+          SELECT subj_id AS id, hour FROM ct
+          UNION ALL SELECT obj_id, hour FROM ct)
+        GROUP BY id, hour),
+sp AS (SELECT min(hour) AS hmin, max(hour) - min(hour) + 1 AS h FROM men),
+cons AS (SELECT h, h * (h - 1) // 2 AS sx,
+                (h - 1) * h * (2 * h - 1) // 6 AS sxx FROM sp),
+agg AS (SELECT id, CAST(sum(c) AS BIGINT) AS sy,
+               CAST(sum((hour - (SELECT hmin FROM sp)) * c) AS BIGINT)
+                 AS sxy
+        FROM men GROUP BY id)
+SELECT id, sy AS n_mentions,
+       CASE WHEN cons.h * cons.sxx - cons.sx * cons.sx = 0 THEN 0.0
+            ELSE CAST(cons.h * sxy - cons.sx * sy AS DOUBLE)
+                 / (cons.h * cons.sxx - cons.sx * cons.sx) END AS slope
+FROM agg, cons"""
+
+
 def sql_triad_motifs(tier: str) -> str:
     """Oracle for graph_metrics.triad_motifs: directed 2-paths and their
     transitive / cyclic closures via joins over the distinct digraph."""

@@ -2086,6 +2086,86 @@ def growth_trace(canonical, transcripts, n_buckets: int = 64):
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def mention_trend(canonical, transcripts, n_buckets: int = 64):
+    """Rising-entity detection: Dataset(id, n_mentions, slope) — per
+    canonical entity, the OLS slope of its hourly mention-count series
+    over the GLOBAL mention-hour span (missing hours count 0; hours
+    re-based to the span start so moments stay small). slope =
+    (H*Sxy - Sx*Sy) / (H*Sxx - Sx^2): every moment is an exact int64
+    (zero-hours contribute nothing to Sy/Sxy, and H, Sx, Sxx are span
+    constants), the slope is ONE double division — the trend audit a
+    continuously-ingesting KG watches for emerging entities.
+
+    Scale shape: shares :func:`growth_trace`'s single (conv, turn)
+    bucketed timestamp attach; mention counts are ONE bucketed count on
+    (id, hour); the per-entity fold is entity-bounded."""
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_attach, bucketed_count
+
+    def prep_turns(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tkey": (b["conv_id"].astype(str) + _SEP
+                     + b["turn_idx"].astype("int64").astype(str)),
+            "t": b["ts"].astype("datetime64[us]").astype("int64")})
+
+    def prep_triples(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tkey": (b["conv_id"].astype(str) + _SEP
+                     + b["turn_idx"].astype("int64").astype(str)),
+            "subj_id": b["subj_id"], "obj_id": b["obj_id"]})
+
+    turns = transcripts.map_batches(prep_turns, batch_format="pandas")
+    trips = canonical.map_batches(prep_triples,
+                                  batch_format="pandas").materialize()
+    timed = bucketed_attach(
+        trips, turns, left_on="tkey", right_on="tkey",
+        left_cols=["subj_id", "obj_id"], payload={"t": "t"},
+        payload_fill=0, n_buckets=n_buckets,
+        empty_dtypes={"subj_id": object, "obj_id": object, "t": "int64"})
+
+    def mention_rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["t"].to_numpy(np.int64) // GROWTH_HOUR_US
+        return pd.DataFrame({
+            "id": np.concatenate([b["subj_id"].to_numpy(dtype=object),
+                                  b["obj_id"].to_numpy(dtype=object)]),
+            "hour": np.concatenate([h, h])})
+
+    counts = bucketed_count(
+        timed.map_batches(mention_rows, batch_format="pandas"),
+        ["id", "hour"], name="c", n_buckets=n_buckets).materialize()
+
+    hmin = int(counts.min("hour"))
+    hmax = int(counts.max("hour"))
+    span = hmax - hmin + 1  # H
+    sx = span * (span - 1) // 2
+    sxx = (span - 1) * span * (2 * span - 1) // 6
+    den = span * sxx - sx * sx
+
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                 "n_mentions": pd.Series([], dtype="int64"),
+                                 "slope": pd.Series([], dtype="float64")})
+        x = g["hour"].to_numpy(np.int64) - hmin
+        c = g["c"].to_numpy(np.int64)
+        g = pd.DataFrame({"id": g["id"], "c": c, "xc": x * c})
+        agg = g.groupby("id", sort=False, as_index=False)[
+            ["c", "xc"]].sum()
+        sy = agg["c"].to_numpy(np.int64)
+        sxy = agg["xc"].to_numpy(np.int64)
+        num = span * sxy - sx * sy
+        slope = (num.astype(np.float64) / float(den) if den
+                 else np.zeros(len(agg)))
+        return pd.DataFrame({"id": agg["id"],
+                             "n_mentions": sy,
+                             "slope": slope})
+
+    from ..functions.bucketing import bucketed_apply
+
+    return bucketed_apply(counts, ["id"], per_entity, None, n_buckets)
+
+
 def rich_club(edges, src: str = "subj_id", dst: str = "obj_id",
               n_buckets: int = 64):
     """Rich-club coefficient curve (Colizza et al. 2006):

@@ -645,6 +645,33 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_mention_trend_hand_values():
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import mention_trend
+
+    # entity A mentioned hour0 x1, hour2 x3 (rising); B hour0 x2 only
+    # span H=3 (hours 0..2), Sx=3, Sxx=5, den=3*5-9=6
+    tr = rd.from_items([
+        {"conv_id": "c", "turn_idx": i,
+         "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(hours=h)}
+        for i, h in enumerate([0, 0, 2, 2, 2])])
+    canon = rd.from_items(
+        [{"conv_id": "c", "turn_idx": 0, "subj_id": "A", "obj_id": "B"},
+         {"conv_id": "c", "turn_idx": 1, "subj_id": "B", "obj_id": "A"}]
+        + [{"conv_id": "c", "turn_idx": i, "subj_id": "A", "obj_id": "A"}
+           for i in (2, 3)]
+        + [{"conv_id": "c", "turn_idx": 4, "subj_id": "A",
+            "obj_id": "A"}])
+    got = {r["id"]: (r["n_mentions"], r["slope"])
+           for r in mention_trend(canon, tr, n_buckets=4).take_all()}
+    # A: y0=2 (two mentions hr0), y2=6 (3 self-triples = 6 endpoints)
+    #    Sy=8, Sxy=12 -> slope=(3*12-3*8)/6 = 2.0
+    # B: y0=2 -> Sy=2, Sxy=0 -> slope=(0-6)/6 = -1.0
+    assert got["A"] == (8, 2.0)
+    assert got["B"] == (2, -1.0)
+
+
 def test_triad_motifs_hand_values():
     from robokop_build_ray.stages.graph_metrics import triad_motifs
 
