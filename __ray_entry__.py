@@ -1412,6 +1412,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 for qid in sorted(bs)]
         return pd.DataFrame(rows)
 
+    def ann_pq_recall(sf_dir: str):
+        """PQ index QUALITY eval: recall@10 of the ADC ranking against
+        the brute-force ground truth — quantifies the distortion the
+        8-byte-code scale path trades for memory. Same k-bounded
+        driver-side fold as ann_ivf_recall."""
+        import pandas as pd
+
+        emb = _embeddings(sf_dir)
+        qref = ann.make_query_ref(emb, n_queries=5)
+        brute = ann.brute_force_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id"]).take_all()
+        pq = ann.pq_topk(emb, qref, k=10).select_columns(
+            ["query_id", "neighbor_id"]).take_all()
+        bs: dict[int, set] = {}
+        for r in brute:
+            bs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vs: dict[int, set] = {}
+        for r in pq:
+            vs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows = [{"query_id": qid,
+                 "n_hits": len(bs[qid] & vs.get(qid, set())),
+                 "recall": len(bs[qid] & vs.get(qid, set())) / 10}
+                for qid in sorted(bs)]
+        return pd.DataFrame(rows)
+
     q = {
         # --- KG pipeline (synthesized transcripts; SQL recomputes from the
         # same parquet via read_parquet) --------------------------------
@@ -1910,6 +1935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann_pq,
         # index-quality eval: IVF recall@10 vs the brute-force ground truth
         "ann_ivf_recall": ann_recall,
+        "ann_pq_recall": ann_pq_recall,
         # iterative algorithm: distributed Lloyd's k-means (quantized
         # integer partial sums -> bit-identical to the sequential oracle
         # fit) + SemDeDup-shaped per-cluster cosine near-dup pairs
@@ -2701,6 +2727,33 @@ v AS (
 hits AS (
   SELECT b.query_id, count(*) AS n
   FROM b JOIN v USING (query_id, neighbor_id) GROUP BY b.query_id
+)
+SELECT d.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n, 0) / 10.0 AS recall
+FROM (SELECT DISTINCT query_id FROM b) d
+LEFT JOIN hits h USING (query_id)""",
+        "ann_pq_recall": f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+b AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= 10
+),
+p AS (SELECT query_id, neighbor_id
+      FROM ({_ann.sql_pq_topk(pq_c)}) t),
+hits AS (
+  SELECT b.query_id, count(*) AS n
+  FROM b JOIN p USING (query_id, neighbor_id) GROUP BY b.query_id
 )
 SELECT d.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
        COALESCE(h.n, 0) / 10.0 AS recall
