@@ -1831,6 +1831,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental exact dedup: new shard (doc_id%3==0) anti-joined
         # against the base snapshot's fingerprints, keep-first within new
         "dedup_incremental": lambda sf: dedup.incremental_dedup(_docs(sf)),
+        # conversation-grain exact dedup (turn-ordered concat fingerprint;
+        # fast-path default — equality classes match the md5 oracle's,
+        # the dedup_exact precedent)
+        "dedup_conversations": lambda sf: dedup.conversation_dedup(
+            rd.read_parquet(ensure_corpus(sf)["transcripts"])),
         # MOSS-style shared-winnow-fingerprint pairs (parity: the winnow
         # SELECTION depends on hash ordering, so the oracle-checked path
         # must pick mins over the DuckDB-recomputable md5)
@@ -2183,6 +2188,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_growth": entry_sql.sql_growth_trace(t),
         "kg_triad_motifs": entry_sql.sql_triad_motifs(t),
         "kg_mention_trend": entry_sql.sql_mention_trend(t),
+        "dedup_conversations": entry_sql.sql_conversation_dedup(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1873,6 +1873,18 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_conversation_dedup(tier: str) -> str:
+    """Oracle for dedup.conversation_dedup: md5 of the turn-ordered
+    concat per conversation, keep-first (min conv_id) per fingerprint."""
+    p = corpus_paths(tier)
+    return f"""WITH cf AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS f
+  FROM read_parquet('{p["transcripts"]}/*.parquet')
+  GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id FROM cf GROUP BY f"""
+
+
 def sql_mention_trend(tier: str) -> str:
     """Oracle for graph_metrics.mention_trend: per-entity hourly mention
     counts over the global span, OLS slope from integer moments (span

@@ -94,6 +94,47 @@ def incremental_dedup(docs, mod: int = 3, batch_size: int = 4096,
                         n_buckets=n_buckets).select_columns(["doc_id"])
 
 
+def conversation_dedup(transcripts, n_buckets: int = 64,
+                       parity: bool | None = None):
+    """Conversation-grain exact dedup over the transcript table: each
+    conversation reduces to a fingerprint of its turn texts concatenated
+    in stable turn order; survivors = min conv_id per fingerprint —
+    Dataset(conv_id). The first pass a transcript-training pipeline runs
+    before any turn-level work (whole-conversation repost removal).
+
+    Scale shape: ONE bucketed exchange on conv_id (the same conv-keyed
+    partitioning every transcript stage uses) concatenates each
+    conversation inside its bucket — text leaves the exchange as one
+    8-byte/32-hex fingerprint per conversation — then the keep-first
+    groupby-min is conversation-bounded."""
+    from ..functions.bucketing import bucketed_apply, bucketed_min
+    from .text_analysis import resolve_parity
+
+    par = resolve_parity(parity)
+
+    def conv_fp(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "fp": pd.Series([], dtype=object if par else "int64")})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        joined = g.groupby("conv_id", sort=False)["text"].agg(
+            "\n".join)
+        if par:
+            fp = [hashlib.md5(t.encode()).hexdigest() for t in joined]
+        else:
+            fp = pd.util.hash_array(
+                joined.to_numpy(dtype=object)).view(np.int64)
+        return pd.DataFrame({"conv_id": joined.index.to_numpy(object),
+                             "fp": fp})
+
+    fps = bucketed_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"], conv_fp, None, n_buckets)
+    return bucketed_min(fps, ["fp"], "conv_id",
+                        n_buckets=n_buckets).select_columns(["conv_id"])
+
+
 WINNOW_K = 4       # tokens per k-gram
 WINNOW_W = 4       # grams per winnow window
 WINNOW_MIN_SHARED = 2

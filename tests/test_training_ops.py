@@ -100,6 +100,23 @@ def test_incremental_dedup_planted():
     assert got == [6, 9]  # base-dup 3 dropped; keep-first within new
 
 
+def test_conversation_dedup_planted():
+    """Whole-conversation repost (same turn texts in the same order)
+    collapses to the min conv_id; turn ORDER matters (c4 reverses c1's
+    turns and must survive separately); both hash modes agree."""
+    rows = []
+    for cid, texts in [("c1", ["hello", "world"]),
+                       ("c2", ["hello", "world"]),   # repost of c1
+                       ("c3", ["different", "conv"]),
+                       ("c4", ["world", "hello"])]:  # reversed order
+        for i, t in enumerate(texts):
+            rows.append({"conv_id": cid, "turn_idx": i, "text": t})
+    for par in (True, False):
+        got = sorted(r["conv_id"] for r in dedup.conversation_dedup(
+            rd.from_items(rows), n_buckets=4, parity=par).take_all())
+        assert got == ["c1", "c3", "c4"], (par, got)
+
+
 def test_winnow_pairs_planted_overlap():
     """Docs sharing a long passage pair up with n_shared >= 2 in BOTH
     hash modes; unrelated docs never pair."""
