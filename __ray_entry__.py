@@ -1696,6 +1696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR-style importance weights: smoothed unigram target/raw
         # log-ratio per doc (data-selection toward the target slice)
         "doc_dsir_weights": lambda sf: _vocab().dsir_weights(_docs(sf)),
+        # CCNet head/middle/tail corpus split by LM-score tertiles
+        "doc_ccnet_buckets": lambda sf: _vocab().ccnet_buckets(_docs(sf)),
         # BPE tokenizer TRAINING (Sennrich et al. 2016): one distributed
         # word-count exchange, vocabulary-bounded driver merge loop;
         # oracle = independently-structured sequential trainer (Counter +
@@ -2314,6 +2316,7 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_pack_assignments": _ta_sql().sql_pack_assignments(),
         "doc_lm_score": _vocab().sql_lm_score(),
         "doc_dsir_weights": _vocab().sql_dsir_weights(),
+        "doc_ccnet_buckets": _vocab().sql_ccnet_buckets(),
         "doc_bpe_merges": entry_sql.sql_bpe_merges(t),
         "doc_bpe_encode": entry_sql.sql_bpe_encode(t),
         "doc_lr_quality": _classifier().sql_lr_scores(

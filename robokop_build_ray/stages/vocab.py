@@ -564,6 +564,57 @@ def dsir_weights(docs, target_lang: str = "en", n_buckets: int = 64,
     return per_doc.map_batches(final, batch_format="pandas").union(seed)
 
 
+def ccnet_buckets(docs, n_buckets: int = 64):
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    Dataset(doc_id, bucket) with bucket 3 = head (best corpus-LM score
+    tertile), 2 = middle, 1 = tail. Thresholds are quantile_disc tertile
+    VALUES of :func:`lm_score`'s avg_p_ppm (actual data values, so the
+    float comparisons are well-defined and bit-identical to the
+    oracle); the assignment pass is a zero-shuffle vectorized map over
+    the broadcast thresholds — the events_value_ntile shape applied to
+    a computed quality score instead of a raw column."""
+    import ray as _ray
+
+    from ..functions.quantiles import grouped_exact_ranks, quantile_disc_rank
+
+    scores = lm_score(docs, n_buckets=n_buckets).materialize()
+    n = scores.count()
+
+    def as_group(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": np.zeros(len(b), dtype=np.int64),
+                             "value": b["avg_p_ppm"].to_numpy(np.float64)})
+
+    targets = {0: [("t1", quantile_disc_rank(1.0 / 3.0, n)),
+                   ("t2", quantile_disc_rank(2.0 / 3.0, n))]}
+    got = grouped_exact_ranks(
+        lambda: scores.map_batches(as_group, batch_format="pandas"),
+        "g", "value", targets)
+    ref = _ray.put((got[(0, "t1")], got[(0, "t2")]))
+
+    def assign(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        t1, t2 = _ray.get(_ref)
+        v = b["avg_p_ppm"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "bucket": (1 + (v > t1).astype(np.int64) + (v > t2))})
+
+    return scores.map_batches(assign, batch_format="pandas")
+
+
+def sql_ccnet_buckets(quant: int = 1_000_000) -> str:
+    """Oracle for :func:`ccnet_buckets` — lm_score's CTE + quantile_disc
+    tertile thresholds + the identical comparison rule."""
+    lm = sql_lm_score(quant)
+    return f"""
+WITH lm AS ({lm}),
+th AS (SELECT quantile_disc(avg_p_ppm, 1.0/3.0) AS t1,
+              quantile_disc(avg_p_ppm, 2.0/3.0) AS t2 FROM lm)
+SELECT doc_id,
+       CAST(1 + (avg_p_ppm > th.t1)::INT + (avg_p_ppm > th.t2)::INT
+            AS BIGINT) AS bucket
+FROM lm, th"""
+
+
 def sql_dsir_weights(target_lang: str = "en",
                      quant: int = 1_000_000) -> str:
     """Oracle for :func:`dsir_weights` — identical smoothed unigram

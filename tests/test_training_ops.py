@@ -100,6 +100,32 @@ def test_incremental_dedup_planted():
     assert got == [6, 9]  # base-dup 3 dropped; keep-first within new
 
 
+def test_ccnet_buckets_monotone_in_lm_score():
+    """Bucket assignment is monotone in the LM score (higher avg_p_ppm
+    can never land in a lower bucket) and spans all three tertiles when
+    scores are distinct."""
+    from robokop_build_ray.stages import vocab as vb
+
+    # doc i mixes a shared prefix "the" with i distinct continuations:
+    # more distinct continuations -> lower conditional probs
+    rows = [{"doc_id": i,
+             "text": " ".join(f"the w{i}c{j % (i + 1)}"
+                              for j in range(12))}
+            for i in range(6)]
+    ds = rd.from_items(rows)
+    score = {r["doc_id"]: (r["score_sum"], r["n_bigrams"])
+             for r in vb.lm_score(ds, n_buckets=4).take_all()}
+    got = {r["doc_id"]: r["bucket"]
+           for r in vb.ccnet_buckets(ds, n_buckets=4).take_all()}
+    assert len(got) == 6 and set(got.values()) == {1, 2, 3}
+    for a in got:
+        for b in got:
+            sa = score[a][0] / score[a][1]
+            sb = score[b][0] / score[b][1]
+            if sa > sb:
+                assert got[a] >= got[b], (a, b, sa, sb, got)
+
+
 def test_conversation_dedup_planted():
     """Whole-conversation repost (same turn texts in the same order)
     collapses to the min conv_id; turn ORDER matters (c4 reverses c1's
