@@ -1998,7 +1998,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy", "events_markov_entropy",
         "doc_distinct_ngrams", "doc_zipf_fit", "source_vocab_jaccard",
         "media_video_scenecut")}
-    return (head | new_j | fresh
+    # session-K additions ride behind session-J for the same reason
+    new_k = {k: v for k, v in fresh.items() if k in (
+        "kg_adamic_adar", "kg_modularity", "kg_two_hop_ball",
+        "kg_powerlaw_alpha", "kg_rich_club", "kg_growth",
+        "kg_triad_motifs", "kg_mention_trend", "media_dhash_dupes",
+        "doc_dsir_weights", "doc_ccnet_buckets")}
+    return (head | new_j | new_k | fresh
             | {k: v for k, v in q.items() if k in _R02_DRIVER_CHECKED})
 
 
