@@ -659,6 +659,42 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_support_pmi(sf_dir: str):
+    """Pointwise mutual information per co-occurring entity pair
+    (Church & Hanks 1990) over the SAME capped joint / uncapped
+    marginal counts as kg_support: pmi_q = floor(Q * ln(c*N / (c1*c2)))
+    — libm log of an exactly-converted double ratio on both sides, ONE
+    division for the float. The log-scale association score a curation
+    pipeline ranks collocations by (chi2's cousin without the Yates
+    machinery). Per-row math.log is the documented libm-parity
+    tradeoff (np.log differs by ULPs); swap for a distinct-(c,c1,c2)
+    lookup if the pair table ever dwarfs compute."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    sup = _kg(sf_dir, "support")
+    n = int(_GRAPH_CACHE[(sf_dir, True)]["n_conversations"])
+    quant = 1_000_000
+
+    def pmi(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        c1 = b["c1"].to_numpy(np.int64)
+        c2 = b["c2"].to_numpy(np.int64)
+        pq = np.fromiter(
+            (math.floor(quant * math.log(
+                float(int(cc) * n) / float(int(a) * int(bb))))
+             for cc, a, bb in zip(c, c1, c2)),
+            np.int64, len(c))
+        return pd.DataFrame({
+            "id_a": b["id_a"], "id_b": b["id_b"],
+            "c": c, "pmi_q": pq,
+            "pmi": pq / float(quant)})
+
+    return sup.map_batches(pmi, batch_format="pandas")
+
+
 def _kg_mention_trend(sf_dir: str):
     """Rising-entity detection: per-entity OLS slope of hourly mention
     counts over the global span (integer moments, one division)."""
@@ -1531,6 +1567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triad_motifs": _kg_triad_motifs,
         # per-entity hourly mention-count OLS slope (rising entities)
         "kg_mention_trend": _kg_mention_trend,
+        # PMI collocation score over the support co-occurrence counts
+        "kg_support_pmi": _kg_support_pmi,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2197,6 +2235,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_triad_motifs": entry_sql.sql_triad_motifs(t),
         "kg_mention_trend": entry_sql.sql_mention_trend(t),
         "dedup_conversations": entry_sql.sql_conversation_dedup(t),
+        "kg_support_pmi": entry_sql.sql_support_pmi(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

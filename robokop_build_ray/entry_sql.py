@@ -1873,6 +1873,48 @@ SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY deg"""
 
 
+def sql_support_pmi(tier: str, cap: int = 256,
+                    quant: int = 1_000_000) -> str:
+    """Oracle for the PMI scoring over kg_support's capped-joint /
+    uncapped-marginal counts: floor(Q * LN(c*N / (c1*c2))) — the same
+    libm-ln quantization contract as adamic_adar/powerlaw."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
+marg AS (SELECT id, count(*) AS c FROM conv_ent GROUP BY id),
+joint AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM conv_ent_r a JOIN conv_ent_r b
+    ON a.conv_id = b.conv_id AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+tot AS (SELECT count(DISTINCT conv_id) AS n
+        FROM read_parquet('{p["transcripts"]}/*.parquet'))
+SELECT j.id_a, j.id_b, CAST(j.c AS BIGINT) AS c,
+       CAST(FLOOR({quant} * LN(CAST(j.c * tot.n AS DOUBLE)
+                               / CAST(m1.c * m2.c AS DOUBLE)))
+            AS BIGINT) AS pmi_q,
+       CAST(FLOOR({quant} * LN(CAST(j.c * tot.n AS DOUBLE)
+                               / CAST(m1.c * m2.c AS DOUBLE)))
+            AS DOUBLE) / {quant} AS pmi
+FROM joint j
+JOIN marg m1 ON m1.id = j.id_a
+JOIN marg m2 ON m2.id = j.id_b
+CROSS JOIN tot"""
+
+
 def sql_conversation_dedup(tier: str) -> str:
     """Oracle for dedup.conversation_dedup: md5 of the turn-ordered
     concat per conversation, keep-first (min conv_id) per fingerprint."""
