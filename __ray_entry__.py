@@ -659,6 +659,14 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_transitivity(sf_dir: str):
+    """Global transitivity (wedge closure fraction) — scalar sums of
+    the existing triangle / degree machinery, one division."""
+    from robokop_build_ray.stages.graph_metrics import transitivity
+
+    return transitivity(_kg(sf_dir, "edges"))
+
+
 def _kg_support_pmi(sf_dir: str):
     """Pointwise mutual information per co-occurring entity pair
     (Church & Hanks 1990) over the SAME capped joint / uncapped
@@ -1569,6 +1577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_trend": _kg_mention_trend,
         # PMI collocation score over the support co-occurrence counts
         "kg_support_pmi": _kg_support_pmi,
+        # global wedge-closure fraction (whole-graph clustering)
+        "kg_transitivity": _kg_transitivity,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2236,6 +2246,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_mention_trend": entry_sql.sql_mention_trend(t),
         "dedup_conversations": entry_sql.sql_conversation_dedup(t),
         "kg_support_pmi": entry_sql.sql_support_pmi(t),
+        "kg_transitivity": entry_sql.sql_transitivity(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,29 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_transitivity(tier: str) -> str:
+    """Oracle for graph_metrics.transitivity: sum C(deg,2) wedges vs
+    summed per-node triangle counts (the a<b<c enumeration x3), one
+    division."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS nw FROM deg),
+c AS (SELECT CAST(3 * count(*) AS BIGINT) AS nc FROM tri)
+SELECT w.nw AS n_wedges, c.nc AS n_closed,
+       CASE WHEN w.nw = 0 THEN 0.0
+            ELSE CAST(c.nc AS DOUBLE) / CAST(w.nw AS DOUBLE)
+       END AS transitivity
+FROM w, c"""
+
+
 def sql_triad_motifs(tier: str) -> str:
     """Oracle for graph_metrics.triad_motifs: directed 2-paths and their
     transitive / cyclic closures via joins over the distinct digraph."""

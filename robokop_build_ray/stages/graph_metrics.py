@@ -1913,6 +1913,48 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def transitivity(edges, src: str = "subj_id", dst: str = "obj_id",
+                 n_buckets: int = 64):
+    """Global transitivity (Newman 2003): ONE row (n_wedges,
+    n_closed, transitivity) over the undirected simple graph —
+    n_wedges = sum C(deg, 2), n_closed = sum per-node triangle counts
+    (= 3x the triangle total), transitivity their single division.
+    The whole-graph companion of the per-node clustering coefficient.
+
+    Scale shape: composition only — the exact per-node triangle counts
+    and the degree histogram both exist; their scalar sums fold from
+    degree-domain / node-bounded outputs."""
+    import ray.data as rd
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg = bucketed_count(_adjacency(und), ["id"], name="deg",
+                         n_buckets=n_buckets)
+    tri = triangles_per_node(edges, src, dst, n_buckets)
+
+    def wedge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame({"w": [int((d * (d - 1) // 2).sum())],
+                             "t": [0]})
+
+    def tri_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"w": [0], "t": [int(b["n_triangles"].sum())]})
+
+    u = deg.map_batches(wedge_partial, batch_format="pandas").union(
+        tri.map_batches(tri_partial, batch_format="pandas"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        w, t = int(b["w"].sum()), int(b["t"].sum())
+        return pd.DataFrame({
+            "n_wedges": pd.Series([w], dtype="int64"),
+            "n_closed": pd.Series([t], dtype="int64"),
+            "transitivity": pd.Series(
+                [float(t) / float(w) if w else 0.0], dtype="float64")})
+
+    return (u.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
 def triad_motifs(edges, src: str = "subj_id", dst: str = "obj_id",
                  n_buckets: int = 64):
     """Directed triad motif counts over the distinct (s -> o) simple

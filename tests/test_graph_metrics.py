@@ -645,6 +645,18 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_transitivity_hand_values():
+    from robokop_build_ray.stages.graph_metrics import transitivity
+
+    # triangle a-b-c + pendant c-d: wedges = 1+1+3+0 = 5? degs a=2,b=2,
+    # c=3,d=1 -> C(2,2)... wedges = 1+1+3+0 = 5; closed = 3 (one
+    # triangle counted at each corner)
+    ds = _edges([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    (row,) = transitivity(ds, n_buckets=4).take_all()
+    assert (row["n_wedges"], row["n_closed"]) == (5, 3)
+    assert row["transitivity"] == 3.0 / 5.0
+
+
 def test_mention_trend_hand_values():
     import pandas as pd
 
