@@ -659,6 +659,19 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_type_inference(sf_dir: str):
+    """Semi-supervised type inference eval: odd-suffix nodes predicted
+    by majority vote over even-suffix seed neighbors, scored per type."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import type_inference
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return type_inference(_kg(sf_dir, "edges"), tm)
+
+
 def _kg_transitivity(sf_dir: str):
     """Global transitivity (wedge closure fraction) — scalar sums of
     the existing triangle / degree machinery, one division."""
@@ -1579,6 +1592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_support_pmi": _kg_support_pmi,
         # global wedge-closure fraction (whole-graph clustering)
         "kg_transitivity": _kg_transitivity,
+        # held-out type prediction accuracy by seed-neighbor vote
+        "kg_type_inference": _kg_type_inference,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2247,6 +2262,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "dedup_conversations": entry_sql.sql_conversation_dedup(t),
         "kg_support_pmi": entry_sql.sql_support_pmi(t),
         "kg_transitivity": entry_sql.sql_transitivity(t),
+        "kg_type_inference": entry_sql.sql_type_inference(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,44 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_type_inference(tier: str) -> str:
+    """Oracle for graph_metrics.type_inference: majority vote over
+    even-suffix seed neighbors, ties to the smallest type, scored per
+    TRUE type over odd-suffix eval nodes with >=1 seed neighbor."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}')),
+sfx AS (SELECT curie,
+               CAST(regexp_extract(curie, '([0-9]+)$', 1) AS BIGINT)
+                 AS s
+        FROM ty WHERE regexp_extract(curie, '([0-9]+)$', 1) <> ''),
+votes AS (
+  SELECT adj.id, ty.node_type AS t, count(*) AS c
+  FROM adj
+  JOIN sfx si ON si.curie = adj.id AND si.s % 2 = 1
+  JOIN sfx sn ON sn.curie = adj.nb AND sn.s % 2 = 0
+  JOIN ty ON ty.curie = adj.nb
+  GROUP BY adj.id, ty.node_type
+),
+pred AS (
+  SELECT id, t FROM (
+    SELECT id, t, row_number() OVER (PARTITION BY id
+                                     ORDER BY c DESC, t) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT ty.node_type AS tt,
+         CASE WHEN pred.t = ty.node_type THEN 1 ELSE 0 END AS ok
+  FROM pred JOIN ty ON ty.curie = pred.id
+)
+SELECT tt AS node_type, CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(sum(ok) AS DOUBLE) / count(*) AS accuracy
+FROM scored GROUP BY tt"""
+
+
 def sql_transitivity(tier: str) -> str:
     """Oracle for graph_metrics.transitivity: sum C(deg,2) wedges vs
     summed per-node triangle counts (the a<b<c enumeration x3), one

@@ -1913,6 +1913,117 @@ def degree_histogram(edges, src: str = "subj_id", dst: str = "obj_id",
             .map_batches(fold, batch_format="pandas", batch_size=None))
 
 
+def type_inference(edges, type_map: dict[str, str],
+                   src: str = "subj_id", dst: str = "obj_id",
+                   n_buckets: int = 64):
+    """Semi-supervised node-type inference eval (the KG-completion
+    probe): hold out the types of nodes whose CURIE numeric suffix is
+    ODD, predict each held-out node's type by MAJORITY VOTE over its
+    SEED (even-suffix) neighbors' true types (ties -> lexicographically
+    smallest type), and score against the ground truth —
+    Dataset(node_type, n_eval, n_correct, accuracy) per TRUE type over
+    eval nodes with at least one seed neighbor.
+
+    Scale shape: the type map is entity-bounded broadcast state (the
+    canonicalization budget); votes are ONE bucketed count exchange on
+    (id, type) with the argmax inside the bucket; scoring folds in an
+    enum-bounded block. One division per row."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_apply
+
+    import re as _re
+
+    def _suffix(curie: str) -> int | None:
+        """Trailing digit run of the CURIE (None when absent) — the
+        deterministic seed/eval split key, mirrored by the oracle's
+        regexp_extract('([0-9]+)$')."""
+        m = _re.search(r"(\d+)$", curie)
+        return int(m.group(1)) if m else None
+
+    def suffix_odd(curie: str) -> bool:
+        s = _suffix(curie)
+        return s is not None and s % 2 == 1
+
+    def suffix_even(curie: str) -> bool:
+        s = _suffix(curie)
+        return s is not None and s % 2 == 0
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    tm_ref = ray.put(type_map)
+
+    def vote_partial(b: pd.DataFrame, _ref=tm_ref) -> pd.DataFrame:
+        tm = ray.get(_ref)
+        frames = []
+        for idc, nbc in (("a", "b"), ("b", "a")):
+            ids = b[idc].to_numpy(dtype=object)
+            nbs = b[nbc].to_numpy(dtype=object)
+            keep = np.array([suffix_odd(i) and suffix_even(n)
+                             and n in tm for i, n in zip(ids, nbs)],
+                            dtype=bool)
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "id": ids[keep],
+                    "t": [tm[n] for n in nbs[keep]]}))
+        if not frames:
+            return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                 "t": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        out = (pd.concat(frames, ignore_index=True)
+               .groupby(["id", "t"], sort=False).size()
+               .rename("c").reset_index())
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    def predict(g: pd.DataFrame, _ref=tm_ref) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"tt": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "ok": pd.Series([], dtype="int64")})
+        tm = ray.get(_ref)
+        g = (g.groupby(["id", "t"], sort=False, as_index=False)["c"]
+             .sum()
+             .sort_values(["id", "c", "t"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+             .drop_duplicates("id"))
+        truth = g["id"].map(tm)
+        keep = truth.notna()
+        g, truth = g[keep], truth[keep]
+        out = pd.DataFrame({"tt": truth.to_numpy(dtype=object),
+                            "ok": (g["t"].to_numpy(dtype=object)
+                                   == truth.to_numpy(
+                                       dtype=object)).astype(np.int64)})
+        agg = out.groupby("tt", sort=False).agg(
+            n=("ok", "size"), ok=("ok", "sum")).reset_index()
+        return agg.astype({"n": "int64", "ok": "int64"})
+
+    partials = bucketed_apply(
+        und.map_batches(vote_partial, batch_format="pandas"),
+        ["id"], predict, None, n_buckets)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("tt", as_index=False)[["n", "ok"]].sum()
+        return pd.DataFrame({
+            "node_type": g["tt"].astype(object),
+            "n_eval": g["n"].astype("int64"),
+            "n_correct": g["ok"].astype("int64"),
+            "accuracy": (g["ok"].to_numpy(np.int64)
+                         / g["n"].to_numpy(np.int64).astype(
+                             np.float64))})
+
+    seed = rd.from_arrow(pa.table({
+        "node_type": pa.array([], pa.string()),
+        "n_eval": pa.array([], pa.int64()),
+        "n_correct": pa.array([], pa.int64()),
+        "accuracy": pa.array([], pa.float64()),
+    }))
+    return (partials.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None)
+            .union(seed))
+
+
 def transitivity(edges, src: str = "subj_id", dst: str = "obj_id",
                  n_buckets: int = 64):
     """Global transitivity (Newman 2003): ONE row (n_wedges,

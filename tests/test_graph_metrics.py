@@ -645,6 +645,22 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_type_inference_hand_values():
+    from robokop_build_ray.stages.graph_metrics import type_inference
+
+    # eval node X:1 (odd) has seed neighbors A:2 (drug), B:4 (drug),
+    # C:6 (gene) -> majority drug; truth drug -> correct.
+    # eval node Y:3 (odd) has one seed neighbor C:6 (gene); truth drug
+    # -> wrong. Z:5 has no seed neighbor (only odd W:7) -> excluded.
+    tm = {"X:1": "drug", "Y:3": "drug", "Z:5": "gene",
+          "A:2": "drug", "B:4": "drug", "C:6": "gene", "W:7": "gene"}
+    ds = _edges([("X:1", "A:2"), ("X:1", "B:4"), ("X:1", "C:6"),
+                 ("Y:3", "C:6"), ("Z:5", "W:7")])
+    got = {r["node_type"]: (r["n_eval"], r["n_correct"], r["accuracy"])
+           for r in type_inference(ds, tm, n_buckets=4).take_all()}
+    assert got == {"drug": (2, 1, 0.5)}
+
+
 def test_transitivity_hand_values():
     from robokop_build_ray.stages.graph_metrics import transitivity
 
