@@ -1779,6 +1779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle scores with the SEQUENTIAL fit's weight literals
         # model eval: exact tie-averaged ROC-AUC of the trained classifier
         "doc_lr_auc": lambda sf: _classifier().lr_auc(_docs(sf)),
+        # reliability-diagram calibration bins of the trained classifier
+        "doc_lr_calibration":
+            lambda sf: _classifier().lr_calibration(_docs(sf)),
         "doc_lr_quality": lambda sf: _classifier().lr_train_and_score(
             _docs(sf)),
         # FineWeb/Gopher-style composite filter chain (one fused pass)
@@ -2394,6 +2397,8 @@ LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""",
         "doc_lr_quality": _classifier().sql_lr_scores(
             _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
         "doc_lr_auc": _classifier().sql_lr_auc(
+            _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
+        "doc_lr_calibration": _classifier().sql_lr_calibration(
             _classifier().lr_fit_sequential(f"/root/testdata/{t}")),
         "doc_filter_pipeline": _ta_sql().sql_filter_pipeline(_LANGID_SQL),
         "doc_stratified_sample": _ta_sql().sql_stratified_sample(),

@@ -214,6 +214,102 @@ def lr_auc(docs):
     }))
 
 
+def lr_calibration(docs, n_bins: int = 10):
+    """Reliability-diagram calibration of the trained classifier:
+    Dataset(bin, n, n_pos, frac_pos, avg_p) — documents bucketed by
+    predicted probability decile, with the observed positive rate and
+    the mean predicted probability per bin (the curve a quality-filter
+    owner compares before trusting thresholds).
+
+    Exactness: probabilities derive from the QUANTIZED logit
+    (p = sigmoid(logit_q / Q)) via libm exp on a correctly-rounded
+    double — bit-identical to the oracle's EXP; per-score sigmoid runs
+    once per DISTINCT logit_q in the score-bounded driver fold (the
+    lr_auc histogram shape), never per row; avg_p sums the per-score
+    floor(Q*p) ints and divides ONCE."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    w = lr_fit(docs)
+    wref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        z = _logits(_features(b), ray.get(wref))
+        df = pd.DataFrame({
+            "score": np.floor(z * Q).astype(np.int64),
+            "pos": (b["lang"] == "en").to_numpy(np.int64),
+        })
+        g = df.groupby("score", as_index=False).agg(
+            n_pos=("pos", "sum"), n=("pos", "size"))
+        return g.astype({"n_pos": "int64", "n": "int64"})
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("score", as_index=False)[["n_pos", "n"]].sum()
+
+    parts = (docs.select_columns(["text", "lang"])
+             .map_batches(partial, batch_format="pandas")
+             .repartition(16)
+             .map_batches(merge, batch_format="pandas", batch_size=None))
+    bins: dict[int, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        # score-cardinality-bounded fold: sigmoid per DISTINCT logit_q
+        for s, npos, n in zip(b["score"], b["n_pos"], b["n"]):
+            p = 1.0 / (1.0 + math.exp(-(int(s) / Q)))
+            bn = min(n_bins - 1, math.floor(n_bins * p))
+            pq = math.floor(Q * p)
+            e = bins.setdefault(bn, [0, 0, 0])
+            e[0] += int(n)
+            e[1] += int(npos)
+            e[2] += int(n) * pq
+    out = sorted(bins)
+    return rd.from_arrow(pa.table({
+        "bin": pa.array(out, pa.int64()),
+        "n": pa.array([bins[x][0] for x in out], pa.int64()),
+        "n_pos": pa.array([bins[x][1] for x in out], pa.int64()),
+        "frac_pos": pa.array(
+            [float(bins[x][1]) / float(bins[x][0]) for x in out],
+            pa.float64()),
+        "avg_p": pa.array(
+            [float(bins[x][2]) / float(bins[x][0] * Q) for x in out],
+            pa.float64()),
+    }))
+
+
+def sql_lr_calibration(w: np.ndarray, n_bins: int = 10) -> str:
+    """Oracle for lr_calibration — sigmoid of the quantized logit via
+    the same libm EXP, decile bins, integer sums, one division per
+    float column."""
+    w0, w1, w2, w3 = (f"{float(x):.17g}" for x in w)
+    z = (f"(({w0} + {w1} * (n_tok / 100.0)) + {w2} * (alnum / 1000.0))"
+         f" + {w3} * (s_en / 10.0)")
+    sig = f"(1.0 / (1.0 + EXP(-(CAST(floor(({z}) * {Q}) AS BIGINT)"
+    sig += f" / {float(Q):.1f}))))"
+    return rf"""
+WITH f AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tok,
+    COALESCE(list_aggregate(list_transform(
+      regexp_extract_all(lower(text), '{TOKEN_RE}'),
+      x -> length(x)), 'sum'), 0) AS alnum,
+    len(regexp_extract_all(lower(text), '\b(?:the|and|of|is|was)\b')) AS s_en
+  FROM documents
+),
+s AS (
+  SELECT least({n_bins - 1},
+               CAST(floor({n_bins} * {sig}) AS BIGINT)) AS bin,
+         CAST(floor({Q} * {sig}) AS BIGINT) AS pq,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM f
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pos) AS DOUBLE) / count(*) AS frac_pos,
+       CAST(sum(pq) AS DOUBLE) / (count(*) * {Q}) AS avg_p
+FROM s GROUP BY bin"""
+
+
 def sql_lr_auc(w: np.ndarray) -> str:
     """Oracle for lr_auc: tie-averaged rank-sum AUC over the sequential
     fit's scores (passes only if the distributed fit matched those

@@ -51,3 +51,29 @@ def test_lr_scores_deterministic(ray_session):
     b = sorted((r["doc_id"], r["logit_q"]) for r in
                classifier.lr_scores(docs.repartition(5), w).take_all())
     assert a == b
+
+def test_lr_calibration_separable_corpus(ray_session):
+    # same planted separable corpus: calibration must put positives in
+    # the top bin (frac_pos 1.0) and negatives in the bottom (0.0), and
+    # avg_p must sit inside each bin's probability decile
+    rows = []
+    for i in range(120):
+        if i % 2 == 0:
+            rows.append({"doc_id": i, "lang": "en",
+                         "text": "the cat and the dog is of the was and "
+                                 "the end of the day is was " * 2})
+        else:
+            rows.append({"doc_id": i, "lang": "de",
+                         "text": "zugzwang weltanschauung schadenfreude "
+                                 "kindergarten doppelganger wanderlust "
+                                 "zeitgeist " * 3})
+    docs = rd.from_items(rows).repartition(4)
+    got = {r["bin"]: r for r in
+           classifier.lr_calibration(docs).take_all()}
+    assert sum(r["n"] for r in got.values()) == 120
+    lo, hi = min(got), max(got)
+    assert got[lo]["n_pos"] == 0 and got[lo]["frac_pos"] == 0.0
+    assert got[hi]["n_pos"] == got[hi]["n"]
+    assert got[hi]["frac_pos"] == 1.0
+    for b, r in got.items():
+        assert b / 10 <= r["avg_p"] <= (b + 1) / 10 or b == 9
