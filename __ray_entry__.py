@@ -1054,6 +1054,28 @@ def _kg_extract_jsonl(sf_dir: str):
     return extract_stage(read_transcripts(jl, format="jsonl"))
 
 
+def _kg_extract_csv(sf_dir: str):
+    """Multi-format source driver consumer #2: the SAME transcripts
+    re-encoded as CSV (aux, written once per tier+version), read through
+    the format-agnostic reader (Arrow CSV parse + vectorized normalize
+    cast back to the transcript schema), then the standard extract
+    stage. Oracle = kg_extract's own SQL over the parquet — CSV
+    round-trip fidelity (quoting, timestamp parse) is checked end-to-end
+    at the driver."""
+    import os
+
+    from robokop_build_ray.sources.readers import read_transcripts
+    from robokop_build_ray.stages.extract import extract_stage
+
+    paths = ensure_corpus(sf_dir)
+    root = f"/tmp/graft_oracle/{tier_of(sf_dir)}_{entry_sql._AUX_VERSION}"
+    cv = f"{root}/transcripts_csv"
+    if not os.path.isdir(cv) or not os.listdir(cv):
+        os.makedirs(root, exist_ok=True)
+        rd.read_parquet(paths["transcripts"]).write_csv(cv)
+    return extract_stage(read_transcripts(cv, format="csv"))
+
+
 def _kg_edges_compacted(sf_dir: str):
     """Output-maintenance driver consumer: the edge table written as
     deliberately-fragmented parquet, COMPACTED by the lineage small-file
@@ -1630,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          _kg_support_static(sf))[1],
         # multi-format source: JSONL transcripts -> identical extraction
         "kg_extract_jsonl": _kg_extract_jsonl,
+        "kg_extract_csv": _kg_extract_csv,
         # multimodal decode probe: real codecs re-derive geometry from bytes
         "media_features": _media_features,
         "media_audio_stats": _media_audio_stats,
@@ -2285,6 +2308,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
+        "kg_extract_csv": entry_sql.sql_extract(t),
         "media_image_dhash": entry_sql.sql_media_image_dhash(t),
         "media_dhash_dupes": entry_sql.sql_media_dhash_dupes(t),
         "media_video_scenecut": entry_sql.sql_media_video_scenecut(t),
