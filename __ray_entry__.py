@@ -659,6 +659,16 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_reciprocal_best(sf_dir: str):
+    """Mutual-nearest-neighbor Jaccard matches (entity-alignment
+    acceptance rule) — per-node argmax + mutuality exchange."""
+    from robokop_build_ray.stages.graph_metrics import (
+        reciprocal_best_jaccard,
+    )
+
+    return reciprocal_best_jaccard(_kg(sf_dir, "edges"))
+
+
 def _kg_type_inference(sf_dir: str):
     """Semi-supervised type inference eval: odd-suffix nodes predicted
     by majority vote over even-suffix seed neighbors, scored per type."""
@@ -1616,6 +1626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transitivity": _kg_transitivity,
         # held-out type prediction accuracy by seed-neighbor vote
         "kg_type_inference": _kg_type_inference,
+        # mutual-best-Jaccard pairs (entity-alignment rule)
+        "kg_reciprocal_best": _kg_reciprocal_best,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2289,6 +2301,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_support_pmi": entry_sql.sql_support_pmi(t),
         "kg_transitivity": entry_sql.sql_transitivity(t),
         "kg_type_inference": entry_sql.sql_type_inference(t),
+        "kg_reciprocal_best": entry_sql.sql_reciprocal_best(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,40 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_reciprocal_best(tier: str) -> str:
+    """Oracle for graph_metrics.reciprocal_best_jaccard: full Jaccard
+    pair table, per-node argmax (ties to smallest partner), pairs
+    present from both directions."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+cmn AS (
+  SELECT m1.nb AS id_a, m2.nb AS id_b, count(*) AS common
+  FROM adj m1 JOIN adj m2 ON m1.id = m2.id AND m1.nb < m2.nb
+  GROUP BY m1.nb, m2.nb
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+         1.0 * c.common / (d1.d + d2.d - c.common) AS jaccard
+  FROM cmn c
+  JOIN deg d1 ON d1.id = c.id_a
+  JOIN deg d2 ON d2.id = c.id_b
+),
+ori AS (SELECT id_a AS id, id_b AS p, jaccard FROM sc
+        UNION ALL SELECT id_b, id_a, jaccard FROM sc),
+best AS (
+  SELECT id, p, jaccard FROM (
+    SELECT id, p, jaccard,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY jaccard DESC, p) AS rn
+    FROM ori
+  ) WHERE rn = 1)
+SELECT a.id AS id_a, a.p AS id_b, a.jaccard
+FROM best a JOIN best b ON b.id = a.p AND b.p = a.id
+WHERE a.id < a.p"""
+
+
 def sql_type_inference(tier: str) -> str:
     """Oracle for graph_metrics.type_inference: majority vote over
     even-suffix seed neighbors, ties to the smallest type, scored per

@@ -1449,6 +1449,92 @@ def stress_centrality(edges, n_seeds: int = STRESS_SEEDS,
 RA_QUANT = 1_000_000
 
 
+def reciprocal_best_jaccard(edges, src: str = "subj_id",
+                            dst: str = "obj_id", n_buckets: int = 64):
+    """Reciprocal best matches by neighborhood Jaccard (the mutual-
+    nearest-neighbor rule entity-alignment / ontology-matching pipelines
+    accept pairs by): Dataset(id_a, id_b, jaccard) — pairs where each is
+    the other's single best Jaccard partner (ties -> lexicographically
+    smallest partner). The high-precision subset of the jaccard top-k.
+
+    Scale shape: the full co-neighbor pair table (same wedge exchange as
+    neighbor_jaccard_topk), oriented both ways into ONE per-node argmax
+    bucket exchange, then ONE unordered-pair-key exchange where
+    mutuality = the key appearing from both sides."""
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    deg = degree_map(und)
+    deg_ref = ray.put(deg)
+
+    def wedge_fn(sub: pd.DataFrame) -> pd.DataFrame:
+        nbs = np.sort(sub["nb"].to_numpy(dtype=object))
+        if len(nbs) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object)})
+        i, j = np.triu_indices(len(nbs), k=1)
+        return pd.DataFrame({"id_a": nbs[i], "id_b": nbs[j]})
+
+    common = bucketed_count(
+        bucketed_group_pairs(_adjacency(und), ["id"], wedge_fn, n_buckets),
+        ["id_a", "id_b"], name="common", n_buckets=n_buckets)
+
+    def orient(b: pd.DataFrame, _ref=deg_ref) -> pd.DataFrame:
+        dm = ray.get(_ref)
+        c = b["common"].to_numpy(np.int64)
+        da = b["id_a"].map(dm).to_numpy(np.int64)
+        db = b["id_b"].map(dm).to_numpy(np.int64)
+        jac = c / (da + db - c)  # ONE division of exact ints
+        return pd.DataFrame({
+            "id": np.concatenate([b["id_a"].to_numpy(dtype=object),
+                                  b["id_b"].to_numpy(dtype=object)]),
+            "p": np.concatenate([b["id_b"].to_numpy(dtype=object),
+                                 b["id_a"].to_numpy(dtype=object)]),
+            "jaccard": np.concatenate([jac, jac])})
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id": pd.Series([], dtype=object),
+                                 "p": pd.Series([], dtype=object),
+                                 "jaccard": pd.Series([],
+                                                      dtype="float64")})
+        return (g.sort_values(["id", "jaccard", "p"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .drop_duplicates("id")[["id", "p", "jaccard"]])
+
+    best = bucketed_apply(
+        common.map_batches(orient, batch_format="pandas"),
+        ["id"], argmax, None, n_buckets)
+
+    def pair_key(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["id"].to_numpy(dtype=object)
+        p = b["p"].to_numpy(dtype=object)
+        lo = np.minimum(a, p)
+        hi = np.maximum(a, p)
+        return pd.DataFrame({"k": lo + _SEP + hi, "id_a": lo, "id_b": hi,
+                             "jaccard": b["jaccard"]})
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "jaccard": pd.Series([],
+                                                      dtype="float64")})
+        n = g.groupby("k", sort=False)["k"].transform("size")
+        out = g.loc[(n == 2)].drop_duplicates("k")
+        return out[["id_a", "id_b", "jaccard"]]
+
+    import ray.data as rd
+
+    seed = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "jaccard": pa.array([], pa.float64()),
+    }))
+    return bucketed_apply(
+        best.map_batches(pair_key, batch_format="pandas"),
+        ["k"], mutual, None, n_buckets).union(seed)
+
+
 def _wedge_weight_topk(edges, weight_for_deg, qcol: str, fcol: str,
                        src: str = "subj_id", dst: str = "obj_id",
                        k: int = 50, n_buckets: int = 64,

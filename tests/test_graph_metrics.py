@@ -645,6 +645,26 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_reciprocal_best_jaccard_hand_values():
+    from robokop_build_ray.stages.graph_metrics import (
+        reciprocal_best_jaccard,
+    )
+
+    # two 4-cycles sharing node c: within cycle a-b-c-d, (a,c) and (b,d)
+    # are perfect jaccard-1 opposite pairs -> mutual best
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in reciprocal_best_jaccard(ds, n_buckets=4).take_all()}
+    assert got == {("a", "c"): 1.0, ("b", "d"): 1.0}
+    # star: every leaf's best is another leaf (jaccard 1 via center),
+    # ties -> smallest partner: best(x)=y for all -> only (x,y) mutual?
+    ds2 = _edges([("z", "x"), ("z", "y"), ("z", "w")])
+    got2 = sorted(reciprocal_best_jaccard(ds2, n_buckets=4).take_all(),
+                  key=lambda r: r["id_a"])
+    # best(w)=x, best(x)=w, best(y)=w -> only (w, x) is mutual
+    assert [(r["id_a"], r["id_b"]) for r in got2] == [("w", "x")]
+
+
 def test_type_inference_hand_values():
     from robokop_build_ray.stages.graph_metrics import type_inference
 
