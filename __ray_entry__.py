@@ -659,6 +659,65 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_conflicting_edges(sf_dir: str):
+    """Contradiction/ambiguity audit: UNDIRECTED entity pairs asserted
+    with MORE THAN ONE distinct predicate (across both orientations) —
+    Dataset(id_a, id_b, n_preds, preds) with preds the sorted
+    '|'-joined predicate set. One bucketed exchange on the unordered
+    pair key; predicate sets are tiny (predicate-enum-bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.functions.bucketing import bucketed_apply
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["subj_id"].to_numpy(dtype=object)
+        o = b["obj_id"].to_numpy(dtype=object)
+        m = s != o
+        s, o = s[m], o[m]
+        return pd.DataFrame({
+            "id_a": np.minimum(s, o), "id_b": np.maximum(s, o),
+            "pred_id": b["pred_id"].to_numpy(dtype=object)[m]})
+
+    edges = _kg(sf_dir, "edges").select_columns(
+        ["subj_id", "pred_id", "obj_id"]).map_batches(
+        orient, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "n_preds": pd.Series([], dtype="int64"),
+                "preds": pd.Series([], dtype=object)})
+        agg = (g.groupby(["id_a", "id_b"], sort=False)["pred_id"]
+               .agg(lambda s: sorted(set(s))).reset_index())
+        agg["n_preds"] = agg["pred_id"].str.len().astype("int64")
+        agg["preds"] = agg["pred_id"].map("|".join)
+        out = agg.loc[agg["n_preds"] >= 2,
+                      ["id_a", "id_b", "n_preds", "preds"]]
+        return out
+
+    import pyarrow as pa
+
+    def typed(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(b["id_a"], pa.string()),
+            "id_b": pa.array(b["id_b"], pa.string()),
+            "n_preds": pa.array(b["n_preds"], pa.int64()),
+            "preds": pa.array(b["preds"], pa.string()),
+        })
+
+    seed = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "n_preds": pa.array([], pa.int64()),
+        "preds": pa.array([], pa.string()),
+    }))
+    return (bucketed_apply(edges, ["id_a", "id_b"], merge, None, 64)
+            .map_batches(typed, batch_format="pandas").union(seed))
+
+
 def _kg_reciprocal_best(sf_dir: str):
     """Mutual-nearest-neighbor Jaccard matches (entity-alignment
     acceptance rule) — per-node argmax + mutuality exchange."""
@@ -1628,6 +1687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_inference": _kg_type_inference,
         # mutual-best-Jaccard pairs (entity-alignment rule)
         "kg_reciprocal_best": _kg_reciprocal_best,
+        # multi-predicate contradiction audit per entity pair
+        "kg_conflicting_edges": _kg_conflicting_edges,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2302,6 +2363,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_transitivity": entry_sql.sql_transitivity(t),
         "kg_type_inference": entry_sql.sql_type_inference(t),
         "kg_reciprocal_best": entry_sql.sql_reciprocal_best(t),
+        "kg_conflicting_edges": entry_sql.sql_conflicting_edges(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,20 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_conflicting_edges(tier: str) -> str:
+    """Oracle for the multi-predicate contradiction audit (undirected
+    pair, distinct predicates across both orientations)."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+pp AS (SELECT DISTINCT least(subj_id, obj_id) AS id_a,
+               greatest(subj_id, obj_id) AS id_b, pred_id
+       FROM canon WHERE subj_id <> obj_id)
+SELECT id_a, id_b,
+       CAST(count(*) AS BIGINT) AS n_preds,
+       string_agg(pred_id, '|' ORDER BY pred_id) AS preds
+FROM pp GROUP BY id_a, id_b HAVING count(*) >= 2"""
+
+
 def sql_reciprocal_best(tier: str) -> str:
     """Oracle for graph_metrics.reciprocal_best_jaccard: full Jaccard
     pair table, per-node argmax (ties to smallest partner), pairs
