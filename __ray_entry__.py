@@ -659,6 +659,15 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_role_transitions(sf_dir: str):
+    """Conversational-protocol audit: role-transition matrix over turn
+    sequences (alternation violations are the diagonal)."""
+    from robokop_build_ray.pipelines.temporal import role_transitions
+
+    paths = ensure_corpus(sf_dir)
+    return role_transitions(rd.read_parquet(paths["transcripts"]))
+
+
 def _kg_conflicting_edges(sf_dir: str):
     """Contradiction/ambiguity audit: UNDIRECTED entity pairs asserted
     with MORE THAN ONE distinct predicate (across both orientations) —
@@ -1689,6 +1698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocal_best": _kg_reciprocal_best,
         # multi-predicate contradiction audit per entity pair
         "kg_conflicting_edges": _kg_conflicting_edges,
+        # role-transition matrix over conversation turn sequences
+        "kg_role_transitions": _kg_role_transitions,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2364,6 +2375,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_type_inference": entry_sql.sql_type_inference(t),
         "kg_reciprocal_best": entry_sql.sql_reciprocal_best(t),
         "kg_conflicting_edges": entry_sql.sql_conflicting_edges(t),
+        "kg_role_transitions": entry_sql.sql_role_transitions(t),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,27 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_role_transitions(tier: str) -> str:
+    """Oracle for temporal.role_transitions: lag() over (conv, turn)."""
+    p = corpus_paths(tier)
+    return f"""WITH seq AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role
+  FROM read_parquet('{p["transcripts"]}/*.parquet')
+),
+agg AS (
+  SELECT prev_role AS from_role, role AS to_role,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_role IS NOT NULL
+  GROUP BY prev_role, role
+)
+SELECT from_role, to_role, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY from_role) AS BIGINT) AS p
+FROM agg"""
+
+
 def sql_conflicting_edges(tier: str) -> str:
     """Oracle for the multi-predicate contradiction audit (undirected
     pair, distinct predicates across both orientations)."""

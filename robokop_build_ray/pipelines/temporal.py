@@ -525,6 +525,52 @@ def events_type_transitions(sf_dir: str, n_buckets: int = 64):
     }))
 
 
+def role_transitions(transcripts, n_buckets: int = 64):
+    """First-order role-transition matrix over each conversation's turn
+    sequence -> (from_role, to_role, n, p): the conversational-protocol
+    audit for agent transcripts (same-role adjacent turns — the
+    alternation violations — are the diagonal). Identical scale shape
+    to :func:`events_type_transitions`: ONE conv-bucketed exchange,
+    vectorized sort+shift pairs, enum x enum driver fold, ONE division
+    for p."""
+    from ..functions.bucketing import bucketed_apply
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "conv_id" not in g.columns:
+            return pd.DataFrame({
+                "from_role": pd.Series([], dtype=object),
+                "to_role": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cid = g["conv_id"].to_numpy()
+        rl = g["role"].to_numpy(dtype=object)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = cid[1:] == cid[:-1]
+        out = pd.DataFrame({"from_role": rl[:-1][same[1:]],
+                            "to_role": rl[1:][same[1:]]})
+        return (out.groupby(["from_role", "to_role"], sort=False)
+                .size().rename("n").reset_index())
+
+    parts = bucketed_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
+        ["conv_id"], pairs, n_buckets=n_buckets)
+    frames = list(parts.iter_batches(batch_format="pandas",
+                                     batch_size=None))
+    agg = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame({"from_role": [], "to_role": [], "n": []}))
+    agg = (agg.groupby(["from_role", "to_role"], as_index=False)["n"]
+           .sum())  # enum x enum bounded driver fold
+    tot = agg.groupby("from_role")["n"].transform("sum")
+    agg["p"] = agg["n"].astype("int64") / tot.astype("int64")
+    agg = agg.sort_values(["from_role", "to_role"]).reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "from_role": pa.array(agg["from_role"], pa.string()),
+        "to_role": pa.array(agg["to_role"], pa.string()),
+        "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+        "p": pa.array(agg["p"], pa.float64()),
+    }))
+
+
 def sql_events_type_transitions() -> str:
     return """
 WITH seq AS (
