@@ -659,6 +659,21 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_cocitation(sf_dir: str):
+    """Co-citation top-k (pairs sharing citing sources, Small 1973)."""
+    from robokop_build_ray.stages.graph_metrics import directed_common_topk
+
+    return directed_common_topk(_kg(sf_dir, "edges"), mode="cocitation")
+
+
+def _kg_coupling(sf_dir: str):
+    """Bibliographic-coupling top-k (pairs sharing referenced targets,
+    Kessler 1963)."""
+    from robokop_build_ray.stages.graph_metrics import directed_common_topk
+
+    return directed_common_topk(_kg(sf_dir, "edges"), mode="coupling")
+
+
 def _kg_role_transitions(sf_dir: str):
     """Conversational-protocol audit: role-transition matrix over turn
     sequences (alternation violations are the diagonal)."""
@@ -1700,6 +1715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conflicting_edges": _kg_conflicting_edges,
         # role-transition matrix over conversation turn sequences
         "kg_role_transitions": _kg_role_transitions,
+        # directed similarity pairs: co-citation / bib coupling
+        "kg_cocitation": _kg_cocitation,
+        "kg_coupling": _kg_coupling,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2376,6 +2394,8 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_reciprocal_best": entry_sql.sql_reciprocal_best(t),
         "kg_conflicting_edges": entry_sql.sql_conflicting_edges(t),
         "kg_role_transitions": entry_sql.sql_role_transitions(t),
+        "kg_cocitation": entry_sql.sql_directed_common(t, "cocitation"),
+        "kg_coupling": entry_sql.sql_directed_common(t, "coupling"),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),
         "kg_bfs_tree": entry_sql.sql_bfs_tree(t),

@@ -1956,6 +1956,28 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_directed_common(tier: str, mode: str = "cocitation",
+                        k: int = 50) -> str:
+    """Oracle for graph_metrics.directed_common_topk: pairs of one
+    node's out-neighbors (cocitation) or in-neighbors (coupling)."""
+    p = corpus_paths(tier)
+    ctr, nbr = ("a", "b") if mode == "cocitation" else ("b", "a")
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+de AS (SELECT DISTINCT subj_id AS a, obj_id AS b FROM canon
+       WHERE subj_id <> obj_id),
+cmn AS (
+  SELECT m1.{nbr} AS id_a, m2.{nbr} AS id_b, count(*) AS common
+  FROM de m1 JOIN de m2
+    ON m1.{ctr} = m2.{ctr} AND m1.{nbr} < m2.{nbr}
+  GROUP BY m1.{nbr}, m2.{nbr}
+)
+SELECT rk, id_a, id_b, CAST(common AS BIGINT) AS common FROM (
+  SELECT row_number() OVER (ORDER BY common DESC, id_a, id_b) AS rk,
+         id_a, id_b, common
+  FROM cmn
+) WHERE rk <= {k}"""
+
+
 def sql_role_transitions(tier: str) -> str:
     """Oracle for temporal.role_transitions: lag() over (conv, turn)."""
     p = corpus_paths(tier)

@@ -645,6 +645,23 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_directed_common_topk_hand_values():
+    from robokop_build_ray.stages.graph_metrics import directed_common_topk
+
+    # m1->a, m1->b, m2->a, m2->b, a->t, b->t
+    ds = _edges([("m1", "a"), ("m1", "b"), ("m2", "a"), ("m2", "b"),
+                 ("a", "t"), ("b", "t")])
+    co = {(r["id_a"], r["id_b"]): r["common"]
+          for r in directed_common_topk(ds, "cocitation",
+                                        n_buckets=4).take_all()}
+    assert co == {("a", "b"): 2}  # cited together by m1 and m2
+    cp = {(r["id_a"], r["id_b"]): r["common"]
+          for r in directed_common_topk(ds, "coupling",
+                                        n_buckets=4).take_all()}
+    # coupling: pairs sharing an out-target: (a,b) via t; (m1,m2) via a,b
+    assert cp == {("m1", "m2"): 2, ("a", "b"): 1}
+
+
 def test_reciprocal_best_jaccard_hand_values():
     from robokop_build_ray.stages.graph_metrics import (
         reciprocal_best_jaccard,
