@@ -2140,6 +2140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _clustering().embedding_kmeans,
         # per-vector simplified silhouette (integer-grid distances)
         "embedding_silhouette": _clustering().embedding_silhouette,
+        # top-n farthest-from-own-centroid embedding outlier report
+        "embedding_outliers": _clustering().embedding_outliers,
         # --- session-J batch (driver-rotation: newest code first) -------
         # exact distribution shape (hi/lo-split 3rd/4th moment partials)
         "events_value_skewkurt": rel.events_value_skewkurt,
@@ -2906,6 +2908,8 @@ SELECT query_id, neighbor_id, rank FROM (
         "embedding_kmeans": _clustering().sql_kmeans_assign(kmeans_c),
         "embedding_silhouette":
             _clustering().sql_embedding_silhouette(kmeans_c),
+        "embedding_outliers":
+            _clustering().sql_embedding_outliers(kmeans_c),
         "embedding_kcenter": _clustering().sql_embedding_kcenter(),
         "embedding_mmr": _clustering().sql_embedding_mmr(),
         "embedding_centroid_drift":

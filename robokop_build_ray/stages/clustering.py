@@ -818,6 +818,78 @@ def _centroid_int_values_sql(Cq: np.ndarray) -> str:
     return ",\n    ".join(rows)
 
 
+def embedding_outliers(sf_dir: str, k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS, topn: int = 20):
+    """Embedding-QA outlier report: the ``topn`` vectors FARTHEST from
+    their own fitted k-means centroid -> (rk, vec_id, cluster, dist_sq)
+    — the mislabeled/garbage-embedding screen a curation pipeline
+    reviews before training. Same integer-grid exactness and
+    zero-shuffle scoring scan as :func:`embedding_silhouette`, plus a
+    per-block top-n cap before the single-block final sort."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k, iters)
+    Cq = np.floor(C * QUANT + 0.5).astype(np.int64)
+    cn2 = (Cq * Cq).sum(axis=1)
+
+    by, asc = ["dist_sq", "vec_id"], [False, True]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(_matrix(b["embedding"].to_numpy()) * QUANT
+                     + 0.5).astype(np.int64)
+        d2 = (q * q).sum(axis=1)[:, None] + cn2[None, :] - 2 * (q @ Cq.T)
+        own = d2.argmin(axis=1)
+        out = pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "cluster": own.astype(np.int64),
+            "dist_sq": d2[np.arange(len(q)), own],
+        })
+        return out.sort_values(by, ascending=asc,
+                               kind="mergesort").head(topn)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort").head(topn)
+        b = b.reset_index(drop=True)
+        b["rk"] = np.arange(1, len(b) + 1)
+        return b[["rk", "vec_id", "cluster", "dist_sq"]]
+
+    return (emb.map_batches(score, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def sql_embedding_outliers(C: np.ndarray, topn: int = 20) -> str:
+    """Oracle for :func:`embedding_outliers` — own-centroid distance
+    from the sequential fit's quantized centroid literals, global
+    top-n."""
+    Cq = np.floor(C * QUANT + 0.5).astype(np.int64)
+    return f"""
+WITH cq(cluster, ce) AS (VALUES
+    {_centroid_int_values_sql(Cq)}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * {QUANT}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+           i -> (qv[i] - ce[i]) * (qv[i] - ce[i]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN cq c),
+a AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rn
+    FROM d) WHERE rn = 1)
+SELECT rk, vec_id, cluster, dist_sq FROM (
+  SELECT row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk,
+         vec_id, cluster, d2 AS dist_sq
+  FROM a
+) WHERE rk <= {topn}"""
+
+
 def sql_embedding_silhouette(C: np.ndarray) -> str:
     """Oracle: centroids from the INDEPENDENT sequential fit, quantized to
     the same integer grid; distances, assignment and the silhouette ratio
