@@ -659,6 +659,20 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_metapath_3hop(sf_dir: str):
+    """Typed 3-hop path counts (Path-DSL S(1-3)D leg) — two typed
+    path-expansion exchanges + one pair count."""
+    import pandas as pd
+
+    from robokop_build_ray.stages.graph_metrics import metapath_3hop
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    tm = dict(zip(gaz["curie"], gaz["node_type"]))
+    return metapath_3hop(_kg(sf_dir, "edges"), tm,
+                         "chemical_substance", "disease")
+
+
 def _kg_cocitation(sf_dir: str):
     """Co-citation top-k (pairs sharing citing sources, Small 1973)."""
     from robokop_build_ray.stages.graph_metrics import directed_common_topk
@@ -1718,6 +1732,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # directed similarity pairs: co-citation / bib coupling
         "kg_cocitation": _kg_cocitation,
         "kg_coupling": _kg_coupling,
+        # typed 3-hop metapath counts (S(1-3)D leg)
+        "kg_metapath_3hop": _kg_metapath_3hop,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2397,6 +2413,7 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_conflicting_edges": entry_sql.sql_conflicting_edges(t),
         "kg_role_transitions": entry_sql.sql_role_transitions(t),
         "kg_cocitation": entry_sql.sql_directed_common(t, "cocitation"),
+        "kg_metapath_3hop": entry_sql.sql_metapath_3hop(t),
         "kg_coupling": entry_sql.sql_directed_common(t, "coupling"),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),

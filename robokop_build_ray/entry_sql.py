@@ -1956,6 +1956,25 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_metapath_3hop(tier: str, type_a: str = "chemical_substance",
+                      type_b: str = "disease") -> str:
+    """Oracle for graph_metrics.metapath_3hop: non-backtracking typed
+    3-hop path counts via a 3-way adjacency join."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}'))
+SELECT e1.id AS id_a, e3.nb AS id_b,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM adj e1
+JOIN adj e2 ON e2.id = e1.nb
+JOIN adj e3 ON e3.id = e2.nb
+JOIN ty ta ON ta.curie = e1.id AND ta.node_type = '{type_a}'
+JOIN ty tb ON tb.curie = e3.nb AND tb.node_type = '{type_b}'
+WHERE e1.id <> e2.nb AND e2.id <> e3.nb AND e1.id <> e3.nb
+GROUP BY e1.id, e3.nb"""
+
+
 def sql_directed_common(tier: str, mode: str = "cocitation",
                         k: int = 50) -> str:
     """Oracle for graph_metrics.directed_common_topk: pairs of one

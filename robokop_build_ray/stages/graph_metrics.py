@@ -1449,6 +1449,109 @@ def stress_centrality(edges, n_seeds: int = STRESS_SEEDS,
 RA_QUANT = 1_000_000
 
 
+def metapath_3hop(edges, type_map: dict[str, str], type_a: str,
+                  type_b: str, src: str = "subj_id",
+                  dst: str = "obj_id", n_buckets: int = 64):
+    """Typed 3-hop path counts (the Path-DSL ``S(1-3)D`` leg):
+    Dataset(id_a, id_b, n_paths) — non-backtracking undirected paths
+    a-m1-m2-b with type(a)=type_a, type(b)=type_b, a != m2, m1 != b,
+    a != b, counted per endpoint pair.
+
+    Scale shape: two path-expansion exchanges (the triad_motifs
+    in x out per-center pattern, the typed side pruned BEFORE the
+    cross), then one bucketed count on the endpoint pair. Path rows are
+    the sum-of-deg^3 envelope bounded by the typed source fan-in — the
+    metapath cost profile; salt/cap hubs if a corpus grows super-hubs."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_count
+
+    und = undirected_pairs(edges, src, dst, n_buckets).materialize()
+    adj = _adjacency(und).materialize()
+    tm_ref = ray.put(type_map)
+
+    def tag_stage1(b: pd.DataFrame, _ref=tm_ref) -> pd.DataFrame:
+        tm = ray.get(_ref)
+        nbs = b["nb"].to_numpy(dtype=object)
+        is_a = np.array([tm.get(n) == type_a for n in nbs], dtype=bool)
+        out = pd.DataFrame({"key": b["id"], "v1": b["nb"],
+                            "v2": "", "kind": np.int64(0)})
+        src_rows = pd.DataFrame({"key": b["id"][is_a],
+                                 "v1": b["nb"][is_a],
+                                 "v2": "", "kind": np.int64(1)})
+        return pd.concat([out, src_rows], ignore_index=True)
+
+    def expand1(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"key": pd.Series([], dtype=object),
+                              "v1": pd.Series([], dtype=object),
+                              "v2": pd.Series([], dtype=object),
+                              "kind": pd.Series([], dtype="int64")})
+        if len(g) == 0 or "kind" not in g.columns:
+            return empty
+        srcs = g.loc[g["kind"] == 1, "v1"].to_numpy(dtype=object)
+        outs = g.loc[g["kind"] == 0, "v1"].to_numpy(dtype=object)
+        if len(srcs) == 0 or len(outs) == 0:
+            return empty
+        center = g["key"].iloc[0]
+        a = np.repeat(srcs, len(outs))
+        m2 = np.tile(outs, len(srcs))
+        keep = a != m2
+        # partial paths keyed by m2, carrying (a, m1) for constraints
+        return pd.DataFrame({"key": m2[keep], "v1": a[keep],
+                             "v2": np.full(keep.sum(), center,
+                                           dtype=object),
+                             "kind": np.full(keep.sum(), 2,
+                                             dtype=np.int64)})
+
+    def tag_stage2(b: pd.DataFrame, _ref=tm_ref) -> pd.DataFrame:
+        tm = ray.get(_ref)
+        nbs = b["nb"].to_numpy(dtype=object)
+        is_b = np.array([tm.get(n) == type_b for n in nbs], dtype=bool)
+        return pd.DataFrame({"key": b["id"][is_b], "v1": b["nb"][is_b],
+                             "v2": "", "kind": np.int64(3)})
+
+    def expand2(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object)})
+        if len(g) == 0 or "kind" not in g.columns:
+            return empty
+        paths = g.loc[g["kind"] == 2, ["v1", "v2"]]
+        dsts = g.loc[g["kind"] == 3, "v1"].to_numpy(dtype=object)
+        if len(paths) == 0 or len(dsts) == 0:
+            return empty
+        a = np.repeat(paths["v1"].to_numpy(dtype=object), len(dsts))
+        m1 = np.repeat(paths["v2"].to_numpy(dtype=object), len(dsts))
+        d = np.tile(dsts, len(paths))
+        keep = (d != m1) & (d != a)
+        return pd.DataFrame({"id_a": a[keep], "id_b": d[keep]})
+
+    stage1 = bucketed_group_pairs(
+        adj.map_batches(tag_stage1, batch_format="pandas"),
+        ["key"], expand1, n_buckets)
+    stage2_in = stage1.union(
+        adj.map_batches(tag_stage2, batch_format="pandas"))
+    pairs = bucketed_group_pairs(stage2_in, ["key"], expand2, n_buckets)
+    counted = bucketed_count(pairs, ["id_a", "id_b"], name="n_paths",
+                             n_buckets=n_buckets)
+
+    seed = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.string()),
+        "id_b": pa.array([], pa.string()),
+        "n_paths": pa.array([], pa.int64()),
+    }))
+
+    def typed(b: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array(b["id_a"], pa.string()),
+            "id_b": pa.array(b["id_b"], pa.string()),
+            "n_paths": pa.array(b["n_paths"].astype("int64"),
+                                pa.int64())})
+
+    return (counted.map_batches(typed, batch_format="pandas")
+            .union(seed))
+
+
 def directed_common_topk(edges, mode: str = "cocitation",
                          src: str = "subj_id", dst: str = "obj_id",
                          k: int = 50, n_buckets: int = 64):

@@ -645,6 +645,24 @@ def test_two_hop_ball_hand_values():
     assert got3 == want
 
 
+def test_metapath_3hop_hand_values():
+    from robokop_build_ray.stages.graph_metrics import metapath_3hop
+
+    # chain A1-g1-g2-D1 plus chord g1-D1 (2-hop path A1-g1-D1 must NOT
+    # count; the 3-hop A1-g1-g2-D1 does). A2-g2 adds A2-g2-g1-D1.
+    tm = {"A1": "chem", "A2": "chem", "D1": "dis",
+          "g1": "gene", "g2": "gene"}
+    ds = _edges([("A1", "g1"), ("g1", "g2"), ("g2", "D1"),
+                 ("g1", "D1"), ("A2", "g2")])
+    got = {(r["id_a"], r["id_b"]): r["n_paths"]
+           for r in metapath_3hop(ds, tm, "chem", "dis",
+                                  n_buckets=4).take_all()}
+    # A1 paths: A1-g1-g2-D1 ok; A1-g1-D1-? no (2-hop);
+    # A2 paths: A2-g2-g1-D1 ok; A2-g2-D1-? d=D1 via g2? A2-g2-D1 is
+    # 2-hop; 3-hop A2-g2-D1-g1 ends at gene (not dis).
+    assert got == {("A1", "D1"): 1, ("A2", "D1"): 1}
+
+
 def test_directed_common_topk_hand_values():
     from robokop_build_ray.stages.graph_metrics import directed_common_topk
 
