@@ -659,6 +659,101 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _kg_metagraph(sf_dir: str):
+    """The metagraph / schema summary every KG build publishes: edge
+    counts per (subj_type, pred_id, obj_type) triple — broadcast type
+    map (entity-bounded), enum-bounded partial counts, no shuffle."""
+    import pandas as pd
+
+    import ray as _ray
+
+    paths = ensure_corpus(sf_dir)
+    gaz = pd.read_parquet(paths["gazetteer"])
+    ref = _ray.put(dict(zip(gaz["curie"], gaz["node_type"])))
+
+    def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        tm = _ray.get(_ref)
+        out = pd.DataFrame({
+            "subj_type": b["subj_id"].map(tm),
+            "pred_id": b["pred_id"],
+            "obj_type": b["obj_id"].map(tm)})
+        return (out.groupby(["subj_type", "pred_id", "obj_type"],
+                            sort=False).size().rename("n_edges")
+                .reset_index())
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["subj_type", "pred_id", "obj_type"],
+                      as_index=False)["n_edges"].sum()
+        g["n_edges"] = g["n_edges"].astype("int64")
+        return g
+
+    return (_kg(sf_dir, "edges")
+            .select_columns(["subj_id", "pred_id", "obj_id"])
+            .map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def _kg_provenance_stats(sf_dir: str):
+    """Edge-provenance audit per predicate: edge count, edges with >=1
+    publication, total publications, and the average — enum-bounded
+    partials, ONE division per row."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        np_ = b["publications"].map(len).astype("int64")
+        out = pd.DataFrame({"pred_id": b["pred_id"],
+                            "n_edges": 1,
+                            "n_with_pubs": (np_ > 0).astype("int64"),
+                            "n_pubs": np_})
+        return out.groupby("pred_id", sort=False, as_index=False).sum()
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("pred_id", as_index=False)[
+            ["n_edges", "n_with_pubs", "n_pubs"]].sum()
+        for c in ("n_edges", "n_with_pubs", "n_pubs"):
+            g[c] = g[c].astype("int64")
+        g["avg_pubs"] = (g["n_pubs"].to_numpy(np.int64)
+                         / g["n_edges"].to_numpy(np.int64).astype(
+                             np.float64))
+        return g
+
+    return (_kg(sf_dir, "edges")
+            .select_columns(["pred_id", "publications"])
+            .map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def _doc_datasheet(sf_dir: str):
+    """Corpus-composition datasheet: (source, lang) cross-tab with doc
+    and whitespace-token counts — the mix table every training-data
+    release publishes. Enum-bounded partials, no shuffle."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": b["source"], "lang": b["lang"],
+            "n_docs": 1,
+            "n_tokens": b["text"].str.split().str.len().astype(
+                "int64")})
+        return out.groupby(["source", "lang"], sort=False,
+                           as_index=False).sum()
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["source", "lang"], as_index=False)[
+            ["n_docs", "n_tokens"]].sum()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    return (_docs(sf_dir)
+            .map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
 def _kg_metapath_3hop(sf_dir: str):
     """Typed 3-hop path counts (Path-DSL S(1-3)D leg) — two typed
     path-expansion exchanges + one pair count."""
@@ -1734,6 +1829,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coupling": _kg_coupling,
         # typed 3-hop metapath counts (S(1-3)D leg)
         "kg_metapath_3hop": _kg_metapath_3hop,
+        # metagraph schema summary (type-pair x predicate edge counts)
+        "kg_metagraph": _kg_metagraph,
+        # edge-provenance audit per predicate
+        "kg_provenance_stats": _kg_provenance_stats,
+        # corpus-composition datasheet (source x lang doc/token counts)
+        "doc_datasheet": _doc_datasheet,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_support_triples": _kg_support_triples,
         "kg_bfs_tree": _kg_bfs_tree,
@@ -2414,6 +2515,13 @@ SELECT size, count(*) AS n_components FROM sizes GROUP BY size""",
         "kg_role_transitions": entry_sql.sql_role_transitions(t),
         "kg_cocitation": entry_sql.sql_directed_common(t, "cocitation"),
         "kg_metapath_3hop": entry_sql.sql_metapath_3hop(t),
+        "kg_metagraph": entry_sql.sql_metagraph(t),
+        "kg_provenance_stats": entry_sql.sql_provenance_stats(t),
+        "doc_datasheet": r"""
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+         AS n_tokens
+FROM documents GROUP BY source, lang""",
         "kg_coupling": entry_sql.sql_directed_common(t, "coupling"),
         "kg_degree_histogram": entry_sql.sql_degree_histogram(t),
         "kg_support_triples": entry_sql.sql_support_triples(t),

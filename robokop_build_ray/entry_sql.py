@@ -1956,6 +1956,36 @@ SELECT id, sy AS n_mentions,
 FROM agg, cons"""
 
 
+def sql_metagraph(tier: str) -> str:
+    """Oracle for the metagraph schema summary."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}')),
+e AS (SELECT DISTINCT subj_id, pred_id, obj_id FROM canon)
+SELECT ts.node_type AS subj_type, e.pred_id,
+       tob.node_type AS obj_type, CAST(count(*) AS BIGINT) AS n_edges
+FROM e JOIN ty ts ON ts.curie = e.subj_id
+JOIN ty tob ON tob.curie = e.obj_id
+GROUP BY ts.node_type, e.pred_id, tob.node_type"""
+
+
+def sql_provenance_stats(tier: str) -> str:
+    """Oracle for the edge-provenance audit: per-edge distinct
+    (conv, turn) publication counts, folded per predicate."""
+    p = corpus_paths(tier)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+e AS (SELECT pred_id,
+             count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR))
+               AS np
+      FROM canon GROUP BY subj_id, pred_id, obj_id)
+SELECT pred_id, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_pubs,
+       CAST(sum(np) AS BIGINT) AS n_pubs,
+       CAST(sum(np) AS DOUBLE) / count(*) AS avg_pubs
+FROM e GROUP BY pred_id"""
+
+
 def sql_metapath_3hop(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease") -> str:
     """Oracle for graph_metrics.metapath_3hop: non-backtracking typed
