@@ -2076,6 +2076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": rel.events_first_touch,
         # ordered LAG window: per-user inter-event gap statistics
         "events_user_gaps": rel.events_user_gaps,
+        # inter-event gap survival curve at fixed horizons
+        "events_gap_survival": rel.events_gap_survival,
         # TPC-H Q7 shape: bilateral nation trade per ship year
         "q7_nation_trade": rel.q7_nation_trade,
         # RefinedWeb/C4 line-dedup shape over fixed token windows: drop
@@ -2724,6 +2726,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_trailing_avg": rel.sql_events_trailing_avg(),
         "events_first_touch": rel.sql_events_first_touch(),
         "events_user_gaps": rel.sql_events_user_gaps(),
+        "events_gap_survival": rel.sql_events_gap_survival(),
         "q7_nation_trade": rel.sql_q7_nation_trade(),
         "part_copurchase_topk": rel.sql_part_copurchase_topk(),
         "events_value_histogram": rel.sql_events_value_histogram(),

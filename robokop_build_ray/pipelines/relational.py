@@ -539,6 +539,95 @@ SELECT event_id, user_id, ts,
 FROM events"""
 
 
+GAP_HORIZONS_US = (60_000_000, 300_000_000, 3_600_000_000,
+                   21_600_000_000, 86_400_000_000)  # 1m 5m 1h 6h 1d
+
+
+def events_gap_survival(sf_dir: str, n_buckets: int = 64):
+    """Inter-event gap SURVIVAL curve (the churn/re-engagement grain):
+    Dataset(horizon_us, n_gaps, n_exceed, survival) — over all per-user
+    adjacent gaps, the fraction exceeding each fixed horizon (1m, 5m,
+    1h, 6h, 1d). Exact integer counts per horizon (enum-bounded), ONE
+    division per row.
+
+    Scale shape: the events_user_gaps sorted-diff bucket pass, but the
+    partial is a horizons-bounded (threshold, count) table — nothing
+    user-scale leaves the bucket."""
+    from ..functions.bucketing import bucketed_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "t": t["ts"].cast(pa.int64()),
+        })
+
+    hz = np.asarray(GAP_HORIZONS_US, dtype=np.int64)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"horizon_us": pd.Series([], dtype="int64"),
+                              "n_gaps": pd.Series([], dtype="int64"),
+                              "n_exceed": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        gaps = (t[1:] - t[:-1])[same]
+        return pd.DataFrame({
+            "horizon_us": hz,
+            "n_gaps": np.full(len(hz), len(gaps), dtype=np.int64),
+            "n_exceed": (gaps[None, :] > hz[:, None]).sum(
+                axis=1).astype(np.int64)})
+
+    parts = bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id"], merge, None, n_buckets)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("horizon_us", as_index=False)[
+            ["n_gaps", "n_exceed"]].sum()
+        g = g.sort_values("horizon_us").reset_index(drop=True)
+        return pd.DataFrame({
+            "horizon_us": g["horizon_us"].astype("int64"),
+            "n_gaps": g["n_gaps"].astype("int64"),
+            "n_exceed": g["n_exceed"].astype("int64"),
+            "survival": (g["n_exceed"].to_numpy(np.int64)
+                         / g["n_gaps"].to_numpy(np.int64).astype(
+                             np.float64))})
+
+    return (parts.repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_gap_survival() -> str:
+    """Oracle for events_gap_survival: lag() gaps, one row per fixed
+    horizon."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({h} AS BIGINT) AS horizon_us,"
+        f" CAST(count(*) AS BIGINT) AS n_gaps,"
+        f" CAST(sum(CASE WHEN gap > {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_exceed FROM gaps"
+        for h in GAP_HORIZONS_US)
+    return f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+           AS prev_t
+  FROM events
+),
+gaps AS (SELECT t - prev_t AS gap FROM seq WHERE prev_t IS NOT NULL)
+SELECT horizon_us, n_gaps, n_exceed,
+       CAST(n_exceed AS DOUBLE) / n_gaps AS survival
+FROM ({arms})"""
+
+
 def events_user_gaps(sf_dir: str, n_buckets: int = 64):
     """Ordered LAG window: per-user inter-event gap statistics
     (n_gaps, min/max/sum in microseconds, mean as one exact-int division)
