@@ -2078,6 +2078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": rel.events_user_gaps,
         # inter-event gap survival curve at fixed horizons
         "events_gap_survival": rel.events_gap_survival,
+        # Lorenz value-concentration deciles (gini's curve form)
+        "events_lorenz": rel.events_lorenz,
         # TPC-H Q7 shape: bilateral nation trade per ship year
         "q7_nation_trade": rel.q7_nation_trade,
         # RefinedWeb/C4 line-dedup shape over fixed token windows: drop
@@ -2727,6 +2729,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_first_touch": rel.sql_events_first_touch(),
         "events_user_gaps": rel.sql_events_user_gaps(),
         "events_gap_survival": rel.sql_events_gap_survival(),
+        "events_lorenz": rel.sql_events_lorenz(),
         "q7_nation_trade": rel.sql_q7_nation_trade(),
         "part_copurchase_topk": rel.sql_part_copurchase_topk(),
         "events_value_histogram": rel.sql_events_value_histogram(),

@@ -1624,6 +1624,74 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 
+def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64):
+    """Lorenz concentration deciles of per-user value (gini's curve
+    form): Dataset(decile, n_users, decile_cents, value_share) — users
+    ranked by (total cents asc, user_id asc) and split into k ntile
+    buckets with DuckDB's remainder-to-the-FIRST-buckets rule, each
+    reporting its exact integer cents and its share of the grand total
+    (ONE division per row).
+
+    Shape: per-user totals via one bucketed sum; the rank split folds
+    driver-side over the user-bounded table (the gini budget class)."""
+    from ..functions.bucketing import bucketed_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"].astype("int64"),
+                             "vc": _cents(b["value"].to_numpy())})
+
+    totals = bucketed_sum(ev.map_batches(prep, batch_format="pandas"),
+                          ["user_id"], "vc", n_buckets=n_buckets)
+    df = pd.DataFrame(totals.take_all())  # user-bounded, never fact-scale
+    empty = pa.table({"decile": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64()),
+                      "decile_cents": pa.array([], pa.int64()),
+                      "value_share": pa.array([], pa.float64())})
+    if len(df) == 0:
+        return rd.from_arrow(empty)
+    df = df.sort_values(["vc", "user_id"], kind="mergesort")
+    v = df["vc"].to_numpy(np.int64)
+    n = len(v)
+    total = int(v.sum())
+    base, rem = divmod(n, k)
+    sizes = [base + 1] * rem + [base] * (k - rem)
+    rows, pos = [], 0
+    for d, sz in enumerate(sizes, start=1):
+        if sz == 0:
+            continue
+        seg = int(v[pos:pos + sz].sum())
+        rows.append((d, sz, seg, float(seg) / float(total)))
+        pos += sz
+    return rd.from_arrow(pa.table({
+        "decile": pa.array([r[0] for r in rows], pa.int64()),
+        "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        "decile_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "value_share": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def sql_events_lorenz(k: int = 10) -> str:
+    """Oracle for events_lorenz: ntile over (total asc, user_id)."""
+    return f"""
+WITH tot AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS vc
+  FROM events GROUP BY user_id),
+nt AS (SELECT vc, ntile({k}) OVER (ORDER BY vc, user_id) AS decile
+       FROM tot),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(vc) AS BIGINT) AS decile_cents
+      FROM nt GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, decile_cents,
+       CAST(decile_cents AS DOUBLE)
+         / (SELECT CAST(sum(vc) AS DOUBLE) FROM tot) AS value_share
+FROM g"""
+
+
 def events_value_gini(sf_dir: str, n_buckets: int = 64):
     """Gini concentration of per-user event value -> one row
     (n_users, total_cents, gini): how unequally total spend distributes
