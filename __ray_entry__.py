@@ -2263,6 +2263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_silhouette": _clustering().embedding_silhouette,
         # top-n farthest-from-own-centroid embedding outlier report
         "embedding_outliers": _clustering().embedding_outliers,
+        # IVF/partition balance: per-cell member counts + shares
+        "embedding_cluster_sizes": _clustering().embedding_cluster_sizes,
         # --- session-J batch (driver-rotation: newest code first) -------
         # exact distribution shape (hi/lo-split 3rd/4th moment partials)
         "events_value_skewkurt": rel.events_value_skewkurt,
@@ -3041,6 +3043,8 @@ SELECT query_id, neighbor_id, rank FROM (
             _clustering().sql_embedding_silhouette(kmeans_c),
         "embedding_outliers":
             _clustering().sql_embedding_outliers(kmeans_c),
+        "embedding_cluster_sizes":
+            _clustering().sql_embedding_cluster_sizes(kmeans_c),
         "embedding_kcenter": _clustering().sql_embedding_kcenter(),
         "embedding_mmr": _clustering().sql_embedding_mmr(),
         "embedding_centroid_drift":

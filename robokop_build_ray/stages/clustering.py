@@ -146,6 +146,53 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
     return kmeans_assign(emb, C)
 
 
+def embedding_cluster_sizes(sf_dir: str, k: int = KMEANS_K,
+                            iters: int = KMEANS_ITERS):
+    """IVF/partition balance audit: Dataset(cluster, n_vectors,
+    share) — per fitted-k-means-cell member counts and their share of
+    the table (ONE division per row). The imbalance report that decides
+    whether an IVF index needs re-training or cell splitting.
+
+    Shape: the kmeans fit (centroid-bounded driver state) + one
+    zero-shuffle assignment scan with k-bounded count partials."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    C = kmeans_fit(emb, k, iters)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        a = assign_nearest(_matrix(b["embedding"].to_numpy()), C)
+        vc = pd.Series(a).value_counts()
+        return pd.DataFrame({"cluster": vc.index.to_numpy(np.int64),
+                             "n_vectors": vc.to_numpy(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("cluster", as_index=False)["n_vectors"].sum()
+        g = g.sort_values("cluster").reset_index(drop=True)
+        n = int(g["n_vectors"].sum())
+        return pd.DataFrame({
+            "cluster": g["cluster"].astype("int64"),
+            "n_vectors": g["n_vectors"].astype("int64"),
+            "share": (g["n_vectors"].to_numpy(np.int64)
+                      / float(n))})
+
+    return (emb.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_embedding_cluster_sizes(C: np.ndarray) -> str:
+    """Oracle for :func:`embedding_cluster_sizes` over the sequential
+    fit's centroid literals."""
+    inner = sql_kmeans_assign(C)
+    return f"""
+WITH asg AS ({inner})
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS DOUBLE)
+         / (SELECT count(*) FROM asg) AS share
+FROM asg GROUP BY cluster"""
+
+
 def semantic_dedup_pairs(sf_dir: str, threshold: float = 0.4,
                          k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """SemDeDup-shaped semantic near-dup pairs: k-means clusters as the
