@@ -2080,6 +2080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_survival": rel.events_gap_survival,
         # Lorenz value-concentration deciles (gini's curve form)
         "events_lorenz": rel.events_lorenz,
+        # PSI drift of the type mix between time halves
+        "events_psi": rel.events_psi,
         # TPC-H Q7 shape: bilateral nation trade per ship year
         "q7_nation_trade": rel.q7_nation_trade,
         # RefinedWeb/C4 line-dedup shape over fixed token windows: drop
@@ -2732,6 +2734,7 @@ WHERE levenshtein(p1.p_name, p2.p_name) <= 1""",
         "events_user_gaps": rel.sql_events_user_gaps(),
         "events_gap_survival": rel.sql_events_gap_survival(),
         "events_lorenz": rel.sql_events_lorenz(),
+        "events_psi": rel.sql_events_psi(),
         "q7_nation_trade": rel.sql_q7_nation_trade(),
         "part_copurchase_topk": rel.sql_part_copurchase_topk(),
         "events_value_histogram": rel.sql_events_value_histogram(),

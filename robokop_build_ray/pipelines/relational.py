@@ -539,6 +539,92 @@ SELECT event_id, user_id, ts,
 FROM events"""
 
 
+def events_psi(sf_dir: str, quant: int = 1_000_000):
+    """Population Stability Index of the event-type mix between the
+    first and second time halves (the ML-monitoring drift gate):
+    ONE row (n_types, n_first, n_second, psi) with
+    psi = sum_i (p_i - q_i) * ln(p_i / q_i) over add-one-smoothed type
+    shares, halves split at the midpoint of the event-time range.
+
+    Exactness: every per-type term is ONE double expression evaluated
+    in a FIXED order on both sides (ratios of exactly-converted ints,
+    libm LN), and the cross-type sum is a LEFT FOLD over types sorted
+    by name — DuckDB's list_sum(list(term ORDER BY ...)) is the same
+    left fold (the events_type_hour_mi precedent). Enum-bounded
+    contingency partials; the threshold comes from two cheap min/max
+    aggregates broadcast into the scan."""
+    def scan():
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"t": t["ts"].cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    ts = scan().map_batches(prep, batch_format="pyarrow")
+    lo = int(ts.min("t"))
+    hi = int(ts.max("t"))
+    thr = (lo + hi) // 2
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        first = (b["t"].to_numpy(np.int64) < thr).astype(np.int64)
+        out = pd.DataFrame({"event_type": b["event_type"],
+                            "a": first, "b": 1 - first})
+        return out.groupby("event_type", sort=False,
+                           as_index=False).sum()
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = b.groupby("event_type", as_index=False)[["a", "b"]].sum()
+        g = g.sort_values("event_type").reset_index(drop=True)
+        t_n = len(g)
+        big_a = int(g["a"].sum()) + t_n
+        big_b = int(g["b"].sum()) + t_n
+        psi = 0.0
+        for a, bb in zip(g["a"].astype(int) + 1,
+                         g["b"].astype(int) + 1):
+            term = ((float(a) / float(big_a) - float(bb) / float(big_b))
+                    * math.log(float(a * big_b) / float(bb * big_a)))
+            psi += term  # left fold in event_type order
+        return pd.DataFrame({
+            "n_types": pd.Series([t_n], dtype="int64"),
+            "n_first": pd.Series([big_a - t_n], dtype="int64"),
+            "n_second": pd.Series([big_b - t_n], dtype="int64"),
+            "psi": pd.Series([psi], dtype="float64")})
+
+    return (ts.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(fold, batch_format="pandas", batch_size=None))
+
+
+def sql_events_psi() -> str:
+    """Oracle for events_psi: identical smoothed terms in the identical
+    type order, summed by DuckDB's ordered-list left fold."""
+    return """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS thr
+           FROM events),
+cnt AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(ts) < b.thr THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS a,
+         CAST(sum(CASE WHEN epoch_us(ts) < b.thr THEN 0 ELSE 1 END)
+              AS BIGINT) + 1 AS bb
+  FROM events, b GROUP BY event_type),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS big_a,
+               CAST(sum(bb) AS BIGINT) AS big_b,
+               CAST(count(*) AS BIGINT) AS t_n FROM cnt)
+SELECT tot.t_n AS n_types,
+       tot.big_a - tot.t_n AS n_first,
+       tot.big_b - tot.t_n AS n_second,
+       (SELECT list_sum(list(
+            (CAST(a AS DOUBLE) / big_a - CAST(bb AS DOUBLE) / big_b)
+            * LN(CAST(a * big_b AS DOUBLE) / CAST(bb * big_a AS DOUBLE))
+          ORDER BY event_type))
+        FROM cnt, tot) AS psi
+FROM tot"""
+
+
 GAP_HORIZONS_US = (60_000_000, 300_000_000, 3_600_000_000,
                    21_600_000_000, 86_400_000_000)  # 1m 5m 1h 6h 1d
 
