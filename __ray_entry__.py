@@ -659,6 +659,38 @@ def _kg_community_stats(sf_dir: str):
     return community_stats(_kg(sf_dir, "edges"))
 
 
+def _dedup_lsh_eval(sf_dir: str):
+    """Dedup-index QUALITY eval (the ann_ivf_recall of the dedup
+    family): precision/recall of the minhash-LSH near-dup pairs
+    (signature-Jaccard >= 0.5) against the EXACT all-pairs word-3-gram
+    Jaccard >= 1/2 ground truth from the provably-complete prefix
+    filter. Both pair sets are result-bounded, so the set fold is a
+    legitimate driver-side intersection — the expensive scans stay
+    distributed. One division per float."""
+    import pandas as pd
+
+    from robokop_build_ray.stages import dedup
+
+    found = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_lsh_pairs(
+                 _docs(sf_dir), threshold=0.5,
+                 checkpoint_dir=_ckpt(sf_dir, "minhash_p128"),
+             ).select_columns(["id_a", "id_b"]).take_all()}
+    truth = {(r["id_a"], r["id_b"])
+             for r in dedup.prefix_jaccard_pairs(
+                 _docs(sf_dir),
+                 checkpoint_dir=_ckpt(sf_dir, "prefix_jacc"),
+             ).select_columns(["id_a", "id_b"]).take_all()}
+    hit = len(found & truth)
+    return pd.DataFrame({
+        "n_true": pd.Series([len(truth)], dtype="int64"),
+        "n_found": pd.Series([len(found)], dtype="int64"),
+        "n_hit": pd.Series([hit], dtype="int64"),
+        "precision": [float(hit) / float(len(found)) if found else 0.0],
+        "recall": [float(hit) / float(len(truth)) if truth else 0.0],
+    })
+
+
 def _kg_metagraph(sf_dir: str):
     """The metagraph / schema summary every KG build publishes: edge
     counts per (subj_type, pred_id, obj_type) triple — broadcast type
@@ -2206,6 +2238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation report: per-source doc count + near-dup removal rate
         # (keep flags bucket-attached to sources; enum-bounded fold)
         "dedup_rate_by_source": _dedup_rate_by_source,
+        # dedup-index quality: LSH pairs vs exact-Jaccard ground truth
+        "dedup_lsh_eval": _dedup_lsh_eval,
         # deterministic md5 train/val/test split (stable across resharding)
         "doc_split": lambda sf: ta.train_split(_docs(sf)),
         # per-source mixture weighting (Pile/Dolma-style downsampling):
@@ -2963,6 +2997,7 @@ SELECT query_id, neighbor_id, rank FROM (
         "dedup_simhash": entry_sql.sql_dedup_simhash(t),
         "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
         "dedup_prefix_jaccard": entry_sql.sql_dedup_prefix_jaccard(),
+        "dedup_lsh_eval": entry_sql.sql_dedup_lsh_eval(t),
         "dedup_containment": entry_sql.sql_dedup_containment(),
         "dedup_clusters": entry_sql.sql_dedup_clusters(t),
         "dedup_keep": f"""

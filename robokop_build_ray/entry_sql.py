@@ -1201,6 +1201,28 @@ def sql_dedup_minhash_lsh(tier: str, threshold: float = 0.5,
             "SELECT id_a, id_b FROM mh_pairs")
 
 
+def sql_dedup_lsh_eval(tier: str) -> str:
+    """Oracle for the LSH-vs-exact dedup quality eval: minhash pairs
+    from the signature tables, truth from the exact all-pairs Jaccard
+    >= 1/2 SQL, intersected."""
+    mh = sql_dedup_minhash_lsh(tier)
+    pj = sql_dedup_prefix_jaccard()
+    return f"""
+WITH f AS (SELECT id_a, id_b FROM ({mh})),
+t AS (SELECT id_a, id_b FROM ({pj})),
+h AS (SELECT count(*) AS n FROM f JOIN t USING (id_a, id_b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_found,
+       CAST(h.n AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM f) = 0 THEN 0.0
+            ELSE CAST(h.n AS DOUBLE) / (SELECT count(*) FROM f)
+       END AS "precision",
+       CASE WHEN (SELECT count(*) FROM t) = 0 THEN 0.0
+            ELSE CAST(h.n AS DOUBLE) / (SELECT count(*) FROM t)
+       END AS recall
+FROM h"""
+
+
 def sql_dedup_simhash(tier: str, max_hamming: int = 3) -> str:
     p = dedup_aux_paths(tier)
     return f"""
