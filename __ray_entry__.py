@@ -1502,6 +1502,21 @@ def _kg_path_filtered_2hop(sf_dir: str, path: str = "S(2-2)D"):
                               graph["state"].nodeinfo_ref)
 
 
+def _kg_support_path_scoped(sf_dir: str, path: str = "SGD"):
+    """Path-position-scoped support candidate pairs (the reference's
+    `builder/builder.py:372-407` ``generate_links_from_paths``): support
+    candidates restricted to entities on realized prefix instances of the
+    chemical--gene--disease DSL path — differs from ``kg_support``'s
+    conversation-scoped candidates exactly by the path-position join."""
+    from robokop_build_ray.pipelines.kg_build import (build_graph,
+                                                      path_scoped_pairs)
+
+    ensure_corpus(sf_dir)
+    graph = build_graph(sf_dir, include_support=False)
+    return path_scoped_pairs(graph["canonical"], path,
+                             graph["state"].nodeinfo_ref)
+
+
 def _kg_path_anchored(sf_dir: str, path: str = "S(1-2)D"):
     """Anchored Path-DSL scoping (the reference CLI's --start semantics,
     `builder/builder.py:574-602`): DSL-typed triples whose endpoints lie
@@ -1651,6 +1666,27 @@ _R02_DRIVER_CHECKED = frozenset({
     "mktsegments", "doc_tokens", "doc_quality", "doc_langid",
     "doc_langid_confusion", "doc_fingerprint", "doc_rolling_fp",
     "doc_bpe_tokens",
+})
+
+# Names the round-3 driver verified green (CORRECTNESS_r03.json, 50/50).
+_R03_DRIVER_CHECKED = frozenset({
+    "embedding_gram", "embedding_pca_proj", "embedding_rp",
+    "doc_vocab_topk", "doc_tfidf", "doc_inverted_index",
+    "q7_nation_trade", "q14_promo_revenue", "q15_top_supplier",
+    "q8_market_share", "q18_large_orders", "q4_order_priority",
+    "q12_priority_lines", "q10_returned_items", "q17_small_qty_revenue",
+    "q22_idle_customers", "q19_disjunctive_revenue", "q6_forecast_revenue",
+    "q13_customer_distribution", "q21_waiting_supplier",
+    "q9_product_profit", "q11_important_stock", "q16_supplier_counts",
+    "q20_excess_suppliers", "dedup_exact", "dedup_incremental",
+    "dedup_conversations", "dedup_winnow_pairs", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_prefix_jaccard",
+    "dedup_containment", "dedup_clusters", "dedup_keep", "dedup_keep_best",
+    "dedup_rate_by_source", "dedup_lsh_eval", "dedup_embedding_cosine",
+    "ann_topk", "ann_filtered_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_pq_topk", "ann_ivf_recall", "ann_pq_recall", "embedding_kmeans",
+    "embedding_silhouette", "embedding_outliers",
+    "embedding_cluster_sizes",
 })
 
 
@@ -1919,6 +1955,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M1 var-length: S(2-2)D keeps triples ON 2-hop chem--*--disease
         # paths (the `-[:translation*2..2]-` analog, executed natively)
         "kg_path_filtered_2hop": _kg_path_filtered_2hop,
+        # path-position-scoped support candidates (generate_links_from_paths)
+        "kg_support_path_scoped": _kg_support_path_scoped,
         # --start anchoring: DSL filter x BFS hop gate from a named node
         "kg_path_anchored": _kg_path_anchored,
         "part_skyline": rel.part_skyline,
@@ -2329,35 +2367,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_drift": _clustering().embedding_centroid_drift,
         "dedup_semantic": lambda sf: _clustering().semantic_dedup_pairs(sf),
     }
-    # rotate: never-driver-checked queries first (see _R02_DRIVER_CHECKED),
-    # and within those, the families the r02 verdict called out by name
-    # (dedup_*, ann_*, embedding_*, vocab/tfidf/inverted-index, Q4-Q22)
-    # lead so a ~50-query driver budget lands on them first
-    def _named(k: str) -> bool:
-        if k.startswith(("dedup_", "ann_", "embedding_")):
-            return True
-        if k in ("doc_vocab_topk", "doc_tfidf", "doc_inverted_index"):
-            return True
-        import re
-        m = re.match(r"q(\d+)_", k)
-        return bool(m) and 4 <= int(m.group(1)) <= 22
-    fresh = {k: v for k, v in q.items() if k not in _R02_DRIVER_CHECKED}
-    head = {k: v for k, v in fresh.items() if _named(k)}
-    # session-J additions ride directly behind the verdict-named families
-    # so the newest operators also land inside a ~50-query driver budget
-    new_j = {k: v for k, v in fresh.items() if k in (
-        "events_value_skewkurt", "events_type_hour_mi",
-        "events_user_entropy", "events_markov_entropy",
-        "doc_distinct_ngrams", "doc_zipf_fit", "source_vocab_jaccard",
-        "media_video_scenecut")}
-    # session-K additions ride behind session-J for the same reason
-    new_k = {k: v for k, v in fresh.items() if k in (
-        "kg_adamic_adar", "kg_modularity", "kg_two_hop_ball",
-        "kg_powerlaw_alpha", "kg_rich_club", "kg_growth",
-        "kg_triad_motifs", "kg_mention_trend", "media_dhash_dupes",
-        "doc_dsir_weights", "doc_ccnet_buckets")}
-    return (head | new_j | new_k | fresh
-            | {k: v for k, v in q.items() if k in _R02_DRIVER_CHECKED})
+    # rotate (r04): every name the r02/r03 drivers already verified green
+    # moves to the BACK; the 182 never-driver-checked entries lead, ordered
+    # by the families the r03 verdict named (kg graph-analytics back half,
+    # events_* windows/sketches, doc_* training ops, media_*) so a
+    # ~50-query driver budget lands on them first
+    checked = _R02_DRIVER_CHECKED | _R03_DRIVER_CHECKED
+    fresh = {k: v for k, v in q.items() if k not in checked}
+
+    def _prio(k: str) -> int:
+        for i, p in enumerate(("kg_", "events_", "doc_", "media_")):
+            if k.startswith(p):
+                return i
+        return 4
+
+    out: dict[str, Callable[[str], Any]] = {}
+    for tier in range(5):
+        for k, v in fresh.items():
+            if _prio(k) == tier:
+                out[k] = v
+    for k, v in q.items():
+        if k in checked:
+            out[k] = v
+    return out
 
 
 def _clustering():
@@ -2608,6 +2640,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "kg_edges_full": entry_sql.sql_edges_full(t),
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),
+        "kg_support_path_scoped": entry_sql.sql_support_path_scoped(t),
         "kg_path_anchored": entry_sql.sql_path_anchored(t),
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),
@@ -2890,9 +2923,18 @@ win AS (
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
   FROM g
 ),
-sel AS (
+sel0 AS (
   SELECT DISTINCT doc_id, fp FROM win
   WHERE (n >= 5 AND i <= n - 3) OR (n <= 4 AND i = 1)
+),
+-- hot-fingerprint cap: the engine pairs only the 200 smallest doc_ids
+-- per fp (dedup.WINNOW_BUCKET_CAP); replicate so a hot fp stays green
+sel AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM sel0)
+  WHERE rk <= 200
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared

@@ -27,3 +27,24 @@ class _EmptyBlockSizeFilter(_logging.Filter):
 
 _logging.getLogger("ray.data._internal.pandas_block").addFilter(
     _EmptyBlockSizeFilter())
+
+
+class _SchemaHashFilter(_logging.Filter):
+    """Drop Ray's 'Failed to hash the schemas (for deduplication):
+    unhashable type: dict' worker warning. Root cause (measured): parquet
+    files written by pandas carry a ``b'pandas'`` schema-metadata entry,
+    and ``pa.Schema.__hash__`` raises ``unhashable type: 'dict'`` on any
+    metadata-bearing schema, so ``unify_schemas``'s ``set(schemas)``
+    fast-path dedup fails and logs before falling through to the full
+    (correct) unify path — a wasted fast path, zero correctness impact.
+    Only the dict-hash variant is dropped; other hash failures warn."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("Failed to hash the schemas" in msg
+                    and "unhashable type: 'dict'" in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashFilter())

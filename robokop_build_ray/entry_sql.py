@@ -475,6 +475,55 @@ WHERE (ts.node_type = '{type_a}' AND coalesce(nyo.n, 0) >= 1)
    OR (tob.node_type = '{type_b}' AND coalesce(nxs.n, 0) >= 1)"""
 
 
+def sql_support_path_scoped(tier: str, path: str = "SGD") -> str:
+    """Oracle for ``kg_build.path_scoped_pairs`` (the
+    `builder/builder.py:372-407` ``generate_links_from_paths`` analog):
+    distinct (id_a < id_b) pairs of entities lying on a realized PREFIX
+    instance of the 3-position DSL path — (v0, v1) for every typed edge
+    reaching position 1, plus (v1, v2) and (v0, v2) whenever the full
+    instance realizes (the v2 leg needs only SOME realized prefix at its
+    mid, `builder.py:394-398`; self pairs collapse under least/greatest).
+    Wildcard positions expand to the full gazetteer type universe."""
+    from .functions.pathdsl import NODE_TYPE_BY_CODE, tokenize_path
+
+    steps = tokenize_path(path)
+    assert len(steps) == 3 and all(
+        s.max_path_length == 1 for s in steps[1:])
+    p = corpus_paths(tier)
+    universe = ("chemical_substance", "gene", "biological_process", "cell",
+                "anatomical_entity", "phenotypic_feature", "disease")
+
+    def inlist(code: str) -> str:
+        t = NODE_TYPE_BY_CODE[code]
+        ts = universe if t == "unspecified" else (t,)
+        return ", ".join(f"'{x}'" for x in ts)
+
+    t0, t1, t2 = (inlist(s.nodetype) for s in steps)
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}')),
+srcs AS (
+  SELECT a.id AS mid, a.nb AS v0 FROM adj a
+  JOIN ty tm ON tm.curie = a.id AND tm.node_type IN ({t1})
+  JOIN ty tt ON tt.curie = a.nb AND tt.node_type IN ({t0})
+),
+dsts AS (
+  SELECT a.id AS mid, a.nb AS v2 FROM adj a
+  JOIN ty tm ON tm.curie = a.id AND tm.node_type IN ({t1})
+  JOIN ty tt ON tt.curie = a.nb AND tt.node_type IN ({t2})
+),
+allp AS (
+  SELECT v0 AS x, mid AS y FROM srcs
+  UNION ALL
+  SELECT d.v2, d.mid FROM dsts d
+  WHERE EXISTS (SELECT 1 FROM srcs s WHERE s.mid = d.mid)
+  UNION ALL
+  SELECT s.v0, d.v2 FROM srcs s JOIN dsts d ON d.mid = s.mid
+  WHERE s.v0 <> d.v2
+)
+SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b FROM allp"""
+
+
 def sql_support_pubs(tier: str, cap: int = 256,
                      pub_cap: int = 10_000) -> str:
     """Shared-provenance supporter oracle (`builder/omnicorp.py:14-32`

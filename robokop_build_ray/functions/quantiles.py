@@ -209,6 +209,76 @@ def grouped_exact_ranks(
     return {k: float(s["value"]) for k, s in state.items()}
 
 
+# ----------------------------------------- sorted rank-weight moment
+
+_EMPTY_MOMENT = {
+    "mn": pd.Series([], dtype="int64"),
+    "mx": pd.Series([], dtype="int64"),
+    "cnt": pd.Series([], dtype="int64"),
+    "s": pd.Series([], dtype="int64"),
+    "s1": pd.Series([], dtype="int64"),
+}
+
+
+class _SortedMomentPartial:
+    """Per-batch partial of the rank-weight moment over a SORTED dataset:
+    (min, max, count, sum, local Σ i*v_i with 1-based batch-local ranks).
+    Module-level for by-reference serialization (see _HistPartial)."""
+
+    def __init__(self, value_col: str):
+        self.value_col = value_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or self.value_col not in b.columns:
+            # Ray's sort boundary sampling emits zero-column empty blocks
+            return pd.DataFrame(_EMPTY_MOMENT)
+        v = np.sort(b[self.value_col].to_numpy(np.int64))
+        n = len(v)
+        i = np.arange(1, n + 1, dtype=np.int64)
+        vmax = max(abs(int(v[0])), abs(int(v[-1])))
+        s1l = int(np.dot(i, v)) if vmax * n * n < 2 ** 62 else \
+            sum(int(j) * int(x) for j, x in zip(i.tolist(), v.tolist()))
+        if not (-2 ** 63 <= s1l < 2 ** 63):
+            raise OverflowError(
+                "rank-weight partial exceeds int64 — the BIGINT oracle "
+                "overflows at the same magnitude")
+        return pd.DataFrame({"mn": [int(v[0])], "mx": [int(v[-1])],
+                             "cnt": [n], "s": [int(v.sum())],
+                             "s1": [s1l]})
+
+
+def sorted_rank_weight_sum(ds, value_col: str) -> tuple[int, int, int]:
+    """Exact ``(n, s0, s1)`` with ``s1 = Σ_i i*v_i`` over ASCENDING value
+    order (1-based ``i``; tie order is irrelevant — permuting equal values
+    leaves the sum unchanged) — the Gini / rank-moment primitive, computed
+    WITHOUT collecting the table to the driver.
+
+    Distributed shape: ONE ``ds.sort(value_col)`` (Ray's range-partitioned
+    distributed sort — the only all-to-all), then a ``map_batches`` partial
+    per batch. Each batch of a sorted dataset is a CONTIGUOUS value range
+    (tasks read consecutive sorted blocks in order), so the driver can
+    reassemble global ranks by ordering the batch-bounded partials on
+    ``(min, max)`` and offsetting each batch's local moment by the
+    cumulative count before it: ``s1 = Σ_b (local_s1_b + offset_b * s_b)``
+    in exact Python-int arithmetic. Driver state = one 5-int row per batch
+    (corpus/batch_size-bounded), never the value stream. Values must be
+    int64."""
+    rows = ds.sort(value_col).map_batches(
+        _SortedMomentPartial, batch_format="pandas",
+        fn_constructor_kwargs={"value_col": value_col},
+        concurrency=(1, 8)).take_all()
+    # (mn, mx) totally orders contiguous ranges: for batches A before B in
+    # sorted order, mn_A <= mn_B, and mn_A == mn_B forces max_A <= min_B
+    # (a shared boundary tie), hence mx_A <= mx_B
+    rows.sort(key=lambda r: (int(r["mn"]), int(r["mx"])))
+    n = s0 = s1 = 0
+    for r in rows:
+        s1 += int(r["s1"]) + n * int(r["s"])
+        s0 += int(r["s"])
+        n += int(r["cnt"])
+    return n, s0, s1
+
+
 # -------------------------------------------- weighted prefix cuts (ABC)
 
 _EMPTY_WHIST = {

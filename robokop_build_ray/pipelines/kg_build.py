@@ -22,7 +22,9 @@ import os
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
@@ -373,6 +375,124 @@ class VarLenFilter:
                 keep |= (in_xa & (nyb >= 1)) | (in_ya & (nxb >= 1))
                 keep |= (in_xb & (nya >= 1)) | (in_yb & (nxa >= 1))
         return b[keep]
+
+
+def path_scoped_pairs(canonical, path: str, nodeinfo_ref,
+                      n_buckets: int = 64):
+    """PATH-POSITION-SCOPED support candidate pairs — the
+    ``generate_links_from_paths`` analog (`builder/builder.py:372-407`):
+    support candidates are generated ONLY between entities lying on a
+    realized instance of the active DSL path, not between all
+    conversation co-occurrences. Mirrors the reference's prefix-path
+    semantics exactly: walking positions 0..k, every node reached at
+    position i pairs with ALL its path ancestors (`builder.py:396-399`
+    ``ancestors[other].update(...)``), so a prefix that dies before the
+    final position still contributes its pairs; self pairs collapse
+    (the reference's (v, v) entries are dropped here by the a < b
+    normalization). Output: Dataset(id_a < id_b), distinct.
+
+    Supported paths: 2 or 3 direct-hop positions (``SGD``, ``S?D``, …;
+    ``?`` is the wildcard). Var-length legs compose via
+    :func:`path_filter_varlen` upstream instead — bounds > 1 raise.
+
+    Scale shape: distinct undirected edges -> per-MID-node grouped
+    expansion (one bucketed exchange keyed on the path's middle
+    position, srcs x dsts vectorized per group — the metapath_2hop
+    pattern) -> one bucketed distinct on the pair. Node types ride the
+    entity-bounded ``nodeinfo_ref`` broadcast; per-mid fan-out is
+    deg_T0(mid) x deg_T2(mid) — salt/cap hubs if a corpus grows
+    super-hubs (the metapath cost profile)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from ..functions.bucketing import bucketed_distinct, bucketed_group_pairs
+    from ..functions.pathdsl import NODE_TYPE_BY_CODE, tokenize_path
+    from ..stages.graph_metrics import _adjacency, undirected_pairs
+
+    steps = tokenize_path(path)
+    if any(s.max_path_length > 1 for s in steps[1:]):
+        raise ValueError(
+            "path_scoped_pairs takes direct hops only; compose "
+            "path_filter_varlen upstream for var-length legs")
+    if len(steps) not in (2, 3):
+        raise ValueError("path_scoped_pairs supports 2- or 3-position "
+                         f"paths, got {len(steps)} in {path!r}")
+
+    info = _ray.get(nodeinfo_ref)
+    types = {k: v[1] for k, v in info.items()}
+    universe = sorted(set(types.values()))
+
+    def tset(code: str) -> frozenset:
+        t = NODE_TYPE_BY_CODE[code]
+        return frozenset(universe if t == "unspecified" else [t])
+
+    tsets = [tset(s.nodetype) for s in steps]
+    und = undirected_pairs(canonical, n_buckets=n_buckets)
+    types_ref = _ray.put(types)
+
+    _empty = {"id_a": pd.Series([], dtype=object),
+              "id_b": pd.Series([], dtype=object)}
+
+    if len(steps) == 2:
+        t0, t1 = tsets
+
+        def edge_pairs(b: pd.DataFrame) -> pd.DataFrame:
+            tm = _ray.get(types_ref)
+            ta = b["a"].map(lambda x: tm.get(x, ""))
+            tb = b["b"].map(lambda x: tm.get(x, ""))
+            keep = ((ta.isin(t0) & tb.isin(t1))
+                    | (ta.isin(t1) & tb.isin(t0)))
+            return pd.DataFrame({"id_a": b["a"][keep],
+                                 "id_b": b["b"][keep]})
+
+        pairs = und.map_batches(edge_pairs, batch_format="pandas")
+    else:
+        t0, t1, t2 = tsets
+
+        def mid_expand(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or "id" not in g.columns:
+                return pd.DataFrame(_empty)  # empty-bucket probe call
+            tm = _ray.get(types_ref)
+            mid = g["id"].iloc[0]
+            if tm.get(mid, "") not in t1:
+                return pd.DataFrame(_empty)
+            nbs = g["nb"].to_numpy(dtype=object)
+            kinds = np.array([tm.get(x, "") for x in nbs], dtype=object)
+            srcs = nbs[np.array([k in t0 for k in kinds], dtype=bool)]
+            dsts = nbs[np.array([k in t2 for k in kinds], dtype=bool)]
+            outs = []
+            if len(srcs):
+                # prefix pairs (v0, v1): reached mids pair with ancestors
+                outs.append(pd.DataFrame({"id_a": srcs, "id_b": mid}))
+                if len(dsts):
+                    # (v1, v2): v2 reached because SOME src realized the
+                    # prefix (the src may be v2 itself, builder.py:394-398)
+                    outs.append(pd.DataFrame({"id_a": dsts, "id_b": mid}))
+                    a = np.repeat(srcs, len(dsts))
+                    d = np.tile(dsts, len(srcs))
+                    keep = a != d  # (v0, v2) self pairs collapse
+                    outs.append(pd.DataFrame({"id_a": a[keep],
+                                              "id_b": d[keep]}))
+            if not outs:
+                return pd.DataFrame(_empty)
+            out = pd.concat(outs, ignore_index=True)
+            ia = out["id_a"].to_numpy(dtype=object)
+            ib = out["id_b"].to_numpy(dtype=object)
+            return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                                 "id_b": np.maximum(ia, ib)})
+
+        pairs = bucketed_group_pairs(_adjacency(und), ["id"], mid_expand,
+                                     n_buckets)
+
+    seed = _rd.from_arrow(pa.table({"id_a": pa.array([], pa.string()),
+                                    "id_b": pa.array([], pa.string())}))
+
+    def typed(b: pd.DataFrame) -> pa.Table:
+        return pa.table({"id_a": pa.array(b["id_a"], pa.string()),
+                         "id_b": pa.array(b["id_b"], pa.string())})
+
+    return (bucketed_distinct(pairs, ["id_a", "id_b"], n_buckets)
+            .map_batches(typed, batch_format="pandas").union(seed))
 
 
 def _resolve_anchor(name_or_curie: str, state) -> str:

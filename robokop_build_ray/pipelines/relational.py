@@ -1710,7 +1710,36 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
 
 
-def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64):
+class _BoundaryBelowPartial:
+    """Per-batch (count, sum) of values strictly below each boundary —
+    the fold that turns pinned decile boundary VALUES into exact prefix
+    cents without collecting the totals table. Module-level for
+    by-reference serialization (see quantiles._HistPartial)."""
+
+    def __init__(self, bounds: list, value_col: str):
+        self.bounds = bounds
+        self.value_col = value_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or self.value_col not in b.columns:
+            return pd.DataFrame({"j": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        v = np.sort(b[self.value_col].to_numpy(np.int64))
+        cum = np.concatenate([[0], np.cumsum(v)])
+        js, cnts, ss = [], [], []
+        for j, bound in enumerate(self.bounds):
+            p = int(np.searchsorted(v, bound, side="left"))
+            js.append(j)
+            cnts.append(p)
+            ss.append(int(cum[p]))
+        return pd.DataFrame({"j": np.asarray(js, np.int64),
+                             "cnt": np.asarray(cnts, np.int64),
+                             "s": np.asarray(ss, np.int64)})
+
+
+def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64,
+                  collect_cap: int = 100_000):
     """Lorenz concentration deciles of per-user value (gini's curve
     form): Dataset(decile, n_users, decile_cents, value_share) — users
     ranked by (total cents asc, user_id asc) and split into k ntile
@@ -1718,9 +1747,18 @@ def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64):
     reporting its exact integer cents and its share of the grand total
     (ONE division per row).
 
-    Shape: per-user totals via one bucketed sum; the rank split folds
-    driver-side over the user-bounded table (the gini budget class)."""
+    Shape (scale-safe, no user-scale driver fold): per-user totals via
+    one bucketed sum, materialized once (user-bounded working set); the
+    k-1 decile boundary VALUES resolve through
+    ``quantiles.grouped_exact_ranks`` (iterative-histogram rank selection
+    — driver state is histogram-bounded, the collect pass
+    ``collect_cap``-gated); decile cents then need only per-boundary
+    below-counts/sums (one streaming pass, k-1 ints of driver state) plus
+    tie arithmetic: every user tied AT a boundary value contributes that
+    exact value, so prefix_cents(p) = sum_below + (p - count_below) *
+    boundary_value without touching user ids."""
     from ..functions.bucketing import bucketed_sum
+    from ..functions.quantiles import grouped_exact_ranks
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
@@ -1730,27 +1768,63 @@ def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64):
                              "vc": _cents(b["value"].to_numpy())})
 
     totals = bucketed_sum(ev.map_batches(prep, batch_format="pandas"),
-                          ["user_id"], "vc", n_buckets=n_buckets)
-    df = pd.DataFrame(totals.take_all())  # user-bounded, never fact-scale
+                          ["user_id"], "vc",
+                          n_buckets=n_buckets).materialize()
     empty = pa.table({"decile": pa.array([], pa.int64()),
                       "n_users": pa.array([], pa.int64()),
                       "decile_cents": pa.array([], pa.int64()),
                       "value_share": pa.array([], pa.float64())})
-    if len(df) == 0:
+    n = totals.count()
+    if n == 0:
         return rd.from_arrow(empty)
-    df = df.sort_values(["vc", "user_id"], kind="mergesort")
-    v = df["vc"].to_numpy(np.int64)
-    n = len(v)
-    total = int(v.sum())
+    total = 0
+    for r in totals.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b["vc"].sum())]})
+            if len(b) and "vc" in b.columns
+            else pd.DataFrame({"s": pd.Series([], dtype="int64")}),
+            batch_format="pandas").take_all():  # batch-bounded partials
+        total += int(r["s"])
     base, rem = divmod(n, k)
     sizes = [base + 1] * rem + [base] * (k - rem)
-    rows, pos = [], 0
+    prefix_ranks = list(np.cumsum(sizes)[:-1])  # p_1 .. p_{k-1}
+    # boundary VALUE at ntile prefix p = vc of the p-th user in
+    # (vc, user_id) order = the value at ascending-vc rank p-1 (tie
+    # order cannot change the value multiset)
+    uniq = sorted({int(p) for p in prefix_ranks if p > 0})
+    const = totals.map_batches(
+        lambda b: b.assign(g="all") if len(b) and "vc" in b.columns
+        else pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                           "vc": pd.Series([], dtype="int64"),
+                           "g": pd.Series([], dtype=object)}),
+        batch_format="pandas")
+    ranks = grouped_exact_ranks(
+        lambda: const, "g", "vc",
+        {"all": [(f"p{p}", p - 1) for p in uniq]},
+        collect_cap=collect_cap)
+    bound_val = {p: int(round(ranks[("all", f"p{p}")])) for p in uniq}
+    # one streaming pass: strictly-below count/sum per distinct boundary
+    below = {j: [0, 0] for j in range(len(uniq))}
+    for r in totals.map_batches(
+            _BoundaryBelowPartial, batch_format="pandas",
+            fn_constructor_kwargs={"bounds": [bound_val[p] for p in uniq],
+                                   "value_col": "vc"},
+            concurrency=(1, 8)).take_all():
+        below[int(r["j"])][0] += int(r["cnt"])
+        below[int(r["j"])][1] += int(r["s"])
+    prefix_cents = {0: 0}
+    for p in uniq:
+        j = uniq.index(p)
+        cnt_b, sum_b = below[j]
+        prefix_cents[p] = sum_b + (p - cnt_b) * bound_val[p]
+    rows, prev_p, prev_cents = [], 0, 0
     for d, sz in enumerate(sizes, start=1):
         if sz == 0:
             continue
-        seg = int(v[pos:pos + sz].sum())
+        p = prev_p + sz
+        cents_p = total if p == n else prefix_cents[p]
+        seg = cents_p - prev_cents
         rows.append((d, sz, seg, float(seg) / float(total)))
-        pos += sz
+        prev_p, prev_cents = p, cents_p
     return rd.from_arrow(pa.table({
         "decile": pa.array([r[0] for r in rows], pa.int64()),
         "n_users": pa.array([r[1] for r in rows], pa.int64()),
@@ -1788,10 +1862,14 @@ def events_value_gini(sf_dir: str, n_buckets: int = 64):
     unchanged. Both moments are EXACT integers, the float is ONE
     division (repo rule).
 
-    Shape: per-user totals via one bucketed sum (user-bounded result),
-    rank moments folded driver-side over the user-bounded table — the
-    same budget class as degree_map; the fact table is never sorted."""
+    Shape (scale-safe, no user-scale driver fold): per-user totals via
+    one bucketed sum (user-bounded result); the rank moment Σ i*v_i comes
+    from ``quantiles.sorted_rank_weight_sum`` — one distributed sort of
+    the totals table plus batch-bounded partials reassembled by contiguous
+    (min, max) range, so driver state is one row per batch, never the
+    user stream."""
     from ..functions.bucketing import bucketed_sum
+    from ..functions.quantiles import sorted_rank_weight_sum
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "value"])
@@ -1802,17 +1880,15 @@ def events_value_gini(sf_dir: str, n_buckets: int = 64):
 
     totals = bucketed_sum(ev.map_batches(prep, batch_format="pandas"),
                           ["user_id"], "vc", n_buckets=n_buckets)
-    df = pd.DataFrame(totals.take_all())  # user-bounded, never fact-scale
-    if len(df) == 0:
+    n, s0, s1 = sorted_rank_weight_sum(totals, "vc")
+    if n == 0:
         return rd.from_arrow(pa.table({
             "n_users": pa.array([0], pa.int64()),
             "total_cents": pa.array([0], pa.int64()),
             "gini": pa.array([0.0], pa.float64())}))
-    v = np.sort(df["vc"].to_numpy(np.int64))
-    n = len(v)
-    s0 = int(v.sum())
-    s1 = int((np.arange(1, n + 1, dtype=np.int64) * v).sum())
-    gini = (2 * s1 - (n + 1) * s0) / (n * s0)  # ONE division
+    # ONE division, float64(num)/float64(den) like the oracle's
+    # CAST(... AS DOUBLE) / (n * s0)
+    gini = float(2 * s1 - (n + 1) * s0) / float(n * s0)
     return rd.from_arrow(pa.table({
         "n_users": pa.array([n], pa.int64()),
         "total_cents": pa.array([s0], pa.int64()),

@@ -721,40 +721,103 @@ def near_dup_keep_list(docs, threshold: float = 0.8, num_perm: int = 128,
 
 # ------------------------------------------------------- decontamination
 
-def contamination_check(docs, eval_mod: int = 50, window: int = 8,
-                        batch_size: int = 1024, concurrency=(1, 4)):
+EVAL_GRAM_CAP = 50_000_000  # broadcast bound: ~400 MB of uint64 hashes
+
+
+class Decontaminator:
+    """Flags training docs sharing >=1 ``window``-token span with the
+    broadcast eval-gram set. Module-level (state via
+    ``fn_constructor_kwargs``) per the by-reference serialization
+    invariant — see quantiles._HistPartial."""
+
+    def __init__(self, ev_ref, eval_mod, window):
+        import ray
+
+        self.ev = ray.get(ev_ref)  # sorted uint64 eval-gram hashes
+        self.eval_mod = eval_mod
+        self.window = window
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from .text_analysis import window_hashes_numeric
+
+        if self.eval_mod is not None:
+            b = b[b["doc_id"] % self.eval_mod != 0]
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_eval_grams": pd.Series([], dtype="int64")})
+        if len(b) == 0:
+            return empty
+        hs, counts = window_hashes_numeric(b["text"], self.window)
+        if len(hs) == 0:
+            return empty
+        # distinct shared spans per doc: membership via binary search
+        # into the sorted eval set, then per-(doc, gram) dedup
+        idx = np.searchsorted(self.ev, hs)
+        idx[idx == len(self.ev)] = 0
+        member = self.ev[idx] == hs
+        df = pd.DataFrame({
+            "i": np.repeat(np.arange(len(b), dtype=np.int64), counts),
+            "h": hs.view(np.int64),
+        })[member]
+        if len(df) == 0:
+            return empty
+        hits = (df.drop_duplicates().groupby("i", sort=True).size()
+                .rename("n_eval_grams").reset_index())
+        ids = b["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": ids[hits["i"].to_numpy()].astype("int64"),
+            "n_eval_grams": hits["n_eval_grams"].astype("int64"),
+        })
+
+
+def contamination_check(docs, eval_docs=None, eval_mod: int = 50,
+                        window: int = 8, batch_size: int = 1024,
+                        concurrency=(1, 4),
+                        eval_gram_cap: int = EVAL_GRAM_CAP):
     """Benchmark decontamination — the n-gram-overlap screen an LLM
     training pipeline runs before training (GPT-3 appendix C shape): flag
     every training doc sharing at least one ``window``-token span with an
     eval/benchmark set. Output: (doc_id, n_eval_grams) per contaminated
-    non-eval doc, counting DISTINCT shared spans.
+    training doc, counting DISTINCT shared spans.
 
-    Scale shape: an eval set is SMALL BY DEFINITION (a benchmark, not a
-    corpus), so its gram-hash set is computed distributed, collected once
-    (eval-bounded, never corpus-bounded), and broadcast via ``ray.put``;
-    the training stream then maps over it embarrassingly parallel — ZERO
-    shuffles at any corpus size. The eval set here is the deterministic
-    ``doc_id % eval_mod == 0`` slice (stand-in for an external benchmark
-    file). Output exposes only COUNTS (never hash values), so gram hashing
-    is the vectorized batch siphash (``pd.util.hash_array`` — one C call
-    per batch) unconditionally: the oracle's distinct-shared-window counts
+    Scale shape: an eval set is SMALL BY CONTRACT (a benchmark, not a
+    corpus) — pass it as ``eval_docs`` (a Dataset with (doc_id, text));
+    its gram-hash set is computed distributed, collected once
+    (eval-bounded, ``eval_gram_cap``-gated so a corpus-sized table fed by
+    mistake fails LOUDLY instead of flooding the driver), and broadcast
+    via ``ray.put``; the training stream then maps over it embarrassingly
+    parallel — ZERO shuffles at any corpus size. When ``eval_docs`` is
+    None, the deterministic ``doc_id % eval_mod == 0`` slice of ``docs``
+    stands in for the benchmark file (test/oracle mode; its bound is
+    corpus/eval_mod, so production callers should pass a real table).
+    Output exposes only COUNTS (never hash values), so gram hashing is
+    the vectorized batch siphash (``pd.util.hash_array`` — one C call per
+    batch) unconditionally: the oracle's distinct-shared-window counts
     are hash-function-independent."""
     import ray
 
     from .text_analysis import window_hashes_numeric
 
-    def batch_hashes(texts):
-        # numeric rolling windows: no window strings (4x on the winnowing
-        # microbench; output exposes counts only, so hash choice is free)
-        return window_hashes_numeric(texts, window)
+    if eval_docs is None:
+        ev_src = docs.map_batches(
+            lambda b: b[b["doc_id"] % eval_mod == 0],
+            batch_format="pandas", batch_size=batch_size)
+        mod = eval_mod
+    else:
+        ev_src = eval_docs
+        mod = None  # external benchmark: every row of `docs` is training
 
     def eval_grams(b: pd.DataFrame) -> pd.DataFrame:
-        sub = b[b["doc_id"] % eval_mod == 0]
-        hs, _ = batch_hashes(sub["text"])
+        hs, _ = window_hashes_numeric(b["text"], window)
         return pd.DataFrame({"gram": np.unique(hs).view(np.int64)})
 
-    ev_rows = docs.map_batches(eval_grams, batch_format="pandas",
-                               batch_size=batch_size).take_all()
+    ev_rows = ev_src.map_batches(eval_grams, batch_format="pandas",
+                                 batch_size=batch_size).take_all()
+    if len(ev_rows) > eval_gram_cap:
+        raise ValueError(
+            f"eval gram set holds {len(ev_rows)} > cap {eval_gram_cap}: "
+            "the eval side must be benchmark-sized (pass a bounded "
+            "eval_docs table, or raise eval_gram_cap deliberately)")
     # view as uint64 BEFORE unique: sortedness must hold in the dtype
     # searchsorted compares in (int64 order != uint64 order on the top bit)
     ev = np.unique(np.fromiter((r["gram"] for r in ev_rows),
@@ -762,41 +825,11 @@ def contamination_check(docs, eval_mod: int = 50, window: int = 8,
                    .view(np.uint64))
     ev_ref = ray.put(ev)
 
-    class Decontaminator:
-        def __init__(self):
-            self.ev = ray.get(ev_ref)  # sorted uint64 eval-gram hashes
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b[b["doc_id"] % eval_mod != 0]
-            empty = pd.DataFrame({
-                "doc_id": pd.Series([], dtype="int64"),
-                "n_eval_grams": pd.Series([], dtype="int64")})
-            if len(b) == 0:
-                return empty
-            hs, counts = batch_hashes(b["text"])
-            if len(hs) == 0:
-                return empty
-            # distinct shared spans per doc: membership via binary search
-            # into the sorted eval set, then per-(doc, gram) dedup
-            idx = np.searchsorted(self.ev, hs)
-            idx[idx == len(self.ev)] = 0
-            member = self.ev[idx] == hs
-            df = pd.DataFrame({
-                "i": np.repeat(np.arange(len(b), dtype=np.int64), counts),
-                "h": hs.view(np.int64),
-            })[member]
-            if len(df) == 0:
-                return empty
-            hits = (df.drop_duplicates().groupby("i", sort=True).size()
-                    .rename("n_eval_grams").reset_index())
-            ids = b["doc_id"].to_numpy()
-            return pd.DataFrame({
-                "doc_id": ids[hits["i"].to_numpy()].astype("int64"),
-                "n_eval_grams": hits["n_eval_grams"].astype("int64"),
-            })
-
-    return docs.map_batches(Decontaminator, batch_format="pandas",
-                            batch_size=batch_size, concurrency=concurrency)
+    return docs.map_batches(
+        Decontaminator, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"ev_ref": ev_ref, "eval_mod": mod,
+                               "window": window})
 
 
 # ------------------------------------------------------------- edit distance

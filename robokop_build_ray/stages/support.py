@@ -107,17 +107,21 @@ def _pairs_group(group: pd.DataFrame, cap: int) -> pd.DataFrame:
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
-def _pairs_all(d: pd.DataFrame, cap: int) -> pd.DataFrame:
+def _pairs_all(d: pd.DataFrame, cap: int,
+               with_conv: bool = False) -> pd.DataFrame:
     """All within-conversation unordered pairs of a DEDUPED (conv_id,
     entity) frame, fully vectorized across conversations (no per-conv
     Python loop — one bucket of ~10^4 conversations is a handful of numpy
     calls, the repeat+offset pattern of text_analysis.chunk_spans_batch).
     Per conv: entities sorted ascending, truncated to ``cap``, then every
     (i < j) pair — identical output multiset to mapping
-    :func:`_pairs_group` over conversations."""
+    :func:`_pairs_group` over conversations. ``with_conv=True`` carries
+    the originating conv_id onto every emitted pair (the provenance grain
+    :func:`shared_publications_stage` needs)."""
+    cols = (["id_a", "id_b", "conv_id"] if with_conv else ["id_a", "id_b"])
+    empty = pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
     if len(d) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object)})
+        return empty
     d2 = d.sort_values(["conv_id", "entity"], kind="mergesort")
     conv = d2["conv_id"].to_numpy()
     ent = d2["entity"].to_numpy()
@@ -132,17 +136,20 @@ def _pairs_all(d: pd.DataFrame, cap: int) -> pd.DataFrame:
     kc = np.minimum(k, cap)
     if not keep.all():
         ent = ent[keep]
+        conv = conv[keep]
         rank = rank[keep]
     # element at in-conv rank i of a size-kc group leads (kc-1-i) pairs
     m = np.repeat(kc, kc) - 1 - rank
     total = int(m.sum())
     if total == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object)})
+        return empty
     a_idx = np.repeat(np.arange(len(ent), dtype=np.int64), m)
     off = (np.arange(total, dtype=np.int64)
            - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m) + 1)
-    return pd.DataFrame({"id_a": ent[a_idx], "id_b": ent[a_idx + off]})
+    out = {"id_a": ent[a_idx], "id_b": ent[a_idx + off]}
+    if with_conv:
+        out["conv_id"] = conv[a_idx]
+    return pd.DataFrame(out)
 
 
 def _pairs_stage(conv_ent, cap: int, n_buckets: int = 64,
@@ -217,17 +224,17 @@ def shared_publications_stage(canonical, max_entities_per_conv: int = 256,
     conv_ent = conv_entity_stage(canonical)
 
     def conv_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for conv, sub in g.groupby("conv_id", sort=False):
-            p = _pairs_group(sub, max_entities_per_conv)
-            if len(p):
-                p["pub"] = "CONV:" + str(conv)
-                outs.append(p)
-        if not outs:
+        # one vectorized call per bucket (the _pairs_group per-conv loop
+        # retired to the _pairs_all repeat+offset pattern, conv_id carried
+        # onto each pair; output multiset pinned by test_support_pubs)
+        p = _pairs_all(g.drop_duplicates(["conv_id", "entity"]),
+                       max_entities_per_conv, with_conv=True)
+        if not len(p):
             return pd.DataFrame({"id_a": pd.Series([], dtype=object),
                                  "id_b": pd.Series([], dtype=object),
                                  "pub": pd.Series([], dtype=object)})
-        return pd.concat(outs, ignore_index=True)
+        p["pub"] = "CONV:" + p.pop("conv_id").astype(str)
+        return p
 
     pair_rows = bucketed_apply(conv_ent, ["conv_id"], conv_pairs,
                                None, n_buckets)

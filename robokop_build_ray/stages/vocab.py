@@ -1180,15 +1180,21 @@ def distinct_ngrams(docs, n: int = 3, n_buckets: int = 64):
             return empty
         tok = np.asarray(flat.to_numpy(), dtype=object)
         di = np.repeat(np.arange(len(b), dtype=np.int64), lens)
-        ok = di[: -(n - 1)] == di[n - 1:]  # all n positions in one doc
-        if not ok.any():
-            return empty
-        grams = tok[: -(n - 1)][ok]
-        for j in range(1, n):
-            shifted = tok[j: len(tok) - (n - 1) + j] if j < n - 1 \
-                else tok[n - 1:]
-            grams = grams + " " + shifted[ok]
-        src = b["source"].to_numpy()[di[: -(n - 1)][ok]]
+        if n == 1:
+            # unigrams: every token is a gram (the n>=2 slice arithmetic
+            # would compute tok[:-(0)] == tok[:0] and emit nothing)
+            grams = tok
+            src = b["source"].to_numpy()[di]
+        else:
+            ok = di[: -(n - 1)] == di[n - 1:]  # all n positions in one doc
+            if not ok.any():
+                return empty
+            grams = tok[: -(n - 1)][ok]
+            for j in range(1, n):
+                shifted = tok[j: len(tok) - (n - 1) + j] if j < n - 1 \
+                    else tok[n - 1:]
+                grams = grams + " " + shifted[ok]
+            src = b["source"].to_numpy()[di[: -(n - 1)][ok]]
         out = pd.DataFrame({"source": src, "gram": grams})
         return (out.groupby(["source", "gram"], sort=False).size()
                 .rename("c").reset_index())
@@ -1321,6 +1327,10 @@ def source_vocab_jaccard(docs, n_buckets: int = 64):
                  for r in agg[agg["src_a"] == agg["src_b"]]
                  .itertuples(index=False)}
         pairs = agg[agg["src_a"] != agg["src_b"]]
+        # vocabulary-disjoint pairs (zero shared terms) are absent from the
+        # oracle's inner join on term — drop them so engine and oracle agree
+        # even when two sources share no vocabulary at all
+        pairs = pairs[pairs["n_common"].astype("int64") > 0]
         if len(pairs) == 0:
             return empty
         na = pairs["src_a"].map(sizes).fillna(0).astype(np.int64)

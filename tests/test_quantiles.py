@@ -55,6 +55,68 @@ def test_grouped_exact_ranks_duplicate_heavy_group():
     assert got[("x", "q50")] == 3.5
 
 
+def test_sorted_rank_weight_sum_matches_numpy(ray_session):
+    """The distributed Gini rank moment (sort + contiguous-batch partials
+    reassembled on (min, max)) equals the straight numpy fold, tie-heavy
+    and multi-block included."""
+    from robokop_build_ray.functions.quantiles import sorted_rank_weight_sum
+
+    rng = np.random.default_rng(23)
+    for n, tie_span in ((1, 1), (7, 2), (500, 10), (1000, 3)):
+        vals = rng.integers(0, tie_span * 7, size=n).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"vc": vals})).repartition(7)
+        got = sorted_rank_weight_sum(ds, "vc")
+        v = np.sort(vals)
+        want = (n, int(v.sum()),
+                int(np.dot(np.arange(1, n + 1, dtype=np.int64), v)))
+        assert got == want, (n, tie_span, got, want)
+    empty = rd.from_pandas(
+        pd.DataFrame({"vc": pd.Series([], dtype="int64")}))
+    assert sorted_rank_weight_sum(empty, "vc") == (0, 0, 0)
+
+
+def test_events_lorenz_forced_histogram_path(ray_session, tmp_path):
+    """events_lorenz's decile boundaries resolve identically through the
+    collect path and the forced iterative-histogram path (collect_cap=0 —
+    the 100x-scale shape), pinned against a driver-side ntile fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from robokop_build_ray.pipelines.relational import _cents, events_lorenz
+
+    rng = np.random.default_rng(31)
+    n_ev = 4000
+    users = rng.integers(0, 137, size=n_ev).astype(np.int64)
+    value = np.round(rng.exponential(20.0, size=n_ev), 2)
+    pq.write_table(pa.table({"user_id": users, "value": value}),
+                   str(tmp_path / "events.parquet"))
+
+    rows = sorted(
+        (tuple(r.values()) for r in
+         events_lorenz(str(tmp_path), collect_cap=0).take_all()))
+    rows_easy = sorted(
+        (tuple(r.values()) for r in
+         events_lorenz(str(tmp_path)).take_all()))
+    assert rows == rows_easy
+
+    df = pd.DataFrame({"user_id": users, "vc": _cents(value)})
+    tot = (df.groupby("user_id", as_index=False)["vc"].sum()
+           .sort_values(["vc", "user_id"], kind="mergesort"))
+    v = tot["vc"].to_numpy(np.int64)
+    n = len(v)
+    total = int(v.sum())
+    base, rem = divmod(n, 10)
+    sizes = [base + 1] * rem + [base] * (10 - rem)
+    want, pos = [], 0
+    for d, sz in enumerate(sizes, start=1):
+        if sz == 0:
+            continue
+        seg = int(v[pos:pos + sz].sum())
+        want.append((d, sz, seg, float(seg) / float(total)))
+        pos += sz
+    assert rows == sorted(want)
+
+
 def test_weighted_prefix_cut_matches_bruteforce(ray_session):
     import ray.data as rd
 

@@ -142,6 +142,12 @@ def test_distinct_ngrams_diversity(tmp_path):
     assert list(out["total_ngrams"]) == [4, 2]
     assert list(out["distinct_ngrams"]) == [3, 1]
     assert abs(out["diversity"][0] - 0.75) < 1e-12
+    # unigram edge case (the n>=2 slice arithmetic would emit nothing):
+    # srcA has 6 tokens 3 distinct, srcB 6 tokens 3 distinct
+    uni = (distinct_ngrams(docs, n=1).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert list(uni["total_ngrams"]) == [6, 6]
+    assert list(uni["distinct_ngrams"]) == [3, 3]
 
 
 def test_source_vocab_jaccard(tmp_path):

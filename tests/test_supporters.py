@@ -111,6 +111,39 @@ def test_pairs_all_matches_per_conv_reference():
     assert len(empty) == 0 and list(empty.columns) == ["id_a", "id_b"]
 
 
+def test_pairs_all_with_conv_matches_per_conv_reference():
+    """with_conv=True (the shared_publications grain) emits exactly the
+    per-conversation reference multiset with the owning conv_id on every
+    pair — the conv_pairs loop-retirement equivalence pin."""
+    import numpy as np
+    import pandas as pd
+
+    from robokop_build_ray.stages.support import _pairs_all, _pairs_group
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        rows = []
+        for c in range(int(rng.integers(1, 25))):
+            for e in rng.choice(15, size=int(rng.integers(0, 12)),
+                                replace=True):
+                rows.append({"conv_id": f"c{c}", "entity": f"E{e}"})
+        if not rows:
+            continue
+        d = pd.DataFrame(rows).drop_duplicates()
+        cap = int(rng.integers(1, 8))
+        got = sorted(map(tuple,
+                         _pairs_all(d, cap, with_conv=True).to_numpy()))
+        want = sorted(
+            (a, b, conv)
+            for conv, sub in d.groupby("conv_id")
+            for a, b in _pairs_group(sub, cap).to_numpy())
+        assert got == want
+    empty = _pairs_all(pd.DataFrame({"conv_id": [], "entity": []}), 5,
+                       with_conv=True)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["id_a", "id_b", "conv_id"]
+
+
 def test_turn_window_pairs_hand_values():
     import ray.data as rd
 

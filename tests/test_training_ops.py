@@ -766,6 +766,31 @@ def test_contamination_check_planted():
     assert 0 not in got and 50 not in got  # eval docs never self-flag
 
 
+def test_contamination_check_external_eval_table():
+    """The production contract: eval grams come from a SEPARATE bounded
+    benchmark table; every row of the training stream is screened (no id
+    carve-out) and the gram-cap gate fails loudly on an oversized eval."""
+    import pytest
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    train = rd.from_items([
+        {"doc_id": 0, "text": f"id zero is training here {span} yes"},
+        {"doc_id": 50, "text": f"fifty is training too {span} indeed"},
+        {"doc_id": 2, "text": "clean doc with none of those words at all"},
+    ])
+    evals = rd.from_items([{"doc_id": 9000, "text": f"bench {span} item"}])
+    got = {r["doc_id"]: r["n_eval_grams"]
+           for r in dedup.contamination_check(
+               train, eval_docs=evals, window=8).take_all()}
+    # ids 0 and 50 would be carved out under eval_mod=50 slicing; with an
+    # external eval table they are training docs and get flagged
+    assert got.get(0, 0) >= 1 and got.get(50, 0) >= 1
+    assert 2 not in got
+    with pytest.raises(ValueError, match="eval gram set"):
+        dedup.contamination_check(train, eval_docs=evals, window=8,
+                                  eval_gram_cap=1).take_all()
+
+
 def test_pack_assignments_hand_values():
     """Packing with budget 256: doc token counts 100+100+100 straddle the
     first boundary at the third doc; a zero-token doc holds zero span."""
