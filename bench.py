@@ -86,12 +86,27 @@ def run_bench() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    from robokop_build_ray.functions.ray_utils import local_init_kwargs
+
+    ray.init(address="local", num_cpus=num_cpus, ignore_reinit_error=True,
+             logging_level="ERROR", **local_init_kwargs())
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # A/B knob (round-3 verdict #5): GRAFT_SHUFFLE_STRATEGY=hash swaps
+    # every Dataset exchange (repartition / groupby) onto Ray's
+    # hash-shuffle implementation so the bucketed pattern can be measured
+    # under both strategies; unset = Ray's default sort shuffle, the
+    # strategy every recorded perf finding was measured under
+    shuffle = os.environ.get("GRAFT_SHUFFLE_STRATEGY")
+    if shuffle:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = {
+            "hash": ShuffleStrategy.HASH_SHUFFLE,
+            "sort_push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+        }[shuffle]
     from robokop_build_ray.functions.ray_utils import silence_empty_block_schema_warnings
     silence_empty_block_schema_warnings()
 
@@ -169,6 +184,7 @@ def run_bench() -> dict:
         "queries": phases,
         "sf": float(tier_of(sf_dir).removeprefix("sf")),
         "num_cpus": num_cpus,
+        **({"shuffle_strategy": shuffle} if shuffle else {}),
         "rows": n_rows,
         "triples": n_triples,
         "rows_per_sec": round(n_rows / total, 1),

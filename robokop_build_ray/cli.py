@@ -180,8 +180,10 @@ def main(argv: list[str] | None = None) -> int:
         kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
         if getattr(args, "address", "local") != "local":
             kw.pop("num_cpus", None)  # cluster resources are the cluster's
+        from .functions.ray_utils import local_init_kwargs
+
         ray.init(address=getattr(args, "address", "local"),
-                 include_dashboard=False, logging_level="ERROR", **kw)
+                 logging_level="ERROR", **kw, **local_init_kwargs())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -39,6 +39,37 @@ def silence_empty_block_schema_warnings() -> None:
     ).addFilter(_F())
 
 
+def local_init_kwargs() -> dict:
+    """Shared kwargs for every entry point that OWNS a Ray session
+    (bench.py, cli.py, tests, drive_contract — never the library).
+
+    The ``worker_process_setup_hook`` imports the package — installing the
+    empty-block and schema-hash logging filters — in EVERY worker process,
+    including pure read/shuffle workers that never deserialize a repo UDF
+    (a ``ReadParquet`` task on pandas-written parquet hits the
+    unhashable-schema warning before any user code runs, so the
+    import-time install alone cannot reach it). The hook is a CLOSURE
+    (cloudpickled by value) carrying the repo root: it executes before the
+    worker can resolve repo modules, so a module-level hook function would
+    itself fail to import."""
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    def _hook(_root=repo_root):
+        import sys
+
+        if _root not in sys.path:
+            sys.path.insert(0, _root)
+        import robokop_build_ray  # noqa: F401  (import side effect)
+
+    return {
+        "include_dashboard": False,
+        "runtime_env": {"worker_process_setup_hook": _hook},
+    }
+
+
 def rename(ds, mapping: dict[str, str]):
     """Rename columns via an Arrow map_batches — unlike
     ``Dataset.rename_columns``, this works regardless of whether upstream

@@ -179,8 +179,12 @@ def build_graph(
         canonical = canonical.materialize()
         if timings is not None:
             timings["extract_link_canonicalize"] = round(_time.time() - _t0, 3)
+    # exchange-width knob for the bench A/B (round-3 verdict #7): the
+    # 64-bucket constant was tuned at round-1 throughput; GRAFT_N_BUCKETS
+    # lets a bench window re-measure it without a code edit
+    _nb = int(os.environ.get("GRAFT_N_BUCKETS", "64"))
     nodes = nodes_stage(canonical, state.nodeinfo_ref)
-    edges = edges_stage(canonical)
+    edges = edges_stage(canonical, n_buckets=_nb)
     # the support stage computes its marginal broadcast eagerly (it replays
     # the upstream chain), so it is built only when asked for
     n_convs = None
@@ -201,7 +205,8 @@ def build_graph(
 
         def _mk_support():
             _t0 = _time.time()
-            s = support_stage(canonical, n_convs, max_entities_per_conv)
+            s = support_stage(canonical, n_convs, max_entities_per_conv,
+                              n_buckets=_nb)
             if timings is not None:
                 timings["support_build"] = round(_time.time() - _t0, 3)
             return s

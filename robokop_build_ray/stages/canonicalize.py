@@ -274,7 +274,8 @@ def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
     )
 
 
-def edges_stage(canonical, batch_size: int = 16_384):
+def edges_stage(canonical, batch_size: int = 16_384,
+                n_buckets: int = 64):
     """Edge dedup/aggregation by (subj, pred, obj): per-batch projection ->
     ONE bucketed exchange (64 buckets) -> one vectorized merge per bucket.
     A bucket only sees its own key range so the merge is exact.
@@ -285,5 +286,5 @@ def edges_stage(canonical, batch_size: int = 16_384):
 
     return bucketed_apply(
         canonical, _EDGE_KEYS, _edge_merge_bucket, _edge_partial,
-        n_buckets=64, batch_size=batch_size,
+        n_buckets=n_buckets, batch_size=batch_size,
     )

@@ -138,7 +138,8 @@ def conversation_dedup(transcripts, n_buckets: int = 64,
 WINNOW_K = 4       # tokens per k-gram
 WINNOW_W = 4       # grams per winnow window
 WINNOW_MIN_SHARED = 2
-WINNOW_BUCKET_CAP = 200
+WINNOW_BUCKET_CAP = 200  # SPEC: mirrored by the dedup_winnow_pairs oracle
+# (__ray_entry__ `sel` CTE, rk <= 200) — change both together
 
 
 def _winnow_doc_fps(toks: list[str], parity: bool) -> list:

@@ -8,12 +8,14 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    from robokop_build_ray.functions.ray_utils import local_init_kwargs
+
     ray.init(
         address="local",
         num_cpus=4,
-        include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **local_init_kwargs(),
     )
     from ray.data import DataContext
 

@@ -99,8 +99,11 @@ def main() -> int:
 
     import ray
 
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+    sys.path.insert(0, ".")
+    from robokop_build_ray.functions.ray_utils import local_init_kwargs
+
+    ray.init(address="local", num_cpus=8, ignore_reinit_error=True,
+             logging_level="ERROR", **local_init_kwargs())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
