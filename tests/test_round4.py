@@ -75,6 +75,93 @@ def test_path_scoped_pairs_matches_reference_walk(ray_session):
                              sorted(got ^ want))
 
 
+def test_support_coded_path_equivalence(ray_session):
+    """The int32-coded support fast path (ConvEntityEncoder +
+    _fused_conv_merge_coded + fused _SumScoreBucket) emits EXACTLY the
+    string path's scored rows — including cap behavior, which depends on
+    entity sort order (int code order == lex order by construction)."""
+    from robokop_build_ray.stages.support import support_stage
+
+    rng = np.random.default_rng(13)
+    ents = sorted(f"E:{chr(65 + i)}{i}" for i in range(17))
+    rows = []
+    for c in range(60):
+        for _ in range(int(rng.integers(1, 12))):
+            s, o = rng.choice(len(ents), size=2, replace=False)
+            rows.append({"conv_id": f"c{c}", "turn_idx": 0,
+                         "subj_id": ents[s], "obj_id": ents[o]})
+    canonical = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    codes_ref = ray.put({e: i for i, e in enumerate(ents)})
+
+    def table(ds):
+        return sorted(
+            tuple(r.values())
+            for r in ds.take_all())
+
+    # cap=3 exercises the lexicographic-first truncation on both paths
+    a = table(support_stage(canonical, 60, max_entities_per_conv=3,
+                            n_buckets=8))
+    b = table(support_stage(canonical, 60, max_entities_per_conv=3,
+                            n_buckets=8, entity_codes_ref=codes_ref))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_linker_arrow_matches_pandas_reference(ray_session):
+    """The arrow-native EntityLinker (dictionary-encode + take, rare
+    multi-id cartesian branch) emits exactly the multiset the original
+    pandas double-explode produced — including multi-CURIE surfaces,
+    unmatched drops, and fused canonicalization."""
+    import pyarrow as pa
+
+    from robokop_build_ray.stages.link import EntityLinker
+
+    lexicon = {
+        "aspirin": ("CHEBI:1",),
+        "ibuprofen": ("CHEBI:2", "MESH:2"),   # multi-source union
+        "tylenol": ("CHEBI:3", "MESH:3", "X:3"),
+        "headache": ("HP:1",),
+    }
+    canon = {"MESH:2": "CHEBI:2", "X:3": "CHEBI:3"}
+    rng = np.random.default_rng(3)
+    surfaces = ["Aspirin", "Ibuprofen", "Tylenol", "Headache", "nonsense"]
+    rows = {
+        "conv_id": [], "turn_idx": [], "subj": [], "pred": [], "obj": [],
+    }
+    for i in range(400):
+        rows["conv_id"].append(f"c{i % 7}")
+        rows["turn_idx"].append(i)
+        rows["subj"].append(surfaces[rng.integers(len(surfaces))])
+        rows["pred"].append("treats")
+        rows["obj"].append(surfaces[rng.integers(len(surfaces))])
+    batch = pa.table({**{k: pa.array(v) for k, v in rows.items()},
+                      "turn_idx": pa.array(rows["turn_idx"], pa.int32())})
+
+    def reference(df: pd.DataFrame, linker) -> list[tuple]:
+        uniq = pd.unique(np.concatenate([df["subj"].values,
+                                         df["obj"].values]))
+        table = {s: linker._ids_for(s) for s in uniq}
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"].values,
+            "turn_idx": df["turn_idx"].values,
+            "subj_id": df["subj"].map(table),
+            "pred_id": "PRED:" + df["pred"],
+            "obj_id": df["obj"].map(table),
+        })
+        out = out.explode("subj_id", ignore_index=True)
+        out = out.explode("obj_id", ignore_index=True)
+        out = out.dropna(subset=["subj_id", "obj_id"])
+        return sorted(map(tuple, out.to_numpy()))
+
+    for canon_ref in (None, ray.put(canon)):
+        linker = EntityLinker(ray.put(lexicon), canon_ref=canon_ref)
+        got = sorted(map(tuple, linker(batch).to_pandas().to_numpy()))
+        ref = EntityLinker(ray.put(lexicon), canon_ref=canon_ref)
+        want = reference(batch.to_pandas(), ref)
+        assert got == want
+        assert len(got) > 400  # multi-id surfaces exploded
+
+
 def test_path_scoped_pairs_two_positions(ray_session):
     from robokop_build_ray.pipelines.kg_build import path_scoped_pairs
 
