@@ -826,11 +826,19 @@ def contamination_check(docs, eval_docs=None, eval_mod: int = 50,
                    .view(np.uint64))
     ev_ref = ray.put(ev)
 
+    import ray.data as _rd
+
+    # typed empty seed: a clean corpus yields ZERO flagged docs, and an
+    # all-empty pandas-block result loses its schema (repo zero-row rule)
+    seed = _rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_eval_grams": pa.array([], pa.int64()),
+    }))
     return docs.map_batches(
         Decontaminator, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"ev_ref": ev_ref, "eval_mod": mod,
-                               "window": window})
+                               "window": window}).union(seed)
 
 
 # ------------------------------------------------------------- edit distance
