@@ -2401,9 +2401,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return 4
 
     out: dict[str, Callable[[str], Any]] = {}
+    # round-4 additions lead (the session-J/K precedent: newest operators
+    # land inside a ~50-query driver budget)
+    for k in ("kg_support_path_scoped", "doc_decontaminate_ext"):
+        if k in fresh:
+            out[k] = fresh[k]
     for tier in range(5):
         for k, v in fresh.items():
-            if _prio(k) == tier:
+            if _prio(k) == tier and k not in out:
                 out[k] = v
     for k, v in q.items():
         if k in checked:
