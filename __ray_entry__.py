@@ -2248,6 +2248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5,
             checkpoint_dir=_ckpt(sf, "minhash_p128"),
         ).select_columns(["id_a", "id_b"]),
+        # incremental near-dup: LSH pairs touching the new shard only
+        # (incremental_dedup's sketch-grain sibling)
+        "dedup_incremental_lsh": lambda sf: dedup.incremental_lsh_pairs(
+            _docs(sf), mod=3, threshold=0.5,
+            checkpoint_dir=_ckpt(sf, "minhash_p128"),
+        ).select_columns(["id_a", "id_b"]),
         "dedup_simhash": lambda sf: dedup.simhash_pairs(
             _docs(sf), max_hamming=3
         ).select_columns(["id_a", "id_b"]),
@@ -2403,7 +2409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     # round-4 additions lead (the session-J/K precedent: newest operators
     # land inside a ~50-query driver budget)
-    for k in ("kg_support_path_scoped", "doc_decontaminate_ext"):
+    for k in ("kg_support_path_scoped", "doc_decontaminate_ext",
+              "dedup_incremental_lsh"):
         if k in fresh:
             out[k] = fresh[k]
     for tier in range(5):
@@ -3060,6 +3067,7 @@ SELECT query_id, neighbor_id, rank FROM (
         # LSH/sketch dedup family: SQL recomputes banding/blocking/verify
         # from deterministic signature tables (see entry_sql.ensure_dedup_aux)
         "dedup_minhash_lsh": entry_sql.sql_dedup_minhash_lsh(t),
+        "dedup_incremental_lsh": entry_sql.sql_dedup_incremental_lsh(t),
         "dedup_simhash": entry_sql.sql_dedup_simhash(t),
         "dedup_ngram_jaccard": entry_sql.sql_dedup_ngram_jaccard(),
         "dedup_prefix_jaccard": entry_sql.sql_dedup_prefix_jaccard(),

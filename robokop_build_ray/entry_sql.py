@@ -1250,6 +1250,18 @@ def sql_dedup_minhash_lsh(tier: str, threshold: float = 0.5,
             "SELECT id_a, id_b FROM mh_pairs")
 
 
+def sql_dedup_incremental_lsh(tier: str, mod: int = 3,
+                              threshold: float = 0.5,
+                              bands: int = 32) -> str:
+    """Oracle for dedup.incremental_lsh_pairs: the full minhash pair set
+    restricted to pairs touching the new shard (doc_id % mod == 0) —
+    candidate-generation pruning cannot change which qualifying pairs
+    exist, so the filter on the complete pair set is exact."""
+    return (f"WITH {_minhash_pair_ctes(tier, threshold, bands)[1:]}\n"
+            f"SELECT id_a, id_b FROM mh_pairs "
+            f"WHERE id_a % {mod} = 0 OR id_b % {mod} = 0")
+
+
 def sql_dedup_lsh_eval(tier: str) -> str:
     """Oracle for the LSH-vs-exact dedup quality eval: minhash pairs
     from the signature tables, truth from the exact all-pairs Jaccard

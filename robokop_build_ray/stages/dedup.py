@@ -422,6 +422,101 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def _bucket_pairs_touching_new(g: pd.DataFrame, mod: int,
+                               cap: int = 200) -> pd.DataFrame:
+    """Bucket pairs restricted to those TOUCHING the new shard
+    (doc_id % mod == 0) — base-vs-base pairs are never generated, so
+    per-bucket cost is |new| x |bucket|, not |bucket|^2."""
+    uniq = np.sort(g["doc_id"].unique())
+    if len(uniq) > cap:
+        import warnings
+
+        warnings.warn(
+            f"LSH bucket holds {len(uniq)} docs > cap {cap}; candidate "
+            f"pairs truncated to the {cap} smallest doc_ids",
+            stacklevel=2)
+    ids = uniq[:cap]
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ia, ib = ids[ii], ids[jj]
+    m = (ia % mod == 0) | (ib % mod == 0)
+    return pd.DataFrame({"id_a": ia[m], "id_b": ib[m]})
+
+
+def incremental_lsh_pairs(docs, mod: int = 3, threshold: float = 0.5,
+                          num_perm: int = 128, bands: int = 32,
+                          checkpoint_dir: str | None = None):
+    """Incremental NEAR-dup discovery — :func:`incremental_dedup`'s
+    sketch-grain sibling (the nightly-crawl LSH pattern): docs with
+    ``doc_id % mod == 0`` are the NEW shard; candidate pairs are
+    restricted to those touching it (new-vs-base and new-vs-new), since
+    base-vs-base near-dups are already known to the snapshot. Output:
+    (id_a, id_b, est_jaccard) with signature-estimated Jaccard >=
+    ``threshold`` and at least one new side.
+
+    Scale shape identical to :func:`minhash_lsh_pairs` — signatures
+    lineage-checkpointed via ``checkpoint_dir`` (resumable; in
+    production the BASE signatures are the prior run's checkpoint, so
+    only the new shard hashes text), banded candidate buckets with the
+    same cap-and-warn contract, bucketed-attach verification."""
+    rows = num_perm // bands
+    sigs = _checkpointed(minhash_signatures(docs, num_perm),
+                         checkpoint_dir, inputs=["documents"])
+    band_ds = sigs().map_batches(
+        lambda t: _band_rows(t, bands, rows), batch_format="pyarrow"
+    )
+    from ..functions.bucketing import (
+        bucketed_attach,
+        bucketed_distinct,
+        bucketed_group_pairs,
+    )
+
+    cand = bucketed_distinct(
+        bucketed_group_pairs(
+            band_ds, ["band_id", "band_hash"],
+            lambda g: _bucket_pairs_touching_new(g, mod)),
+        ["id_a", "id_b"],
+    )
+    joined = bucketed_attach(
+        cand, sigs(), "id_a", "doc_id", ["id_a", "id_b"], {"sig": "sig_a"},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sig_a": object},
+    )
+    joined = bucketed_attach(
+        joined, sigs(), "id_b", "doc_id", ["id_a", "id_b", "sig_a"],
+        {"sig": "sig_b"}, left_fill={"sig_a": b""},
+        empty_dtypes={"id_a": "int64", "id_b": "int64", "sig_a": object,
+                      "sig_b": object},
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([],
+                                                          dtype="float64")})
+        a = np.stack([np.frombuffer(x, dtype=np.uint64)
+                      for x in batch["sig_a"]])
+        b = np.stack([np.frombuffer(x, dtype=np.uint64)
+                      for x in batch["sig_b"]])
+        est = (a == b).mean(axis=1)
+        out = pd.DataFrame(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"],
+             "est_jaccard": est}
+        )
+        return out[out["est_jaccard"] >= threshold]
+
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }))
+    return joined.map_batches(verify, batch_format="pandas").union(seed)
+
+
 # ---------------------------------------------------------------- ngram exact
 
 def ngram_jaccard_pairs(docs, threshold: float = 0.5, shingle_n: int = 3,

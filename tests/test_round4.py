@@ -107,6 +107,31 @@ def test_support_coded_path_equivalence(ray_session):
     assert len(a) > 0
 
 
+def test_incremental_lsh_touching_new_only(ray_session):
+    """incremental_lsh_pairs emits exactly the minhash_lsh_pairs subset
+    touching the new shard — base-vs-base near-dups never appear."""
+    from robokop_build_ray.stages import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"doc_id": 1, "text": base},                      # base
+        {"doc_id": 2, "text": base + " extra"},           # base near-dup of 1
+        {"doc_id": 3, "text": base + " tail words"},      # new (3 % 3 == 0)
+        {"doc_id": 6, "text": "completely different text about ray data"},
+        {"doc_id": 4, "text": "unrelated filler content nothing shared"},
+    ]
+    ds = rd.from_items(rows)
+    full = {(r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(ds, threshold=0.5).take_all()}
+    inc = {(r["id_a"], r["id_b"])
+           for r in dedup.incremental_lsh_pairs(ds, mod=3,
+                                                threshold=0.5).take_all()}
+    want = {p for p in full if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert inc == want
+    assert (1, 2) in full and (1, 2) not in inc  # base-base excluded
+    assert any(3 in p for p in inc)              # new doc's dup found
+
+
 def test_linker_arrow_matches_pandas_reference(ray_session):
     """The arrow-native EntityLinker (dictionary-encode + take, rare
     multi-id cartesian branch) emits exactly the multiset the original
