@@ -1972,6 +1972,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_filtered_2hop": _kg_path_filtered_2hop,
         # path-position-scoped support candidates (generate_links_from_paths)
         "kg_support_path_scoped": _kg_support_path_scoped,
+        # 4-position variant: the general-k driver-walk path (SGPD)
+        "kg_support_path_scoped4": lambda sf: _kg_support_path_scoped(
+            sf, path="SGPD"),
         # --start anchoring: DSL filter x BFS hop gate from a named node
         "kg_path_anchored": _kg_path_anchored,
         "part_skyline": rel.part_skyline,
@@ -2409,8 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     # round-4 additions lead (the session-J/K precedent: newest operators
     # land inside a ~50-query driver budget)
-    for k in ("kg_support_path_scoped", "doc_decontaminate_ext",
-              "dedup_incremental_lsh"):
+    for k in ("kg_support_path_scoped", "kg_support_path_scoped4",
+              "doc_decontaminate_ext", "dedup_incremental_lsh"):
         if k in fresh:
             out[k] = fresh[k]
     for tier in range(5):
@@ -2672,6 +2675,7 @@ FROM read_parquet('{corpus_paths(t)["media"]}')""",
         "kg_path_filtered": entry_sql.sql_path_filtered(t),
         "kg_path_filtered_2hop": entry_sql.sql_path_filtered_2hop(t),
         "kg_support_path_scoped": entry_sql.sql_support_path_scoped(t),
+        "kg_support_path_scoped4": entry_sql.sql_support_path_scoped4(t),
         "kg_path_anchored": entry_sql.sql_path_anchored(t),
         "q1_pricing_summary": rel.sql_q1(),
         "q3_top_orders": rel.sql_q3(),

@@ -524,6 +524,52 @@ allp AS (
 SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b FROM allp"""
 
 
+def sql_support_path_scoped4(tier: str) -> str:
+    """Oracle for the 4-position path-scoped pairs (``SGPD``: chemical -
+    gene - biological_process - disease, all DISTINCT types so a node
+    occupies exactly one position and the reference's ancestor
+    accumulation reduces to join chains): per-position typed edge
+    relations e1/e2/e3 (each leg constrained to REACHED sources), pairs =
+    every (position j, position i>j) join-chain projection, distinct
+    under least/greatest. CTEs referenced by several arms are
+    MATERIALIZED (DuckDB re-derives plain CTEs per reference — the
+    sql_ktruss lesson)."""
+    p = corpus_paths(tier)
+    t0, t1, t2, t3 = ("chemical_substance", "gene", "biological_process",
+                      "disease")
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+{_UND_CTES},
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}')),
+e1 AS MATERIALIZED (
+  SELECT a.id AS v0, a.nb AS v1 FROM adj a
+  JOIN ty x ON x.curie = a.id AND x.node_type = '{t0}'
+  JOIN ty y ON y.curie = a.nb AND y.node_type = '{t1}'
+),
+e2 AS MATERIALIZED (
+  SELECT a.id AS v1, a.nb AS v2 FROM adj a
+  JOIN ty x ON x.curie = a.id AND x.node_type = '{t1}'
+  JOIN ty y ON y.curie = a.nb AND y.node_type = '{t2}'
+  WHERE a.id IN (SELECT v1 FROM e1)
+),
+e3 AS MATERIALIZED (
+  SELECT a.id AS v2, a.nb AS v3 FROM adj a
+  JOIN ty x ON x.curie = a.id AND x.node_type = '{t2}'
+  JOIN ty y ON y.curie = a.nb AND y.node_type = '{t3}'
+  WHERE a.id IN (SELECT v2 FROM e2)
+),
+allp AS (
+  SELECT v0 AS x, v1 AS y FROM e1
+  UNION ALL SELECT v1, v2 FROM e2
+  UNION ALL SELECT v2, v3 FROM e3
+  UNION ALL SELECT e1.v0, e2.v2 FROM e1 JOIN e2 USING (v1)
+  UNION ALL SELECT e2.v1, e3.v3 FROM e2 JOIN e3 USING (v2)
+  UNION ALL SELECT e1.v0, e3.v3
+            FROM e1 JOIN e2 USING (v1) JOIN e3 USING (v2)
+)
+SELECT DISTINCT least(x, y) AS id_a, greatest(x, y) AS id_b
+FROM allp WHERE x <> y"""
+
+
 def sql_support_pubs(tier: str, cap: int = 256,
                      pub_cap: int = 10_000) -> str:
     """Shared-provenance supporter oracle (`builder/omnicorp.py:14-32`

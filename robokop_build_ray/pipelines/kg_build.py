@@ -425,9 +425,8 @@ def path_scoped_pairs(canonical, path: str, nodeinfo_ref,
         raise ValueError(
             "path_scoped_pairs takes direct hops only; compose "
             "path_filter_varlen upstream for var-length legs")
-    if len(steps) not in (2, 3):
-        raise ValueError("path_scoped_pairs supports 2- or 3-position "
-                         f"paths, got {len(steps)} in {path!r}")
+    if len(steps) < 2:
+        raise ValueError(f"path {path!r} has fewer than two positions")
 
     info = _ray.get(nodeinfo_ref)
     types = {k: v[1] for k, v in info.items()}
@@ -443,6 +442,40 @@ def path_scoped_pairs(canonical, path: str, nodeinfo_ref,
 
     _empty = {"id_a": pd.Series([], dtype=object),
               "id_b": pd.Series([], dtype=object)}
+
+    seed_tbl = pa.table({"id_a": pa.array([], pa.string()),
+                         "id_b": pa.array([], pa.string())})
+    if len(steps) > 3:
+        # GENERAL-k: the literal reference walk (`builder.py:379-405`)
+        # over the DISTINCT undirected edge set — entity-bounded (the
+        # gazetteer-component universe, the same driver budget
+        # path_filter_varlen's neighbor fold already relies on); ancestor
+        # sets are at most entities^2. The 2/3-position fast paths below
+        # stay fully distributed (and are proven equivalent to this loop
+        # by tests/test_round4.py's reference-walk pin).
+        nbrs: dict[str, set] = {}
+        for r in und.take_all():  # entity-pair-bounded collect
+            nbrs.setdefault(r["a"], set()).add(r["b"])
+            nbrs.setdefault(r["b"], set()).add(r["a"])
+        ancestors: dict[str, set] = {}
+        current = {n for n in nbrs if types.get(n, "") in tsets[0]}
+        for ts in tsets[1:]:
+            nxt: set = set()
+            for node in current:
+                for other in nbrs.get(node, ()):
+                    if types.get(other, "") in ts:
+                        anc = ancestors.setdefault(other, set())
+                        anc.add(node)
+                        anc.update(ancestors.get(node, ()))
+                        nxt.add(other)
+            current = nxt
+        out = sorted({(min(a, k), max(a, k))
+                      for k, anc in ancestors.items()
+                      for a in anc if a != k})
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([p[0] for p in out], pa.string()),
+            "id_b": pa.array([p[1] for p in out], pa.string()),
+        }) if out else seed_tbl)
 
     if len(steps) == 2:
         t0, t1 = tsets

@@ -107,6 +107,71 @@ def test_support_coded_path_equivalence(ray_session):
     assert len(a) > 0
 
 
+def test_path_scoped_pairs_general_k_matches_reference_walk(ray_session):
+    """The general-k (>3 positions) driver-walk branch equals the literal
+    reference loop — including WILDCARD positions, where a node can sit
+    at multiple path positions and ancestor sets accumulate across them
+    (the case the join-chain oracle cannot express)."""
+    from robokop_build_ray.pipelines.kg_build import path_scoped_pairs
+
+    types = {
+        "CHEM:1": "chemical_substance", "CHEM:2": "chemical_substance",
+        "GENE:1": "gene", "GENE:2": "gene",
+        "PROC:1": "biological_process", "PROC:2": "biological_process",
+        "DIS:1": "disease", "DIS:2": "disease",
+    }
+    universe = sorted(set(types.values()))
+    rng = np.random.default_rng(17)
+    nodes = sorted(types)
+
+    def walk(edges, path_tsets):
+        nbrs = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        ancestors = {}
+        current = {n for n in nbrs if types.get(n) in path_tsets[0]}
+        for ts in path_tsets[1:]:
+            nxt = set()
+            for node in current:
+                for other in nbrs.get(node, ()):
+                    if types.get(other) in ts:
+                        anc = ancestors.setdefault(other, set())
+                        anc.add(node)
+                        anc.update(ancestors.get(node, ()))
+                        nxt.add(other)
+            current = nxt
+        return {(min(a, k), max(a, k)) for k, anc in ancestors.items()
+                for a in anc if a != k}
+
+    from robokop_build_ray.functions.pathdsl import (NODE_TYPE_BY_CODE,
+                                                     tokenize_path)
+
+    for path in ("SGPD", "SG?D", "S?PDT"):
+        tsets = [
+            frozenset(universe)
+            if NODE_TYPE_BY_CODE[s.nodetype] == "unspecified"
+            else frozenset([NODE_TYPE_BY_CODE[s.nodetype]])
+            for s in tokenize_path(path)]
+        for trial in range(4):
+            n_edges = int(rng.integers(4, 16))
+            edges = []
+            for _ in range(n_edges):
+                a, b = rng.choice(len(nodes), size=2, replace=False)
+                edges.append((nodes[a], nodes[b]))
+            canonical = rd.from_pandas(pd.DataFrame({
+                "subj_id": [e[0] for e in edges],
+                "obj_id": [e[1] for e in edges]}))
+            info_ref = ray.put({k: ("n", v) for k, v in types.items()})
+            got = {(r["id_a"], r["id_b"])
+                   for r in path_scoped_pairs(canonical, path,
+                                              info_ref).take_all()}
+            want = walk(edges, tsets)
+            assert got == want, (path, trial, sorted(got ^ want))
+
+
 def test_incremental_lsh_touching_new_only(ray_session):
     """incremental_lsh_pairs emits exactly the minhash_lsh_pairs subset
     touching the new shard — base-vs-base near-dups never appear."""
