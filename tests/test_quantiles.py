@@ -117,6 +117,28 @@ def test_events_lorenz_forced_histogram_path(ray_session, tmp_path):
     assert rows == sorted(want)
 
 
+def test_events_lorenz_fewer_users_than_deciles(ray_session, tmp_path):
+    """n < k: only the first n ntile buckets are non-empty (DuckDB
+    remainder-to-first rule), the last boundary rank equals n, and the
+    shares still sum to 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from robokop_build_ray.pipelines.relational import events_lorenz
+
+    pq.write_table(pa.table({
+        "user_id": np.array([7, 7, 3, 5], np.int64),
+        "value": np.array([1.25, 2.00, 10.00, 0.50], np.float64),
+    }), str(tmp_path / "events.parquet"))
+    rows = sorted((r["decile"], r["n_users"], r["decile_cents"],
+                   r["value_share"])
+                  for r in events_lorenz(str(tmp_path)).take_all())
+    # user totals (cents): u3=1000, u5=50, u7=325 -> asc: u5, u7, u3
+    assert rows == [(1, 1, 50, 50 / 1375.0),
+                    (2, 1, 325, 325 / 1375.0),
+                    (3, 1, 1000, 1000 / 1375.0)]
+
+
 def test_weighted_prefix_cut_matches_bruteforce(ray_session):
     import ray.data as rd
 
