@@ -270,5 +270,11 @@ def test_path_scoped_pairs_two_positions(ray_session):
 
     with pytest.raises(ValueError, match="direct hops"):
         path_scoped_pairs(canonical, "S(1-2)D", info_ref)
-    with pytest.raises(ValueError, match="2- or 3-position"):
-        path_scoped_pairs(canonical, "SGDT", info_ref)
+    # >3 positions route through the general-k driver walk: the chain
+    # C-G-D realizes the SGD prefix of SGDT (no phenotype position), so
+    # all three prefix-ancestor pairs emerge
+    got4 = {(r["id_a"], r["id_b"])
+            for r in path_scoped_pairs(canonical, "SGDT",
+                                       info_ref).take_all()}
+    assert got4 == {("CHEM:1", "GENE:1"), ("DIS:1", "GENE:1"),
+                    ("CHEM:1", "DIS:1")}
