@@ -107,7 +107,10 @@ def n_distinct(ds, col: str) -> int:
 def build_graph(
     sf_dir: str = "/root/testdata/sf0.001",
     checkpoint_dir: str | None = None,
-    batch_size: int = 8192,
+    # 16384 measured best for the arrow-native extract+link chain at the
+    # bench tier (5.87 s vs 6.13 s at 8192, 6.20 s at 32768 — BASELINE
+    # §2.8); the old 8192 default was tuned for the pandas-era linker
+    batch_size: int = 16_384,
     link_concurrency: int | None = None,
     max_entities_per_conv: int = 256,
     transcripts_path: str | None = None,
