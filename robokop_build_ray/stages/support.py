@@ -356,29 +356,59 @@ def _fused_conv_merge_coded(g: pd.DataFrame, cap: int) -> pd.DataFrame:
     """Int32-coded variant of :func:`_fused_conv_merge`: marginal partials
     ride as kind=0 rows (id_b = -1 sentinel), counted pairs as kind=1 —
     fully typed (no object columns), so the pair-keyed exchange ships
-    12-byte rows instead of two curie strings."""
+    12-byte rows instead of two curie strings.
+
+    One packed ``(conv_code << 32) | entity`` int64 ``np.unique`` replaces
+    the string-path drop_duplicates + marginal groupby + (conv, entity)
+    object mergesort: the sorted unique keys are already grouped by conv
+    with entities ASCENDING inside each group (int code order == lex
+    order), which is exactly the layout the capped pair expansion needs.
+    Output multiset identical to the string path
+    (test_support_coded_path_equivalence)."""
     if len(g) == 0:
         return pd.DataFrame(_FUSED_CODED_EMPTY)
-    d = g.drop_duplicates(["conv_id", "entity"])
-    mg = d.groupby("entity", sort=False).size()
+    conv_codes = pd.factorize(g["conv_id"], sort=False)[0].astype(np.int64)
+    ent = g["entity"].to_numpy(np.int64)
+    uk = np.unique((conv_codes << 32) | ent)  # entity codes are >= 0
+    conv_u = uk >> 32
+    ent_u = uk & 0xFFFFFFFF
+    # marginals: conversations per entity over the distinct pairs
+    me, mc = np.unique(ent_u, return_counts=True)
     marg = pd.DataFrame({
-        "id_a": mg.index.to_numpy(np.int32),
-        "id_b": np.full(len(mg), -1, np.int32),
-        "n": mg.to_numpy(np.int64),
-        "kind": np.zeros(len(mg), np.int8),
+        "id_a": me.astype(np.int32),
+        "id_b": np.full(len(me), -1, np.int32),
+        "n": mc.astype(np.int64),
+        "kind": np.zeros(len(me), np.int8),
     })
-    cat = _pairs_all(d, cap)
-    if len(cat):
-        pairs = (cat.groupby(["id_a", "id_b"], sort=False)
-                 .size().rename("n").reset_index())
-        pairs = pd.DataFrame({
-            "id_a": pairs["id_a"].to_numpy(np.int32),
-            "id_b": pairs["id_b"].to_numpy(np.int32),
-            "n": pairs["n"].to_numpy(np.int64),
-            "kind": np.ones(len(pairs), np.int8),
-        })
-        return pd.concat([marg, pairs], ignore_index=True)
-    return marg if len(marg) else pd.DataFrame(_FUSED_CODED_EMPTY)
+    # capped within-conv (i < j) pair expansion (the _pairs_all
+    # repeat+offset pattern on int arrays)
+    new = np.empty(len(conv_u), dtype=bool)
+    new[0] = True
+    new[1:] = conv_u[1:] != conv_u[:-1]
+    starts = np.flatnonzero(new)
+    k = np.diff(np.append(starts, len(conv_u)))
+    rank = np.arange(len(conv_u), dtype=np.int64) - np.repeat(starts, k)
+    keep = rank < cap
+    kc = np.minimum(k, cap)
+    if not keep.all():
+        ent_u = ent_u[keep]
+        rank = rank[keep]
+    m = np.repeat(kc, kc) - 1 - rank
+    total = int(m.sum())
+    if total == 0:
+        return marg if len(marg) else pd.DataFrame(_FUSED_CODED_EMPTY)
+    a_idx = np.repeat(np.arange(len(ent_u), dtype=np.int64), m)
+    off = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m) + 1)
+    pa_, pb_ = ent_u[a_idx], ent_u[a_idx + off]
+    pk, pn = np.unique((pa_ << 32) | pb_, return_counts=True)
+    pairs = pd.DataFrame({
+        "id_a": (pk >> 32).astype(np.int32),
+        "id_b": (pk & 0xFFFFFFFF).astype(np.int32),
+        "n": pn.astype(np.int64),
+        "kind": np.ones(len(pk), np.int8),
+    })
+    return pd.concat([marg, pairs], ignore_index=True)
 
 
 class _SumScoreBucket:
