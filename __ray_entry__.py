@@ -1756,6 +1756,8 @@ def _driver_stable(fn: Callable[[str], Any]) -> Callable[[str], Any]:
             base = getattr(sch, "base_schema", sch)
             if isinstance(base, pa.Schema):
                 return base.empty_table()
+            if base is None:  # schema-less empty lineage: nothing to rebuild
+                return m
             # PandasBlockSchema fallback: typed empty frame from names/types
             return pd.DataFrame({n: pd.Series(dtype=t)
                                  for n, t in zip(base.names, base.types)})
@@ -3093,11 +3095,19 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
        CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
 FROM marked GROUP BY doc_id""",
+        # rk <= 20000 mirrors dedup.EMB_BLOCK_CAP (hot-cluster truncation
+        # to the smallest vec_ids) — change both together
         "dedup_embedding_cosine": """
+WITH ranked AS (
+  SELECT vec_id, label, embedding,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b
+FROM ranked a JOIN ranked b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+WHERE a.rk <= 20000 AND b.rk <= 20000
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

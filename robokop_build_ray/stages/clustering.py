@@ -245,6 +245,8 @@ SELECT vec_id, cluster FROM a WHERE rn = 1"""
 
 
 def sql_semantic_dedup(C: np.ndarray, threshold: float = 0.4) -> str:
+    # rk <= 20000 mirrors dedup.EMB_BLOCK_CAP (hot-cluster truncation to
+    # the smallest vec_ids) — change both together
     return f"""
 WITH c(cluster, ce) AS (VALUES
     {_centroid_values_sql(C)}
@@ -256,12 +258,17 @@ a AS (
            ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
                     c.cluster) AS rn
   FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, embedding, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+  FROM a WHERE rn = 1
 )
 SELECT x.vec_id AS id_a, y.vec_id AS id_b
-FROM a x JOIN a y
-  ON x.rn = 1 AND y.rn = 1 AND x.cluster = y.cluster
- AND x.vec_id < y.vec_id
-WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+FROM r x JOIN r y
+  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE x.rk <= 20000 AND y.rk <= 20000
+  AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= {threshold}"""
 
 

@@ -42,16 +42,21 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 # ------------------------------------------------------------------ exact
 
-def exact_dedup(docs, batch_size: int = 4096):
-    """Survivors (min doc_id) per exact normalized-content fingerprint."""
-    from ..functions.ray_utils import rename
+def exact_dedup(docs, batch_size: int = 4096, n_buckets: int = 64):
+    """Survivors (min doc_id) per exact normalized-content fingerprint.
+
+    Scale shape (r04 verdict #3): fingerprint cardinality ~= corpus size,
+    so the keep-first reduce goes through the bucketed partial-agg
+    exchange (per-batch groupby-min BEFORE the shuffle, then per-bucket
+    merge) — BASELINE §2.5 measured the native sort-based string-key
+    groupby 108x slower at this key shape; §2.9 has the microbench."""
+    from ..functions.bucketing import bucketed_min
     from .text_analysis import fingerprint_batch
 
     fp = docs.map_batches(fingerprint_batch, batch_format="pandas",
                           batch_size=batch_size)
-    return rename(
-        fp.groupby("fingerprint").min("doc_id"), {"min(doc_id)": "doc_id"}
-    ).select_columns(["doc_id"])
+    return bucketed_min(fp, ["fingerprint"], "doc_id",
+                        n_buckets=n_buckets).select_columns(["doc_id"])
 
 
 def incremental_dedup(docs, mod: int = 3, batch_size: int = 4096,
@@ -706,30 +711,76 @@ def simhash_pairs(docs, max_hamming: int = 3, batch_size: int = 2048,
 
 # ------------------------------------------------------------- embeddings
 
-def embedding_cosine_pairs(embeddings, threshold: float = 0.95):
-    """Near-dup pairs with cosine >= threshold, blocked by the ``label``
-    column (cluster id): numpy matmul within each block — never all-pairs
-    across the full table."""
+# Hot-cluster guard for embedding_cosine_pairs: a degenerate label block
+# is truncated to the EMB_BLOCK_CAP smallest vec_ids (deterministic,
+# loudly warned). MIRRORED in the dedup_embedding_cosine oracle
+# (`rk <= 20000` per label) — change both together (the WINNOW_BUCKET_CAP
+# pattern, CLAUDE.md).
+EMB_BLOCK_CAP = 20_000
 
-    def block(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64")})
-        if len(g) < 2:
-            return empty
+
+def embedding_cosine_pairs(embeddings, threshold: float = 0.95,
+                           n_buckets: int = 64, tile: int = 4096,
+                           block_cap: int = EMB_BLOCK_CAP):
+    """Near-dup pairs with cosine >= threshold, blocked by the ``label``
+    column (cluster id) — never all-pairs across the full table.
+
+    Scale shape (r04 verdict #4): the label exchange goes through the
+    bucketed pattern (one hash-bucket shuffle, complete label groups per
+    bucket), the within-block matmul is TILED (``tile`` rows x block — a
+    degenerate block peaks at tile*n floats, not n^2), and a block larger
+    than ``block_cap`` is truncated to its ``block_cap`` smallest vec_ids
+    with a loud warning (cap mirrored in the oracle, WINNOW pattern)."""
+
+    def _label_pairs(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         g = g.sort_values("vec_id")
+        if len(g) > block_cap:
+            import warnings
+
+            warnings.warn(
+                f"embedding_cosine_pairs: label block of {len(g)} rows "
+                f"truncated to its {block_cap} smallest vec_ids "
+                "(EMB_BLOCK_CAP — mirrored in the oracle)", stacklevel=2)
+            g = g.iloc[:block_cap]
         ids = g["vec_id"].to_numpy()
         M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        M = M / np.clip(norms, 1e-12, None)
-        S = M @ M.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = S[ii, jj] >= threshold
-        if not keep.any():
-            return empty
-        return pd.DataFrame({"id_a": ids[ii][keep].astype("int64"),
-                             "id_b": ids[jj][keep].astype("int64")})
+        M = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True),
+                        1e-12, None)
+        n = len(ids)
+        aa, bb = [], []
+        for s in range(0, n, tile):
+            e = min(s + tile, n)
+            S = M[s:e] @ M.T
+            r, c = np.nonzero(S >= threshold)
+            gi = r + s
+            keep = c > gi  # global upper triangle: j > i
+            if keep.any():
+                aa.append(ids[gi[keep]])
+                bb.append(ids[c[keep]])
+        if not aa:
+            z = np.array([], dtype=np.int64)
+            return z, z
+        return np.concatenate(aa), np.concatenate(bb)
 
-    return embeddings.groupby("label").map_groups(block, batch_format="pandas")
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(b) < 2:
+            return empty
+        outs = [empty]
+        for _, g in b.groupby("label", sort=False):
+            if len(g) < 2:
+                continue
+            a, bcol = _label_pairs(g)
+            if len(a):
+                outs.append(pd.DataFrame({"id_a": a.astype("int64"),
+                                          "id_b": bcol.astype("int64")}))
+        return pd.concat(outs, ignore_index=True)
+
+    from ..functions.bucketing import bucketed_apply
+
+    return bucketed_apply(embeddings, ["label"], merge,
+                          n_buckets=n_buckets)
 
 
 # ----------------------------------------------------------------- clusters
