@@ -1222,6 +1222,21 @@ def _kg_support_phrase_sim(sf_dir: str):
     return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
 
 
+def _kg_support_embedding(sf_dir: str):
+    """Embedding-backed supporter (r04 verdict #5 — chemotext2's ACTUAL
+    semantics, `builder/chemotext2.py:14-66`): candidate pairs scored by
+    cosine of SGNS embeddings trained on the graph's walk corpus, via the
+    plugin registry. The oracle re-derives every value from the
+    sequential fit's signature parquet (ensure_sgns_aux) — green only
+    when the distributed trainer AND the scorer are bit-exact."""
+    from robokop_build_ray.pipelines.kg_build import build_graph, run_supporters
+
+    ensure_corpus(sf_dir)
+    graph = build_graph(sf_dir, materialize_intermediate=True,
+                        include_support=False)
+    return run_supporters(graph, ["embedding_sim"])["embedding_sim"]
+
+
 def _kg_name_lookup(sf_dir: str):
     """M2/M3/M5/D5 driver consumer: typed name -> CURIE dispatch over the
     gazetteer's written names (`builder/lookup_utils.py:4-77` semantics —
@@ -2008,6 +2023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        _kg_support_pubs(sf))[1],
         "kg_edges_full": lambda sf: (ensure_corpus(sf), _kg_edges_full(sf))[1],
         # T2/T3/A6: phrase-similarity supporter (chemotext2 analog)
+        # chemotext2's real w2v semantics: SGNS-cosine supporter (r05)
+        "kg_support_embedding": _kg_support_embedding,
         "kg_support_phrase_sim": lambda sf: (ensure_corpus(sf),
                                              _kg_support_phrase_sim(sf))[1],
         # S4/T4/J4: count-table file reader + static-count supporter
@@ -2712,6 +2729,7 @@ FROM documents GROUP BY source, lang""",
         "kg_sgns_embeddings": entry_sql.sql_sgns_embeddings(t),
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
+        "kg_support_embedding": entry_sql.sql_support_embedding(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
         "kg_extract_csv": entry_sql.sql_extract(t),

@@ -422,6 +422,52 @@ SELECT id_a, id_b, 1.0 AS similarity, term_a, term_b,
 FROM matched WHERE rn = 1"""
 
 
+def sql_support_embedding(tier: str, cap: int = 256) -> str:
+    """Embedding-cosine supporter oracle (chemotext2's actual w2v-service
+    semantics, `builder/chemotext2.py:14-66`): the kg_support candidate
+    pair universe joined twice against the SEQUENTIAL SGNS fit's
+    quantized embedding parquet (``ensure_sgns_aux`` — the same aux table
+    that proves ``kg_sgns_embeddings``), cosine re-derived with exact
+    int64 dot products and the engine's single-double-expression
+    ``sab / sqrt(saa * sbb)`` so floats are bit-identical. Pairs whose
+    endpoint is absent from the walk universe drop via the INNER join
+    (term_to_term -> None)."""
+    path = ensure_sgns_aux(tier)
+    p = corpus_paths(tier)
+    dot = " + ".join(f"a.e{j}_q * b.e{j}_q" for j in range(_SGNS_DIM))
+    naa = " + ".join(f"a.e{j}_q * a.e{j}_q" for j in range(_SGNS_DIM))
+    nbb = " + ".join(f"b.e{j}_q * b.e{j}_q" for j in range(_SGNS_DIM))
+    return f"""WITH RECURSIVE {_canon_cte(p)[1:]},
+conv_ent AS (
+  SELECT DISTINCT conv_id, id FROM (
+    SELECT conv_id, subj_id AS id FROM canon
+    UNION ALL SELECT conv_id, obj_id AS id FROM canon
+  )
+),
+conv_ent_r AS (
+  SELECT conv_id, id FROM (
+    SELECT conv_id, id,
+           row_number() OVER (PARTITION BY conv_id ORDER BY id) AS rk
+    FROM conv_ent
+  ) WHERE rk <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM conv_ent_r a JOIN conv_ent_r b
+    ON a.conv_id = b.conv_id AND a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(({dot}) AS DOUBLE)
+         / sqrt(CAST(({naa}) AS DOUBLE) * CAST(({nbb}) AS DOUBLE))
+         AS similarity,
+       'embedding_sim.term_to_term' AS edge_source,
+       TRUE AS is_support
+FROM pairs p
+JOIN read_parquet('{path}') a ON a.id = p.id_a
+JOIN read_parquet('{path}') b ON b.id = p.id_b
+WHERE ({naa}) > 0 AND ({nbb}) > 0"""
+
+
 def sql_path_filtered(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease") -> str:
     """Path-DSL scoping oracle: canonical triples whose endpoint node types

@@ -222,6 +222,108 @@ def _static_counts(ctx):
     return static_counts_supporter(ctx["pairs"], ctx["state"].extras["counts_ref"])
 
 
+EMBEDDING_SIM_SOURCE = "embedding_sim.term_to_term"
+
+EMBEDDING_SIM_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("similarity", pa.float64()),
+        ("edge_source", pa.string()),
+        ("is_support", pa.bool_()),
+    ]
+)
+
+
+class EmbeddingSimScorer:
+    """chemotext2's ACTUAL semantics (`builder/chemotext2.py:14-66` scores
+    pairs through a word2vec similarity service): candidate pairs scored
+    by cosine of the TRAINED SGNS graph embeddings — closing the T3
+    phrase-Jaccard stand-in's documented deviation with real
+    representation learning.
+
+    Embedding matrix is entity-bounded, broadcast once (``ray.put`` in the
+    factory, ``ray.get`` in ``__init__``), looked up vectorized per batch.
+    A pair whose endpoint has no embedding (entity absent from the walk
+    graph, e.g. self-loop-only) yields no edge (``term_to_term -> None``).
+    Cosine is computed from the QUANTIZED int64 coordinates: exact int64
+    dot products, then ONE double expression
+    ``sab / sqrt(saa * sbb)`` — IEEE-deterministic, so the DuckDB oracle
+    reproduces every value bit-for-bit."""
+
+    def __init__(self, emb_ref):
+        import numpy as np
+
+        ids, M = ray.get(emb_ref)
+        self.pos = {i: k for k, i in enumerate(ids)}
+        self.M = M  # int64 (n, DIM) quantized center embeddings
+        self.n2 = (M * M).sum(axis=1)  # int64 exact squared norms
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        if len(batch) == 0:
+            return EMBEDDING_SIM_SCHEMA.empty_table()
+        ia = batch["id_a"].map(self.pos)
+        ib = batch["id_b"].map(self.pos)
+        ok = ia.notna().to_numpy() & ib.notna().to_numpy()
+        if not ok.any():
+            return EMBEDDING_SIM_SCHEMA.empty_table()
+        ca = ia.to_numpy()[ok].astype(np.int64)
+        cb = ib.to_numpy()[ok].astype(np.int64)
+        A, B = self.M[ca], self.M[cb]
+        sab = (A * B).sum(axis=1)  # int64 exact
+        saa, sbb = self.n2[ca], self.n2[cb]
+        nz = (saa > 0) & (sbb > 0)  # zero vector -> no edge (oracle mirror)
+        sim = (sab[nz].astype(np.float64)
+               / np.sqrt(saa[nz].astype(np.float64)
+                         * sbb[nz].astype(np.float64)))
+        n = int(nz.sum())
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    batch["id_a"].to_numpy()[ok][nz], pa.string()),
+                "id_b": pa.array(
+                    batch["id_b"].to_numpy()[ok][nz], pa.string()),
+                "similarity": pa.array(sim, pa.float64()),
+                "edge_source": pa.array([EMBEDDING_SIM_SOURCE] * n,
+                                        pa.string()),
+                "is_support": pa.array([True] * n, pa.bool_()),
+            },
+            schema=EMBEDDING_SIM_SCHEMA,
+        )
+
+
+def embedding_sim_supporter(pairs, emb_ref, concurrency=(1, 4),
+                            batch_size: int = 65_536):
+    """pairs Dataset (id_a, id_b, ...) -> embedding-cosine support edges."""
+    return pairs.map_batches(
+        EmbeddingSimScorer,
+        fn_constructor_args=(emb_ref,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+@register("embedding_sim")
+def _embedding_sim(ctx):
+    """Train SGNS over the canonical graph's walk corpus (undirected_pairs
+    dedups, so canonical mentions and the distinct edge table induce the
+    SAME simple graph), collect the entity-bounded quantized embedding
+    table once, broadcast, and score the candidate pairs."""
+    import numpy as np
+
+    from .embedding_train import DIM, sgns_embeddings
+
+    rows = sgns_embeddings(ctx["canonical"]).take_all()  # entity-bounded
+    ids = [r["id"] for r in rows]
+    M = (np.array([[r[f"e{j}_q"] for j in range(DIM)] for r in rows],
+                  dtype=np.int64)
+         if rows else np.zeros((0, DIM), dtype=np.int64))
+    return embedding_sim_supporter(ctx["pairs"], ray.put((ids, M)))
+
+
 def get_supporter(name: str) -> Callable:
     """import-by-name analog of `builder/builder.py:322` (KeyError on
     unknown, mirroring the reference's ImportError)."""
