@@ -1222,6 +1222,22 @@ def _kg_support_phrase_sim(sf_dir: str):
     return run_supporters(graph, ["phrase_sim"])["phrase_sim"]
 
 
+def _kg_nodes_contexts(sf_dir: str, path: str = "SGD"):
+    """Per-node path-position contexts (r04 verdict #7 —
+    `builder/builder.py:381,396` ``node.contexts``): which DSL positions
+    each graph node realizes on COMPLETE instances of the active path
+    query, exploded (id, pos). The exported node table carries these as
+    a list<int32> column via ``nodes_with_contexts`` (pytest-pinned);
+    the exploded form keeps the driver compare list-free."""
+    from robokop_build_ray.pipelines.kg_build import (build_graph,
+                                                      path_node_contexts)
+
+    ensure_corpus(sf_dir)
+    graph = build_graph(sf_dir, include_support=False)
+    return path_node_contexts(graph["canonical"], path,
+                              graph["state"].nodeinfo_ref)
+
+
 def _kg_support_embedding(sf_dir: str):
     """Embedding-backed supporter (r04 verdict #5 — chemotext2's ACTUAL
     semantics, `builder/chemotext2.py:14-66`): candidate pairs scored by
@@ -2025,6 +2041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T2/T3/A6: phrase-similarity supporter (chemotext2 analog)
         # chemotext2's real w2v semantics: SGNS-cosine supporter (r05)
         "kg_support_embedding": _kg_support_embedding,
+        # reference contexts: per-node realized path positions (r05)
+        "kg_nodes_contexts": _kg_nodes_contexts,
         "kg_support_phrase_sim": lambda sf: (ensure_corpus(sf),
                                              _kg_support_phrase_sim(sf))[1],
         # S4/T4/J4: count-table file reader + static-count supporter
@@ -2730,6 +2748,7 @@ FROM documents GROUP BY source, lang""",
         "kg_support_pubs": entry_sql.sql_support_pubs(t),
         "kg_support_phrase_sim": entry_sql.sql_phrase_sim(t),
         "kg_support_embedding": entry_sql.sql_support_embedding(t),
+        "kg_nodes_contexts": entry_sql.sql_node_contexts(t),
         "kg_support_static": entry_sql.sql_support_static(t),
         "kg_extract_jsonl": entry_sql.sql_extract(t),
         "kg_extract_csv": entry_sql.sql_extract(t),

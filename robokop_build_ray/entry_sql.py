@@ -468,6 +468,57 @@ JOIN read_parquet('{path}') b ON b.id = p.id_b
 WHERE ({naa}) > 0 AND ({nbb}) > 0"""
 
 
+def sql_node_contexts(tier: str, path: str = "SGD") -> str:
+    """Per-node path-position contexts oracle (`builder/builder.py:381,
+    396`): unrolled per-position forward/backward typed frontier CTEs
+    over the distinct undirected graph; position i = forward-reachable
+    at i AND backward-reachable from the final position (complete
+    instances only). Wildcard positions take every type (predicate TRUE)
+    — no literal type-universe list to drift (ADVICE r04 #3)."""
+    from .functions.pathdsl import NODE_TYPE_BY_CODE, tokenize_path
+
+    steps = tokenize_path(path)
+    if any(s.max_path_length > 1 for s in steps[1:]):
+        raise ValueError("sql_node_contexts takes direct hops only")
+    ts = [NODE_TYPE_BY_CODE[s.nodetype] for s in steps]
+    k = len(ts)
+
+    def pred(t: str) -> str:
+        return "TRUE" if t == "unspecified" else f"ty.node_type = '{t}'"
+
+    p = corpus_paths(tier)
+    ctes = [f"""und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM canon WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM canon WHERE subj_id <> obj_id)
+),
+ty AS (SELECT curie, node_type FROM read_parquet('{p["gazetteer"]}')),
+gn AS (SELECT DISTINCT u AS id FROM und)"""]
+    ctes.append(f"""f0 AS (
+  SELECT gn.id FROM gn JOIN ty ON ty.curie = gn.id WHERE {pred(ts[0])})""")
+    for i in range(1, k):
+        ctes.append(f"""f{i} AS (
+  SELECT DISTINCT und.v AS id FROM und
+  JOIN f{i-1} ON und.u = f{i-1}.id
+  JOIN ty ON ty.curie = und.v WHERE {pred(ts[i])})""")
+    ctes.append(f"""b{k-1} AS (
+  SELECT gn.id FROM gn JOIN ty ON ty.curie = gn.id
+  WHERE {pred(ts[k-1])})""")
+    for i in range(k - 2, -1, -1):
+        ctes.append(f"""b{i} AS (
+  SELECT DISTINCT und.v AS id FROM und
+  JOIN b{i+1} ON und.u = b{i+1}.id
+  JOIN ty ON ty.curie = und.v WHERE {pred(ts[i])})""")
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT f{i}.id, CAST({i} AS BIGINT) AS pos "
+        f"FROM f{i} JOIN b{i} ON f{i}.id = b{i}.id"
+        for i in range(k))
+    return (f"WITH RECURSIVE {_canon_cte(p)[1:]},\n"
+            + ",\n".join(ctes)
+            + f"\nSELECT id, pos FROM (\n{arms}\n)")
+
+
 def sql_path_filtered(tier: str, type_a: str = "chemical_substance",
                       type_b: str = "disease") -> str:
     """Path-DSL scoping oracle: canonical triples whose endpoint node types

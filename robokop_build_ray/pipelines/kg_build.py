@@ -598,6 +598,113 @@ def path_scoped_pairs(canonical, path: str, nodeinfo_ref,
             .map_batches(typed, batch_format="pandas").union(seed))
 
 
+def path_node_contexts(canonical, path: str, nodeinfo_ref,
+                       n_buckets: int = 64):
+    """Per-node path-position CONTEXTS (`builder/builder.py:381,396` —
+    ``node.contexts[program_number]``): which DSL positions each node
+    realizes on a COMPLETE path instance. In the reference, contexts are
+    assigned from full cypher query matches, so position i membership
+    requires BOTH a realized prefix reaching the node at i AND a
+    realized suffix continuing to the final position — here
+    ``F_i ∩ B_i`` of a forward and a backward typed frontier closure
+    over the undirected simple graph. Returns Dataset(id, pos) exploded
+    rows, distinct (the exported node table derives its ``contexts``
+    list by grouping this).
+
+    Scale shape: each closure round is one distributed adjacency filter
+    against the broadcast frontier plus a bucketed distinct of the next
+    frontier; driver state is only the per-position node sets (the BFS
+    frontier / nodeinfo entity bound). Direct-hop positions only, like
+    :func:`path_scoped_pairs`."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from ..functions.bucketing import bucketed_distinct
+    from ..functions.pathdsl import NODE_TYPE_BY_CODE, tokenize_path
+    from ..stages.graph_metrics import _adjacency, degree_map, undirected_pairs
+
+    steps = tokenize_path(path)
+    if any(s.max_path_length > 1 for s in steps[1:]):
+        raise ValueError("path_node_contexts takes direct hops only")
+    info = _ray.get(nodeinfo_ref)
+    types = {k: v[1] for k, v in info.items()}
+    universe = sorted(set(types.values()))
+
+    def tset(code: str) -> frozenset:
+        t = NODE_TYPE_BY_CODE[code]
+        return frozenset(universe if t == "unspecified" else [t])
+
+    tsets = [tset(s.nodetype) for s in steps]
+    und = undirected_pairs(canonical, n_buckets=n_buckets)
+    adj = _adjacency(und).materialize()
+    graph_nodes = set(degree_map(und))  # entity-bounded
+    types_ref = _ray.put(types)
+
+    def closure(ts_list: list[frozenset]) -> list[set]:
+        """[P_0..P_{k-1}]: P_0 = typed graph nodes; P_i = typed
+        neighbors of P_{i-1} — one distributed pass per round."""
+        cur = {n for n in graph_nodes if types.get(n, "") in ts_list[0]}
+        sets = [cur]
+        for ts in ts_list[1:]:
+            if not cur:
+                cur = set()
+                sets.append(cur)
+                continue
+            cur_ref = _ray.put(cur)
+            allowed = frozenset(ts)
+
+            def step(b: pd.DataFrame, _cur=cur_ref, _ts=allowed,
+                     _ty=types_ref) -> pd.DataFrame:
+                tm, cs = _ray.get(_ty), _ray.get(_cur)
+                sub = b[b["id"].isin(cs)]
+                if len(sub):
+                    tv = sub["nb"].map(lambda x: tm.get(x, ""))
+                    sub = sub[tv.isin(_ts).to_numpy()]
+                return pd.DataFrame({"nb": sub["nb"]})
+
+            cur = {r["nb"] for r in bucketed_distinct(
+                adj.map_batches(step, batch_format="pandas"), ["nb"],
+                n_buckets).take_all()}
+            sets.append(cur)
+        return sets
+
+    F = closure(tsets)
+    R = closure(list(reversed(tsets)))  # R_j = B_{k-1-j}
+    k = len(tsets)
+    ids, poss = [], []
+    for i in range(k):
+        for n in sorted(F[i] & R[k - 1 - i]):
+            ids.append(n)
+            poss.append(i)
+    return _rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.string()),
+        "pos": pa.array(poss, pa.int64())}))
+
+
+def nodes_with_contexts(nodes, canonical, path: str, nodeinfo_ref,
+                        n_buckets: int = 64):
+    """Attach the reference's per-node ``contexts`` (list<int32> of DSL
+    positions realized on complete instances of the ACTIVE path query,
+    `builder/builder.py:381,396`) to an exported node table; nodes off
+    the path carry an empty list. The context map is entity-bounded —
+    broadcast once, applied map-side (no shuffle)."""
+    import ray as _ray
+
+    ctx = path_node_contexts(canonical, path, nodeinfo_ref, n_buckets)
+    m: dict[str, list[int]] = {}
+    for r in ctx.take_all():  # entity-bounded
+        m.setdefault(r["id"], []).append(int(r["pos"]))
+    m_ref = _ray.put({k: sorted(v) for k, v in m.items()})
+
+    def attach(t: pa.Table, _m=m_ref) -> pa.Table:
+        mm = _ray.get(_m)
+        vals = [mm.get(i, []) for i in t["id"].to_pylist()]
+        return t.append_column(
+            "contexts", pa.array(vals, pa.list_(pa.int32())))
+
+    return nodes.map_batches(attach, batch_format="pyarrow")
+
+
 def _resolve_anchor(name_or_curie: str, state) -> str:
     """Resolve a CLI anchor to a canonical CURIE (the reference resolves
     ``--start``/``--end`` names through `builder/lookup_utils.py` before

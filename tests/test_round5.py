@@ -115,3 +115,33 @@ def test_driver_stable_nonempty_passthrough():
     ds = rd.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
     out = e._driver_stable(lambda sf: ds)("unused")
     assert sorted(out.to_pandas()["x"]) == [1, 2, 3]
+
+
+def test_nodes_with_contexts_list_column():
+    """The exported node table carries contexts as list<int32> — nodes on
+    the path get their sorted positions, off-path nodes an empty list
+    (`builder/builder.py:381,396` semantics)."""
+    import ray
+    import pyarrow as pa
+
+    from robokop_build_ray.pipelines.kg_build import (nodes_with_contexts,
+                                                      path_node_contexts)
+
+    types = {"C:1": "chemical_substance", "G:1": "gene", "D:1": "disease",
+             "G:2": "gene"}
+    canonical = rd.from_pandas(pd.DataFrame({
+        "subj_id": ["C:1", "G:1", "G:2"],
+        "obj_id": ["G:1", "D:1", "G:1"]}))
+    info_ref = ray.put({k: ("n", v) for k, v in types.items()})
+    ctx = path_node_contexts(canonical, "SGD", info_ref,
+                             n_buckets=4).to_pandas()
+    got = {(r.id, r.pos) for r in ctx.itertuples()}
+    # complete SGD instance: C:1 - G:1 - D:1 only (G:2 has no disease nb)
+    assert got == {("C:1", 0), ("G:1", 1), ("D:1", 2)}
+    nodes = rd.from_arrow(pa.table({
+        "id": pa.array(["C:1", "G:1", "G:2", "D:1"], pa.string())}))
+    out = nodes_with_contexts(nodes, canonical, "SGD", info_ref,
+                              n_buckets=4).to_pandas()
+    m = dict(zip(out["id"], out["contexts"]))
+    assert list(m["C:1"]) == [0] and list(m["G:1"]) == [1]
+    assert list(m["G:2"]) == [] and list(m["D:1"]) == [2]
