@@ -587,8 +587,17 @@ def sql_support_path_scoped(tier: str, path: str = "SGD") -> str:
     assert len(steps) == 3 and all(
         s.max_path_length == 1 for s in steps[1:])
     p = corpus_paths(tier)
-    universe = ("chemical_substance", "gene", "biological_process", "cell",
-                "anatomical_entity", "phenotypic_feature", "disease")
+    # wildcard universe from the GAZETTEER, not a literal tuple (ADVICE
+    # r04 #3: a new node type must flow into oracle wildcards the same
+    # way the engine derives them from nodeinfo)
+    import duckdb as _duckdb
+
+    from .sources.corpus import ensure_corpus as _ensure
+
+    _ensure(tier)
+    universe = tuple(r[0] for r in _duckdb.sql(
+        "SELECT DISTINCT node_type FROM "
+        f"read_parquet('{p['gazetteer']}') ORDER BY node_type").fetchall())
 
     def inlist(code: str) -> str:
         t = NODE_TYPE_BY_CODE[code]
@@ -1371,10 +1380,19 @@ bands AS (
          list(sig_val ORDER BY perm_idx) AS bvec
   FROM sig GROUP BY doc_id, perm_idx // {rows}
 ),
+ranked AS (
+  -- rk <= 200 mirrors dedup.LSH_BUCKET_CAP (hot band buckets truncate
+  -- to the smallest doc_ids) — change both together (ADVICE r04 #2)
+  SELECT doc_id, band_id, bvec,
+         row_number() OVER (PARTITION BY band_id, bvec
+                            ORDER BY doc_id) AS rk
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM ranked a JOIN ranked b
     ON a.band_id = b.band_id AND a.bvec = b.bvec AND a.doc_id < b.doc_id
+  WHERE a.rk <= 200 AND b.rk <= 200
 ),
 mh_pairs AS (
   SELECT c.id_a, c.id_b
@@ -1397,9 +1415,10 @@ def sql_dedup_incremental_lsh(tier: str, mod: int = 3,
                               threshold: float = 0.5,
                               bands: int = 32) -> str:
     """Oracle for dedup.incremental_lsh_pairs: the full minhash pair set
-    restricted to pairs touching the new shard (doc_id % mod == 0) —
-    candidate-generation pruning cannot change which qualifying pairs
-    exist, so the filter on the complete pair set is exact."""
+    restricted to pairs touching the new shard (doc_id % mod == 0).
+    The band-bucket cap (dedup.LSH_BUCKET_CAP) is mirrored inside
+    ``_minhash_pair_ctes`` — the pair set is exact INCLUDING truncated
+    hot buckets (ADVICE r04 #2)."""
     return (f"WITH {_minhash_pair_ctes(tier, threshold, bands)[1:]}\n"
             f"SELECT id_a, id_b FROM mh_pairs "
             f"WHERE id_a % {mod} = 0 OR id_b % {mod} = 0")

@@ -1801,7 +1801,21 @@ def events_lorenz(sf_dir: str, k: int = 10, n_buckets: int = 64,
         lambda: const, "g", "vc",
         {"all": [(f"p{p}", p - 1) for p in uniq]},
         collect_cap=collect_cap)
-    bound_val = {p: int(round(ranks[("all", f"p{p}")])) for p in uniq}
+    # boundary values round-trip through float64 (grouped_exact_ranks
+    # returns the collected value as float): exact only while per-user
+    # cent totals stay below 2^53 — guard the reconstruction LOUDLY
+    # instead of silently mis-ranking at the 10^12-turn design point
+    # (ADVICE r04 #4)
+    bound_val = {}
+    for p in uniq:
+        f = ranks[("all", f"p{p}")]
+        v = int(round(f))
+        if float(v) != f or abs(v) > (1 << 53):
+            raise ValueError(
+                f"lorenz boundary p{p}={f!r} is not exactly representable "
+                "as int64 through float64 (per-user cent total exceeds "
+                "2^53) — widen grouped_exact_ranks to integer collection")
+        bound_val[p] = v
     # one streaming pass: strictly-below count/sum per distinct boundary
     below = {j: [0, 0] for j in range(len(uniq))}
     for r in totals.map_batches(

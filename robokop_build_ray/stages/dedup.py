@@ -336,7 +336,13 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+# Mirrored in the oracle's ranked band-bucket CTE (entry_sql.
+# _minhash_pair_ctes `rk <= 200`) — change both together (the
+# WINNOW_BUCKET_CAP pattern).
+LSH_BUCKET_CAP = 200
+
+
+def _bucket_pairs(g: pd.DataFrame, cap: int = LSH_BUCKET_CAP) -> pd.DataFrame:
     uniq = np.sort(g["doc_id"].unique())
     if len(uniq) > cap:  # no silent caps: a truncated bucket is a recall loss
         import warnings
@@ -428,7 +434,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, num_perm: int = 128,
 
 
 def _bucket_pairs_touching_new(g: pd.DataFrame, mod: int,
-                               cap: int = 200) -> pd.DataFrame:
+                               cap: int = LSH_BUCKET_CAP) -> pd.DataFrame:
     """Bucket pairs restricted to those TOUCHING the new shard
     (doc_id % mod == 0) — base-vs-base pairs are never generated, so
     per-bucket cost is |new| x |bucket|, not |bucket|^2."""
@@ -958,13 +964,19 @@ def contamination_check(docs, eval_docs=None, eval_mod: int = 50,
         hs, _ = window_hashes_numeric(b["text"], window)
         return pd.DataFrame({"gram": np.unique(hs).view(np.int64)})
 
-    ev_rows = ev_src.map_batches(eval_grams, batch_format="pandas",
-                                 batch_size=batch_size).take_all()
-    if len(ev_rows) > eval_gram_cap:
+    # gate on a DISTRIBUTED count BEFORE any driver collect (ADVICE r04
+    # #1: the old order take_all-then-len flooded the driver with the
+    # oversized set before the loud failure); materialize keeps the gram
+    # pass single-execution (count is then metadata-free)
+    ev_gr = ev_src.map_batches(eval_grams, batch_format="pandas",
+                               batch_size=batch_size).materialize()
+    n_ev = ev_gr.count()
+    if n_ev > eval_gram_cap:
         raise ValueError(
-            f"eval gram set holds {len(ev_rows)} > cap {eval_gram_cap}: "
+            f"eval gram set holds {n_ev} > cap {eval_gram_cap}: "
             "the eval side must be benchmark-sized (pass a bounded "
             "eval_docs table, or raise eval_gram_cap deliberately)")
+    ev_rows = ev_gr.take_all()
     # view as uint64 BEFORE unique: sortedness must hold in the dtype
     # searchsorted compares in (int64 order != uint64 order on the top bit)
     ev = np.unique(np.fromiter((r["gram"] for r in ev_rows),
