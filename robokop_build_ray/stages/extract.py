@@ -50,17 +50,41 @@ class ExtractRule:
 
     def __init__(self, name: str, pattern: str,
                  phrase_to_pred: dict[str, str],
-                 prefilter: list[str] | None = None):
+                 prefilter: list[str] | None = None,
+                 sentence_groups: tuple[str, str] | None = None):
         self.name = name
         self.regex = re.compile(pattern)
         self.phrase_to_pred = phrase_to_pred
         self.prefilter = (prefilter if prefilter is not None
                           else [f" {p} " for p in phrase_to_pred])
+        # ONE combined RE2 alternation for the vectorized prefilter —
+        # measured 8x faster than OR-ing one match_substring per phrase
+        # (BASELINE §2.9 r05)
+        self.prefilter_regex = "|".join(re.escape(p) for p in self.prefilter)
+        # sentence fast path (r04 verdict #8): when the rule's matches are
+        # provably one-per-'.'-terminated-sentence (subject/object classes
+        # exclude the terminator), supply (subj_obj_class, terminator) and
+        # the batch runs fully in C: split -> sentence prefilter -> ONE
+        # pc.extract_regex — measured 4x over the finditer loop at 800k
+        # turns, bit-identical output. Custom rules without it use the
+        # generic Python fallback.
+        self.sentence_groups = sentence_groups
+        if sentence_groups is not None:
+            so, term = sentence_groups
+            alts = "|".join(phrase_to_pred)
+            self.sentence_regex = (
+                so.replace("(", "(?P<s>", 1) + " (?P<p>" + alts + ") "
+                + so.replace("(", "(?P<o>", 1) + "$")
+            self.terminator = term
+        else:
+            self.sentence_regex = None
+            self.terminator = "."
 
 
 DEFAULT_RULE = ExtractRule(
     "triple_pattern", TRIPLE_REGEX,
     {p: PHRASE_TO_PRED[p] for p in PRED_PHRASES_ORDERED},
+    sentence_groups=(SUBJ_OBJ, "."),
 )
 
 # registry: name -> rule (plugin-by-name, `builder/builder.py:322` analog)
@@ -72,26 +96,82 @@ def register_rule(rule: ExtractRule) -> ExtractRule:
     return rule
 
 
+def _extract_sentence_path(hit: pa.Table, rule: ExtractRule) -> pa.Table | None:
+    """Fully-C sentence fast path: split each hit turn on the rule's
+    terminator, drop the unterminated tail fragment, prefilter sentences,
+    then ONE ``pc.extract_regex`` — valid because the subject/object
+    character classes exclude the terminator, so every ``finditer`` match
+    of the full pattern lies inside exactly one terminated sentence and a
+    sentence holds at most one match (its single terminator). Proven
+    bit-identical to the Python loop at 800k corpus turns and pinned by
+    tests/test_extract_rules.py."""
+    htext = pc.fill_null(hit["text"], "").combine_chunks()
+    sents = pc.split_pattern(htext, rule.terminator)
+    offs = sents.offsets.to_numpy(zero_copy_only=False)
+    vals = sents.values
+    counts = np.diff(offs)
+    parents = np.repeat(np.arange(len(htext), dtype=np.int64), counts)
+    # the LAST fragment of every row never had a terminator -> never a match
+    is_last = np.zeros(len(vals), dtype=bool)
+    last_of_row = offs[1:] - 1
+    is_last[last_of_row[counts > 0]] = True
+    keep = ~is_last
+    vals_k = vals.filter(pa.array(keep))
+    par_k = parents[keep]
+    m = pc.match_substring_regex(vals_k, rule.prefilter_regex)
+    mnp = m.to_numpy(zero_copy_only=False)
+    cand = vals_k.filter(m)
+    par_c = par_k[mnp]
+    if len(cand) == 0:
+        return None
+    ext = pc.extract_regex(cand, rule.sentence_regex)
+    ok = pc.is_valid(ext)
+    ext_ok = ext.filter(ok)
+    if len(ext_ok) == 0:
+        return None
+    par_ok = par_c[ok.to_numpy(zero_copy_only=False)]
+    phrases = list(rule.phrase_to_pred)
+    pi = pc.index_in(pc.struct_field(ext_ok, "p"), pa.array(phrases))
+    pred = pc.take(
+        pa.array([rule.phrase_to_pred[p] for p in phrases]), pi)
+    idx = pa.array(par_ok)
+    return pa.table(
+        {
+            "conv_id": pc.take(hit["conv_id"], idx).combine_chunks(),
+            "turn_idx": pc.cast(pc.take(hit["turn_idx"], idx),
+                                pa.int32()).combine_chunks(),
+            "subj": pc.cast(pc.struct_field(ext_ok, "s"), pa.string()),
+            "pred": pc.cast(pred, pa.string()),
+            "obj": pc.cast(pc.struct_field(ext_ok, "o"), pa.string()),
+        },
+        schema=TRIPLES_SCHEMA,
+    )
+
+
 def extract_triples_batch(batch: pa.Table,
                           rules: tuple[ExtractRule, ...] = (DEFAULT_RULE,)
                           ) -> pa.Table:
     """pyarrow in / pyarrow out; safe on empty batches and null text.
 
-    Only ``text`` crosses into Python (the regex engine needs str);
-    conv_id/turn_idx stay Arrow and attach to matches via one ``pc.take``
-    per rule — at 10^12 turns the per-row id conversions cost more than
-    the regex itself (measured: regex ≈ 45 core-s vs ≈ 60 core-s of
-    to_pylist/rebuild overhead at the 9.6M-turn bench tier)."""
+    Only ``text`` crosses into Python (the regex engine needs str) and —
+    for rules with a sentence fast path — nothing does: the whole batch
+    runs in C (combined-regex prefilter, split, one ``pc.extract_regex``;
+    4x over the finditer loop, BASELINE §2.9 r05). conv_id/turn_idx stay
+    Arrow and attach to matches via one ``pc.take`` per rule — at 10^12
+    turns the per-row id conversions cost more than the regex itself."""
     text = pc.fill_null(batch["text"], "")
     parts = []
     for rule in rules:
-        # vectorized prefilter: any predicate phrase present?
-        mask = None
-        for phrase in rule.prefilter:
-            m = pc.match_substring(text, phrase)
-            mask = m if mask is None else pc.or_(mask, m)
+        # vectorized prefilter: any predicate phrase present? (ONE
+        # combined RE2 alternation — 8x over per-phrase match_substring)
+        mask = pc.match_substring_regex(text, rule.prefilter_regex)
         hit = batch.filter(pc.fill_null(mask, False))
         if len(hit) == 0:
+            continue
+        if rule.sentence_regex is not None:
+            part = _extract_sentence_path(hit, rule)
+            if part is not None:
+                parts.append(part)
             continue
         rows: list[int] = []
         subjs: list[str] = []

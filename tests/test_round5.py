@@ -145,3 +145,42 @@ def test_nodes_with_contexts_list_column():
     m = dict(zip(out["id"], out["contexts"]))
     assert list(m["C:1"]) == [0] and list(m["G:1"]) == [1]
     assert list(m["G:2"]) == [] and list(m["D:1"]) == [2]
+
+
+def test_extract_sentence_path_matches_finditer():
+    """The C sentence fast path is bit-identical to the generic finditer
+    fallback — corpus shapes plus adversarial edges (no trailing
+    terminator, multi-sentence, multi-match, newline, null, empty)."""
+    import pyarrow as pa
+
+    from robokop_build_ray.stages.extract import (DEFAULT_RULE, ExtractRule,
+                                                  TRIPLE_REGEX,
+                                                  extract_triples_batch)
+
+    texts = [
+        "Aspirin treats headache. Sounds good, thanks.",
+        "A treats B. C causes D. E interacts with F.",
+        "No predicates here at all",
+        "Dangling X treats Y",          # no terminator -> no match
+        "X is associated with Y.\nAnd X causes Z.",
+        None,
+        "",
+        "Multi, part-name interacts with other-name2. filler.",
+        "a treats b period missing",
+        "Aspirin treats headache, severe. ok.",
+    ]
+    batch = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+        "turn_idx": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    fallback_rule = ExtractRule(
+        "fallback", TRIPLE_REGEX, dict(DEFAULT_RULE.phrase_to_pred))
+    assert fallback_rule.sentence_regex is None
+    fast = extract_triples_batch(batch, (DEFAULT_RULE,)).to_pandas()
+    slow = extract_triples_batch(batch, (fallback_rule,)).to_pandas()
+    cols = list(fast.columns)
+    fast = fast.sort_values(cols, ignore_index=True)
+    slow = slow.sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
