@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
                         "A=anatomy T=phenotype D=disease X=genetic_condition "
                         "W=drug_class ?=any); filters triples to adjacent "
                         "step type pairs")
+    b.add_argument("--contexts", action="store_true",
+                   help="with --path: export nodes with a contexts "
+                        "list<int32> column of the DSL positions each "
+                        "node realizes on complete path instances "
+                        "(builder.py:381,396 node.contexts analog)")
     b.add_argument("--start", default=None,
                    help="anchor entity NAME (reference --start, "
                         "`builder/builder.py:574-602`): resolved to a "
@@ -216,6 +221,15 @@ def main(argv: list[str] | None = None) -> int:
     extra = [s for s in supports if s != "cooccur"]
     if extra:
         graph["extra_supports"] = run_supporters(graph, extra, args.cap)
+    if args.contexts:
+        if args.path is None:
+            raise SystemExit("--contexts requires --path (contexts are "
+                             "positions of the ACTIVE path query)")
+        from .pipelines.kg_build import nodes_with_contexts
+
+        graph["node_decorator"] = lambda nodes: nodes_with_contexts(
+            nodes, graph["canonical"], args.path,
+            graph["state"].nodeinfo_ref)
     manifests = materialize_graph(graph, args.out)
     print(json.dumps({k: m["rows"] for k, m in manifests.items()}))
     ray.shutdown()

@@ -1015,6 +1015,11 @@ def materialize_graph(graph: dict[str, Any], out_dir: str,
             if "ds" in edges_pinned:
                 ds = nodes_stage(edges_pinned["ds"],
                                  graph["state"].nodeinfo_ref)
+        if name == "nodes" and graph.get("node_decorator") is not None:
+            # post-rebuild hook (the pinned-edges rebuild above REPLACES
+            # the dataset, so decorations like the --contexts column must
+            # attach here, not upstream)
+            ds = graph["node_decorator"](ds)
         # phase accounting: `agg_<name>` is the upstream AGGREGATION compute
         # (executing the table's DAG from canonical); `write_<name>` is the
         # actual determinism sort + parquet encode + manifest commit
