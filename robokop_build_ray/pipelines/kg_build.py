@@ -192,7 +192,8 @@ def build_graph(
     # lets a bench window re-measure it without a code edit
     _nb = int(os.environ.get("GRAFT_N_BUCKETS", "64"))
     nodes = nodes_stage(canonical, state.nodeinfo_ref)
-    edges = edges_stage(canonical, n_buckets=_nb)
+    edges = edges_stage(canonical, n_buckets=_nb,
+                        entity_codes_ref=state.extras.get("entity_codes_ref"))
     # the support stage computes its marginal broadcast eagerly (it replays
     # the upstream chain), so it is built only when asked for
     n_convs = None

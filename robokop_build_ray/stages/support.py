@@ -316,6 +316,21 @@ class SupportScorer:
 _ENCODER_CACHE: dict[str, pd.Index] = {}
 
 
+def encoder_index(codes_ref) -> pd.Index:
+    """Entity-bounded ``pd.Index`` over the SORTED canonical universe,
+    cached per worker process by broadcast ref (int code == rank == lex
+    order — the shared contract of every coded exchange: support pairs,
+    marginals, and the coded edges aggregate)."""
+    key = codes_ref.hex()
+    idx = _ENCODER_CACHE.get(key)
+    if idx is None:
+        if len(_ENCODER_CACHE) > 4:  # stale runs' indexes, bounded
+            _ENCODER_CACHE.clear()
+        idx = pd.Index(sorted(ray.get(codes_ref)))
+        _ENCODER_CACHE[key] = idx
+    return idx
+
+
 def _conv_entity_encode(batch: pa.Table, codes_ref) -> pd.DataFrame:
     """Explode subj/obj endpoints, ENCODE entities as int32 codes (rank in
     the sorted canonical-id universe — so int order == the lexicographic
@@ -327,13 +342,7 @@ def _conv_entity_encode(batch: pa.Table, codes_ref) -> pd.DataFrame:
     is built once per WORKER PROCESS via a module-level cache keyed by
     the broadcast ref, and ``get_indexer`` makes encoding one vectorized
     hash probe per batch. Module-level function (pickles by reference)."""
-    key = codes_ref.hex()
-    idx = _ENCODER_CACHE.get(key)
-    if idx is None:
-        if len(_ENCODER_CACHE) > 4:  # stale runs' indexes, bounded
-            _ENCODER_CACHE.clear()
-        idx = pd.Index(sorted(ray.get(codes_ref)))
-        _ENCODER_CACHE[key] = idx
+    idx = encoder_index(codes_ref)
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     s = batch["subj_id"].to_numpy(zero_copy_only=False)
     o = batch["obj_id"].to_numpy(zero_copy_only=False)

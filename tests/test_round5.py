@@ -184,3 +184,30 @@ def test_extract_sentence_path_matches_finditer():
     slow = slow.sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) > 0
+
+
+def test_edges_stage_coded_equals_string_path():
+    """The coded edges exchange (packed int64 keys, post-exchange pub
+    reconstruction) is row-for-row identical to the string path on real
+    tier data — schema, publications order, mention counts."""
+    import ray
+
+    from robokop_build_ray.pipelines.kg_build import build_graph
+    from robokop_build_ray.stages.canonicalize import edges_stage
+
+    graph = build_graph(SF, materialize_intermediate=True,
+                        include_support=False)
+    canonical = graph["canonical"]
+    codes_ref = graph["state"].extras["entity_codes_ref"]
+    coded = edges_stage(canonical, n_buckets=8,
+                        entity_codes_ref=codes_ref).to_pandas()
+    plain = edges_stage(canonical, n_buckets=8).to_pandas()
+    for df in (coded, plain):
+        df["publications"] = df["publications"].map(tuple)
+    cols = list(coded.columns)
+    coded = coded.sort_values(["subj_id", "pred_id", "obj_id"],
+                              ignore_index=True)[cols]
+    plain = plain.sort_values(["subj_id", "pred_id", "obj_id"],
+                              ignore_index=True)[cols]
+    pd.testing.assert_frame_equal(coded, plain)
+    assert len(coded) > 0
