@@ -136,15 +136,32 @@ def generate_transcripts(
         total += size
         conv_i += 1
 
-    perm = rng.permutation(len(conv_ids))  # rows shuffled across conversations
-    tbl = pa.table(
-        {
-            "conv_id": pa.array(conv_ids, pa.string()),
-            "turn_idx": pa.array(turn_idxs, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(texts, pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(tss, pa.timestamp("us")),
-        }
-    )
-    return tbl.take(pa.array(perm))
+    # rows shuffled across conversations; the permutation is applied with
+    # numpy BEFORE Arrow sees the data and the table is built in bounded
+    # chunks — a single whole-table `take` (and even a chunk-sliced take
+    # over a chunked source) concatenates the text column into one array,
+    # which overflows int32 string offsets past 2 GiB ("offset overflow
+    # while concatenating arrays", hit at the 38.4M-turn 4x tier).
+    n = len(conv_ids)
+    perm = rng.permutation(n)
+    cv = np.asarray(conv_ids, dtype=object)
+    ti = np.asarray(turn_idxs, dtype=np.int32)
+    ro = np.asarray(roles, dtype=object)
+    tx = np.asarray(texts, dtype=object)
+    tl = np.asarray(tools, dtype=object)
+    ts_ = np.asarray(tss, dtype=np.int64)
+    chunk = 4_000_000
+    pieces = []
+    for s in range(0, max(n, 1), chunk):
+        p = perm[s:s + chunk]
+        pieces.append(pa.table(
+            {
+                "conv_id": pa.array(cv[p].tolist(), pa.string()),
+                "turn_idx": pa.array(ti[p], pa.int32()),
+                "role": pa.array(ro[p].tolist(), pa.string()),
+                "text": pa.array(tx[p].tolist(), pa.string()),
+                "tool": pa.array(tl[p].tolist(), pa.string()),
+                "ts": pa.array(ts_[p], pa.timestamp("us")),
+            }
+        ))
+    return pieces[0] if len(pieces) == 1 else pa.concat_tables(pieces)
